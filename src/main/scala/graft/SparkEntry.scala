@@ -1,13 +1,47 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sequencing
+import graft.queries._
+import graft.sources.Tables
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Query registry is assembled from per-cluster objects under
+  * [[graft.queries]]; every entry has a DuckDB oracle unless the operator
+  * is not SQL-expressible.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Flagship pipeline on sf0.001 (SURVEY §7.2 minimal end-to-end slice):
+    * events → JSON decode → identify (ids/keys/seqNos) → per-key
+    * sequencing → per-key structural counts. Driver smoke-checks rows>0.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val e = Tables.events(spark, dir)
+      .withColumn("prop_k", get_json_object(col("props"), "$.k").cast("long"))
+      .withColumn("id", concat_ws("|", concat(lit("id1:"), col("event_id"))))
+      .withColumn("key", concat_ws("|", concat(lit("k1:"), col("user_id"))))
+      .withColumn("shard_id",
+        concat(lit("S|"), pmod(col("user_id"), lit(4)).cast("string")))
+    val seq = Sequencing.perKey(e, col("shard_id"), Seq(col("user_id")),
+      Seq(expr("ts div 1000")), col("event_id"))
+    seq.groupBy("shard_id", "user_id")
+      .agg(count(lit(1)).as("messages"),
+        sum(when(col("is_first_to_process"), 1).otherwise(0)).as("heads"),
+        max(col("seq_rn")).as("chain_len"))
+      .orderBy("shard_id", "user_id")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    ConsumerQueries.all
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    ConsumerQueries.oracle
 }
