@@ -28,7 +28,7 @@ object SparkEntry {
       .withColumn("shard_id",
         concat(lit("S|"), pmod(col("user_id"), lit(4)).cast("string")))
     val seq = Sequencing.perKey(e, col("shard_id"), Seq(col("user_id")),
-      Seq(expr("ts div 1000")), col("event_id"))
+      Seq(col("ts")), col("event_id"))
     seq.groupBy("shard_id", "user_id")
       .agg(count(lit(1)).as("messages"),
         sum(when(col("is_first_to_process"), 1).otherwise(0)).as("heads"),
@@ -44,4 +44,13 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ConsumerQueries.oracle
+
+  /** Headline subset for Bench: representative of each operator cluster,
+    * in a fixed order (a full run of every registered query would bench
+    * the registry, not the engine). */
+  def benchQueries: Seq[(String, (SparkSession, String) => DataFrame)] = {
+    val names = Seq("decode_json", "decode_base64", "identify_ids",
+      "seq_per_key", "seq_per_shard", "q1_agg")
+    names.flatMap(n => queries.get(n).map(n -> _))
+  }
 }

@@ -28,35 +28,52 @@ object Sequencing {
 
   /** Q1 sort-type normalization for one seqNo part.
     *
-    * The reference normalizes each part by runtime type
-    * (`test/sequencing-per-shard.test.js:114-128`): NUMBER, INTEGER_LIKE
-    * (digit strings beyond double precision — Kinesis seqNos are 56
-    * digits), DATE, DATE_TIME, STRING. Here each part becomes a
-    * fixed-shape struct whose fields sort lexicographically in exactly
-    * that order of precedence:
-    *   - `num`: the double value when the part is numeric, else null
-    *   - `digits`: zero-padded 64-char form when integer-like, else null
+    * The reference classifies each part by value pattern
+    * (`test/sequencing-per-shard.test.js:114-128,192-209`): INTEGER_LIKE
+    * (ANY integer-valued part — plain `3000` and 56-digit Kinesis seqNos
+    * like `'20000000000000000000002'` are the SAME sort type and compare
+    * numerically), NUMBER (non-integer floats), DATE, DATE_TIME, STRING.
+    * Here each part becomes a fixed-shape struct whose fields sort
+    * lexicographically:
+    *   - `num`: the double value for non-integer numerics, else null
+    *   - `sign`: 0 for negative INTEGER_LIKE, 1 for non-negative, else null
+    *   - `digits`: zero-padded 64-char magnitude when integer-like
+    *     (nines-complemented for negatives so -30 < -5), else null
     *     (padding makes string compare == numeric compare; DecimalType(38)
     *     is too small for 56-digit Kinesis sequence numbers)
-    *   - `txt`: ISO timestamp for DATE/DATE_TIME, else the raw string
+    *   - `txt`: ISO timestamp for DATE/DATE_TIME, raw string for STRING,
+    *     else null
     *
-    * Nulls sort first within each field, so comparing `(num, digits,
-    * txt)` in order reproduces the reference's type-normalized compare for
-    * homogeneous part types (the only case the reference permits when
-    * sequencing is required — heterogeneous part names throw at
-    * `test/sequencing-per-shard.test.js:133-161`).
+    * Classification is by pattern ONLY — every `^-?\d+$` value routes to
+    * `digits` regardless of magnitude, so mixed-magnitude INTEGER_LIKE
+    * parts order numerically exactly as the reference pins
+    * (`'3000' < '20000000000000000000002'`). Unused fields are nulled per
+    * type so same-type compares never fall through to a raw-string
+    * tiebreak. Nulls sort first within each field, giving a fixed
+    * cross-type precedence (DATE/STRING < INTEGER_LIKE < NUMBER at the
+    * struct level via the null pattern) for the heterogeneous unsequenced
+    * case; when sequencing is required the reference only permits
+    * homogeneous part types (`test/sequencing-per-shard.test.js:133-161`).
     */
   def sortKey(part: Column): Column = {
     val s = part.cast("string")
-    val isIntegerLike = s.rlike("^-?\\d{16,}$") // beyond exact double range
-    val num = when(isIntegerLike, lit(null).cast("double"))
-      .otherwise(part.cast("double"))
-    val digits = when(isIntegerLike, lpad(regexp_replace(s, "^-", ""), 64, "0"))
+    val isIntegerLike = s.rlike("^-?\\d+$")
+    val isNeg = isIntegerLike && s.startsWith("-")
+    val magnitude = lpad(regexp_replace(s, "^-", ""), 64, "0")
+    val digits = when(isNeg, translate(magnitude, "0123456789", "9876543210"))
+      .when(isIntegerLike, magnitude)
+    val sign = when(isNeg, lit(0)).when(isIntegerLike, lit(1))
     val isDate = s.rlike("^\\d{4}-\\d{2}-\\d{2}([T ].*)?$")
-    val txt = when(isDate,
-      date_format(s.cast("timestamp"), "yyyy-MM-dd'T'HH:mm:ss.SSSX"))
-      .otherwise(s)
-    struct(num.as("num"), digits.as("digits"), txt.as("txt"))
+    // ANSI-safe: only cast strings that are actually numeric literals,
+    // and parse date-looking strings with try_to_timestamp (an
+    // unparseable '2017-13-99' degrades to STRING instead of throwing).
+    val isFloatLike = s.rlike("^-?(\\d+\\.\\d*|\\.\\d+|\\d+)([eE][+-]?\\d+)?$")
+    val num = when(!isIntegerLike && isFloatLike, part.cast("double"))
+    val iso = when(isDate,
+      date_format(try_to_timestamp(s), "yyyy-MM-dd'T'HH:mm:ss.SSSX"))
+    val txt = when(iso.isNotNull, iso)
+      .when(!isIntegerLike && !isFloatLike, s)
+    struct(num.as("num"), sign.as("sign"), digits.as("digits"), txt.as("txt"))
   }
 
   /** Multi-part ordering columns for `orderBy` (Q2/Q3 comparators) over

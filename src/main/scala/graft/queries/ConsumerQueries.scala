@@ -17,12 +17,12 @@ object ConsumerQueries {
   /** Per-shard window: synthetic shard id so the plan scales by
     * partitioning rather than a single global sort (SURVEY §7.4: per-key
     * chains must not repartition(1)). `ts` arrives as an epoch-nano long
-    * (nanosAsLong); `ts_us` is the µs view matching the DuckDB oracle's
-    * TIMESTAMP precision. */
+    * (nanosAsLong) and is ordered at full nanosecond precision — the
+    * DuckDB oracle's TIMESTAMP_NS comparison is also ns-exact, so both
+    * sides tie-break identically. */
   private def withShard(df: org.apache.spark.sql.DataFrame) =
     df.withColumn("shard_id",
         concat(lit("S|"), pmod(col("user_id"), lit(4)).cast("string")))
-      .withColumn("ts_us", expr("ts div 1000"))
 
   val all: Map[String, Q] = Map(
     // §2.7 aggregation baseline (TPC-H Q1 flavor) — decimal-exact sums.
@@ -79,7 +79,7 @@ object ConsumerQueries {
     "seq_per_key" -> { (s, dir) =>
       val e = withShard(Tables.events(s, dir))
       Sequencing.perKey(e, col("shard_id"), Seq(col("user_id")),
-          Seq(col("ts_us")), col("event_id"))
+          Seq(col("ts")), col("event_id"))
         .select(col("event_id"), col("shard_id"), col("user_id"),
           col("seq_rn"), col("prev_id"), col("next_id"),
           col("is_first_to_process"))
@@ -89,7 +89,7 @@ object ConsumerQueries {
     // Q4 sequencing per shard: total order within a shard.
     "seq_per_shard" -> { (s, dir) =>
       val e = withShard(Tables.events(s, dir))
-      Sequencing.perShard(e, col("shard_id"), Seq(col("ts_us")),
+      Sequencing.perShard(e, col("shard_id"), Seq(col("ts")),
           col("event_id"))
         .select(col("event_id"), col("shard_id"), col("seq_rn"),
           col("prev_id"), col("next_id"))
