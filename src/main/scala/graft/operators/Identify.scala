@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.model.ConsumerConfig
+
+/** Identification cluster (SURVEY §2.3 I1–I4): MD5 digests, event ids,
+  * and configurable ids/keys/seqNos extracted from nested properties.
+  *
+  * Reference behavior: `/root/reference/kinesis-identify.js:33-189` with
+  * the configured/missing matrix pinned by
+  * `/root/reference/test/kinesis-identify.test.js:72-425`.
+  *
+  * Spark-first: every lookup is a codegen'd column expression — compound
+  * (dotted) property names become JSON paths, and the reference's
+  * message → userRecord → record fallback chain
+  * (`kinesis-identify.js:170-189`) is a `coalesce` over the same path
+  * applied to each source. Sources are JSON-string columns (a typed
+  * struct source is passed as `to_json(struct(...))`), mirroring the
+  * reference's schemaless messages.
+  */
+object Identify {
+
+  /** I1 — MD5 hex digests of message / record / userRecord / raw data.
+    * The reference hashes `JSON.stringify(x)` (`kinesis-identify.js:33-44`)
+    * whose key order is insertion order; this engine's canonical
+    * serialization is the column's own JSON text (or `to_json` of a
+    * struct), so digests are stable identities WITHIN this engine but are
+    * not interop with the JS reference's digests (SURVEY §7.4).
+    */
+  def md5s(message: Column, record: Column, userRecord: Column,
+      data: Column): Column =
+    struct(
+      md5(message.cast("binary")).as("msg"),
+      md5(record.cast("binary")).as("rec"),
+      md5(userRecord.cast("binary")).as("userRec"),
+      md5(data.cast("binary")).as("data"))
+
+  /** I2 — `{eventID, eventSeqNo, eventSubSeqNo}` projection
+    * (`kinesis-identify.js:54-68`); `eventSubSeqNo` is null for non-KPL
+    * records. */
+  def eventIdAndSeqNos(eventID: Column, eventSeqNo: Column,
+      eventSubSeqNo: Column): Column =
+    struct(eventID.as("eventID"), eventSeqNo.as("eventSeqNo"),
+      eventSubSeqNo.as("eventSubSeqNo"))
+
+  /** I4 — compound-name lookup with msg → userRecord → record fallback
+    * (`kinesis-identify.js:170-189`). Each source is a JSON string
+    * column; a `.`-separated name walks nested objects via the JSON
+    * path. */
+  def propertyValue(name: String, sources: Seq[Column]): Column =
+    coalesce(sources.map(src => get_json_object(src, s"$$.$name")): _*)
+
+  /** `[name, value][]` pairs as `array<struct<name,value>>` — the shape
+    * the reference builds for ids/keys/seqNos
+    * (`kinesis-identify.js:85-133`). */
+  def propertyPairs(names: Seq[String], sources: Seq[Column]): Column =
+    array(names.map(n =>
+      struct(lit(n).as("name"), propertyValue(n, sources).as("value"))): _*)
+
+  /** Flat pipe-joined key string: `"id1:ID1|id2:1001"` (SURVEY §1.1 key
+    * strings; fixture `/root/reference/test/persisting.test.json:14-16`).
+    * Null values render as an empty string after the colon so the part
+    * count is stable. */
+  def pipeString(names: Seq[String], sources: Seq[Column]): Column =
+    concat_ws("|", names.map(n =>
+      concat(lit(s"$n:"),
+        coalesce(propertyValue(n, sources).cast("string"), lit("")))): _*)
+
+  /** I3 — resolve ids, keys and seqNos per the configured property names
+    * (`kinesis-identify.js:85-133`, matrix
+    * `test/kinesis-identify.test.js:208-425`):
+    *
+    *  - `ids` from `idPropertyNames` (empty array when unconfigured)
+    *  - `keys` from `keyPropertyNames`; sequencing-per-key with NO key
+    *    property names is a FatalError at configure time (enforced by
+    *    [[ConsumerConfig]]'s constructor); per-key keys that resolve to
+    *    all-null mark the row rejected with the reference's reason
+    *  - `seqNos` from `seqNoPropertyNames`, defaulting to
+    *    `[eventSeqNo, eventSubSeqNo]` (sub only when present) when
+    *    unconfigured; sequencing required with nothing resolvable marks
+    *    the row rejected
+    *
+    * Output columns: `ids`, `keys`, `seqNos` (array<struct<name,value>>),
+    * flat `id`/`key`/`seqNo` strings (`key` is the reference's blank
+    * `" "` when unsequenced/empty — fixture
+    * `test/persisting-unseq.test.json:15`), and `reason_rejected`
+    * (null = usable).
+    */
+  def idsKeysSeqNos(cfg: ConsumerConfig, df: DataFrame, message: Column,
+      userRecord: Column, record: Column, eventSeqNo: Column,
+      eventSubSeqNo: Column): DataFrame = {
+    val sources = Seq(message, userRecord, record)
+
+    val ids =
+      if (cfg.idPropertyNames.nonEmpty) propertyPairs(cfg.idPropertyNames, sources)
+      else array().cast("array<struct<name:string,value:string>>")
+    val idStr =
+      if (cfg.idPropertyNames.nonEmpty) pipeString(cfg.idPropertyNames, sources)
+      else lit("")
+
+    val keys =
+      if (cfg.keyPropertyNames.nonEmpty) propertyPairs(cfg.keyPropertyNames, sources)
+      else array().cast("array<struct<name:string,value:string>>")
+    val keyStr =
+      if (cfg.keyPropertyNames.nonEmpty) pipeString(cfg.keyPropertyNames, sources)
+      else lit(" ") // blank key for unsequenced/keyless (persisting-unseq fixture)
+
+    val (seqNos, seqNoStr) =
+      if (cfg.seqNoPropertyNames.nonEmpty)
+        (propertyPairs(cfg.seqNoPropertyNames, sources),
+          pipeString(cfg.seqNoPropertyNames, sources))
+      else {
+        val sub = eventSubSeqNo.isNotNull
+        val pairs = when(sub, array(
+            struct(lit("eventSeqNo").as("name"),
+              eventSeqNo.cast("string").as("value")),
+            struct(lit("eventSubSeqNo").as("name"),
+              eventSubSeqNo.cast("string").as("value"))))
+          .otherwise(array(
+            struct(lit("eventSeqNo").as("name"),
+              eventSeqNo.cast("string").as("value"))))
+        val flat = when(sub, concat_ws("|",
+            concat(lit("eventSeqNo:"), eventSeqNo.cast("string")),
+            concat(lit("eventSubSeqNo:"), eventSubSeqNo.cast("string"))))
+          .otherwise(concat(lit("eventSeqNo:"), eventSeqNo.cast("string")))
+        (pairs, flat)
+      }
+
+    // Validation columns (reject-with-reason, kinesis-identify.js:108-131):
+    val keysUnresolvable = cfg.sequencingPerKey &&
+      cfg.keyPropertyNames.nonEmpty
+    val noKeys = forall(keys, k => k.getField("value").isNull)
+    val noSeqNos = forall(seqNos, p => p.getField("value").isNull)
+    val reason =
+      when(lit(keysUnresolvable) && noKeys,
+        lit("Sequencing per key, but failed to resolve any keys"))
+      .when(lit(cfg.sequencingRequired) && noSeqNos,
+        lit("Sequencing is required, but failed to resolve any seqNos"))
+
+    df.withColumn("ids", ids).withColumn("id", idStr)
+      .withColumn("keys", keys).withColumn("key", keyStr)
+      .withColumn("seqNos", seqNos).withColumn("seqNo", seqNoStr)
+      .withColumn("reason_rejected", reason)
+  }
+
+  /** Q4–Q6 mode selection from config: sequencing honoring the
+    * validation matrix already enforced by [[ConsumerConfig]]. Key parts
+    * are extracted from the configured key property names; seqNo parts
+    * from the configured (or defaulted) seqNo property names, each
+    * normalized via [[Sequencing.sortKey]]. */
+  def sequence(cfg: ConsumerConfig, df: DataFrame, shardCol: Column,
+      message: Column, userRecord: Column, record: Column,
+      eventSeqNo: Column, idCol: Column): DataFrame = {
+    val sources = Seq(message, userRecord, record)
+    val parts =
+      if (cfg.seqNoPropertyNames.nonEmpty)
+        cfg.seqNoPropertyNames.map(n =>
+          Sequencing.sortKey(propertyValue(n, sources)))
+      else Seq(Sequencing.sortKey(eventSeqNo))
+    if (!cfg.sequencingRequired) Sequencing.none(df)
+    else if (cfg.sequencingPerKey)
+      Sequencing.perKey(df, shardCol,
+        cfg.keyPropertyNames.map(n => propertyValue(n, sources)), parts, idCol)
+    else Sequencing.perShard(df, shardCol, parts, idCol)
+  }
+}

@@ -3,7 +3,8 @@ package graft.queries
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.operators.Sequencing
+import graft.model.ConsumerConfig
+import graft.operators.{Decode, Identify, Sequencing}
 import graft.sources.Tables
 
 /** Queries exercising the stream-consumer operator clusters (SURVEY §2)
@@ -16,13 +17,36 @@ object ConsumerQueries {
 
   /** Per-shard window: synthetic shard id so the plan scales by
     * partitioning rather than a single global sort (SURVEY §7.4: per-key
-    * chains must not repartition(1)). `ts` arrives as an epoch-nano long
-    * (nanosAsLong) and is ordered at full nanosecond precision — the
-    * DuckDB oracle's TIMESTAMP_NS comparison is also ns-exact, so both
-    * sides tie-break identically. */
+    * chains must not repartition(1)).
+    *
+    * Precision parity: `ts` arrives as an epoch-nano long (nanosAsLong)
+    * but DuckDB reads the same TIMESTAMP(NANOS) parquet at µs precision
+    * (measured: `epoch_ns(ts)` ends in 000). Both sides therefore order
+    * by the µs value with an explicit `event_id` tiebreak — identical
+    * orderings even when two events share a µs. */
   private def withShard(df: org.apache.spark.sql.DataFrame) =
     df.withColumn("shard_id",
         concat(lit("S|"), pmod(col("user_id"), lit(4)).cast("string")))
+      .withColumn("ts_us", expr("ts div 1000"))
+
+  /** Config for the config-driven identify/sequence queries: ids from the
+    * message payload, keys and seqNos resolved through the fallback chain
+    * (absent on the message ⇒ found on the record, I4). */
+  private val cfgPerKey = ConsumerConfig(
+    sequencingRequired = true, sequencingPerKey = true,
+    idPropertyNames = Seq("k"),
+    keyPropertyNames = Seq("user_id"),
+    seqNoPropertyNames = Seq("ts"))
+
+  /** The events row re-serialized as the "record" JSON source (the
+    * message `props` carries only `k`, so key/seqNo lookups fall back
+    * here). `ts` is serialized at µs — see the precision-parity note on
+    * [[withShard]]. */
+  private def recordJson = to_json(struct(
+    col("event_id"), col("user_id"), col("event_type"),
+    expr("ts div 1000").as("ts")))
+
+  private val nullStr = lit(null).cast("string")
 
   val all: Map[String, Q] = Map(
     // §2.7 aggregation baseline (TPC-H Q1 flavor) — decimal-exact sums.
@@ -79,7 +103,7 @@ object ConsumerQueries {
     "seq_per_key" -> { (s, dir) =>
       val e = withShard(Tables.events(s, dir))
       Sequencing.perKey(e, col("shard_id"), Seq(col("user_id")),
-          Seq(col("ts")), col("event_id"))
+          Seq(col("ts_us")), col("event_id"))
         .select(col("event_id"), col("shard_id"), col("user_id"),
           col("seq_rn"), col("prev_id"), col("next_id"),
           col("is_first_to_process"))
@@ -89,10 +113,61 @@ object ConsumerQueries {
     // Q4 sequencing per shard: total order within a shard.
     "seq_per_shard" -> { (s, dir) =>
       val e = withShard(Tables.events(s, dir))
-      Sequencing.perShard(e, col("shard_id"), Seq(col("ts")),
+      Sequencing.perShard(e, col("shard_id"), Seq(col("ts_us")),
           col("event_id"))
         .select(col("event_id"), col("shard_id"), col("seq_rn"),
           col("prev_id"), col("next_id"))
+        .orderBy("event_id")
+    },
+
+    // D1 decode with usable/unusable routing: every 7th payload is
+    // corrupted before decode; the engine must route exactly those to
+    // reason_unusable and pass the rest through intact.
+    "decode_split" -> { (s, dir) =>
+      val e = Tables.events(s, dir)
+        .withColumn("data", when(pmod(col("event_id"), lit(7)) === 0,
+            lit("!!!not-base64!!!"))
+          .otherwise(base64(encode(col("props"), "UTF-8"))))
+      Decode.extractJsonMessages(e, col("data"))
+        .select(col("event_id"), col("message"), col("reason_unusable"))
+        .orderBy("event_id")
+    },
+
+    // I3 config-driven identify: ids from the message, keys + seqNos via
+    // the msg → userRecord → record fallback chain (I4), flat pipe
+    // strings per §1.1.
+    "identify_config" -> { (s, dir) =>
+      val e = Tables.events(s, dir)
+      Identify.idsKeysSeqNos(cfgPerKey, e, col("props"), nullStr,
+          recordJson, col("ts").cast("string"), lit(null).cast("int"))
+        .select(col("event_id"), col("id"), col("key"), col("seqNo"),
+          col("reason_rejected").cast("string").as("reason_rejected"))
+        .orderBy("event_id")
+    },
+
+    // Q5 through the config path: keys/seqNos extracted from JSON by
+    // property name, normalized by sortKey (INTEGER_LIKE digits), then
+    // chained per key — the reference's full identify→sequence flow.
+    "seq_config_perkey" -> { (s, dir) =>
+      val e = withShard(Tables.events(s, dir))
+      Identify.sequence(cfgPerKey, e, col("shard_id"), col("props"),
+          nullStr, recordJson, col("ts").cast("string"), col("event_id"))
+        .select(col("event_id"), col("seq_rn"), col("prev_id"),
+          col("next_id"), col("is_first_to_process"))
+        .orderBy("event_id")
+    },
+
+    // D5 passthrough path: non-KPL records emerge as single user records
+    // without subSequenceNumber (kpl-deagg-async.js:158-184). The
+    // aggregate fan-out path is pinned by DecodeSpec on the real KPL
+    // payload (protobuf isn't SQL-expressible).
+    "kpl_passthrough" -> { (s, dir) =>
+      val e = Tables.events(s, dir)
+        .withColumn("data", base64(encode(col("props"), "UTF-8")))
+      Decode.kplUserRecords(e, col("data"),
+          col("user_id").cast("string"), nullStr)
+        .select(col("event_id"), col("userPartitionKey"),
+          col("subSequenceNumber"), col("userData"))
         .orderBy("event_id")
     })
 
@@ -141,5 +216,36 @@ object ConsumerQueries {
         |  LEAD(event_id) OVER w AS next_id
         |FROM events
         |WINDOW w AS (PARTITION BY user_id % 4 ORDER BY ts, event_id)
-        |ORDER BY event_id""".stripMargin)
+        |ORDER BY event_id""".stripMargin,
+    // Ground-truth routing oracle: corruption is keyed on event_id, so
+    // the oracle derives the expected split without decoding.
+    "decode_split" ->
+      """SELECT event_id,
+        |  CASE WHEN event_id % 7 <> 0 THEN props END AS message,
+        |  CASE WHEN event_id % 7 = 0 THEN 'invalid base64 data' END
+        |    AS reason_unusable
+        |FROM events ORDER BY event_id""".stripMargin,
+    "identify_config" ->
+      """SELECT event_id,
+        |  'k:' || json_extract_string(props, '$.k') AS id,
+        |  'user_id:' || user_id AS key,
+        |  'ts:' || epoch_us(ts) AS seqNo,
+        |  CAST(NULL AS VARCHAR) AS reason_rejected
+        |FROM events ORDER BY event_id""".stripMargin,
+    "seq_config_perkey" ->
+      """SELECT event_id,
+        |  CAST(ROW_NUMBER() OVER w AS INT) AS seq_rn,
+        |  LAG(event_id) OVER w AS prev_id,
+        |  LEAD(event_id) OVER w AS next_id,
+        |  (ROW_NUMBER() OVER w = 1) AS is_first_to_process
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id % 4, user_id
+        |             ORDER BY epoch_us(ts), event_id)
+        |ORDER BY event_id""".stripMargin,
+    "kpl_passthrough" ->
+      """SELECT event_id,
+        |  CAST(user_id AS VARCHAR) AS userPartitionKey,
+        |  CAST(NULL AS INT) AS subSequenceNumber,
+        |  to_base64(encode(props)) AS userData
+        |FROM events ORDER BY event_id""".stripMargin)
 }
