@@ -1,0 +1,222 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.model.ConsumerConfig
+import graft.operators.{Batching, DeadLetters, Sequencing, TaskStates}
+import graft.sources.{StateStore, Tables}
+
+/** Queries for batch identity (Q7/S6), the task-state machine
+  * (T2/T6/T7/T8), set-splitting counts (§2.5/§2.7), dead-letter
+  * envelopes (S4/S5) and state upsert (S2/S3).
+  *
+  * Task states are SYNTHESIZED deterministically from events columns so
+  * the DuckDB oracle can derive the expected post-transition states
+  * independently — the oracle re-implements the state machine in SQL
+  * and must land on byte-identical results.
+  */
+object BatchQueries {
+
+  private val cfg = ConsumerConfig()
+
+  private val finalised = graft.model.TaskStatus.finalisedFamily.toSeq
+    .map(s => s"'$s'").sorted.mkString("(", ",", ")")
+  private val rejectedF = graft.model.TaskStatus.rejectedFamily.toSeq
+    .map(s => s"'$s'").sorted.mkString("(", ",", ")")
+
+  val all: Map[String, Q] = Map(
+
+    // Q7 + S6: batch key strings and partition-key fallback chain
+    // (blank record key falls back to the streamConsumerId).
+    "batch_key" -> { (s, dir) =>
+      val scid = Batching.streamConsumerId(lit("events"), lit("graft:dev"))
+      val soid = Batching.shardOrEventID(cfg,
+        pmod(col("user_id"), lit(4)).cast("string"), col("event_id"))
+      val recordKey = when(col("event_type") === "error", lit(""))
+        .otherwise(col("user_id").cast("string"))
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          scid.as("streamConsumerId"),
+          soid.as("shardOrEventID"),
+          Batching.partitionKey(recordKey, scid).as("partition_key"))
+        .orderBy("event_id")
+    },
+
+    // T2+T8 revive/abandon, T6 discard-over-limit, T7 timeout rollback:
+    // two synthesized tasks per message ('legacyTask' is absent from the
+    // registry), swept revive → discard → timeout.
+    "task_lifecycle" -> { (s, dir) =>
+      val k = get_json_object(col("props"), "$.k").cast("int")
+      def mk(name: org.apache.spark.sql.Column,
+          state: org.apache.spark.sql.Column,
+          attempts: org.apache.spark.sql.Column) = struct(
+        name.as("name"), name.as("path"), lit("processOne").as("kind"),
+        state.as("state"),
+        lit(null).cast("string").as("error"),
+        lit(null).cast("string").as("reason"),
+        attempts.as("attempts"), attempts.as("totalAttempts"),
+        lit(null).cast("string").as("began"),
+        lit(null).cast("long").as("took"))
+      val t1 = mk(lit("processOne"),
+        element_at(array(lit("Unstarted"), lit("Started"), lit("Failed"),
+          lit("Succeeded"), lit("Rejected"), lit("TimedOut")),
+          pmod(k, lit(6)) + 1),
+        pmod(k, lit(12)))
+      val t2 = mk(
+        when(pmod(col("user_id"), lit(2)) === 0, lit("legacyTask"))
+          .otherwise(lit("processAll")),
+        element_at(array(lit("Started"), lit("Completed"), lit("Failed")),
+          pmod(col("user_id"), lit(3)).cast("int") + 1),
+        pmod(col("user_id"), lit(11)).cast("int"))
+      val e = Tables.events(s, dir).withColumn("tasks", array(t1, t2))
+      val swept = TaskStates.timeoutRunning(
+        TaskStates.discardOverLimit(
+          TaskStates.reviveAndAbandon(col("tasks"),
+            Seq("processOne", "processAll")),
+          cfg.maxNumberOfAttempts))
+      e.withColumn("swept", swept)
+        .select(col("event_id"),
+          col("swept")(0).getField("state").as("t1_state"),
+          col("swept")(0).getField("attempts").as("t1_attempts"),
+          col("swept")(1).getField("state").as("t2_state"),
+          col("swept")(1).getField("attempts").as("t2_attempts"),
+          Batching.isIncomplete(col("swept")).as("incomplete"),
+          Batching.isRejected(col("swept")).as("rejected"))
+        .orderBy("event_id")
+    },
+
+    // F1–F3 + §2.7: per-shard structural counts over a decode split
+    // (every 7th record unusable) with simulated rejection/incompletion
+    // and per-key chain heads.
+    "batch_counts" -> { (s, dir) =>
+      val e = Tables.events(s, dir)
+        .withColumn("shard_id",
+          concat(lit("S|"), pmod(col("user_id"), lit(4)).cast("string")))
+        .withColumn("usable", pmod(col("event_id"), lit(7)) =!= 0)
+      val seq = Sequencing.perKey(e, col("shard_id"),
+        Seq(col("user_id"), col("usable")), Seq(expr("ts div 1000")),
+        col("event_id"))
+      Batching.counts(seq, Seq(col("shard_id")), col("usable"),
+          col("event_type") === "error",
+          col("event_type") === "purchase",
+          col("seq_rn") === 1)
+        .orderBy("shard_id")
+    },
+
+    // S4/S5: versioned dead-letter envelopes — unusable records → DR,
+    // rejected messages → DM, as canonical JSON.
+    "dead_letters" -> { (s, dir) =>
+      val scid = Batching.streamConsumerId(lit("events"), lit("graft:dev"))
+      val soid = concat(lit("S|"), pmod(col("user_id"), lit(4)).cast("string"))
+      val at = lit("2026-08-12T00:00:00Z")
+      val k = get_json_object(col("props"), "$.k").cast("int")
+      val unusable = pmod(col("event_id"), lit(7)) === 0
+      val rejected = col("event_type") === "error"
+      Tables.events(s, dir)
+        .withColumn("kind",
+          when(unusable, lit("DR")).when(rejected, lit("DM")))
+        .filter(col("kind").isNotNull)
+        .select(col("event_id"), col("kind"),
+          when(unusable, DeadLetters.deadRecordEnvelope(scid, soid,
+              struct(col("event_id"), col("user_id")),
+              lit("invalid base64 data"), at))
+            .otherwise(DeadLetters.deadMessageEnvelope(scid, soid,
+              struct(k.as("k")), lit("task rejected"), at))
+            .as("envelope"))
+        .orderBy("event_id")
+    },
+
+    // S2/S3: MERGE-style upsert — updates replace same-key existing
+    // rows, unmatched existing rows survive.
+    "state_upsert" -> { (s, dir) =>
+      val e = Tables.events(s, dir)
+        .select(col("event_id"),
+          concat(lit("S|"), col("event_id")).as("shardOrEventID"))
+      val existing = e.filter(pmod(col("event_id"), lit(2)) === 0)
+        .withColumn("payload", lit("v1"))
+      val updates = e.filter(pmod(col("event_id"), lit(3)) === 0)
+        .withColumn("payload", lit("v2"))
+      StateStore.upsert(existing, updates, Seq("shardOrEventID"))
+        .select("event_id", "shardOrEventID", "payload")
+        .orderBy("event_id")
+    })
+
+  val oracle: Map[String, String] = Map(
+    "batch_key" ->
+      """SELECT event_id,
+        |  'K|events|graft:dev' AS streamConsumerId,
+        |  'S|' || (user_id % 4) AS shardOrEventID,
+        |  CASE WHEN event_type = 'error' THEN 'K|events|graft:dev'
+        |       ELSE CAST(user_id AS VARCHAR) END AS partition_key
+        |FROM events ORDER BY event_id""".stripMargin,
+    "task_lifecycle" ->
+      s"""WITH base AS (
+        |  SELECT event_id,
+        |    CAST(json_extract_string(props, '$$.k') AS INT) AS k, user_id
+        |  FROM events
+        |), t AS (
+        |  SELECT event_id,
+        |    ['Unstarted','Started','Failed','Succeeded','Rejected','TimedOut'][(k % 6) + 1] AS s1,
+        |    k % 12 AS a1,
+        |    CASE WHEN user_id % 2 = 0 THEN 'legacyTask' ELSE 'processAll' END AS n2,
+        |    ['Started','Completed','Failed'][CAST(user_id % 3 AS INT) + 1] AS s2_0,
+        |    CAST(user_id % 11 AS INT) AS a2
+        |  FROM base
+        |), r AS (
+        |  SELECT event_id, s1, a1, a2,
+        |    CASE WHEN n2 = 'legacyTask' AND s2_0 NOT IN $finalised
+        |         THEN 'Abandoned' ELSE s2_0 END AS s2
+        |  FROM t
+        |), d AS (
+        |  SELECT event_id, a1, a2,
+        |    CASE WHEN s1 IN ('Failed','TimedOut') AND a1 >= 10
+        |         THEN 'Discarded' ELSE s1 END AS s1,
+        |    CASE WHEN s2 IN ('Failed','TimedOut') AND a2 >= 10
+        |         THEN 'Discarded' ELSE s2 END AS s2
+        |  FROM r
+        |), f AS (
+        |  SELECT event_id,
+        |    CASE WHEN s1 = 'Started' THEN 'TimedOut' ELSE s1 END AS s1,
+        |    CAST(CASE WHEN s1 = 'Started' THEN GREATEST(a1 - 1, 0) ELSE a1 END AS INT) AS a1,
+        |    CASE WHEN s2 = 'Started' THEN 'TimedOut' ELSE s2 END AS s2,
+        |    CAST(CASE WHEN s2 = 'Started' THEN GREATEST(a2 - 1, 0) ELSE a2 END AS INT) AS a2
+        |  FROM d
+        |)
+        |SELECT event_id, s1 AS t1_state, a1 AS t1_attempts,
+        |  s2 AS t2_state, a2 AS t2_attempts,
+        |  (s1 NOT IN $finalised OR s2 NOT IN $finalised) AS incomplete,
+        |  (s1 IN $rejectedF OR s2 IN $rejectedF) AS rejected
+        |FROM f ORDER BY event_id""".stripMargin,
+    "batch_counts" ->
+      """SELECT 'S|' || (user_id % 4) AS shard_id,
+        |  COUNT(*) AS records,
+        |  COUNT(CASE WHEN event_id % 7 <> 0 THEN 1 END) AS messages,
+        |  COUNT(CASE WHEN event_id % 7 = 0 THEN 1 END) AS unusableRecords,
+        |  COUNT(CASE WHEN event_id % 7 <> 0 AND event_type = 'error' THEN 1 END) AS rejectedMessages,
+        |  COUNT(CASE WHEN event_id % 7 <> 0 AND event_type = 'purchase' THEN 1 END) AS incompleteMessages,
+        |  COUNT(DISTINCT CASE WHEN event_id % 7 <> 0 THEN user_id END) AS firstMessagesToProcess
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dead_letters" ->
+      """SELECT event_id,
+        |  CASE WHEN event_id % 7 = 0 THEN 'DR' ELSE 'DM' END AS kind,
+        |  CASE WHEN event_id % 7 = 0 THEN
+        |    '{"streamConsumerId":"K|events|graft:dev","shardOrEventID":"S|'
+        |    || (user_id % 4) || '","ver":"DR|K|2.0","record":{"event_id":'
+        |    || event_id || ',"user_id":' || user_id
+        |    || '},"reasonUnusable":"invalid base64 data","discardedAt":"2026-08-12T00:00:00Z"}'
+        |  ELSE
+        |    '{"streamConsumerId":"K|events|graft:dev","shardOrEventID":"S|'
+        |    || (user_id % 4) || '","ver":"DM|K|2.0","message":{"k":'
+        |    || CAST(json_extract_string(props, '$.k') AS INT)
+        |    || '},"reasonRejected":"task rejected","discardedAt":"2026-08-12T00:00:00Z"}'
+        |  END AS envelope
+        |FROM events
+        |WHERE event_id % 7 = 0 OR event_type = 'error'
+        |ORDER BY event_id""".stripMargin,
+    "state_upsert" ->
+      """SELECT event_id, 'S|' || event_id AS shardOrEventID,
+        |  CASE WHEN event_id % 3 = 0 THEN 'v2' ELSE 'v1' END AS payload
+        |FROM events
+        |WHERE event_id % 2 = 0 OR event_id % 3 = 0
+        |ORDER BY event_id""".stripMargin)
+}
