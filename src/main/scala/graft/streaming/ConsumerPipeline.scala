@@ -1,0 +1,161 @@
+package graft.streaming
+
+import scala.util.Try
+
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.model.{ConsumerConfig, TaskStatus}
+import graft.operators.{Batching, Decode, DeadLetters, Identify}
+import graft.sources.StateStore
+
+/** The reference's `processStreamEvent` phase structure
+  * (`/root/reference/kinesis-consumer.js:197-206` delegating to the core
+  * initiate/process/finalise flow, SURVEY §3.3) as one `foreachBatch`
+  * body:
+  *
+  * {{{
+  * initiateBatch   decode (D1/D2) → identify (I3) → sequence (Q4–Q6)
+  *                 → load prior state (S2) → revive (T2)
+  * processBatch    ordered chain execution with resume (T3, Q5)
+  * finaliseBatch   DRQ/DMQ envelopes (S4/S5) → state upsert (S3)
+  *                 → replay verdict (reject ⇒ source redelivers)
+  * }}}
+  *
+  * Batch-mode and streaming share this body: in streaming, wire
+  * [[apply]] into `writeStream.foreachBatch` and a thrown
+  * [[ReplayBatchException]] fails the trigger so the checkpoint does not
+  * advance — the same at-least-once replay contract as the reference's
+  * Lambda callback rejection (`test/kinesis-consumer.test.js:1272-1380`).
+  *
+  * Input contract (columns): `eventID` string, `shardId` string,
+  * `partitionKey` string, `data` base64 string.
+  */
+object ConsumerPipeline {
+
+  /** Thrown when the batch has incomplete messages and must replay. */
+  final class ReplayBatchException(msg: String) extends RuntimeException(msg)
+
+  final case class BatchResult(messages: Long, unusable: Long,
+      completed: Long, failed: Long, discarded: Long, blocked: Long,
+      replay: Boolean)
+
+  /** One full initiate/process/finalise pass.
+    *
+    * @param cfg        consumer configuration (sequencing mode, retry cap)
+    * @param runTask    the user's processOne task over the decoded message
+    * @param statePath  batch-state table (S2/S3)
+    * @param deadLetterPath DRQ/DMQ envelope table (S4/S5)
+    * @param throwOnReplay  streaming mode: throw so the trigger fails and
+    *                       the source redelivers; batch callers may
+    *                       inspect the result instead
+    */
+  def apply(cfg: ConsumerConfig, runTask: String => Try[Unit],
+      statePath: String, deadLetterPath: String,
+      throwOnReplay: Boolean = false)(
+      batch: DataFrame, batchId: Long): BatchResult = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+
+    // ----- initiate: decode → identify → sequence -----
+    val scid = Batching.streamConsumerId(lit(cfg.streamName),
+      lit(cfg.consumerId))
+    val soid = Batching.shardOrEventID(cfg, col("shardId"), col("eventID"))
+    val recordJson = to_json(struct(col("eventID"), col("shardId"),
+      col("partitionKey"), col("data")))
+    val decoded = Decode.extractJsonMessages(batch, col("data"))
+      .withColumn("streamConsumerId", scid)
+      .withColumn("shardOrEventID", soid)
+    val identified = Identify.idsKeysSeqNos(cfg, decoded, col("message"),
+      lit(null).cast("string"), recordJson, col("eventID"),
+      lit(null).cast("int"))
+    val usable = identified.filter(col("reason_unusable").isNull &&
+      col("reason_rejected").isNull)
+    val sequenced = Identify.sequence(cfg, usable, col("shardOrEventID"),
+      col("message"), lit(null).cast("string"), recordJson, col("eventID"),
+      col("eventID"))
+    val chainKeyCol =
+      if (cfg.sequencingPerKey) concat_ws("|", col("shardOrEventID"), col("key"))
+      else col("shardOrEventID")
+
+    val msgs = sequenced.select(
+        chainKeyCol.as("chainKey"), col("eventID").as("msgId"),
+        col("seq_rn").cast("long").as("seqNo"),
+        col("message").as("payload"))
+      .as[StreamMsg]
+
+    // ----- load prior state + process: resumable ordered execution -----
+    val stateSchema = StructType(Seq(
+      StructField("chainKey", StringType), StructField("msgId", StringType),
+      StructField("state", StringType), StructField("attempts", IntegerType)))
+    val prior = StateStore.load(spark, statePath, stateSchema).as[MsgState]
+
+    val outcomes = msgs.groupByKey(_.chainKey)(Encoders.STRING)
+      .cogroup(prior.groupByKey(_.chainKey)(Encoders.STRING)) {
+        (_, ms, ps) =>
+          val priorMap = ps.map(s => s.msgId -> s).toMap
+          ResumableConsumer.executeChain(priorMap, ms.toSeq, runTask,
+            cfg.maxNumberOfAttempts).iterator
+      }.cache()
+
+    // ----- finalise: dead letters, state upsert, replay verdict -----
+    // Dead letters are written ONCE per record/message: the prior state
+    // remembers what was already discarded, so a replayed batch does not
+    // re-route the same envelope (mirrors the reference's persisted
+    // unusableRecordStates/rejectedMessageStates —
+    // test/persisting.test.js:339-398).
+    val at = date_format(current_timestamp(),
+      "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+    val priorIds = prior.toDF().select(col("msgId"))
+    val unusableRecs = decoded.filter(col("reason_unusable").isNotNull)
+    val newDeadRecords = unusableRecs
+      .join(priorIds, unusableRecs("eventID") === priorIds("msgId"),
+        "left_anti")
+      .select(lit("DR").as("kind"), DeadLetters.deadRecordEnvelope(
+        col("streamConsumerId"), col("shardOrEventID"), recordJson,
+        col("reason_unusable"), at).as("envelope"))
+    val priorDiscarded = prior.filter(_.state == TaskStatus.Discarded)
+      .map(_.msgId)(Encoders.STRING).toDF("msgId")
+    val newlyDiscarded = outcomes.filter(_.state == TaskStatus.Discarded)
+      .map(_.msgId)(Encoders.STRING).toDF("msgId")
+      .except(priorDiscarded)
+    val deadMessages = sequenced
+      .join(newlyDiscarded, col("eventID") === col("msgId"))
+      .select(lit("DM").as("kind"), DeadLetters.deadMessageEnvelope(
+        col("streamConsumerId"), col("shardOrEventID"), col("message"),
+        lit("Discarded after max attempts"), at).as("envelope"))
+    val letters = newDeadRecords.unionByName(deadMessages)
+    if (!letters.isEmpty)
+      letters.write.mode("append").parquet(deadLetterPath)
+
+    // Unusable records enter the state table as Discarded markers so the
+    // DRQ write above stays once-only across replays.
+    val deadRecordMarkers = unusableRecs.select(
+      col("shardOrEventID").as("chainKey"), col("eventID").as("msgId"),
+      lit(TaskStatus.Discarded).as("state"), lit(0).as("attempts"))
+    StateStore.save(
+      StateStore.upsert(prior.toDF(),
+        outcomes.toDF().unionByName(deadRecordMarkers),
+        Seq("chainKey", "msgId")),
+      statePath)
+
+    val byState = outcomes.groupByKey(_.state)(Encoders.STRING)
+      .count().collect().toMap
+    def n(s: String) = byState.getOrElse(s, 0L)
+    val result = BatchResult(
+      messages = outcomes.count(),
+      unusable = decoded.filter(col("reason_unusable").isNotNull).count(),
+      completed = n(TaskStatus.Completed),
+      failed = n(TaskStatus.Failed),
+      discarded = n(TaskStatus.Discarded),
+      blocked = n(TaskStatus.Unstarted),
+      replay = n(TaskStatus.Failed) + n(TaskStatus.Unstarted) > 0)
+    outcomes.unpersist()
+    if (result.replay && throwOnReplay)
+      throw new ReplayBatchException(
+        s"batch $batchId incomplete: ${result.failed} failed, " +
+          s"${result.blocked} blocked — replaying")
+    result
+  }
+}
