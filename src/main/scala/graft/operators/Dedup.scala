@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact,
+  * MinHash+LSH, SimHash, and n-gram Jaccard. (Embedding-cosine near-dup
+  * lives in [[Similarity]].)
+  *
+  * Scale design (the whole point at 100 TB):
+  *  - exact dedup is ONE partial-aggregable shuffle on the fingerprint —
+  *    never a self-join;
+  *  - MinHash clustering goes shingle→signature→band→BUCKET-join:
+  *    candidate pairs cost ∝ actual collisions, not n²;
+  *  - n-gram Jaccard only verifies candidate pairs that share a shingle,
+  *    with hot-shingle pruning (document-frequency cap) so a stopword
+  *    shingle cannot produce a quadratic bucket;
+  *  - SimHash is a pure per-row expression (codegen'd, no shuffle);
+  *    near-dup lookup is then a cheap self-join on the 16-bit key or on
+  *    rotated prefixes.
+  *
+  * All hashes derive from md5 hex strings so signatures are
+  * deterministic across engines and runs (no JVM hashCode, no seed
+  * drift).
+  */
+object Dedup {
+
+  /** Exact dedup: keep the smallest id per fingerprint. Returns
+    * `(fp, keep_id, dup_count)` — join back on `fp` to filter the
+    * corpus, or use `dup_count > 1` to audit. */
+  def exact(df: DataFrame, idCol: Column, fingerprint: Column): DataFrame =
+    df.groupBy(fingerprint.as("fp"))
+      .agg(min(idCol).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** MinHash signature: `numHashes` independent minima over the
+    * document's distinct shingles, hash i of shingle s =
+    * `md5(s || ':' || i)` (first 16 hex chars — string min ≡ numeric
+    * min on fixed-width hex). */
+  def minhashSignature(text: Column, numHashes: Int,
+      shingleN: Int): Column = {
+    val sh = array_distinct(TextAnalysis.shingles(text, shingleN))
+    array((0 until numHashes).map { i =>
+      array_min(transform(sh, s =>
+        substring(md5(concat(s, lit(s":$i")).cast("binary")), 1, 16)))
+    }: _*)
+  }
+
+  /** LSH banding: signature → `(band, band_key)` rows. Documents
+    * sharing ANY band key are near-dup candidates. */
+  def lshBands(df: DataFrame, idCol: Column, text: Column,
+      numHashes: Int = 8, bands: Int = 4, shingleN: Int = 3): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sig = minhashSignature(text, numHashes, shingleN)
+    val bandArr = array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("|", (0 until rowsPerBand).map(r =>
+          element_at(sig, b * rowsPerBand + r + 1)): _*).as("band_key"))
+    }: _*)
+    df.select(idCol.as("id"), explode(bandArr).as("bk"))
+      .select(col("id"), col("bk.band").as("band"),
+        col("bk.band_key").as("band_key"))
+  }
+
+  /** MinHash+LSH candidate pairs `(id_a < id_b)` via bucket join on
+    * `(band, band_key)` — the scalable path: one exchange on the band
+    * key, pair cost ∝ collisions. */
+  def minhashCandidatePairs(df: DataFrame, idCol: Column, text: Column,
+      numHashes: Int = 8, bands: Int = 4, shingleN: Int = 3): DataFrame = {
+    val b = lshBands(df, idCol, text, numHashes, bands, shingleN)
+    val a = b.select(col("band"), col("band_key"), col("id").as("id_a"))
+    val c = b.select(col("band"), col("band_key"), col("id").as("id_b"))
+    a.join(c, Seq("band", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** 16-bit SimHash: bit j is the majority vote of token-hash bit j
+    * (nibble j of each token's md5, high bit), over ALL tokens
+    * (repetition weights). Pure per-row expression. */
+  def simhash(text: Column): Column = {
+    val toks = TextAnalysis.tokens(lower(text))
+    val highNibbles = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+    (0 until 16).map { j =>
+      val ones = size(filter(toks, t =>
+        substring(md5(t.cast("binary")), j + 1, 1)
+          .isin(highNibbles: _*)))
+      when(ones * 2 > size(toks), lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** n-gram Jaccard near-dup pairs. Candidates share ≥1 surviving
+    * shingle; shingles appearing in more than `maxDocFreq` documents are
+    * pruned first (hot-shingle cap — keeps any single bucket from going
+    * quadratic; Jaccard is then computed over the surviving shingle
+    * universe, which biases AGAINST false merges on boilerplate).
+    * Returns `(id_a, id_b, inter, size_a, size_b, jaccard)`. */
+  def ngramJaccardPairs(df: DataFrame, idCol: Column, text: Column,
+      shingleN: Int = 3, maxDocFreq: Int = 20,
+      minJaccard: Double = 0.5): DataFrame = {
+    val sh = df.select(idCol.as("id"),
+      explode(array_distinct(TextAnalysis.shingles(text, shingleN)))
+        .as("sh"))
+    val surviving = sh.groupBy("sh").agg(count(lit(1)).as("doc_freq"))
+      .filter(col("doc_freq") <= maxDocFreq)
+      .select("sh")
+    val pruned = sh.join(surviving, "sh")
+    val sizes = pruned.groupBy("id").agg(count(lit(1)).as("set_size"))
+    val inter = pruned.select(col("sh"), col("id").as("id_a"))
+      .join(pruned.select(col("sh"), col("id").as("id_b")), Seq("sh"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("set_size").as("size_a")),
+        "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("set_size").as("size_b")),
+        "id_b")
+      .withColumn("jaccard",
+        col("inter") / (col("size_a") + col("size_b") - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "inter", "size_a", "size_b", "jaccard")
+  }
+}

@@ -1,0 +1,200 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, TextAnalysis}
+import graft.sources.Tables
+
+/** Training-data pipeline queries over the `documents` table: text
+  * analysis (tokens/quality/lang-id/fingerprints) and the dedup family
+  * (exact, SimHash, MinHash+LSH, n-gram Jaccard).
+  *
+  * Dedup queries run against the corpus UNIONed with an id-shifted copy
+  * of itself: planted exact duplicates give the operators ground truth
+  * to find (the raw corpus has no duplicate texts), and the DuckDB
+  * oracle re-derives everything — signatures included — from the same
+  * md5 primitives.
+  */
+object TrainingQueries {
+
+  private val CopyShift = 1000000L
+
+  /** documents ∪ id-shifted copy (planted duplicates). */
+  private def withCopies(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    d.unionByName(d.select((col("doc_id") + CopyShift).as("doc_id"),
+      col("text")))
+  }
+
+  /** The same corpus construction in SQL. */
+  private val allDocsCte =
+    s"""all_docs AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $CopyShift AS doc_id, text FROM documents
+       |)""".stripMargin
+
+  private val toksExpr = "string_split_regex(trim(lower(text)), '\\s+')"
+
+  /** Word-3-shingle list in DuckDB, mirroring TextAnalysis.shingles. */
+  private val shinglesExpr =
+    s"""CASE WHEN len($toksExpr) >= 3
+       |  THEN list_transform(range(1, len($toksExpr) - 1),
+       |         i -> array_to_string(($toksExpr)[i:i+2], ' '))
+       |  ELSE [array_to_string($toksExpr, ' ')] END""".stripMargin
+
+  private val stopwordList = TextAnalysis.DefaultStopwords
+    .map(w => s"'$w'").mkString("(", ",", ")")
+
+  val all: Map[String, Q] = Map(
+
+    // Token counting, quality facets, language ID, fingerprints — one
+    // codegen'd scan pass, no shuffle (orderBy aside).
+    "text_stats" -> { (s, dir) =>
+      val t = col("text")
+      val cols = TextAnalysis.qualityColumns(t).map { case (n, c) => c.as(n) }
+      Tables.documents(s, dir).select(
+        Seq(col("doc_id")) ++ cols ++ Seq(
+          TextAnalysis.langId(t).as("lang_pred"),
+          TextAnalysis.fingerprint(t).as("fp"),
+          TextAnalysis.bagFingerprint(t).as("bag_fp")): _*)
+        .orderBy("doc_id")
+    },
+
+    // Exact dedup: one partial-agg shuffle on the canonical fingerprint;
+    // every planted duplicate collapses onto its original (keep_id =
+    // min, dup_count = 2).
+    "dedup_exact" -> { (s, dir) =>
+      Dedup.exact(withCopies(s, dir), col("doc_id"),
+          TextAnalysis.fingerprint(col("text")))
+        .orderBy("keep_id")
+    },
+
+    // SimHash: pure per-row 16-bit signature (majority vote of token
+    // md5 nibble high-bits).
+    "dedup_simhash" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+        .orderBy("doc_id")
+    },
+
+    // MinHash+LSH: shingle → 8-hash signature → 4 bands → bucket join.
+    // Candidate pair cost ∝ band collisions, never n².
+    "dedup_minhash_lsh" -> { (s, dir) =>
+      Dedup.minhashCandidatePairs(withCopies(s, dir), col("doc_id"),
+          col("text"), numHashes = 8, bands = 4, shingleN = 3)
+        .orderBy("id_a", "id_b")
+    },
+
+    // n-gram Jaccard verification over shingle-sharing candidates with
+    // hot-shingle pruning (doc_freq ≤ 20).
+    "dedup_ngram_jaccard" -> { (s, dir) =>
+      Dedup.ngramJaccardPairs(withCopies(s, dir), col("doc_id"),
+          col("text"), shingleN = 3, maxDocFreq = 20, minJaccard = 0.8)
+        .orderBy("id_a", "id_b")
+    })
+
+  private val langScores = TextAnalysis.LangMarkers.map { case (l, pat) =>
+    l -> s"len(regexp_extract_all(lower(text), '$pat'))"
+  } :+ ("zh" -> s"len(regexp_extract_all(text, '${TextAnalysis.CjkPattern}'))")
+
+  private val langCase = {
+    val maxE = langScores.map(_._2).mkString("greatest(", ", ", ")")
+    val whens = langScores
+      .map { case (l, e) => s"WHEN $e = m THEN '$l'" }.mkString(" ")
+    s"CASE WHEN m = 0 THEN 'und' $whens END"
+  }
+
+  private val simhashTerms = (0 until 16).map { j =>
+    s"""(CASE WHEN 2 * len(list_filter(toks,
+       |   t -> substr(md5(t), ${j + 1}, 1) IN
+       |        ('8','9','a','b','c','d','e','f'))) > len(toks)
+       | THEN ${1L << j} ELSE 0 END)""".stripMargin
+  }.mkString(" + ")
+
+  private val normExpr =
+    "regexp_replace(trim(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g')), '\\s+', ' ', 'g')"
+
+  private val minhashMins = (0 until 8).map { i =>
+    s"min(substr(md5(s || ':$i'), 1, 16)) AS h$i"
+  }.mkString(",\n    ")
+
+  private val bandRows = (0 until 4).map { b =>
+    s"SELECT doc_id, $b AS band, h${2 * b} || '|' || h${2 * b + 1} AS band_key FROM sig"
+  }.mkString("\n  UNION ALL ")
+
+  val oracle: Map[String, String] = Map(
+    "text_stats" ->
+      s"""WITH d AS (
+        |  SELECT doc_id, text,
+        |    ${langScores.map(_._2).mkString("greatest(", ", ", ")")} AS m
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  len($toksExpr) AS n_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))
+        |    AS n_tokens_bpeish,
+        |  len(list_filter($toksExpr, t -> t IN $stopwordList)) AS n_stopwords,
+        |  length(text) - length(regexp_replace(text, '[.,;:!?''"()\\[\\]-]', '', 'g'))
+        |    AS n_punct,
+        |  len(list_filter($toksExpr, t -> t IN $stopwordList)) / len($toksExpr)
+        |    AS stopword_ratio,
+        |  (length(text) - length(regexp_replace(text, '[.,;:!?''"()\\[\\]-]', '', 'g'))) / length(text)
+        |    AS punct_ratio,
+        |  length(regexp_replace(text, '\\s+', '', 'g')) / len($toksExpr)
+        |    AS mean_word_len,
+        |  $langCase AS lang_pred,
+        |  md5($normExpr) AS fp,
+        |  md5(array_to_string(list_sort(list_distinct($toksExpr)), ' ')) AS bag_fp
+        |FROM d ORDER BY doc_id""".stripMargin,
+    "dedup_exact" ->
+      s"""WITH $allDocsCte
+        |SELECT md5($normExpr) AS fp, MIN(doc_id) AS keep_id,
+        |  COUNT(*) AS dup_count
+        |FROM all_docs GROUP BY 1 ORDER BY keep_id""".stripMargin,
+    "dedup_simhash" ->
+      s"""WITH t AS (SELECT doc_id, $toksExpr AS toks FROM documents)
+        |SELECT doc_id, CAST($simhashTerms AS BIGINT) AS simhash
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "dedup_minhash_lsh" ->
+      s"""WITH $allDocsCte,
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct($shinglesExpr)) AS s
+        |  FROM all_docs
+        |), sig AS (
+        |  SELECT doc_id,
+        |    $minhashMins
+        |  FROM sh GROUP BY doc_id
+        |), bands AS (
+        |  $bandRows
+        |)
+        |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM bands a JOIN bands b
+        |  ON a.band = b.band AND a.band_key = b.band_key
+        |  AND a.doc_id < b.doc_id
+        |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""WITH $allDocsCte,
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct($shinglesExpr)) AS s
+        |  FROM all_docs
+        |), surviving AS (
+        |  SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 20
+        |), pruned AS (
+        |  SELECT sh.doc_id, sh.s FROM sh JOIN surviving USING (s)
+        |), sizes AS (
+        |  SELECT doc_id, COUNT(*) AS set_size FROM pruned GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        |  FROM pruned a JOIN pruned b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT id_a, id_b, inter, sa.set_size AS size_a,
+        |  sb.set_size AS size_b,
+        |  inter / (sa.set_size + sb.set_size - inter) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE inter / (sa.set_size + sb.set_size - inter) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin)
+}
