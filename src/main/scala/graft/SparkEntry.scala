@@ -38,12 +38,15 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ConsumerQueries.all ++ BatchQueries.all ++ TrainingQueries.all
+    ConsumerQueries.all ++ BatchQueries.all ++ TrainingQueries.all ++
+      SimilarityQueries.all ++ MultimodalQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    ConsumerQueries.oracle ++ BatchQueries.oracle ++ TrainingQueries.oracle
+    ConsumerQueries.oracle ++ BatchQueries.oracle ++
+      TrainingQueries.oracle ++ SimilarityQueries.oracle ++
+      MultimodalQueries.oracle
 
   /** Headline subset for Bench: representative of each operator cluster,
     * in a fixed order (a full run of every registered query would bench

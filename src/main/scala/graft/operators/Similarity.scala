@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`):
+  * brute-force cosine top-k as the exact baseline, an IVF-style
+  * cell-probed variant as the scale path, and label-bucketed
+  * cosine near-duplicate pairs.
+  *
+  * Numerics: products and sums run in DOUBLE via a sequential left fold
+  * (`aggregate`), so results are bit-deterministic — independent of
+  * partitioning, and reproducible against any engine that folds
+  * left-to-right in double (float32 inputs convert exactly).
+  *
+  * Scale design: queries are broadcast (collect-free plan, one scan of
+  * the vector table); top-k uses a per-query window — with Q queries and
+  * N vectors the shuffled pair set is Q·N rows, so batch Q accordingly
+  * or pre-prune with [[ivfTopK]] which probes only the query's coarse
+  * cell (partition pruning on the cell column cuts both scan and pair
+  * count by the cell fan-out). Near-dup pairing never goes all-pairs:
+  * candidates are restricted to a bucket column (coarse cluster id,
+  * LSH band, …).
+  */
+object Similarity {
+
+  /** Sequential-fold dot product in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Exact top-k neighbours per query vector. `queries` must be small
+    * enough to broadcast (it is the driver of the Q·N pair count). */
+  def bruteForceTopK(vectors: DataFrame, idCol: Column, vecCol: Column,
+      queries: DataFrame, queryIdCol: Column, queryVecCol: Column,
+      k: Int): DataFrame = {
+    val pairs = vectors.crossJoin(broadcast(queries))
+    val w = Window.partitionBy(queryIdCol)
+      .orderBy(col("cosine").desc, idCol)
+    pairs
+      .withColumn("cosine", cosine(vecCol, queryVecCol))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** IVF-style probed top-k: vectors and queries carry a coarse cell id
+    * (cluster/IVF cell); only same-cell vectors are scored. On a
+    * cell-partitioned table the scan prunes to the probed cells. */
+  def ivfTopK(vectors: DataFrame, idCol: Column, vecCol: Column,
+      cellCol: String, queries: DataFrame, queryIdCol: Column,
+      queryVecCol: Column, k: Int): DataFrame = {
+    val pairs = vectors.join(broadcast(queries), cellCol)
+    val w = Window.partitionBy(queryIdCol)
+      .orderBy(col("cosine").desc, idCol)
+    pairs
+      .withColumn("cosine", cosine(vecCol, queryVecCol))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs within a bucket: one
+    * shuffle on the bucket column, pair cost ∝ Σ bucket², never N². */
+  def cosineDupPairs(df: DataFrame, idCol: Column, vecCol: Column,
+      bucketCol: String, threshold: Double): DataFrame = {
+    val a = df.select(col(bucketCol),
+      idCol.as("id_a"), vecCol.as("vec_a"))
+    val b = df.select(col(bucketCol),
+      idCol.as("id_b"), vecCol.as("vec_b"))
+    a.join(b, bucketCol)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", cosine(col("vec_a"), col("vec_b")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+}

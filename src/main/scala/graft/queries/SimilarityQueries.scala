@@ -1,0 +1,115 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+import graft.sources.Tables
+
+/** Similarity-search queries over the `embeddings` table
+  * (`array<float>` dim 64, coarse cell id in `label`).
+  *
+  * The DuckDB oracles compute the same double-precision left-to-right
+  * dot products as explicit 64-term chains — float32 elements convert
+  * to double exactly and IEEE addition is deterministic, so cosine
+  * values (not just ranks) must hash-match bit-for-bit.
+  */
+object SimilarityQueries {
+
+  private val CopyShift = 1000000L
+  private val Dim = 64
+
+  /** `Σ a[i]·b[i]` as an explicit left-assoc chain in SQL. */
+  private def dotSql(a: String, b: String): String =
+    (1 to Dim).map(i =>
+      s"CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE)")
+      .mkString(" + ")
+
+  private def cosSql(a: String, b: String): String =
+    s"(${dotSql(a, b)}) / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  val all: Map[String, Q] = Map(
+
+    // Exact brute-force cosine top-10 for 5 broadcast query vectors.
+    "ann_topk_brute" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      Similarity.bruteForceTopK(e, col("vec_id"), col("embedding"),
+          q, col("query_id"), col("qvec"), k = 10)
+        .select(col("query_id"), col("vec_id"), col("rank"), col("cosine"))
+        .orderBy("query_id", "rank")
+    },
+
+    // IVF-style probe: only the query's coarse cell (label) is scored —
+    // the partition-pruned scale path.
+    "ann_topk_ivf" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+          col("label"))
+      Similarity.ivfTopK(e, col("vec_id"), col("embedding"), "label",
+          q, col("query_id"), col("qvec"), k = 10)
+        .select(col("query_id"), col("vec_id"), col("rank"), col("cosine"))
+        .orderBy("query_id", "rank")
+    },
+
+    // Embedding-cosine near-dup pairs, label-bucketed, over the corpus
+    // plus an id-shifted copy (planted exact duplicates ⇒ cosine 1).
+    "embedding_dups" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"), col("label"))
+      val all = e.unionByName(
+        e.select((col("vec_id") + CopyShift).as("vec_id"),
+          col("embedding"), col("label")))
+      Similarity.cosineDupPairs(all, col("vec_id"), col("embedding"),
+          "label", threshold = 0.99)
+        .orderBy("id_a", "id_b")
+    })
+
+  val oracle: Map[String, String] = Map(
+    "ann_topk_brute" ->
+      s"""WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS qvec
+        |  FROM embeddings WHERE vec_id < 5
+        |), p AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    ${cosSql("e.embedding", "q.qvec")} AS cosine
+        |  FROM embeddings e, q
+        |), r AS (
+        |  SELECT *, CAST(ROW_NUMBER() OVER
+        |    (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INT)
+        |    AS rank
+        |  FROM p
+        |)
+        |SELECT query_id, vec_id, rank, cosine FROM r
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "ann_topk_ivf" ->
+      s"""WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS qvec, label
+        |  FROM embeddings WHERE vec_id < 5
+        |), p AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    ${cosSql("e.embedding", "q.qvec")} AS cosine
+        |  FROM embeddings e JOIN q ON e.label = q.label
+        |), r AS (
+        |  SELECT *, CAST(ROW_NUMBER() OVER
+        |    (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INT)
+        |    AS rank
+        |  FROM p
+        |)
+        |SELECT query_id, vec_id, rank, cosine FROM r
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "embedding_dups" ->
+      s"""WITH all_vecs AS (
+        |  SELECT vec_id, embedding, label FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + $CopyShift, embedding, label FROM embeddings
+        |), pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    ${cosSql("a.embedding", "b.embedding")} AS cosine
+        |  FROM all_vecs a JOIN all_vecs b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id
+        |)
+        |SELECT id_a, id_b, cosine FROM pairs
+        |WHERE cosine >= 0.99 ORDER BY id_a, id_b""".stripMargin)
+}
