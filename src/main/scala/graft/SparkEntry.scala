@@ -52,8 +52,15 @@ object SparkEntry {
     * in a fixed order (a full run of every registered query would bench
     * the registry, not the engine). */
   def benchQueries: Seq[(String, (SparkSession, String) => DataFrame)] = {
-    val names = Seq("decode_json", "decode_base64", "identify_ids",
-      "seq_per_key", "seq_per_shard", "q1_agg")
+    val names = Seq(
+      // stream-consumer clusters
+      "decode_json", "decode_base64", "identify_ids", "seq_per_key",
+      "seq_per_shard", "seq_config_perkey", "task_lifecycle",
+      "batch_counts", "q1_agg",
+      // training-data clusters
+      "text_stats", "dedup_exact", "dedup_simhash", "dedup_minhash_lsh",
+      "dedup_ngram_jaccard", "ann_topk_brute", "ann_topk_ivf",
+      "embedding_dups", "multimodal_features")
     names.flatMap(n => queries.get(n).map(n -> _))
   }
 }

@@ -1,0 +1,86 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.udf
+
+/** Compiled hot paths for shingle-based dedup: tokenize → n-gram →
+  * md5 → window minima as tight Scala loops.
+  *
+  * The Column-expression equivalents (`transform`/`filter`/`aggregate`
+  * higher-order functions) evaluate INTERPRETED — one lambda dispatch
+  * and boxed element per token — which measured ~10× slower over the
+  * sf0.1 corpus. These helpers keep the exact same semantics (and the
+  * same DuckDB-oracle parity: Java `split("\\s+")` ≡ DuckDB
+  * `string_split_regex(..., '\s+')`, lowercase md5 hex both sides) but
+  * run the loops in compiled code behind one UDF call per row.
+  */
+object TextShingles {
+
+  private val hexChars = "0123456789abcdef".toCharArray
+
+  private def md5Hex(s: String): String = {
+    val d = MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hexChars((d(i) >> 4) & 0xF)
+      out(2 * i + 1) = hexChars(d(i) & 0xF)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** Word n-gram shingles of the lowercased text; a text shorter than
+    * `n` words yields its single full-token shingle (mirrors
+    * [[graft.operators.TextAnalysis.shingles]]). */
+  def shingleArray(text: String, n: Int): Array[String] = {
+    val toks = text.trim.toLowerCase.split("\\s+")
+    if (toks.length >= n)
+      Array.tabulate(toks.length - n + 1) { i =>
+        val sb = new StringBuilder(toks(i))
+        var j = 1
+        while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+        sb.toString
+      }
+    else Array(toks.mkString(" "))
+  }
+
+  /** Distinct shingles (order preserved, as `array_distinct`). */
+  def distinctShingles(n: Int): Column => Column = {
+    val f = udf((text: String) => shingleArray(text, n).distinct)
+    c => f(c)
+  }
+
+  /** MinHash signature: `numHashes` minima over distinct shingles,
+    * family i reading the hex window starting at `4i` (width 8,
+    * stride 4 — windows overlap, and the last one is truncated at the
+    * digest end exactly like SQL substr) of ONE md5 per shingle —
+    * identical values to `min(substr(md5(s), 4*i+1, 8))` in SQL. */
+  def minhashSig(numHashes: Int, shingleN: Int): Column => Column = {
+    require(numHashes <= 8,
+      "one md5 yields 8 disjoint 32-bit hash windows")
+    val f = udf { (text: String) =>
+      val mins = Array.fill(numHashes)("￿")
+      val seen = new java.util.HashSet[String]()
+      val shingles = shingleArray(text, shingleN)
+      var k = 0
+      while (k < shingles.length) {
+        val s = shingles(k)
+        if (seen.add(s)) {
+          val hex = md5Hex(s)
+          var i = 0
+          while (i < numHashes) {
+            val w = hex.substring(4 * i, math.min(4 * i + 8, 32))
+            if (w < mins(i)) mins(i) = w
+            i += 1
+          }
+        }
+        k += 1
+      }
+      mins
+    }
+    c => f(c)
+  }
+}

@@ -33,30 +33,36 @@ object Dedup {
       .agg(min(idCol).as("keep_id"), count(lit(1)).as("dup_count"))
 
   /** MinHash signature: `numHashes` independent minima over the
-    * document's distinct shingles, hash i of shingle s =
-    * `md5(s || ':' || i)` (first 16 hex chars — string min ≡ numeric
-    * min on fixed-width hex). */
-  def minhashSignature(text: Column, numHashes: Int,
-      shingleN: Int): Column = {
-    val sh = array_distinct(TextAnalysis.shingles(text, shingleN))
-    array((0 until numHashes).map { i =>
-      array_min(transform(sh, s =>
-        substring(md5(concat(s, lit(s":$i")).cast("binary")), 1, 16)))
-    }: _*)
-  }
+    * document's distinct shingles. The `numHashes` hash families come
+    * from DISJOINT 8-hex-char windows of ONE md5 per shingle (32 hex
+    * chars ⇒ up to 8 families of 32 bits) — string min ≡ numeric min on
+    * fixed-width hex, and one digest per shingle instead of one per
+    * (shingle, family) makes signature build 8× cheaper at corpus
+    * scale. Requires `numHashes <= 8`.
+    *
+    * DataFrame-shaped (adds `out` as `array<string>`). The whole
+    * tokenize→shingle→digest→minima pass runs as ONE compiled function
+    * per row ([[graft.functions.TextShingles.minhashSig]]) — the
+    * higher-order-expression formulation evaluated interpreted and
+    * measured ~10× slower over the sf0.1 corpus. */
+  def withMinhashSignature(df: DataFrame, text: Column, out: String,
+      numHashes: Int, shingleN: Int): DataFrame =
+    df.withColumn(out,
+      graft.functions.TextShingles.minhashSig(numHashes, shingleN)(text))
 
   /** LSH banding: signature → `(band, band_key)` rows. Documents
     * sharing ANY band key are near-dup candidates. */
   def lshBands(df: DataFrame, idCol: Column, text: Column,
       numHashes: Int = 8, bands: Int = 4, shingleN: Int = 3): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sig = minhashSignature(text, numHashes, shingleN)
+    val sig = col("_mh_sig")
     val bandArr = array((0 until bands).map { b =>
       struct(lit(b).as("band"),
         concat_ws("|", (0 until rowsPerBand).map(r =>
           element_at(sig, b * rowsPerBand + r + 1)): _*).as("band_key"))
     }: _*)
-    df.select(idCol.as("id"), explode(bandArr).as("bk"))
+    withMinhashSignature(df, text, "_mh_sig", numHashes, shingleN)
+      .select(idCol.as("id"), explode(bandArr).as("bk"))
       .select(col("id"), col("bk.band").as("band"),
         col("bk.band_key").as("band_key"))
   }
@@ -76,16 +82,22 @@ object Dedup {
 
   /** 16-bit SimHash: bit j is the majority vote of token-hash bit j
     * (nibble j of each token's md5, high bit), over ALL tokens
-    * (repetition weights). Pure per-row expression. */
-  def simhash(text: Column): Column = {
+    * (repetition weights). Each token is digested ONCE into a
+    * materialized digest-array column that the 16 bit-votes share —
+    * md5-per-bit would cost 16× at corpus scale. Adds `out` (long). */
+  def withSimhash(df: DataFrame, text: Column, out: String): DataFrame = {
     val toks = TextAnalysis.tokens(lower(text))
+    val withDigests = df.withColumn("_sh_digests",
+      transform(toks, t => substring(md5(t.cast("binary")), 1, 16)))
+    val digests = col("_sh_digests")
+    val n = size(digests)
     val highNibbles = Seq("8", "9", "a", "b", "c", "d", "e", "f")
-    (0 until 16).map { j =>
-      val ones = size(filter(toks, t =>
-        substring(md5(t.cast("binary")), j + 1, 1)
-          .isin(highNibbles: _*)))
-      when(ones * 2 > size(toks), lit(1L << j)).otherwise(lit(0L))
+    val value = (0 until 16).map { j =>
+      val ones = size(filter(digests, d =>
+        substring(d, j + 1, 1).isin(highNibbles: _*)))
+      when(ones * 2 > n, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
+    withDigests.withColumn(out, value).drop("_sh_digests")
   }
 
   /** n-gram Jaccard near-dup pairs. Candidates share ≥1 surviving
@@ -98,7 +110,7 @@ object Dedup {
       shingleN: Int = 3, maxDocFreq: Int = 20,
       minJaccard: Double = 0.5): DataFrame = {
     val sh = df.select(idCol.as("id"),
-      explode(array_distinct(TextAnalysis.shingles(text, shingleN)))
+      explode(graft.functions.TextShingles.distinctShingles(shingleN)(text))
         .as("sh"))
     val surviving = sh.groupBy("sh").agg(count(lit(1)).as("doc_freq"))
       .filter(col("doc_freq") <= maxDocFreq)

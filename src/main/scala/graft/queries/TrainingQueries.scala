@@ -73,8 +73,8 @@ object TrainingQueries {
     // SimHash: pure per-row 16-bit signature (majority vote of token
     // md5 nibble high-bits).
     "dedup_simhash" -> { (s, dir) =>
-      Tables.documents(s, dir)
-        .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+      Dedup.withSimhash(Tables.documents(s, dir), col("text"), "simhash")
+        .select(col("doc_id"), col("simhash"))
         .orderBy("doc_id")
     },
 
@@ -116,7 +116,7 @@ object TrainingQueries {
     "regexp_replace(trim(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g')), '\\s+', ' ', 'g')"
 
   private val minhashMins = (0 until 8).map { i =>
-    s"min(substr(md5(s || ':$i'), 1, 16)) AS h$i"
+    s"min(substr(md5(s), ${4 * i + 1}, 8)) AS h$i"
   }.mkString(",\n    ")
 
   private val bandRows = (0 until 4).map { b =>
