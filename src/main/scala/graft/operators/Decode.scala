@@ -42,6 +42,14 @@ object Decode {
             lit("unparseable JSON message")))
   }
 
+  /** D6 — identity extract: the raw record IS the message (for
+    * non-JSON pipelines; re-export `kinesis-processing.js:114`, pinned
+    * by `test/kinesis-processing.test.js:1357-1509`). The record struct
+    * becomes the message column unchanged; nothing is unusable. */
+  def useRecordAsMessage(df: DataFrame, record: Column): DataFrame =
+    df.withColumn("message", record)
+      .withColumn("reason_unusable", lit(null).cast("string"))
+
   /** D3+D4+D5 — KPL de-aggregation fan-out: one row per user record.
     *
     * For KPL-aggregated payloads each protobuf sub-record becomes a row

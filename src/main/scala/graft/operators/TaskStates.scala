@@ -108,4 +108,29 @@ object TaskStates {
     * (`test/kinesis-consumer.test.js:1272-1380` vs `1386-1491`). */
   def isFullyFinalised(tasks: Column): Column =
     forall(tasks, t => finalised(t))
+
+  /** T4 — master/slave propagation: a processAll master task's
+    * finalised state fans out to each message's slave task, EXCEPT
+    * where the slave already finalised on its own (per-message
+    * overrides are preserved —
+    * `/root/reference/README.md:183-221`, master/slave asserts
+    * `test/batch.test.js:1115-1121`). `masterState` is typically a
+    * batch-level literal or a column broadcast-joined onto the
+    * messages. */
+  def propagateMasterToSlaves(tasks: Column, masterState: Column,
+      masterReason: Column): Column =
+    transform(tasks, t =>
+      when(masterState.isin(finalisedFamily.toSeq: _*) && !finalised(t),
+        rebuilt(t, masterState, masterReason, t.getField("attempts")))
+        .otherwise(t))
+
+  /** T5 — sub-task trees, flattened to rows with a `/`-joined `path`
+    * (root first). A task is fully finalised only when its WHOLE
+    * subtree is (`/root/reference/README.md:55-57`,
+    * `test/kinesis-consumer.test.js:3387-3425`). */
+  def subtreeFullyFinalised(tasks: Column, rootPath: String): Column =
+    forall(
+      filter(tasks, t => t.getField("path") === rootPath ||
+        t.getField("path").startsWith(rootPath + "/")),
+      t => finalised(t))
 }

@@ -126,6 +126,93 @@ object BatchQueries {
         .orderBy("event_id")
     },
 
+    // T4: master/slave propagation — a finalised processAll master
+    // state fans out to open slave tasks; finalised slaves keep their
+    // own state.
+    "task_master_slave" -> { (s, dir) =>
+      val k = get_json_object(col("props"), "$.k").cast("int")
+      val master = when(col("event_type") === "purchase", lit("Succeeded"))
+        .when(col("event_type") === "error", lit("Rejected"))
+        .otherwise(lit("Started"))
+      def slave(name: String, state: org.apache.spark.sql.Column) = struct(
+        lit(name).as("name"), lit(name).as("path"),
+        lit("processAll").as("kind"), state.as("state"),
+        lit(null).cast("string").as("error"),
+        lit(null).cast("string").as("reason"),
+        lit(1).as("attempts"), lit(1).as("totalAttempts"),
+        lit(null).cast("string").as("began"),
+        lit(null).cast("long").as("took"))
+      val s1 = slave("t1", element_at(array(lit("Unstarted"), lit("Started"),
+        lit("Failed"), lit("Succeeded"), lit("Rejected"), lit("TimedOut")),
+        pmod(k, lit(6)) + 1))
+      val s2 = slave("t2", element_at(array(lit("Started"), lit("Completed"),
+        lit("Failed")), pmod(col("user_id"), lit(3)).cast("int") + 1))
+      Tables.events(s, dir)
+        .withColumn("master_state", master)
+        .withColumn("slaves", TaskStates.propagateMasterToSlaves(
+          array(s1, s2), col("master_state"),
+          lit("Propagated from master")))
+        .select(col("event_id"), col("master_state"),
+          col("slaves")(0).getField("state").as("s1_state"),
+          col("slaves")(1).getField("state").as("s2_state"))
+        .orderBy("event_id")
+    },
+
+    // T5: sub-task trees — a root is fully finalised only when its
+    // whole subtree is; unrelated trees don't affect it.
+    "task_subtree" -> { (s, dir) =>
+      val k = get_json_object(col("props"), "$.k").cast("int")
+      def node(path: String, state: org.apache.spark.sql.Column) = struct(
+        lit(path.split("/").last).as("name"), lit(path).as("path"),
+        lit("processOne").as("kind"), state.as("state"),
+        lit(null).cast("string").as("error"),
+        lit(null).cast("string").as("reason"),
+        lit(1).as("attempts"), lit(1).as("totalAttempts"),
+        lit(null).cast("string").as("began"),
+        lit(null).cast("long").as("took"))
+      val root = node("p", element_at(array(lit("Unstarted"), lit("Started"),
+        lit("Failed"), lit("Succeeded"), lit("Rejected"), lit("TimedOut")),
+        pmod(k, lit(6)) + 1))
+      val childA = node("p/a", element_at(array(lit("Unstarted"),
+        lit("Completed"), lit("Succeeded"), lit("Failed"), lit("Rejected")),
+        pmod(k, lit(5)) + 1))
+      val childB = node("p/b", element_at(array(lit("Completed"),
+        lit("Succeeded"), lit("Discarded"), lit("Started")),
+        pmod(col("user_id"), lit(4)).cast("int") + 1))
+      val other = node("q", lit("Failed")) // unrelated tree
+      Tables.events(s, dir)
+        .withColumn("tasks", array(root, childA, childB, other))
+        .select(col("event_id"),
+          TaskStates.subtreeFullyFinalised(col("tasks"), "p")
+            .as("p_finalised"),
+          TaskStates.subtreeFullyFinalised(col("tasks"), "p/a")
+            .as("pa_finalised"))
+        .orderBy("event_id")
+    },
+
+    // §1.2 DynamoDB stream flavor: attribute-typed map decode
+    // ({"S":...} / {"N":...} / {"BOOL":...}).
+    "dynamo_attrs" -> { (s, dir) =>
+      val k = get_json_object(col("props"), "$.k")
+      val img = concat(
+        lit("{\"k\":{\"N\":\""), k,
+        lit("\"},\"user\":{\"S\":\"u"), col("user_id").cast("string"),
+        lit("\"},\"flag\":{\"BOOL\":"),
+        when(col("value") > 100, lit("true")).otherwise(lit("false")),
+        lit("}}"))
+      Tables.events(s, dir)
+        .withColumn("img", img)
+        .select(col("event_id"),
+          graft.operators.DynamoAttrs.attrLong(col("img"), "k").as("k_num"),
+          graft.operators.DynamoAttrs.attrString(col("img"), "user")
+            .as("user_s"),
+          graft.operators.DynamoAttrs.attrBool(col("img"), "flag")
+            .as("flag"),
+          graft.operators.DynamoAttrs.attrValue(col("img"), "k")
+            .as("k_untyped"))
+        .orderBy("event_id")
+    },
+
     // S2/S3: MERGE-style upsert — updates replace same-key existing
     // rows, unmatched existing rows survive.
     "state_upsert" -> { (s, dir) =>
@@ -213,6 +300,47 @@ object BatchQueries {
         |FROM events
         |WHERE event_id % 7 = 0 OR event_type = 'error'
         |ORDER BY event_id""".stripMargin,
+    "task_master_slave" ->
+      s"""WITH t AS (
+        |  SELECT event_id,
+        |    CASE WHEN event_type = 'purchase' THEN 'Succeeded'
+        |         WHEN event_type = 'error' THEN 'Rejected'
+        |         ELSE 'Started' END AS m,
+        |    ['Unstarted','Started','Failed','Succeeded','Rejected','TimedOut']
+        |      [(CAST(json_extract_string(props, '$$.k') AS INT) % 6) + 1] AS s1,
+        |    ['Started','Completed','Failed']
+        |      [CAST(user_id % 3 AS INT) + 1] AS s2
+        |  FROM events
+        |)
+        |SELECT event_id, m AS master_state,
+        |  CASE WHEN m IN $finalised AND s1 NOT IN $finalised
+        |       THEN m ELSE s1 END AS s1_state,
+        |  CASE WHEN m IN $finalised AND s2 NOT IN $finalised
+        |       THEN m ELSE s2 END AS s2_state
+        |FROM t ORDER BY event_id""".stripMargin,
+    "task_subtree" ->
+      s"""WITH t AS (
+        |  SELECT event_id,
+        |    ['Unstarted','Started','Failed','Succeeded','Rejected','TimedOut']
+        |      [(CAST(json_extract_string(props, '$$.k') AS INT) % 6) + 1] AS r,
+        |    ['Unstarted','Completed','Succeeded','Failed','Rejected']
+        |      [(CAST(json_extract_string(props, '$$.k') AS INT) % 5) + 1] AS a,
+        |    ['Completed','Succeeded','Discarded','Started']
+        |      [CAST(user_id % 4 AS INT) + 1] AS b
+        |  FROM events
+        |)
+        |SELECT event_id,
+        |  (r IN $finalised AND a IN $finalised AND b IN $finalised)
+        |    AS p_finalised,
+        |  (a IN $finalised) AS pa_finalised
+        |FROM t ORDER BY event_id""".stripMargin,
+    "dynamo_attrs" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
+        |  'u' || user_id AS user_s,
+        |  (value > 100) AS flag,
+        |  json_extract_string(props, '$.k') AS k_untyped
+        |FROM events ORDER BY event_id""".stripMargin,
     "state_upsert" ->
       """SELECT event_id, 'S|' || event_id AS shardOrEventID,
         |  CASE WHEN event_id % 3 = 0 THEN 'v2' ELSE 'v1' END AS payload
