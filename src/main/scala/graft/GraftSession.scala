@@ -27,10 +27,13 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 
-  /** Local session for tests / ad-hoc runs. */
+  /** Local session for tests / ad-hoc runs, with the engine's SQL
+    * functions registered. */
   def local(appName: String = "graft"): SparkSession = {
-    val s = builder(appName).master(s"local[$cpus]").getOrCreate()
+    val s = builder(appName).master(s"local[$cpus]")
+      .withExtensions(new GraftExtensions).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    GraftExtensions.register(s) // getOrCreate may return a pre-built session
     s
   }
 }

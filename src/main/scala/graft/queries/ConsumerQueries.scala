@@ -157,6 +157,33 @@ object ConsumerQueries {
         .orderBy("event_id")
     },
 
+    // Q6 unsequenced: no chains — every message is its own head
+    // (reference test/sequencing-none.test.js:66-228).
+    "seq_none" -> { (s, dir) =>
+      Sequencing.none(Tables.events(s, dir))
+        .select(col("event_id"), col("seq_rn"), col("prev_id"),
+          col("next_id"), col("is_first_to_process"))
+        .orderBy("event_id")
+    },
+
+    // Relational baseline: fact-to-dim joins with the small sides
+    // broadcast (customer/nation/region fit any executor; lineitem
+    // streams through one broadcast-hash-join pipeline with zero
+    // shuffle before the final aggregation).
+    "q_join_agg" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val ord = Tables.orders(s, dir)
+      val cust = broadcast(Tables.customer(s, dir))
+      val nat = broadcast(Tables.nation(s, dir))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(nat, col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(decSum(col("l_extendedprice")).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    },
+
     // D5 passthrough path: non-KPL records emerge as single user records
     // without subSequenceNumber (kpl-deagg-async.js:158-184). The
     // aggregate fan-out path is pinned by DecodeSpec on the real KPL
@@ -242,6 +269,22 @@ object ConsumerQueries {
         |WINDOW w AS (PARTITION BY user_id % 4, user_id
         |             ORDER BY epoch_us(ts), event_id)
         |ORDER BY event_id""".stripMargin,
+    "seq_none" ->
+      """SELECT event_id, 1 AS seq_rn,
+        |  CAST(NULL AS VARCHAR) AS prev_id,
+        |  CAST(NULL AS VARCHAR) AS next_id,
+        |  TRUE AS is_first_to_process
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_join_agg" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "kpl_passthrough" ->
       """SELECT event_id,
         |  CAST(user_id AS VARCHAR) AS userPartitionKey,

@@ -1,0 +1,61 @@
+package graft
+
+import java.util.Base64
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{FloatVecDot, KplAgg, KplDeagg}
+
+class FunctionsSpec extends SparkSpec {
+
+  test("FloatVecDot matches a reference double fold and is SQL-callable") {
+    import spark.implicits._
+    val a = Array(1.5f, -2.0f, 3.25f)
+    val b = Array(2.0f, 0.5f, -1.0f)
+    val expected = a.zip(b).foldLeft(0.0) { case (s, (x, y)) =>
+      s + x.toDouble * y.toDouble
+    }
+    val df = Seq((a, b)).toDF("a", "b")
+    val got = df.select(FloatVecDot(col("a"), col("b"))).as[Double].head()
+    assert(got === expected)
+
+    GraftExtensions.register(spark)
+    val sqlGot = spark.sql(
+      """SELECT float_vec_dot(
+        |  array(cast(1.5 as float), cast(-2.0 as float), cast(3.25 as float)),
+        |  array(cast(2.0 as float), cast(0.5 as float), cast(-1.0 as float)))
+        |""".stripMargin).as[Double].head()
+    assert(sqlGot === expected)
+  }
+
+  test("KPL aggregate → deaggregate round-trip preserves order and keys") {
+    val records = (0 until 50).map { i =>
+      (s"pk-${i % 7}", if (i % 3 == 0) s"ehk-$i" else null,
+        s"""{"i":$i}""".getBytes("UTF-8"))
+    }
+    val blob = KplAgg.aggregate(records)
+    val out = KplDeagg.deaggregate(blob)
+    assert(out != null && out.length === 50)
+    out.zipWithIndex.foreach { case (ur, i) =>
+      assert(ur.error === null)
+      assert(ur.partitionKey === s"pk-${i % 7}")
+      assert(ur.subSequenceNumber === Some(i))
+      assert(new String(Base64.getDecoder.decode(ur.data), "UTF-8") ===
+        s"""{"i":$i}""")
+      if (i % 3 == 0) assert(ur.explicitPartitionKey === s"ehk-$i")
+    }
+  }
+
+  test("KPL round-trip through the Spark explode operator") {
+    import spark.implicits._
+    val blob = Base64.getEncoder.encodeToString(
+      KplAgg.aggregate((0 until 5).map(i =>
+        ("pk", null, s"payload-$i".getBytes("UTF-8")))))
+    val df = Seq(("r1", blob, "pk")).toDF("id", "data", "partitionKey")
+    val out = graft.operators.Decode.kplUserRecords(df, col("data"),
+      col("partitionKey"), lit(null).cast("string"))
+    assert(out.count() === 5)
+    val subs = out.select("subSequenceNumber").as[Int].collect().sorted
+    assert(subs.toSeq === Seq(0, 1, 2, 3, 4))
+  }
+}
