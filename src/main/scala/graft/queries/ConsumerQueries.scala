@@ -138,10 +138,14 @@ object ConsumerQueries {
     // strings per §1.1.
     "identify_config" -> { (s, dir) =>
       val e = Tables.events(s, dir)
+      val md5s = Identify.md5s(col("props"), recordJson, nullStr,
+        col("props"))
       Identify.idsKeysSeqNos(cfgPerKey, e, col("props"), nullStr,
           recordJson, col("ts").cast("string"), lit(null).cast("int"))
         .select(col("event_id"), col("id"), col("key"), col("seqNo"),
-          col("reason_rejected").cast("string").as("reason_rejected"))
+          col("reason_rejected").cast("string").as("reason_rejected"),
+          md5s.getField("msg").as("md5_msg"),
+          md5s.getField("rec").as("md5_rec"))
         .orderBy("event_id")
     },
 
@@ -257,7 +261,11 @@ object ConsumerQueries {
         |  'k:' || json_extract_string(props, '$.k') AS id,
         |  'user_id:' || user_id AS key,
         |  'ts:' || epoch_us(ts) AS seqNo,
-        |  CAST(NULL AS VARCHAR) AS reason_rejected
+        |  CAST(NULL AS VARCHAR) AS reason_rejected,
+        |  md5(props) AS md5_msg,
+        |  md5('{"event_id":' || event_id || ',"user_id":' || user_id
+        |      || ',"event_type":"' || event_type || '","ts":'
+        |      || epoch_us(ts) || '}') AS md5_rec
         |FROM events ORDER BY event_id""".stripMargin,
     "seq_config_perkey" ->
       """SELECT event_id,

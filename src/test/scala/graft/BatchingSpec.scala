@@ -27,6 +27,19 @@ class BatchingSpec extends SparkSpec {
     assert(out("nullKey") === "LAST_RESORT_KEY")
   }
 
+  test("batch key: E|<eventID> mode when batchKeyedOnEventID") {
+    import spark.implicits._
+    val df = Seq(("shard-1", "ev-9")).toDF("shardId", "eventID")
+    val cfgE = graft.model.ConsumerConfig(batchKeyedOnEventID = true)
+    val cfgS = graft.model.ConsumerConfig()
+    val out = df.select(
+      Batching.shardOrEventID(cfgS, col("shardId"), col("eventID")).as("s"),
+      Batching.shardOrEventID(cfgE, col("shardId"), col("eventID")).as("e"))
+      .collect().head
+    assert(out.getString(0) === "S|shard-1")
+    assert(out.getString(1) === "E|ev-9")
+  }
+
   test("state store save/load/upsert round-trip (S2/S3)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-state").toString + "/batch_state"
