@@ -16,11 +16,15 @@ import graft.functions.FloatVecDot
   * (`SparkSession.builder.withExtensions(new GraftExtensions)` /
   * `spark.sql.extensions=graft.GraftExtensions`) or onto a live session
   * via [[GraftExtensions.register]]. */
+/** Session extension registering the engine's custom SQL functions and
+  * optimizer rules (see [[graft.plans.ChainHeadsRule]]). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (ident, info, builder) =>
       ext.injectFunction((ident, info, builder))
     }
+    ext.injectOptimizerRule(_ => graft.plans.ChainHeadsRule())
+  }
 }
 
 object GraftExtensions {

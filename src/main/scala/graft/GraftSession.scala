@@ -17,6 +17,7 @@ object GraftSession {
     SparkSession
       .builder()
       .appName(appName)
+      .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
@@ -30,8 +31,7 @@ object GraftSession {
   /** Local session for tests / ad-hoc runs, with the engine's SQL
     * functions registered. */
   def local(appName: String = "graft"): SparkSession = {
-    val s = builder(appName).master(s"local[$cpus]")
-      .withExtensions(new GraftExtensions).getOrCreate()
+    val s = builder(appName).master(s"local[$cpus]").getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     GraftExtensions.register(s) // getOrCreate may return a pre-built session
     s

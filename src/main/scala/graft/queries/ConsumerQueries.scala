@@ -161,6 +161,23 @@ object ConsumerQueries {
         .orderBy("event_id")
     },
 
+    // Q4/Q5 heads only (firstMessagesToProcess): written declaratively
+    // as filter(row_number()===1); the ChainHeadsRule optimizer rewrite
+    // turns it into a partial-aggregable min_by aggregation (no sort,
+    // shuffle carries |chains| rows) — hash-matching the oracle's
+    // windowed SQL proves the rewrite is semantics-preserving.
+    "seq_heads" -> { (s, dir) =>
+      val e = withShard(Tables.events(s, dir))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("shard_id"), col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      e.withColumn("seq_rn", row_number().over(w))
+        .filter(col("seq_rn") === 1)
+        .select(col("event_id"), col("shard_id"), col("user_id"),
+          col("seq_rn"))
+        .orderBy("event_id")
+    },
+
     // Q6 unsequenced: no chains — every message is its own head
     // (reference test/sequencing-none.test.js:66-228).
     "seq_none" -> { (s, dir) =>
@@ -277,6 +294,15 @@ object ConsumerQueries {
         |WINDOW w AS (PARTITION BY user_id % 4, user_id
         |             ORDER BY epoch_us(ts), event_id)
         |ORDER BY event_id""".stripMargin,
+    "seq_heads" ->
+      """SELECT event_id, 'S|' || (user_id % 4) AS shard_id, user_id,
+        |  CAST(rn AS INT) AS seq_rn
+        |FROM (
+        |  SELECT event_id, user_id,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id % 4, user_id
+        |                       ORDER BY ts, event_id) AS rn
+        |  FROM events
+        |) WHERE rn = 1 ORDER BY event_id""".stripMargin,
     "seq_none" ->
       """SELECT event_id, 1 AS seq_rn,
         |  CAST(NULL AS VARCHAR) AS prev_id,
