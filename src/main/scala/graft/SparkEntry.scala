@@ -55,8 +55,8 @@ object SparkEntry {
     val names = Seq(
       // stream-consumer clusters
       "decode_json", "decode_base64", "identify_ids", "seq_per_key",
-      "seq_per_shard", "seq_config_perkey", "task_lifecycle",
-      "batch_counts", "q1_agg",
+      "seq_per_shard", "seq_heads", "seq_config_perkey", "task_lifecycle",
+      "batch_counts", "q1_agg", "q_join_agg",
       // training-data clusters
       "text_stats", "dedup_exact", "dedup_simhash", "dedup_minhash_lsh",
       "dedup_ngram_jaccard", "ann_topk_brute", "ann_topk_ivf",

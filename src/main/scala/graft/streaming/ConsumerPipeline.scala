@@ -39,7 +39,14 @@ object ConsumerPipeline {
 
   final case class BatchResult(messages: Long, unusable: Long,
       completed: Long, failed: Long, discarded: Long, blocked: Long,
-      replay: Boolean)
+      replay: Boolean, processAllCompleted: Long = 0,
+      processAllFailed: Long = 0)
+
+  /** Key-space prefix for processAll master-task state rows — they live
+    * in the same state table as message states, keyed per batch group
+    * (the reference's `batchState.alls` —
+    * `test/persisting.test.json:160-165`). */
+  val MasterKeyPrefix = "ALL|"
 
   /** One full initiate/process/finalise pass.
     *
@@ -50,10 +57,17 @@ object ConsumerPipeline {
     * @param throwOnReplay  streaming mode: throw so the trigger fails and
     *                       the source redelivers; batch callers may
     *                       inspect the result instead
+    * @param processAll optional T4 batch-level master task over
+    *                   `(shardOrEventID, payloads of the group's usable
+    *                   messages)`; executes once per batch group with
+    *                   the same resume/replay contract as processOne
+    *                   (completed masters are skipped on replay —
+    *                   `executeAllProcessAllTasks` in SURVEY §3.3)
     */
   def apply(cfg: ConsumerConfig, runTask: String => Try[Unit],
       statePath: String, deadLetterPath: String,
-      throwOnReplay: Boolean = false)(
+      throwOnReplay: Boolean = false,
+      processAll: Option[(String, Seq[String]) => Try[Unit]] = None)(
       batch: DataFrame, batchId: Long): BatchResult = {
     val spark = batch.sparkSession
     import spark.implicits._
@@ -99,6 +113,43 @@ object ConsumerPipeline {
             cfg.maxNumberOfAttempts).iterator
       }.cache()
 
+    // T4 — processAll master task, once per batch group, resumable:
+    // a master finalised in prior state is skipped on replay; a failed
+    // master forces the batch to replay exactly like a failed chain.
+    val masterOutcomes: Seq[MsgState] = processAll match {
+      case None => Nil
+      case Some(runAll) =>
+        val fn = runAll
+        val max = cfg.maxNumberOfAttempts
+        val groups = sequenced
+          .select(col("shardOrEventID"), col("message"))
+          .as[(String, String)]
+        val priorMaster = prior
+          .filter(_.chainKey.startsWith(MasterKeyPrefix))
+        groups.groupByKey(_._1)(Encoders.STRING)
+          .cogroup(priorMaster
+            .groupByKey(_.chainKey.stripPrefix(MasterKeyPrefix))(
+              Encoders.STRING)) { (soid, ms, ps) =>
+            val prev = ps.toSeq.headOption
+            val attempts = prev.map(_.attempts).getOrElse(0)
+            val state = prev.map(_.state)
+              .getOrElse(TaskStatus.Unstarted)
+            val key = MasterKeyPrefix + soid
+            if (TaskStatus.isFinalised(state)) prev.iterator
+            else if (attempts >= max)
+              Iterator(MsgState(key, "processAll",
+                TaskStatus.Discarded, attempts))
+            else fn(soid, ms.map(_._2).toSeq) match {
+              case scala.util.Success(_) =>
+                Iterator(MsgState(key, "processAll",
+                  TaskStatus.Completed, attempts + 1))
+              case scala.util.Failure(_) =>
+                Iterator(MsgState(key, "processAll",
+                  TaskStatus.Failed, attempts + 1))
+            }
+          }.collect().toSeq
+    }
+
     // ----- finalise: dead letters, state upsert, replay verdict -----
     // Dead letters are written ONCE per record/message: the prior state
     // remembers what was already discarded, so a replayed batch does not
@@ -134,15 +185,19 @@ object ConsumerPipeline {
     val deadRecordMarkers = unusableRecs.select(
       col("shardOrEventID").as("chainKey"), col("eventID").as("msgId"),
       lit(TaskStatus.Discarded).as("state"), lit(0).as("attempts"))
+    val masterRows = masterOutcomes.toDF()
     StateStore.save(
       StateStore.upsert(prior.toDF(),
-        outcomes.toDF().unionByName(deadRecordMarkers),
+        outcomes.toDF().unionByName(deadRecordMarkers)
+          .unionByName(masterRows),
         Seq("chainKey", "msgId")),
       statePath)
 
     val byState = outcomes.groupByKey(_.state)(Encoders.STRING)
       .count().collect().toMap
     def n(s: String) = byState.getOrElse(s, 0L)
+    val masterFailed = masterOutcomes
+      .count(s => !TaskStatus.isFinalised(s.state))
     val result = BatchResult(
       messages = outcomes.count(),
       unusable = decoded.filter(col("reason_unusable").isNotNull).count(),
@@ -150,7 +205,11 @@ object ConsumerPipeline {
       failed = n(TaskStatus.Failed),
       discarded = n(TaskStatus.Discarded),
       blocked = n(TaskStatus.Unstarted),
-      replay = n(TaskStatus.Failed) + n(TaskStatus.Unstarted) > 0)
+      replay = n(TaskStatus.Failed) + n(TaskStatus.Unstarted) +
+        masterFailed > 0,
+      processAllCompleted = masterOutcomes
+        .count(_.state == TaskStatus.Completed),
+      processAllFailed = masterFailed)
     outcomes.unpersist()
     if (result.replay && throwOnReplay)
       throw new ReplayBatchException(

@@ -93,6 +93,37 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("processAll master task: per-batch execution, resume, replay") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-pall").toString
+    val cfg = ConsumerConfig(maxNumberOfAttempts = 2)
+    val batch = Seq(
+      ("e1", "shard-0", "pk1", b64("""{"v":1}""")),
+      ("e2", "shard-0", "pk2", b64("""{"v":2}""")),
+      ("e3", "shard-1", "pk3", b64("""{"v":3}"""))
+    ).toDF("eventID", "shardId", "partitionKey", "data")
+    val ok: String => Try[Unit] = _ => Try(())
+    StreamingSpec.masterRuns.clear()
+    val master: (String, Seq[String]) => Try[Unit] = (soid, msgs) => {
+      StreamingSpec.masterRuns.merge(soid, 1, (a, b) => a + b)
+      if (soid == "S|shard-0" &&
+          StreamingSpec.masterRuns.get("S|shard-0") <= 1)
+        scala.util.Failure(new RuntimeException("master boom"))
+      else { assert(msgs.nonEmpty); Try(()) }
+    }
+    val p = ConsumerPipeline(cfg, ok, s"$dir/state", s"$dir/dlq",
+      processAll = Some(master)) _
+    val r1 = p(batch, 1L)
+    assert(r1.processAllFailed === 1 && r1.processAllCompleted === 1)
+    assert(r1.replay) // messages all fine, master failure forces replay
+    val r2 = p(batch, 2L)
+    assert(r2.processAllFailed === 0 && !r2.replay)
+    // shard-0 master ran twice (fail+retry); shard-1's completed master
+    // was resumed from state on trigger 2, not re-run
+    assert(StreamingSpec.masterRuns.get("S|shard-0") === 2)
+    assert(StreamingSpec.masterRuns.get("S|shard-1") === 1)
+  }
+
   test("flatMapGroupsWithState stream: state survives across triggers") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -132,4 +163,5 @@ class StreamingSpec extends SparkSpec {
 
 object StreamingSpec {
   val flakyCount = new java.util.concurrent.atomic.AtomicInteger(0)
+  val masterRuns = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
 }
