@@ -53,6 +53,52 @@ object TextShingles {
     c => f(c)
   }
 
+  /** Winnowing parameters shared with the SQL oracle: polynomial
+    * k-gram hash `h(i) = Σ_j code(c_{i+j})·B^j mod M`. */
+  val WinnowBase = 257L
+  val WinnowMod = 1000000007L
+
+  def winnowPowers(k: Int): Array[Long] =
+    Array.iterate(1L, k)(p => p * WinnowBase % WinnowMod)
+
+  /** Document fingerprinting by winnowing (rolling k-gram hashes, min
+    * per window of `w`, distinct + sorted) — the standard
+    * near-duplicate fingerprint for training corpora (Schleimer et al.,
+    * SIGMOD'03 "Winnowing: Local Algorithms for Document
+    * Fingerprinting"). Guarantees any shared substring of length
+    * ≥ `w + k - 1` yields at least one shared fingerprint.
+    *
+    * Caller must pre-filter `length(text) >= k` (mirrored by the SQL
+    * oracle). */
+  def winnowedFingerprints(k: Int, w: Int): Column => Column = {
+    val pows = winnowPowers(k)
+    val f = udf { (text: String) =>
+      val n = text.length
+      if (n < k) Array.empty[Long]
+      else {
+        val hs = Array.tabulate(n - k + 1) { i =>
+          var h = 0L
+          var j = 0
+          while (j < k) {
+            h = (h + text.charAt(i + j).toLong * pows(j)) % WinnowMod
+            j += 1
+          }
+          h
+        }
+        val mins =
+          if (hs.length <= w) Array(hs.min)
+          else Array.tabulate(hs.length - w + 1) { i =>
+            var m = hs(i)
+            var j = 1
+            while (j < w) { if (hs(i + j) < m) m = hs(i + j); j += 1 }
+            m
+          }
+        mins.distinct.sorted
+      }
+    }
+    c => f(c)
+  }
+
   /** MinHash signature: `numHashes` minima over distinct shingles,
     * family i reading the hex window starting at `4i` (width 8,
     * stride 4 — windows overlap, and the last one is truncated at the

@@ -92,6 +92,30 @@ object TrainingQueries {
       Dedup.ngramJaccardPairs(withCopies(s, dir), col("doc_id"),
           col("text"), shingleN = 3, maxDocFreq = 20, minJaccard = 0.8)
         .orderBy("id_a", "id_b")
+    },
+
+    // Winnowing document fingerprints: rolling k-gram hashes, min per
+    // window, distinct — any shared substring of length >= w+k-1
+    // guarantees a shared fingerprint.
+    "text_winnowing" -> { (s, dir) =>
+      val fps = graft.functions.TextShingles
+        .winnowedFingerprints(k = 8, w = 8)(col("text"))
+      Tables.documents(s, dir)
+        .filter(length(col("text")) >= 8)
+        .select(col("doc_id"), explode(fps).as("fp"))
+        .orderBy("doc_id", "fp")
+    },
+
+    // Corpus analytics: per-source integer rollups (one partial-agg
+    // shuffle; all-int outputs are engine-deterministic).
+    "corpus_stats" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col("text"))).as("sum_tokens"),
+          sum(col("n_chars")).as("sum_chars"),
+          countDistinct(col("lang")).as("n_langs"))
+        .orderBy("source")
     })
 
   private val langScores = TextAnalysis.LangMarkers.map { case (l, pat) =>
@@ -111,6 +135,17 @@ object TrainingQueries {
        |        ('8','9','a','b','c','d','e','f'))) > len(toks)
        | THEN ${1L << j} ELSE 0 END)""".stripMargin
   }.mkString(" + ")
+
+  /** Winnowing oracle pieces generated from the same constants as the
+    * compiled kernel (k=8, w=8, base/mod in TextShingles). */
+  private val winnowHashExpr = {
+    val pows = graft.functions.TextShingles.winnowPowers(8)
+    val terms = (0 until 8).map { j =>
+      s"CAST(ascii(substr(text, CAST(i + $j AS INT), 1)) AS BIGINT) * ${pows(j)}"
+    }.mkString(" + ")
+    s"list_transform(range(1, length(text) - 6), i -> ($terms) % " +
+      s"${graft.functions.TextShingles.WinnowMod})"
+  }
 
   private val normExpr =
     "regexp_replace(trim(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g')), '\\s+', ' ', 'g')"
@@ -173,6 +208,27 @@ object TrainingQueries {
         |  ON a.band = b.band AND a.band_key = b.band_key
         |  AND a.doc_id < b.doc_id
         |ORDER BY id_a, id_b""".stripMargin,
+    "text_winnowing" ->
+      s"""WITH h AS (
+        |  SELECT doc_id, $winnowHashExpr AS hs
+        |  FROM documents WHERE length(text) >= 8
+        |), wmin AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(hs) <= 8 THEN [list_min(hs)]
+        |         ELSE list_transform(range(1, len(hs) - 6),
+        |                i -> list_min(hs[i:i+7])) END AS mins
+        |  FROM h
+        |)
+        |SELECT doc_id, unnest(list_sort(list_distinct(mins))) AS fp
+        |FROM wmin ORDER BY doc_id, fp""".stripMargin,
+    "corpus_stats" ->
+      """SELECT source,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+        |    AS sum_tokens,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  COUNT(DISTINCT lang) AS n_langs
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH $allDocsCte,
         |sh AS (
