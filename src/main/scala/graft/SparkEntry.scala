@@ -15,20 +15,35 @@ import graft.sources.Tables
   */
 object SparkEntry {
 
-  /** Flagship pipeline on sf0.001 (SURVEY §7.2 minimal end-to-end slice):
-    * events → JSON decode → identify (ids/keys/seqNos) → per-key
-    * sequencing → per-key structural counts. Driver smoke-checks rows>0.
+  /** Flagship pipeline on sf0.001 (SURVEY §7.2 minimal end-to-end
+    * slice): base64-wire events → D1/D2 decode with unusable routing →
+    * config-driven I3/I4 identify (ids from the message, keys/seqNos
+    * via the record fallback chain) → Q5 per-key sequencing → §2.7
+    * structural counts per chain. Driver smoke-checks rows>0.
     */
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
-    val e = Tables.events(spark, dir)
-      .withColumn("prop_k", get_json_object(col("props"), "$.k").cast("long"))
-      .withColumn("id", concat_ws("|", concat(lit("id1:"), col("event_id"))))
-      .withColumn("key", concat_ws("|", concat(lit("k1:"), col("user_id"))))
+    val cfg = graft.model.ConsumerConfig(
+      sequencingRequired = true, sequencingPerKey = true,
+      idPropertyNames = Seq("k"),
+      keyPropertyNames = Seq("user_id"),
+      seqNoPropertyNames = Seq("ts"))
+    val nullStr = lit(null).cast("string")
+    val raw = Tables.events(spark, dir)
+      .withColumn("data", base64(encode(col("props"), "UTF-8")))
       .withColumn("shard_id",
         concat(lit("S|"), pmod(col("user_id"), lit(4)).cast("string")))
-    val seq = Sequencing.perKey(e, col("shard_id"), Seq(col("user_id")),
-      Seq(col("ts")), col("event_id"))
+    val decoded = graft.operators.Decode.extractJsonMessages(raw, col("data"))
+    val rec = to_json(struct(col("event_id"), col("user_id"),
+      expr("ts div 1000").as("ts")))
+    val identified = graft.operators.Identify.idsKeysSeqNos(cfg, decoded,
+      col("message"), nullStr, rec, col("ts").cast("string"),
+      lit(null).cast("int"))
+    val usable = identified.filter(col("reason_unusable").isNull &&
+      col("reason_rejected").isNull)
+    val seq = graft.operators.Identify.sequence(cfg, usable, col("shard_id"),
+      col("message"), nullStr, rec, col("ts").cast("string"),
+      col("event_id"))
     seq.groupBy("shard_id", "user_id")
       .agg(count(lit(1)).as("messages"),
         sum(when(col("is_first_to_process"), 1).otherwise(0)).as("heads"),

@@ -213,6 +213,19 @@ object BatchQueries {
         .orderBy("event_id")
     },
 
+    // Skew mitigation: two-phase salted aggregation over the (hot)
+    // event_type key — must equal the plain GROUP BY bit-for-bit
+    // (decimal partials keep the sums exact across combination orders).
+    "salted_counts" -> { (s, dir) =>
+      graft.operators.Salting.saltedCounts(
+          Tables.events(s, dir), col("event_type"),
+          col("value").cast("decimal(18,2)"), col("event_id"),
+          saltBuckets = 16)
+        .select(col("key").as("event_type"), col("n_rows"),
+          col("sum_value").cast("double").as("sum_value"))
+        .orderBy("event_type")
+    },
+
     // S2/S3: MERGE-style upsert — updates replace same-key existing
     // rows, unmatched existing rows survive.
     "state_upsert" -> { (s, dir) =>
@@ -341,6 +354,10 @@ object BatchQueries {
         |  (value > 100) AS flag,
         |  json_extract_string(props, '$.k') AS k_untyped
         |FROM events ORDER BY event_id""".stripMargin,
+    "salted_counts" ->
+      """SELECT event_type, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "state_upsert" ->
       """SELECT event_id, 'S|' || event_id AS shardOrEventID,
         |  CASE WHEN event_id % 3 = 0 THEN 'v2' ELSE 'v1' END AS payload
