@@ -41,6 +41,20 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
 
+  /** All (vector, query) cosine pairs with pre-hoisted norms — the
+    * scoring stage shared by the window-ranked and two-phase
+    * ([[TopK.perGroup]]) top-k paths. */
+  def scoredPairs(vectors: DataFrame, idCol: Column, vecCol: Column,
+      queries: DataFrame, queryIdCol: Column,
+      queryVecCol: Column): DataFrame = {
+    val vecs = vectors.withColumn("_vnorm", norm(vecCol))
+    val qs = queries.withColumn("_qnorm", norm(queryVecCol))
+    vecs.crossJoin(broadcast(qs))
+      .withColumn("cosine",
+        dot(vecCol, queryVecCol) / (col("_vnorm") * col("_qnorm")))
+      .drop("_vnorm", "_qnorm")
+  }
+
   /** Exact top-k neighbours per query vector. `queries` must be small
     * enough to broadcast (it is the driver of the Q·N pair count). */
   def bruteForceTopK(vectors: DataFrame, idCol: Column, vecCol: Column,

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Two-phase top-k per group: a bounded in-partition selection prunes
+  * each partition to ≤ k candidates per group BEFORE the shuffle, then
+  * the global rank runs over the pruned set.
+  *
+  * The naive `row_number().over(partitionBy(g).orderBy(s))` + `rank<=k`
+  * shuffles and SORTS every input row; here the exchange carries at
+  * most `partitions × groups × k` rows. For ANN scoring (N vectors × Q
+  * queries, k neighbours) that is the difference between shuffling Q·N
+  * scored pairs and shuffling Q·k·P — at 100 TB the only viable shape.
+  *
+  * Determinism: selection order is (score DESC, id ASC) — a total
+  * order, so local-prune-then-global-rank is EXACTLY the global
+  * top-k (pinned against the window form by the ann_topk_brute
+  * oracle query).
+  */
+object TopK {
+
+  /** Top-k rows per group of `(group, id, score)`, ranked
+    * `(score desc, id asc)`. Output columns: group, id, score, rank. */
+  def perGroup(df: DataFrame, groupCol: String, idCol: String,
+      scoreCol: String, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val typed: Dataset[(Long, Long, Double)] = df.select(
+      col(groupCol).cast("long"), col(idCol).cast("long"),
+      col(scoreCol).cast("double")).as[(Long, Long, Double)]
+
+    implicit val ord: Ordering[(Long, Long, Double)] =
+      Ordering.by { case (_, id, score) => (-score, id) }
+
+    val pruned = typed.mapPartitions { it =>
+      // bounded selection per group: keep the k best seen so far
+      val heaps = scala.collection.mutable.Map
+        .empty[Long, scala.collection.mutable.PriorityQueue[(Long, Long, Double)]]
+      it.foreach { row =>
+        // max-heap on the WORST element (reverse ordering) so the head
+        // is the candidate to evict
+        val h = heaps.getOrElseUpdate(row._1,
+          scala.collection.mutable.PriorityQueue.empty[(Long, Long, Double)])
+        if (h.size < k) h.enqueue(row)
+        else if (ord.lt(row, h.head)) { h.dequeue(); h.enqueue(row) }
+      }
+      heaps.valuesIterator.flatMap(_.iterator)
+    }
+
+    val w = Window.partitionBy(col("_1"))
+      .orderBy(col("_3").desc, col("_2"))
+    pruned.toDF("_1", "_2", "_3")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("_1").as(groupCol), col("_2").as(idCol),
+        col("_3").as(scoreCol), col("rank"))
+  }
+}

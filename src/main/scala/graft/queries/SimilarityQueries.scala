@@ -29,14 +29,19 @@ object SimilarityQueries {
 
   val all: Map[String, Q] = Map(
 
-    // Exact brute-force cosine top-10 for 5 broadcast query vectors.
+    // Exact brute-force cosine top-10 for 5 broadcast query vectors,
+    // through the TWO-PHASE top-k (bounded in-partition selection →
+    // shuffle carries ≤ partitions×Q×k rows, not Q·N) — hash-matching
+    // the oracle's windowed form proves the pruning exact.
     "ann_topk_brute" -> { (s, dir) =>
       val e = Tables.embeddings(s, dir)
       val q = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
-      Similarity.bruteForceTopK(e, col("vec_id"), col("embedding"),
-          q, col("query_id"), col("qvec"), k = 10)
-        .select(col("query_id"), col("vec_id"), col("rank"), col("cosine"))
+      val scored = Similarity.scoredPairs(e, col("vec_id"),
+          col("embedding"), q, col("query_id"), col("qvec"))
+        .select("query_id", "vec_id", "cosine")
+      graft.operators.TopK.perGroup(scored, "query_id", "vec_id",
+          "cosine", k = 10)
         .orderBy("query_id", "rank")
     },
 
