@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType}
 
 import graft.model.Schemas
 
@@ -32,6 +33,25 @@ object DeadLetters {
       record.as("record"),
       reasonUnusable.as("reasonUnusable"),
       discardedAt.as("discardedAt")))
+
+  /** Schema for reading BOTH envelope kinds back from a dead-letter
+    * queue (a DR row leaves the DM-only fields null and vice versa) —
+    * the queues are consumable streams, not write-only sinks. */
+  def envelopeSchema(recordType: DataType,
+      messageType: DataType): StructType = StructType(Seq(
+    StructField("streamConsumerId", StringType),
+    StructField("shardOrEventID", StringType),
+    StructField("ver", StringType),
+    StructField("record", recordType),
+    StructField("message", messageType),
+    StructField("reasonUnusable", StringType),
+    StructField("reasonRejected", StringType),
+    StructField("discardedAt", StringType)))
+
+  /** Parse an envelope JSON back to its typed struct. */
+  def parseEnvelope(envelope: Column, recordType: DataType,
+      messageType: DataType): Column =
+    from_json(envelope, envelopeSchema(recordType, messageType))
 
   /** S5 — `ver:"DM|K|2.0"` dead-message envelope with the rejection
     * reason resolved from the message's state

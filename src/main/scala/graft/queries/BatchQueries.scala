@@ -213,6 +213,42 @@ object BatchQueries {
         .orderBy("event_id")
     },
 
+    // S4/S5 round-trip: the envelopes written above parse back to
+    // typed fields (dead-letter queues are consumable streams).
+    "dead_letter_parse" -> { (s, dir) =>
+      val scid = Batching.streamConsumerId(lit("events"), lit("graft:dev"))
+      val soid = concat(lit("S|"), pmod(col("user_id"), lit(4)).cast("string"))
+      val at = lit("2026-08-12T00:00:00Z")
+      val k = get_json_object(col("props"), "$.k").cast("int")
+      val unusable = pmod(col("event_id"), lit(7)) === 0
+      val rejected = col("event_type") === "error"
+      val env = when(unusable, DeadLetters.deadRecordEnvelope(scid, soid,
+          struct(col("event_id"), col("user_id")),
+          lit("invalid base64 data"), at))
+        .otherwise(DeadLetters.deadMessageEnvelope(scid, soid,
+          struct(k.as("k")), lit("task rejected"), at))
+      val recType = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType)))
+      val msgType = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.IntegerType)))
+      val parsed = DeadLetters.parseEnvelope(env, recType, msgType)
+      Tables.events(s, dir)
+        .filter(unusable || rejected)
+        .withColumn("p", parsed)
+        .select(col("event_id"),
+          col("p.ver").as("ver"),
+          col("p.shardOrEventID").as("shardOrEventID"),
+          coalesce(col("p.reasonUnusable"), col("p.reasonRejected"))
+            .as("reason"),
+          coalesce(col("p.record.event_id"),
+            col("p.message.k").cast("long")).as("payload_ref"))
+        .orderBy("event_id")
+    },
+
     // Skew mitigation: two-phase salted aggregation over the (hot)
     // event_type key — must equal the plain GROUP BY bit-for-bit
     // (decimal partials keep the sums exact across combination orders).
@@ -354,6 +390,19 @@ object BatchQueries {
         |  (value > 100) AS flag,
         |  json_extract_string(props, '$.k') AS k_untyped
         |FROM events ORDER BY event_id""".stripMargin,
+    "dead_letter_parse" ->
+      """SELECT event_id,
+        |  CASE WHEN event_id % 7 = 0 THEN 'DR|K|2.0' ELSE 'DM|K|2.0' END
+        |    AS ver,
+        |  'S|' || (user_id % 4) AS shardOrEventID,
+        |  CASE WHEN event_id % 7 = 0 THEN 'invalid base64 data'
+        |       ELSE 'task rejected' END AS reason,
+        |  CASE WHEN event_id % 7 = 0 THEN event_id
+        |       ELSE CAST(json_extract_string(props, '$.k') AS BIGINT) END
+        |    AS payload_ref
+        |FROM events
+        |WHERE event_id % 7 = 0 OR event_type = 'error'
+        |ORDER BY event_id""".stripMargin,
     "salted_counts" ->
       """SELECT event_type, COUNT(*) AS n_rows,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
