@@ -45,16 +45,21 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     },
 
-    // IVF-style probe: only the query's coarse cell (label) is scored —
-    // the partition-pruned scale path.
+    // IVF-style probe: only the query's coarse cell (label) is scored
+    // (partition-pruned), then the two-phase bounded top-k.
     "ann_topk_ivf" -> { (s, dir) =>
       val e = Tables.embeddings(s, dir)
       val q = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
           col("label"))
-      Similarity.ivfTopK(e, col("vec_id"), col("embedding"), "label",
-          q, col("query_id"), col("qvec"), k = 10)
-        .select(col("query_id"), col("vec_id"), col("rank"), col("cosine"))
+      val scored = e.withColumn("_vn", Similarity.norm(col("embedding")))
+        .join(broadcast(q.withColumn("_qn", Similarity.norm(col("qvec")))),
+          "label")
+        .withColumn("cosine", Similarity.dot(col("embedding"), col("qvec"))
+          / (col("_vn") * col("_qn")))
+        .select("query_id", "vec_id", "cosine")
+      graft.operators.TopK.perGroup(scored, "query_id", "vec_id",
+          "cosine", k = 10)
         .orderBy("query_id", "rank")
     },
 

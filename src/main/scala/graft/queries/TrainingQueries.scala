@@ -94,6 +94,26 @@ object TrainingQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // SimHash near-dup pairing: candidates bucket on the signature's
+    // top byte, then verify Hamming distance ≤ 4 with the codegen'd
+    // builtin bit_count(a XOR b) — planted copies land at distance 0.
+    "dedup_simhash_pairs" -> { (s, dir) =>
+      val sh = Dedup.withSimhash(withCopies(s, dir), col("text"), "simhash")
+        .select(col("doc_id"), col("simhash"),
+          shiftright(col("simhash"), 8).as("bucket"))
+      val a = sh.select(col("bucket"), col("doc_id").as("id_a"),
+        col("simhash").as("sim_a"))
+      val b = sh.select(col("bucket"), col("doc_id").as("id_b"),
+        col("simhash").as("sim_b"))
+      a.join(b, "bucket")
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("hamming",
+          bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+        .filter(col("hamming") <= 4)
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a", "id_b")
+    },
+
     // Winnowing document fingerprints: rolling k-gram hashes, min per
     // window, distinct — any shared substring of length >= w+k-1
     // guarantees a shared fingerprint.
@@ -207,6 +227,20 @@ object TrainingQueries {
         |FROM bands a JOIN bands b
         |  ON a.band = b.band AND a.band_key = b.band_key
         |  AND a.doc_id < b.doc_id
+        |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_simhash_pairs" ->
+      s"""WITH $allDocsCte,
+        |t AS (SELECT doc_id, $toksExpr AS toks FROM all_docs),
+        |s AS (
+        |  SELECT doc_id, CAST($simhashTerms AS BIGINT) AS simhash FROM t
+        |), b AS (
+        |  SELECT doc_id, simhash, simhash // 256 AS bucket FROM s
+        |)
+        |SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.simhash, b2.simhash)) AS INT) AS hamming
+        |FROM b a JOIN b b2
+        |  ON a.bucket = b2.bucket AND a.doc_id < b2.doc_id
+        |WHERE bit_count(xor(a.simhash, b2.simhash)) <= 4
         |ORDER BY id_a, id_b""".stripMargin,
     "text_winnowing" ->
       s"""WITH h AS (
