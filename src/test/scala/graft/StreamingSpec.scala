@@ -124,6 +124,26 @@ class StreamingSpec extends SparkSpec {
     assert(StreamingSpec.masterRuns.get("S|shard-1") === 1)
   }
 
+  test("pipeline at volume: full sf0.001 events table, clean completion") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-vol").toString
+    val batch = graft.sources.Tables.events(spark, sf0001)
+      .select(col("event_id").cast("string").as("eventID"),
+        pmod(col("user_id"), lit(8)).cast("string").as("shardId"),
+        col("user_id").cast("string").as("partitionKey"),
+        base64(encode(col("props"), "UTF-8")).as("data"))
+    val n = batch.count()
+    val r = ConsumerPipeline(ConsumerConfig(), _ => Try(()),
+      s"$dir/state", s"$dir/dlq")(batch, 1L)
+    assert(r.messages === n && r.completed === n)
+    assert(r.unusable === 0 && !r.replay)
+    // second trigger (redelivery): everything resumes, nothing re-runs
+    val r2 = ConsumerPipeline(ConsumerConfig(), _ =>
+      scala.util.Failure(new RuntimeException("must not run")),
+      s"$dir/state", s"$dir/dlq")(batch, 2L)
+    assert(r2.completed === n && !r2.replay)
+  }
+
   test("flatMapGroupsWithState stream: state survives across triggers") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
