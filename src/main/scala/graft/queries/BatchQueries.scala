@@ -249,6 +249,20 @@ object BatchQueries {
         .orderBy("event_id")
     },
 
+    // Event-time tumbling windows in batch mode (same window() op the
+    // streaming WindowedCounts uses): per-hour, per-type rollups.
+    "windowed_counts" -> { (s, dir) =>
+      val tsCol = timestamp_micros(expr("ts div 1000"))
+      Tables.events(s, dir)
+        .groupBy(window(tsCol, "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("sum_value"))
+        .select(unix_timestamp(col("w.start")).as("window_start"),
+          col("event_type"), col("n_events"), col("sum_value"))
+        .orderBy("window_start", "event_type")
+    },
+
     // Skew mitigation: two-phase salted aggregation over the (hot)
     // event_type key — must equal the plain GROUP BY bit-for-bit
     // (decimal partials keep the sums exact across combination orders).
@@ -403,6 +417,12 @@ object BatchQueries {
         |FROM events
         |WHERE event_id % 7 = 0 OR event_type = 'error'
         |ORDER BY event_id""".stripMargin,
+    "windowed_counts" ->
+      """SELECT CAST(epoch(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT)
+        |    AS window_start,
+        |  event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "salted_counts" ->
       """SELECT event_type, COUNT(*) AS n_rows,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
