@@ -124,6 +124,33 @@ class StreamingSpec extends SparkSpec {
     assert(StreamingSpec.masterRuns.get("S|shard-1") === 1)
   }
 
+  test("real writeStream.foreachBatch wiring: trigger runs the pipeline") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-fb").toString
+    val input = MemoryStream[(String, String, String, String)]
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[
+      ConsumerPipeline.BatchResult]()
+    val q = input.toDF()
+      .toDF("eventID", "shardId", "partitionKey", "data")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        results.add(ConsumerPipeline(ConsumerConfig(), _ => Try(()),
+          s"$dir/state", s"$dir/dlq")(batch, id))
+        ()
+      }
+      .start()
+    try {
+      input.addData(("e1", "s0", "pk", b64("""{"v":1}""")),
+        ("e2", "s0", "pk", b64("""{"v":2}""")))
+      q.processAllAvailable()
+      assert(results.size === 1)
+      val r = results.peek()
+      assert(r.completed === 2 && !r.replay)
+      assert(spark.read.parquet(s"$dir/state").count() === 2)
+    } finally q.stop()
+  }
+
   test("pipeline at volume: full sf0.001 events table, clean completion") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-vol").toString
