@@ -105,22 +105,30 @@ object Dedup {
     * pruned first (hot-shingle cap — keeps any single bucket from going
     * quadratic; Jaccard is then computed over the surviving shingle
     * universe, which biases AGAINST false merges on boilerplate).
-    * Returns `(id_a, id_b, inter, size_a, size_b, jaccard)`. */
+    * Returns `(id_a, id_b, inter, size_a, size_b, jaccard)`.
+    *
+    * Shape: ONE pass builds per-shingle id buckets (groupBy + size cap);
+    * candidate pairs expand INSIDE each bucket (≤ doc_freq² per
+    * shingle) instead of a corpus-wide self-join, and per-doc set sizes
+    * re-aggregate from the same buckets — the exploded shingle set is
+    * evaluated twice total, never once per join side. */
   def ngramJaccardPairs(df: DataFrame, idCol: Column, text: Column,
       shingleN: Int = 3, maxDocFreq: Int = 20,
       minJaccard: Double = 0.5): DataFrame = {
     val sh = df.select(idCol.as("id"),
       explode(graft.functions.TextShingles.distinctShingles(shingleN)(text))
         .as("sh"))
-    val surviving = sh.groupBy("sh").agg(count(lit(1)).as("doc_freq"))
-      .filter(col("doc_freq") <= maxDocFreq)
-      .select("sh")
-    val pruned = sh.join(surviving, "sh")
-    val sizes = pruned.groupBy("id").agg(count(lit(1)).as("set_size"))
-    val inter = pruned.select(col("sh"), col("id").as("id_a"))
-      .join(pruned.select(col("sh"), col("id").as("id_b")), Seq("sh"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    val buckets = sh.groupBy("sh")
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) <= maxDocFreq)
+    val sizes = buckets.select(explode(col("ids")).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("set_size"))
+    val pairArr = flatten(transform(col("ids"), (a, i) =>
+      transform(slice(col("ids"), i + 2, size(col("ids"))), b =>
+        struct(a.as("id_a"), b.as("id_b")))))
+    val inter = buckets.select(explode(pairArr).as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.select(col("id").as("id_a"), col("set_size").as("size_a")),
         "id_a")
