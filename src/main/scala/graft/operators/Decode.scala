@@ -73,12 +73,17 @@ object Decode {
       dataB64.as("data"),
       lit(null).cast("string").as("error")))
     val urs = coalesce(deagged, passthrough)
-    df.withColumn("ur", explode(urs))
+    // explode_outer: a structurally valid KPL aggregate containing ZERO
+    // user records must surface as one unusable row, not vanish — with
+    // plain explode the enclosing record would be silently dropped.
+    df.withColumn("ur", explode_outer(urs))
       .withColumn("subSequenceNumber", col("ur.subSequenceNumber"))
       .withColumn("userPartitionKey", col("ur.partitionKey"))
       .withColumn("userExplicitPartitionKey", col("ur.explicitPartitionKey"))
       .withColumn("userData", col("ur.data"))
-      .withColumn("reason_unusable", col("ur.error"))
+      .withColumn("reason_unusable",
+        when(col("ur").isNull, lit("empty KPL aggregate (no user records)"))
+          .otherwise(col("ur.error")))
       .drop("ur")
   }
 }

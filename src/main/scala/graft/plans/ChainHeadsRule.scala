@@ -24,6 +24,9 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * between shuffling the corpus and shuffling the key set.
   *
   * Fires only when provably equivalent:
+  *  - the window has a NON-EMPTY partitionSpec: a global window over an
+  *    empty input emits zero rows, while an Aggregate with empty
+  *    grouping emits one all-null row — not equivalent;
   *  - the window has exactly ONE window expression, a bare
   *    `row_number()` (lag/lead/rank users still need the sort);
   *  - every sort order is Ascending NullsFirst (matches struct
@@ -61,7 +64,7 @@ case class ChainHeadsRule() extends Rule[LogicalPlan] {
     w.windowExpressions match {
       case Seq(a @ Alias(WindowExpression(_: RowNumber,
           WindowSpecDefinition(_, orderSpec, _)), _))
-          if orderSpec.nonEmpty &&
+          if w.partitionSpec.nonEmpty && orderSpec.nonEmpty &&
             orderSpec.forall(s => s.direction == Ascending &&
               s.nullOrdering == NullsFirst) &&
             (cond match {
