@@ -19,25 +19,34 @@ object Bench {
         try { fn(spark, dir).count() } catch { case _: Throwable => () }
       }
     }
-    // Three timed passes, per-query MIN: the machine shares CPU with
-    // driver-side jobs, so a single pass can be contended 2-10×; the
-    // minimum is the steady-state engine cost. The cache is cleared
-    // before each pass so operators that persist reused intermediates
-    // (dedup joins) pay their cache build inside the measurement.
-    val results = (1 to 3).map { _ =>
+    // Three timed passes, per-query MIN over SUCCESSFUL passes only: the
+    // machine shares CPU with driver-side jobs, so a single pass can be
+    // contended 2-10×; the minimum is the steady-state engine cost. A
+    // throwing pass is excluded (it must not win the min as a bogus
+    // near-zero), and a query with zero successful passes is reported in
+    // "failed" and left out of the total instead of corrupting it. The
+    // cache is cleared before each pass so operators that persist reused
+    // intermediates (dedup joins) pay their cache build inside the
+    // measurement.
+    val passes = (1 to 3).map { _ =>
       spark.catalog.clearCache()
       headline.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        val ok = try { fn(spark, sfDir).count(); true }
+          catch { case _: Throwable => false }
+        name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
       }
-    }.reduce((a, b) => a.zip(b).map { case ((n, x), (_, y)) =>
-      n -> math.min(x, y)
-    })
+    }
+    val byName = headline.map { case (name, _) =>
+      name -> passes.flatMap(_.collect { case (`name`, Some(t)) => t })
+    }
+    val results = byName.collect { case (n, ts) if ts.nonEmpty => n -> ts.min }
+    val failed = byName.collect { case (n, ts) if ts.isEmpty => n }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -39,10 +39,24 @@ object GraftExtensions {
         FloatVecDot(children.head, children(1))
       }))
 
-  /** Register on an already-built session. */
-  def register(spark: SparkSession): Unit =
+  /** Register on an already-built session: SQL functions AND the
+    * optimizer rule. The rule goes through
+    * `spark.experimental.extraOptimizations` (the public post-hoc
+    * injection point — `injectOptimizerRule` only works at build time),
+    * deduplicated so repeated `register` calls add it once. When the
+    * session WAS built with [[GraftExtensions]] the rule ends up in both
+    * the main batch and the experimental batch; that is harmless because
+    * the rewrite is idempotent (after it fires no `Window` node remains
+    * to match). This keeps the "verified plans are benched plans"
+    * invariant even when `getOrCreate` returns a pre-built session. */
+  def register(spark: SparkSession): Unit = {
     functions.foreach { case (ident, info, builder) =>
       spark.sessionState.functionRegistry
         .registerFunction(ident, info, builder)
     }
+    if (!spark.experimental.extraOptimizations
+        .exists(_.isInstanceOf[graft.plans.ChainHeadsRule]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.ChainHeadsRule()
+  }
 }

@@ -152,8 +152,9 @@ object KplDeagg {
   }
 
   /** Column form: binary payload → array of user-record structs, null for
-    * non-KPL payloads. Compose with the passthrough + `posexplode_outer`
-    * in [[graft.operators.Decode.kplUserRecords]]. */
+    * non-KPL payloads. Compose with the passthrough + `explode_outer`
+    * in [[graft.operators.Decode.kplUserRecords]] (switch to
+    * `posexplode_outer` there if the ordinal ever becomes an output). */
   def deaggCol(raw: Column): Column = {
     val fn = udf((bytes: Array[Byte]) => deaggregate(bytes))
     fn(raw)

@@ -106,7 +106,7 @@ object TextShingles {
     * identical values to `min(substr(md5(s), 4*i+1, 8))` in SQL. */
   def minhashSig(numHashes: Int, shingleN: Int): Column => Column = {
     require(numHashes <= 8,
-      "one md5 yields 8 disjoint 32-bit hash windows")
+      "one 32-hex md5 yields at most 8 stride-4 hash windows")
     val f = udf { (text: String) =>
       val mins = Array.fill(numHashes)("￿")
       val seen = new java.util.HashSet[String]()

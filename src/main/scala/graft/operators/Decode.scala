@@ -60,6 +60,12 @@ object Decode {
     * a partial failure kills only its own user record (D3
     * `kinesis-processing.js:533-570`).
     *
+    * Intentional divergence from the reference: for a structurally valid
+    * aggregate containing ZERO user records, `kpl-deagg-async.js` yields
+    * nothing (the enclosing record silently vanishes), while this
+    * operator emits ONE row with `reason_unusable` set — an audit trail
+    * beats a silent drop, but unusable counts differ on such inputs.
+    *
     * Adds: `subSequenceNumber`, `userPartitionKey`,
     * `userExplicitPartitionKey`, `userData` (base64), `reason_unusable`.
     */

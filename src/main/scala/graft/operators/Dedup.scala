@@ -33,12 +33,13 @@ object Dedup {
       .agg(min(idCol).as("keep_id"), count(lit(1)).as("dup_count"))
 
   /** MinHash signature: `numHashes` independent minima over the
-    * document's distinct shingles. The `numHashes` hash families come
-    * from DISJOINT 8-hex-char windows of ONE md5 per shingle (32 hex
-    * chars ⇒ up to 8 families of 32 bits) — string min ≡ numeric min on
-    * fixed-width hex, and one digest per shingle instead of one per
-    * (shingle, family) makes signature build 8× cheaper at corpus
-    * scale. Requires `numHashes <= 8`.
+    * document's distinct shingles. Family i reads the OVERLAPPING
+    * 8-hex-char window of ONE md5 per shingle starting at offset `4i`
+    * (stride 4; the last window truncates at the digest end, SQL-substr
+    * style — see [[graft.functions.TextShingles.minhashSig]]) — string
+    * min ≡ numeric min on equal-width hex per family, and one digest
+    * per shingle instead of one per (shingle, family) makes signature
+    * build 8× cheaper at corpus scale. Requires `numHashes <= 8`.
     *
     * DataFrame-shaped (adds `out` as `array<string>`). The whole
     * tokenize→shingle→digest→minima pass runs as ONE compiled function

@@ -47,6 +47,37 @@ class ChainHeadsRuleSpec extends SparkSpec {
     assert(topK.count() === 2)
   }
 
+  test("global window (no partitionBy) keeps the window; empty input stays empty") {
+    import spark.implicits._
+    val df = Seq(("s0", 10L, "e1"), ("s0", 20L, "e2")).toDF("shard", "seq", "id")
+    val w = Window.orderBy("seq", "id") // no partitionBy ⇒ global window
+    val out = df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    assert(out.queryExecution.optimizedPlan
+      .collect { case x: LWindow => x }.nonEmpty,
+      "rule must decline a global window")
+    assert(out.select("id").collect().map(_.getString(0)).toSeq === Seq("e1"))
+
+    // The semantic reason for the guard: a global window over EMPTY input
+    // emits zero rows, while the min_by Aggregate with empty grouping
+    // would emit one all-null row. RDD-backed input so the optimizer
+    // cannot constant-fold the emptiness away before the window runs.
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], df.schema)
+    val outEmpty = empty.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    assert(outEmpty.queryExecution.optimizedPlan
+      .collect { case x: LWindow => x }.nonEmpty)
+    assert(outEmpty.count() === 0,
+      "empty input through a global window must yield zero rows")
+  }
+
+  test("GraftExtensions.register injects the rule post-hoc, exactly once") {
+    GraftExtensions.register(spark)
+    GraftExtensions.register(spark) // repeated registration must not stack
+    assert(spark.experimental.extraOptimizations
+      .count(_.isInstanceOf[graft.plans.ChainHeadsRule]) === 1)
+  }
+
   test("descending order keeps the window (struct min is ascending-only)") {
     import spark.implicits._
     val df = Seq(("s0", 10L, "e1"), ("s0", 20L, "e2")).toDF("shard", "seq", "id")

@@ -64,6 +64,29 @@ class DecodeSpec extends SparkSpec {
     assert(plain.getAs[String]("userData") === "eyJhIjoiQUJDIn0=")
   }
 
+  test("kplUserRecords: empty KPL aggregate surfaces as ONE unusable row") {
+    import spark.implicits._
+    // magic + EMPTY protobuf body + valid MD5-of-empty trailer: structurally
+    // valid aggregate, zero user records. The reference silently drops such
+    // a record (kpl-deagg-async.js yields nothing); graft diverges on
+    // purpose and emits an audit row — pinned here.
+    val body = Array.emptyByteArray
+    val md5 = java.security.MessageDigest.getInstance("MD5").digest(body)
+    val raw = Array[Byte](0xF3.toByte, 0x89.toByte, 0x9A.toByte, 0xC2.toByte) ++ md5
+    assert(KplDeagg.deaggregate(raw).length === 0)
+    val emptyB64 = Base64.getEncoder.encodeToString(raw)
+    val df = Seq(("empty", emptyB64, "pk")).toDF("id", "data", "partitionKey")
+    val out = Decode.kplUserRecords(df, col("data"), col("partitionKey"),
+      lit(null).cast("string")).cache()
+    assert(out.count() === 1)
+    val row = out.collect().head
+    assert(row.getAs[String]("reason_unusable") ===
+      "empty KPL aggregate (no user records)")
+    assert(row.getAs[Any]("userData") === null)
+    assert(row.getAs[Any]("subSequenceNumber") === null)
+    assert(row.getAs[Any]("userPartitionKey") === null)
+  }
+
   test("extractJsonMessages: usable/unusable split (D1 routing)") {
     import spark.implicits._
     val df = Seq(
