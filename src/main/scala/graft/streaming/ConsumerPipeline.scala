@@ -18,7 +18,7 @@ import graft.sources.StateStore
   * {{{
   * initiateBatch   decode (D1/D2) → identify (I3) → sequence (Q4–Q6)
   *                 → load prior state (S2) → revive (T2)
-  * processBatch    ordered chain execution with resume (T3, Q5)
+  * processBatch    ordered multi-task execution with resume (T3, Q5)
   * finaliseBatch   DRQ/DMQ envelopes (S4/S5) → state upsert (S3)
   *                 → replay verdict (reject ⇒ source redelivers)
   * }}}
@@ -48,10 +48,34 @@ object ConsumerPipeline {
     * `test/persisting.test.json:160-165`). */
   val MasterKeyPrefix = "ALL|"
 
-  /** One full initiate/process/finalise pass.
+  /** Single-task convenience: one anonymous `processOne` task per
+    * message (the common case). See [[multi]] for the full registry. */
+  def apply(cfg: ConsumerConfig, runTask: String => Try[Unit],
+      statePath: String, deadLetterPath: String,
+      throwOnReplay: Boolean = false,
+      processAll: Option[(String, Seq[String]) => Try[Unit]] = None)(
+      batch: DataFrame, batchId: Long): BatchResult =
+    multi(cfg, Seq(TaskDef("processOne", runTask)), statePath,
+      deadLetterPath, throwOnReplay, processAll)(batch, batchId)
+
+  /** One full initiate/process/finalise pass driving a REGISTRY of
+    * processOne task definitions per message — the reference's
+    * `processStreamEvent(event, processOneTaskDefs, processAllTaskDefs)`
+    * (`/root/reference/README.md:115-135`). Each task tree node gets its
+    * own persisted state row and retry budget; sub-task trees execute
+    * depth-first within their parent; a message finalises only when
+    * EVERY node of every tree does, so one task over the attempts cap
+    * with a sibling still retryable keeps the message incomplete and
+    * the batch replaying (`test/kinesis-consumer.test.js:2761-2878`).
+    *
+    * Prior state is re-matched by the message's business full key — the
+    * resolved `id|key|seqNo` identity — with eventID fallback when ids
+    * are unconfigured/unresolvable (the reference's `toMessageBFK`
+    * matching, `test/persisting.test.js:17-21`): a replay that re-keys
+    * eventIDs but redelivers the same payloads still resumes.
     *
     * @param cfg        consumer configuration (sequencing mode, retry cap)
-    * @param runTask    the user's processOne task over the decoded message
+    * @param tasks      processOne task definitions (non-empty registry)
     * @param statePath  batch-state table (S2/S3)
     * @param deadLetterPath DRQ/DMQ envelope table (S4/S5)
     * @param throwOnReplay  streaming mode: throw so the trigger fails and
@@ -64,11 +88,12 @@ object ConsumerPipeline {
     *                   (completed masters are skipped on replay —
     *                   `executeAllProcessAllTasks` in SURVEY §3.3)
     */
-  def apply(cfg: ConsumerConfig, runTask: String => Try[Unit],
+  def multi(cfg: ConsumerConfig, tasks: Seq[TaskDef],
       statePath: String, deadLetterPath: String,
       throwOnReplay: Boolean = false,
       processAll: Option[(String, Seq[String]) => Try[Unit]] = None)(
       batch: DataFrame, batchId: Long): BatchResult = {
+    require(tasks.nonEmpty, "task registry must not be empty")
     val spark = batch.sparkSession
     import spark.implicits._
 
@@ -78,23 +103,37 @@ object ConsumerPipeline {
     val soid = Batching.shardOrEventID(cfg, col("shardId"), col("eventID"))
     val recordJson = to_json(struct(col("eventID"), col("shardId"),
       col("partitionKey"), col("data")))
+    // decoded feeds identify, the unusable split, markers AND counts —
+    // cache it so the decode work runs once per micro-batch, not per
+    // downstream action.
     val decoded = Decode.extractJsonMessages(batch, col("data"))
       .withColumn("streamConsumerId", scid)
       .withColumn("shardOrEventID", soid)
+      .cache()
     val identified = Identify.idsKeysSeqNos(cfg, decoded, col("message"),
       lit(null).cast("string"), recordJson, col("eventID"),
       lit(null).cast("int"))
     val usable = identified.filter(col("reason_unusable").isNull &&
       col("reason_rejected").isNull)
+    // BFK state identity: resolvable ids ⇒ `B|id|key|seqNo`, else the
+    // eventID (toMessageBFK fallback). Unusable records never reach
+    // here, so their markers stay keyed by eventID below.
+    val stateKey =
+      if (cfg.idPropertyNames.isEmpty) col("eventID")
+      else when(!forall(col("ids"), i => i.getField("value").isNull),
+          concat_ws("|", lit("B"), col("id"), col("key"), col("seqNo")))
+        .otherwise(col("eventID"))
     val sequenced = Identify.sequence(cfg, usable, col("shardOrEventID"),
-      col("message"), lit(null).cast("string"), recordJson, col("eventID"),
-      col("eventID"))
+        col("message"), lit(null).cast("string"), recordJson, col("eventID"),
+        col("eventID"))
+      .withColumn("stateKey", stateKey)
+      .cache()
     val chainKeyCol =
       if (cfg.sequencingPerKey) concat_ws("|", col("shardOrEventID"), col("key"))
       else col("shardOrEventID")
 
     val msgs = sequenced.select(
-        chainKeyCol.as("chainKey"), col("eventID").as("msgId"),
+        chainKeyCol.as("chainKey"), col("stateKey").as("msgId"),
         col("seq_rn").cast("long").as("seqNo"),
         col("message").as("payload"))
       .as[StreamMsg]
@@ -102,21 +141,35 @@ object ConsumerPipeline {
     // ----- load prior state + process: resumable ordered execution -----
     val stateSchema = StructType(Seq(
       StructField("chainKey", StringType), StructField("msgId", StringType),
+      StructField("task", StringType),
       StructField("state", StringType), StructField("attempts", IntegerType)))
-    val prior = StateStore.load(spark, statePath, stateSchema).as[MsgState]
+    val prior = StateStore.load(spark, statePath, stateSchema).as[TaskRun]
 
+    val registry = tasks
+    val maxAttempts = cfg.maxNumberOfAttempts
     val outcomes = msgs.groupByKey(_.chainKey)(Encoders.STRING)
       .cogroup(prior.groupByKey(_.chainKey)(Encoders.STRING)) {
         (_, ms, ps) =>
-          val priorMap = ps.map(s => s.msgId -> s).toMap
-          ResumableConsumer.executeChain(priorMap, ms.toSeq, runTask,
-            cfg.maxNumberOfAttempts).iterator
+          val priorByMsg = ps.toSeq.groupBy(_.msgId)
+            .map { case (id, rs) => id -> rs.map(r => r.task -> r).toMap }
+          ResumableConsumer.executeChainTasks(priorByMsg, ms.toSeq,
+            registry, maxAttempts).iterator
+      }.cache()
+
+    // Message-level verdicts over the per-node task states (replay /
+    // DMQ decisions happen at the message level).
+    val verdicts = outcomes
+      .groupByKey(r => (r.chainKey, r.msgId))(
+        Encoders.product[(String, String)])
+      .mapGroups { (key, rs) =>
+        MsgState(key._1, key._2,
+          ResumableConsumer.messageVerdict(rs.map(_.state).toSeq), 0)
       }.cache()
 
     // T4 — processAll master task, once per batch group, resumable:
     // a master finalised in prior state is skipped on replay; a failed
     // master forces the batch to replay exactly like a failed chain.
-    val masterOutcomes: Seq[MsgState] = processAll match {
+    val masterOutcomes: Seq[TaskRun] = processAll match {
       case None => Nil
       case Some(runAll) =>
         val fn = runAll
@@ -137,14 +190,14 @@ object ConsumerPipeline {
             val key = MasterKeyPrefix + soid
             if (TaskStatus.isFinalised(state)) prev.iterator
             else if (attempts >= max)
-              Iterator(MsgState(key, "processAll",
+              Iterator(TaskRun(key, "processAll", "processAll",
                 TaskStatus.Discarded, attempts))
             else fn(soid, ms.map(_._2).toSeq) match {
               case scala.util.Success(_) =>
-                Iterator(MsgState(key, "processAll",
+                Iterator(TaskRun(key, "processAll", "processAll",
                   TaskStatus.Completed, attempts + 1))
               case scala.util.Failure(_) =>
-                Iterator(MsgState(key, "processAll",
+                Iterator(TaskRun(key, "processAll", "processAll",
                   TaskStatus.Failed, attempts + 1))
             }
           }.collect().toSeq
@@ -158,7 +211,7 @@ object ConsumerPipeline {
     // test/persisting.test.js:339-398).
     val at = date_format(current_timestamp(),
       "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
-    val priorIds = prior.toDF().select(col("msgId"))
+    val priorIds = prior.toDF().select(col("msgId")).distinct()
     val unusableRecs = decoded.filter(col("reason_unusable").isNotNull)
     val newDeadRecords = unusableRecs
       .join(priorIds, unusableRecs("eventID") === priorIds("msgId"),
@@ -166,13 +219,21 @@ object ConsumerPipeline {
       .select(lit("DR").as("kind"), DeadLetters.deadRecordEnvelope(
         col("streamConsumerId"), col("shardOrEventID"), recordJson,
         col("reason_unusable"), at).as("envelope"))
-    val priorDiscarded = prior.filter(_.state == TaskStatus.Discarded)
-      .map(_.msgId)(Encoders.STRING).toDF("msgId")
-    val newlyDiscarded = outcomes.filter(_.state == TaskStatus.Discarded)
+    // A message is discarded (→ DMQ) only when ALL its task nodes
+    // finalised with at least one rejected — never while a sibling
+    // task still has retry budget.
+    val priorDiscarded = prior
+      .filter(!_.chainKey.startsWith(MasterKeyPrefix))
+      .groupByKey(_.msgId)(Encoders.STRING)
+      .mapGroups { (id, rs) =>
+        (id, ResumableConsumer.messageVerdict(rs.map(_.state).toSeq))
+      }.filter(_._2 == TaskStatus.Discarded)
+      .map(_._1)(Encoders.STRING).toDF("msgId")
+    val newlyDiscarded = verdicts.filter(_.state == TaskStatus.Discarded)
       .map(_.msgId)(Encoders.STRING).toDF("msgId")
       .except(priorDiscarded)
     val deadMessages = sequenced
-      .join(newlyDiscarded, col("eventID") === col("msgId"))
+      .join(newlyDiscarded, col("stateKey") === col("msgId"))
       .select(lit("DM").as("kind"), DeadLetters.deadMessageEnvelope(
         col("streamConsumerId"), col("shardOrEventID"), col("message"),
         lit("Discarded after max attempts"), at).as("envelope"))
@@ -184,23 +245,24 @@ object ConsumerPipeline {
     // DRQ write above stays once-only across replays.
     val deadRecordMarkers = unusableRecs.select(
       col("shardOrEventID").as("chainKey"), col("eventID").as("msgId"),
+      lit("unusableRecord").as("task"),
       lit(TaskStatus.Discarded).as("state"), lit(0).as("attempts"))
     val masterRows = masterOutcomes.toDF()
     StateStore.save(
       StateStore.upsert(prior.toDF(),
         outcomes.toDF().unionByName(deadRecordMarkers)
           .unionByName(masterRows),
-        Seq("chainKey", "msgId")),
+        Seq("chainKey", "msgId", "task")),
       statePath)
 
-    val byState = outcomes.groupByKey(_.state)(Encoders.STRING)
+    val byState = verdicts.groupByKey(_.state)(Encoders.STRING)
       .count().collect().toMap
     def n(s: String) = byState.getOrElse(s, 0L)
     val masterFailed = masterOutcomes
       .count(s => !TaskStatus.isFinalised(s.state))
     val result = BatchResult(
-      messages = outcomes.count(),
-      unusable = decoded.filter(col("reason_unusable").isNotNull).count(),
+      messages = verdicts.count(),
+      unusable = unusableRecs.count(),
       completed = n(TaskStatus.Completed),
       failed = n(TaskStatus.Failed),
       discarded = n(TaskStatus.Discarded),
@@ -210,7 +272,10 @@ object ConsumerPipeline {
       processAllCompleted = masterOutcomes
         .count(_.state == TaskStatus.Completed),
       processAllFailed = masterFailed)
+    verdicts.unpersist()
     outcomes.unpersist()
+    sequenced.unpersist()
+    decoded.unpersist()
     if (result.replay && throwOnReplay)
       throw new ReplayBatchException(
         s"batch $batchId incomplete: ${result.failed} failed, " +

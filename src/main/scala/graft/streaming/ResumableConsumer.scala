@@ -20,6 +20,28 @@ final case class StreamMsg(chainKey: String, msgId: String, seqNo: Long,
 final case class MsgState(chainKey: String, msgId: String, state: String,
     attempts: Int)
 
+/** A named processOne task definition with an optional sub-task tree
+  * (the reference's `TaskDef.defineTask` + `task.getSubTask(...)` —
+  * `/root/reference/README.md:122-165`). Sub-tasks execute depth-first
+  * after their parent's own run succeeds; a parent that fails or is
+  * rejected never runs its children. */
+final case class TaskDef(name: String, run: String => Try[Unit],
+    subTasks: Seq[TaskDef] = Nil) {
+
+  /** All node paths of this tree, root first, `/`-joined (matching
+    * [[graft.model.Schemas.taskStateSchema]]'s `path` convention). */
+  def paths(prefix: String = ""): Seq[String] = {
+    val p = if (prefix.isEmpty) name else s"$prefix/$name"
+    p +: subTasks.flatMap(_.paths(p))
+  }
+}
+
+/** Persisted per-(message, task-node) outcome for multi-task execution:
+  * one row per node of each message's task trees (the reference's
+  * `msgState.ones.<TaskName>` map — `test/persisting.test.js:339-398`). */
+final case class TaskRun(chainKey: String, msgId: String, task: String,
+    state: String, attempts: Int)
+
 /** Cross-batch resumable ordered execution (SURVEY §2.6 T3 + §2.8):
   * the reference's replay-with-prior-state contract
   * (`/root/reference/test/kinesis-consumer.test.js:746-847`: PRIOR state
@@ -30,57 +52,146 @@ final case class MsgState(chainKey: String, msgId: String, state: String,
   * `test/sequencing-per-key.test.js:474-622` and
   * `test/kinesis-consumer.test.js:1272-1491`):
   *  - messages run strictly in `(seqNo, msgId)` order;
-  *  - already-finalised messages are skipped (resume, not redo);
-  *  - a failure blocks all successors in the SAME chain (they stay
-  *    Unstarted / incomplete ⇒ the batch would replay), other chains
-  *    are unaffected — the poison-batch blocks one shard, not the
-  *    stream (SURVEY §7.4);
-  *  - a message failing at `attempts >= maxAttempts` is Discarded (T6)
-  *    and stops blocking its chain.
+  *  - already-finalised work is skipped (resume, not redo);
+  *  - an incomplete message blocks all successors in the SAME chain
+  *    (they stay Unstarted / incomplete ⇒ the batch would replay),
+  *    other chains are unaffected — the poison-batch blocks one shard,
+  *    not the stream (SURVEY §7.4);
+  *  - a task failing at `attempts >= maxAttempts` is Discarded (T6) and
+  *    stops blocking its chain — but ONLY once EVERY task of the message
+  *    finalises does the message itself get discarded; one task over the
+  *    cap while a sibling can still retry keeps the message incomplete
+  *    and the batch replaying
+  *    (`test/kinesis-consumer.test.js:2761-2878` — "must NOT discard
+  *    message yet").
   */
 object ResumableConsumer {
 
-  /** Pure per-chain fold — the whole state machine, testable without a
-    * stream. `prior` is the chain's persisted state; `run` executes the
-    * user task for one payload. */
-  def executeChain(prior: Map[String, MsgState], msgs: Seq[StreamMsg],
-      run: String => Try[Unit], maxAttempts: Int): Seq[MsgState] = {
+  import TaskStatus._
+
+  /** Pure multi-task per-chain fold — the reference's per-message task
+    * REGISTRY (`processOneTaskDefs`) with sub-task trees, testable
+    * without a stream.
+    *
+    * @param prior per-msg per-path persisted node states
+    *              (`msgId -> path -> state`)
+    * @param registry root task definitions, executed in order per message
+    */
+  def executeChainTasks(prior: Map[String, Map[String, TaskRun]],
+      msgs: Seq[StreamMsg], registry: Seq[TaskDef],
+      maxAttempts: Int): Seq[TaskRun] = {
+    require(registry.nonEmpty, "task registry must not be empty")
     var blocked = false
-    msgs.sortBy(m => (m.seqNo, m.msgId)).map { m =>
-      val prev = prior.get(m.msgId)
-      val attempts = prev.map(_.attempts).getOrElse(0)
-      val state = prev.map(_.state).getOrElse(TaskStatus.Unstarted)
-      if (TaskStatus.isFinalised(state)) prev.get // completed work is skipped
-      else if (blocked)
-        MsgState(m.chainKey, m.msgId, TaskStatus.Unstarted, attempts)
-      else if (attempts >= maxAttempts) // retry budget burned ⇒ Discarded
-        MsgState(m.chainKey, m.msgId, TaskStatus.Discarded, attempts)
-      else run(m.payload) match {
-        case Success(_) =>
-          MsgState(m.chainKey, m.msgId, TaskStatus.Completed, attempts + 1)
-        case Failure(_) =>
-          blocked = true
-          MsgState(m.chainKey, m.msgId, TaskStatus.Failed, attempts + 1)
+    msgs.sortBy(m => (m.seqNo, m.msgId)).flatMap { m =>
+      val priorTasks = prior.getOrElse(m.msgId, Map.empty)
+
+      // A node (and its subtree) that does not run this pass keeps its
+      // persisted state; never-seen nodes surface as Unstarted.
+      def carried(d: TaskDef, prefix: String): Seq[TaskRun] =
+        d.paths(prefix).map(p => priorTasks.getOrElse(p,
+          TaskRun(m.chainKey, m.msgId, p, Unstarted, 0)))
+
+      def exec(d: TaskDef, prefix: String): Seq[TaskRun] = {
+        val path = if (prefix.isEmpty) d.name else s"$prefix/${d.name}"
+        val prev = priorTasks.get(path)
+        val attempts = prev.map(_.attempts).getOrElse(0)
+        val state = prev.map(_.state).getOrElse(Unstarted)
+        if (isFinalised(state)) {
+          // own run skipped; a COMPLETED parent still descends so an
+          // unfinalised subtree can resume, a rejected/discarded parent
+          // never re-runs its children
+          val own = prev.get
+          if (successFamily.contains(state))
+            own +: d.subTasks.flatMap(exec(_, path))
+          else own +: d.subTasks.flatMap(carried(_, path))
+        } else if (attempts >= maxAttempts) // retry budget burned (T6)
+          TaskRun(m.chainKey, m.msgId, path, Discarded, attempts) +:
+            d.subTasks.flatMap(carried(_, path))
+        else d.run(m.payload) match {
+          case Success(_) =>
+            TaskRun(m.chainKey, m.msgId, path, Completed, attempts + 1) +:
+              d.subTasks.flatMap(exec(_, path))
+          case Failure(_) =>
+            TaskRun(m.chainKey, m.msgId, path, Failed, attempts + 1) +:
+              d.subTasks.flatMap(carried(_, path))
+        }
       }
+
+      val out =
+        if (blocked) registry.flatMap(carried(_, ""))
+        else registry.flatMap(exec(_, ""))
+      if (out.exists(r => !isFinalised(r.state))) blocked = true
+      out
     }
   }
+
+  /** Message-level verdict over its task-node states (the reference's
+    * batch classification — `batch.incompleteMessages` vs
+    * `batch.rejectedMessages`, `test/kinesis-consumer.test.js:2761-2878`):
+    * all success ⇒ Completed; ALL finalised with some rejected ⇒
+    * Discarded (→ DMQ); any retryable failure ⇒ Failed (replay);
+    * otherwise Unstarted (blocked behind a predecessor). */
+  def messageVerdict(states: Seq[String]): String =
+    if (states.forall(successFamily.contains)) Completed
+    else if (states.forall(isFinalised)) Discarded
+    else if (states.exists(failureFamily.contains)) Failed
+    else Unstarted
+
+  /** Single-task form (one anonymous `processOne` task per message) —
+    * the common case, expressed over [[executeChainTasks]]. */
+  def executeChain(prior: Map[String, MsgState], msgs: Seq[StreamMsg],
+      run: String => Try[Unit], maxAttempts: Int): Seq[MsgState] = {
+    val name = "processOne"
+    val p = prior.map { case (id, s) =>
+      id -> Map(name -> TaskRun(s.chainKey, id, name, s.state, s.attempts))
+    }
+    executeChainTasks(p, msgs, Seq(TaskDef(name, run)), maxAttempts)
+      .map(r => MsgState(r.chainKey, r.msgId, r.state, r.attempts))
+  }
+
+  /** Per-chain streaming state: `gen` counts this chain's triggers,
+    * `entries` maps msgId → (state, gen-last-touched). The gen stamp is
+    * what makes eviction safe: a finalised entry is only dropped once
+    * `retainTriggers` further triggers have passed, i.e. once the
+    * at-least-once source can no longer redeliver it. */
+  final case class ChainProgress(gen: Long,
+      entries: Map[String, (MsgState, Long)])
+
+  /** Drop finalised entries not touched within the last `retainTriggers`
+    * triggers. Unfinalised entries are NEVER evicted — they still block
+    * the chain and carry retry budgets. */
+  def evictFinalised(entries: Map[String, (MsgState, Long)], gen: Long,
+      retainTriggers: Long): Map[String, (MsgState, Long)] =
+    entries.filter { case (_, (s, touched)) =>
+      !TaskStatus.isFinalised(s.state) || touched >= gen - retainTriggers
+    }
 
   /** Streaming form: checkpointed `GroupState` replaces the DynamoDB
     * batch-state item (S2/S3); replay ≡ the source redelivering rows
     * with the same msgId. Update-mode output emits each message's
-    * latest state per trigger. */
+    * latest state per trigger.
+    *
+    * State is BOUNDED: finalised entries are evicted once
+    * `retainTriggers` triggers pass without the source redelivering
+    * them (past the source's redelivery window a tombstone serves no
+    * purpose), so per-chain state is O(in-flight + recent), not
+    * O(stream lifetime). Unfinalised entries always survive. */
   def stream(msgs: Dataset[StreamMsg], run: String => Try[Unit],
-      maxAttempts: Int): Dataset[MsgState] = {
-    implicit val stateEnc = Encoders.kryo[Map[String, MsgState]]
+      maxAttempts: Int, retainTriggers: Long = 100L): Dataset[MsgState] = {
+    implicit val stateEnc = Encoders.kryo[ChainProgress]
     implicit val outEnc = Encoders.product[MsgState]
     msgs.groupByKey(_.chainKey)(Encoders.STRING)
       .flatMapGroupsWithState(OutputMode.Update,
         GroupStateTimeout.NoTimeout) {
         (_: String, it: Iterator[StreamMsg],
-            state: GroupState[Map[String, MsgState]]) =>
-          val prior = state.getOption.getOrElse(Map.empty)
-          val out = executeChain(prior, it.toSeq, run, maxAttempts)
-          if (out.nonEmpty) state.update(prior ++ out.map(s => s.msgId -> s))
+            state: GroupState[ChainProgress]) =>
+          val prior = state.getOption.getOrElse(ChainProgress(0L, Map.empty))
+          val gen = prior.gen + 1
+          val out = executeChain(prior.entries.map { case (k, (s, _)) =>
+            k -> s }, it.toSeq, run, maxAttempts)
+          val touched = prior.entries ++ out.map(s => s.msgId -> (s, gen))
+          state.update(ChainProgress(gen,
+            evictFinalised(touched, gen, retainTriggers)))
           out.iterator
       }
   }
