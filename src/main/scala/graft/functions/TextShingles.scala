@@ -99,6 +99,42 @@ object TextShingles {
     c => f(c)
   }
 
+  /** 64-bit SimHash signature (Charikar, STOC'02 similarity
+    * estimation): bit j is the majority vote of token-hash bit j over
+    * ALL tokens (repetition weights), where a token's 64-bit hash is
+    * the first 16 hex chars of its md5 — deterministic across engines
+    * (no JVM hashCode, no seed) and re-derivable in SQL from the same
+    * md5 primitive. Returns a signed long; bit 63 is the sign bit.
+    *
+    * One md5 + one 64-bit popcount loop per token in compiled code —
+    * the higher-order-function formulation runs interpreted per
+    * element (see class doc) and would pay 64 array scans per row. */
+  def simhash64: Column => Column = {
+    val f = udf { (text: String) =>
+      val toks = text.trim.toLowerCase.split("\\s+")
+      val counts = new Array[Int](64)
+      var i = 0
+      while (i < toks.length) {
+        val v = java.lang.Long.parseUnsignedLong(
+          md5Hex(toks(i)).substring(0, 16), 16)
+        var j = 0
+        while (j < 64) {
+          if (((v >>> j) & 1L) == 1L) counts(j) += 1
+          j += 1
+        }
+        i += 1
+      }
+      var sig = 0L
+      var j = 0
+      while (j < 64) {
+        if (2 * counts(j) > toks.length) sig |= 1L << j
+        j += 1
+      }
+      sig
+    }
+    c => f(c)
+  }
+
   /** MinHash signature: `numHashes` minima over distinct shingles,
     * family i reading the hex window starting at `4i` (width 8,
     * stride 4 — windows overlap, and the last one is truncated at the

@@ -15,9 +15,10 @@ import org.apache.spark.sql.functions._
   *  - n-gram Jaccard only verifies candidate pairs that share a shingle,
   *    with hot-shingle pruning (document-frequency cap) so a stopword
   *    shingle cannot produce a quadratic bucket;
-  *  - SimHash is a pure per-row expression (codegen'd, no shuffle);
-  *    near-dup lookup is then a cheap self-join on the 16-bit key or on
-  *    rotated prefixes.
+  *  - SimHash is a pure per-row compiled kernel (no shuffle); near-dup
+  *    lookup banding-joins the 64-bit signature's 4 disjoint 16-bit
+  *    bands — exact Hamming≤3 recall by pigeonhole, bucket population
+  *    ~n/2^16 instead of a quadratic coarse-bucket self-join.
   *
   * All hashes derive from md5 hex strings so signatures are
   * deterministic across engines and runs (no JVM hashCode, no seed
@@ -81,24 +82,51 @@ object Dedup {
       .select("id_a", "id_b").distinct()
   }
 
-  /** 16-bit SimHash: bit j is the majority vote of token-hash bit j
-    * (nibble j of each token's md5, high bit), over ALL tokens
-    * (repetition weights). Each token is digested ONCE into a
-    * materialized digest-array column that the 16 bit-votes share —
-    * md5-per-bit would cost 16× at corpus scale. Adds `out` (long). */
-  def withSimhash(df: DataFrame, text: Column, out: String): DataFrame = {
-    val toks = TextAnalysis.tokens(lower(text))
-    val withDigests = df.withColumn("_sh_digests",
-      transform(toks, t => substring(md5(t.cast("binary")), 1, 16)))
-    val digests = col("_sh_digests")
-    val n = size(digests)
-    val highNibbles = Seq("8", "9", "a", "b", "c", "d", "e", "f")
-    val value = (0 until 16).map { j =>
-      val ones = size(filter(digests, d =>
-        substring(d, j + 1, 1).isin(highNibbles: _*)))
-      when(ones * 2 > n, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    withDigests.withColumn(out, value).drop("_sh_digests")
+  /** 64-bit SimHash: bit j is the majority vote of token-hash bit j
+    * (first 16 hex chars of each token's md5), over ALL tokens
+    * (repetition weights). Pure per-row compiled kernel
+    * ([[graft.functions.TextShingles.simhash64]]) — one md5 per token,
+    * no shuffle. Adds `out` (long; bit 63 is the sign bit). */
+  def withSimhash(df: DataFrame, text: Column, out: String): DataFrame =
+    df.withColumn(out, graft.functions.TextShingles.simhash64(text))
+
+  /** SimHash near-dup pairs `(id_a < id_b, hamming)` via 4×16-bit BAND
+    * tables: the 64-bit signature splits into 4 disjoint 16-bit bands;
+    * two signatures within Hamming distance `maxHamming` ≤ 3 MUST agree
+    * on at least one whole band (pigeonhole: 3 differing bits cannot
+    * touch all 4 bands), so the band-equality join has EXACT recall.
+    * Candidates then verify with the codegen'd builtin
+    * `bit_count(a XOR b)`.
+    *
+    * Scale shape: one exchange on `(band, band_val)` — 4×2^16 buckets,
+    * so bucket population is ~n/2^16 per band (vs 256 top-byte buckets
+    * for a 16-bit signature, where every bucket grows linearly with the
+    * corpus and the in-bucket self-join goes quadratic). */
+  def simhashPairs(df: DataFrame, idCol: Column, text: Column,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      "4 bands over 64 bits guarantee recall only for Hamming <= 3")
+    val sh = withSimhash(df, text, "simhash")
+      .select(idCol.as("id"), col("simhash"))
+    val bandArr = array((0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        shiftrightunsigned(col("simhash"), 16 * b)
+          .bitwiseAND(lit(0xFFFFL)).as("band_val"))
+    }: _*)
+    val bands = sh.select(col("id"), col("simhash"),
+        explode(bandArr).as("bk"))
+      .select(col("id"), col("simhash"),
+        col("bk.band").as("band"), col("bk.band_val").as("band_val"))
+    val a = bands.select(col("band"), col("band_val"),
+      col("id").as("id_a"), col("simhash").as("sim_a"))
+    val c = bands.select(col("band"), col("band_val"),
+      col("id").as("id_b"), col("simhash").as("sim_b"))
+    a.join(c, Seq("band", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming",
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming").distinct()
   }
 
   /** n-gram Jaccard near-dup pairs. Candidates share ≥1 surviving

@@ -70,8 +70,8 @@ object TrainingQueries {
         .orderBy("keep_id")
     },
 
-    // SimHash: pure per-row 16-bit signature (majority vote of token
-    // md5 nibble high-bits).
+    // SimHash: pure per-row 64-bit signature (majority vote of token
+    // md5 bits, first 16 hex chars per token).
     "dedup_simhash" -> { (s, dir) =>
       Dedup.withSimhash(Tables.documents(s, dir), col("text"), "simhash")
         .select(col("doc_id"), col("simhash"))
@@ -94,23 +94,13 @@ object TrainingQueries {
         .orderBy("id_a", "id_b")
     },
 
-    // SimHash near-dup pairing: candidates bucket on the signature's
-    // top byte, then verify Hamming distance ≤ 4 with the codegen'd
-    // builtin bit_count(a XOR b) — planted copies land at distance 0.
+    // SimHash near-dup pairing: 4×16-bit band tables over the 64-bit
+    // signature (exact Hamming≤3 recall by pigeonhole), verified with
+    // the codegen'd builtin bit_count(a XOR b) — planted copies land at
+    // distance 0.
     "dedup_simhash_pairs" -> { (s, dir) =>
-      val sh = Dedup.withSimhash(withCopies(s, dir), col("text"), "simhash")
-        .select(col("doc_id"), col("simhash"),
-          shiftright(col("simhash"), 8).as("bucket"))
-      val a = sh.select(col("bucket"), col("doc_id").as("id_a"),
-        col("simhash").as("sim_a"))
-      val b = sh.select(col("bucket"), col("doc_id").as("id_b"),
-        col("simhash").as("sim_b"))
-      a.join(b, "bucket")
-        .filter(col("id_a") < col("id_b"))
-        .withColumn("hamming",
-          bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
-        .filter(col("hamming") <= 4)
-        .select("id_a", "id_b", "hamming")
+      Dedup.simhashPairs(withCopies(s, dir), col("doc_id"), col("text"),
+          maxHamming = 3)
         .orderBy("id_a", "id_b")
     },
 
@@ -149,12 +139,28 @@ object TrainingQueries {
     s"CASE WHEN m = 0 THEN 'und' $whens END"
   }
 
-  private val simhashTerms = (0 until 16).map { j =>
-    s"""(CASE WHEN 2 * len(list_filter(toks,
-       |   t -> substr(md5(t), ${j + 1}, 1) IN
-       |        ('8','9','a','b','c','d','e','f'))) > len(toks)
-       | THEN ${1L << j} ELSE 0 END)""".stripMargin
-  }.mkString(" + ")
+  /** 64-bit SimHash oracle pieces mirroring TextShingles.simhash64:
+    * per-token value = first 16 hex chars of md5 parsed as an unsigned
+    * 64-bit int (HUGEINT intermediate — DuckDB's << overflow-checks
+    * BIGINT), then a majority-vote bit list, then the signed signature
+    * (bit 63 contributes Long.MinValue) and 4 disjoint 16-bit bands. */
+  private val simhashValsExpr =
+    """list_transform(toks, s -> list_sum(list_transform(range(1,17),
+      |    c -> CAST(strpos('0123456789abcdef', substr(md5(s), CAST(c AS INT), 1)) - 1 AS HUGEINT)
+      |         << CAST((16 - c) * 4 AS INT))))""".stripMargin
+
+  private val simhashBitsExpr =
+    """list_transform(range(0,64), j -> CASE WHEN 2 * len(list_filter(vals,
+      |    x -> (x >> CAST(j AS INT)) & 1 = 1)) > len(vals) THEN 1 ELSE 0 END)""".stripMargin
+
+  private val simhashSigExpr =
+    s"""CAST(CASE WHEN bits[64] = 1 THEN ${Long.MinValue} ELSE 0 END
+       | + list_sum(list_transform(range(0,63),
+       |     j -> bits[CAST(j+1 AS INT)] * (1::BIGINT << CAST(j AS INT)))) AS BIGINT)""".stripMargin
+
+  private def simhashBandExpr(b: Int) =
+    s"""CAST(list_sum(list_transform(range(0,16),
+       |  r -> bits[CAST(${16 * b} + r + 1 AS INT)] * (1::BIGINT << CAST(r AS INT)))) AS BIGINT)""".stripMargin
 
   /** Winnowing oracle pieces generated from the same constants as the
     * compiled kernel (k=8, w=8, base/mod in TextShingles). */
@@ -208,9 +214,11 @@ object TrainingQueries {
         |  COUNT(*) AS dup_count
         |FROM all_docs GROUP BY 1 ORDER BY keep_id""".stripMargin,
     "dedup_simhash" ->
-      s"""WITH t AS (SELECT doc_id, $toksExpr AS toks FROM documents)
-        |SELECT doc_id, CAST($simhashTerms AS BIGINT) AS simhash
-        |FROM t ORDER BY doc_id""".stripMargin,
+      s"""WITH t AS (SELECT doc_id, $toksExpr AS toks FROM documents),
+        |v AS (SELECT doc_id, $simhashValsExpr AS vals FROM t),
+        |b AS (SELECT doc_id, $simhashBitsExpr AS bits FROM v)
+        |SELECT doc_id, $simhashSigExpr AS simhash
+        |FROM b ORDER BY doc_id""".stripMargin,
     "dedup_minhash_lsh" ->
       s"""WITH $allDocsCte,
         |sh AS (
@@ -231,16 +239,25 @@ object TrainingQueries {
     "dedup_simhash_pairs" ->
       s"""WITH $allDocsCte,
         |t AS (SELECT doc_id, $toksExpr AS toks FROM all_docs),
+        |v AS (SELECT doc_id, $simhashValsExpr AS vals FROM t),
+        |bb AS (SELECT doc_id, $simhashBitsExpr AS bits FROM v),
         |s AS (
-        |  SELECT doc_id, CAST($simhashTerms AS BIGINT) AS simhash FROM t
-        |), b AS (
-        |  SELECT doc_id, simhash, simhash // 256 AS bucket FROM s
+        |  SELECT doc_id, $simhashSigExpr AS simhash,
+        |    ${simhashBandExpr(0)} AS b0, ${simhashBandExpr(1)} AS b1,
+        |    ${simhashBandExpr(2)} AS b2, ${simhashBandExpr(3)} AS b3
+        |  FROM bb
+        |), bands AS (
+        |  SELECT doc_id, simhash, 0 AS band, b0 AS band_val FROM s
+        |  UNION ALL SELECT doc_id, simhash, 1, b1 FROM s
+        |  UNION ALL SELECT doc_id, simhash, 2, b2 FROM s
+        |  UNION ALL SELECT doc_id, simhash, 3, b3 FROM s
         |)
-        |SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
-        |  CAST(bit_count(xor(a.simhash, b2.simhash)) AS INT) AS hamming
-        |FROM b a JOIN b b2
-        |  ON a.bucket = b2.bucket AND a.doc_id < b2.doc_id
-        |WHERE bit_count(xor(a.simhash, b2.simhash)) <= 4
+        |SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.simhash, c.simhash)) AS INT) AS hamming
+        |FROM bands a JOIN bands c
+        |  ON a.band = c.band AND a.band_val = c.band_val
+        |  AND a.doc_id < c.doc_id
+        |WHERE bit_count(xor(a.simhash, c.simhash)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
     "text_winnowing" ->
       s"""WITH h AS (
