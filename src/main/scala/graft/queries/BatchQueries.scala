@@ -1,10 +1,76 @@
 package graft.queries
 
+import scala.util.{Failure, Success, Try}
+
+import org.apache.spark.sql.Encoders
 import org.apache.spark.sql.functions._
 
 import graft.model.ConsumerConfig
 import graft.operators.{Batching, DeadLetters, Sequencing, TaskStates}
 import graft.sources.{StateStore, Tables}
+import graft.streaming.{ResumableConsumer, StreamMsg, TaskDef, TaskRun}
+
+/** Output row of the `task_multi` oracle query: one row per
+  * (message, task-tree node) after a multi-task execution pass, plus
+  * the message-level verdict. */
+final case class TaskMultiRow(event_id: Long, task: String, state: String,
+    attempts: Int, verdict: String)
+
+/** Deterministic scaffolding for `task_multi`: a 2-root registry (one
+  * root with a sub-task) whose run outcomes and PRIOR persisted node
+  * states derive purely from the message payload `"k|u"`, so a SQL
+  * oracle can re-derive the post-execution states independently. */
+private[queries] object TaskMulti {
+  import graft.model.TaskStatus._
+
+  private def ku(p: String): (Long, Long) = {
+    val a = p.split('|'); (a(0).toLong, a(1).toLong)
+  }
+  val run1: String => Try[Unit] = p => {
+    val (k, _) = ku(p)
+    if (k % 17 == 0) Failure(new RuntimeException("t1 boom")) else Success(())
+  }
+  val runC: String => Try[Unit] = p => {
+    val (_, u) = ku(p)
+    if (u % 13 == 0) Failure(new RuntimeException("c1 boom")) else Success(())
+  }
+  val run2: String => Try[Unit] = p => {
+    val (k, u) = ku(p)
+    if ((k + u) % 19 == 0) Failure(new RuntimeException("t2 boom"))
+    else Success(())
+  }
+
+  /** Synthesized prior state per node (the replayed-batch scenario):
+    * covers finalised-success, finalised-rejected, retryable-failure,
+    * at-cap, in-flight and absent priors across the three paths. */
+  def prior(m: StreamMsg): Map[String, TaskRun] = {
+    val (k, u) = ku(m.payload)
+    val b = Map.newBuilder[(String, TaskRun)]("", null)._2
+    var out = Map.empty[String, TaskRun]
+    def t(path: String, st: String, at: Int): Unit =
+      out += path -> TaskRun(m.chainKey, m.msgId, path, st, at)
+    (k % 5) match {
+      case 1 => t("t1", Completed, 1)
+      case 2 => t("t1", Failed, 1)
+      case 3 => t("t1", Rejected, 1)
+      case 4 => t("t1", Failed, 2)
+      case _ => ()
+    }
+    (u % 4) match {
+      case 1 => t("t1/c1", Completed, 1)
+      case 2 => t("t1/c1", Failed, 1)
+      case 3 => t("t1/c1", Started, 0)
+      case _ => ()
+    }
+    ((k + u) % 4) match {
+      case 1 => t("t2", Succeeded, 1)
+      case 2 => t("t2", Failed, 2)
+      case 3 => t("t2", TimedOut, 1)
+      case _ => ()
+    }
+    out
+  }
+}
 
 /** Queries for batch identity (Q7/S6), the task-state machine
   * (T2/T6/T7/T8), set-splitting counts (§2.5/§2.7), dead-letter
