@@ -45,7 +45,6 @@ private[queries] object TaskMulti {
     * at-cap, in-flight and absent priors across the three paths. */
   def prior(m: StreamMsg): Map[String, TaskRun] = {
     val (k, u) = ku(m.payload)
-    val b = Map.newBuilder[(String, TaskRun)]("", null)._2
     var out = Map.empty[String, TaskRun]
     def t(path: String, st: String, at: Int): Unit =
       out += path -> TaskRun(m.chainKey, m.msgId, path, st, at)
