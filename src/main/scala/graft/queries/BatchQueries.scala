@@ -341,6 +341,45 @@ object BatchQueries {
         .orderBy("event_type")
     },
 
+    // T3: multi-task registry execution — 2-root registry (t1 with
+    // sub-task c1, plus t2) over synthesized per-node PRIOR states,
+    // maxAttempts=2 so the at-cap Discarded branch is live. Exercises
+    // finalised-skip, sub-task exec-vs-carried descent, retry budgets,
+    // partial-over-limit and the per-chain blocking cascade
+    // (reference test/kinesis-consumer.test.js:2761-2878,
+    // test/batch.test.js:301-731). One row per (message, tree node)
+    // plus the message verdict.
+    "task_multi" -> { (s, dir) =>
+      val registry = Seq(
+        TaskDef("t1", TaskMulti.run1, Seq(TaskDef("c1", TaskMulti.runC))),
+        TaskDef("t2", TaskMulti.run2))
+      val k = get_json_object(col("props"), "$.k").cast("long")
+      val msgs = Tables.events(s, dir).select(
+          concat(lit("C|"), pmod(col("event_id"), lit(97)).cast("string"))
+            .as("chainKey"),
+          col("event_id").cast("string").as("msgId"),
+          col("event_id").as("seqNo"),
+          concat_ws("|", k, col("user_id")).as("payload"))
+        .as[StreamMsg](Encoders.product[StreamMsg])
+      val runs = msgs.groupByKey(_.chainKey)(Encoders.STRING)
+        .flatMapGroups { (_, it) =>
+          val ms = it.toSeq
+          val prior = ms.map(m => m.msgId -> TaskMulti.prior(m)).toMap
+          ResumableConsumer.executeChainTasks(prior, ms, registry,
+            maxAttempts = 2).iterator
+        }(Encoders.product[TaskRun])
+      val verdicts = runs.groupByKey(_.msgId)(Encoders.STRING)
+        .mapGroups { (id, rs) =>
+          (id, ResumableConsumer.messageVerdict(rs.map(_.state).toSeq))
+        }(Encoders.product[(String, String)])
+        .toDF("v_msgId", "verdict")
+      runs.toDF()
+        .join(verdicts, col("msgId") === col("v_msgId"))
+        .select(col("msgId").cast("long").as("event_id"),
+          col("task"), col("state"), col("attempts"), col("verdict"))
+        .orderBy("event_id", "task")
+    },
+
     // S2/S3: MERGE-style upsert — updates replace same-key existing
     // rows, unmatched existing rows survive.
     "state_upsert" -> { (s, dir) =>
@@ -492,6 +531,90 @@ object BatchQueries {
       """SELECT event_type, COUNT(*) AS n_rows,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "task_multi" ->
+      """WITH base AS (
+        |  SELECT event_id,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |    user_id AS u,
+        |    event_id % 97 AS chain
+        |  FROM events
+        |), pr AS ( -- persisted prior per node, Unstarted/0 when absent
+        |  SELECT *,
+        |    CASE k%5 WHEN 1 THEN 'Completed' WHEN 2 THEN 'Failed'
+        |             WHEN 3 THEN 'Rejected' WHEN 4 THEN 'Failed'
+        |             ELSE 'Unstarted' END AS p1s,
+        |    CASE k%5 WHEN 4 THEN 2 WHEN 0 THEN 0 ELSE 1 END AS p1a,
+        |    CASE u%4 WHEN 1 THEN 'Completed' WHEN 2 THEN 'Failed'
+        |             WHEN 3 THEN 'Started' ELSE 'Unstarted' END AS pcs,
+        |    CASE u%4 WHEN 1 THEN 1 WHEN 2 THEN 1 ELSE 0 END AS pca,
+        |    CASE (k+u)%4 WHEN 1 THEN 'Succeeded' WHEN 2 THEN 'Failed'
+        |                 WHEN 3 THEN 'TimedOut' ELSE 'Unstarted' END AS p2s,
+        |    CASE (k+u)%4 WHEN 2 THEN 2 WHEN 0 THEN 0 ELSE 1 END AS p2a
+        |  FROM base
+        |), ex AS ( -- as-if-executed node outputs (maxAttempts = 2)
+        |  SELECT *,
+        |    CASE WHEN k%5 = 1 THEN 'Completed'  -- finalised success kept
+        |         WHEN k%5 = 3 THEN 'Rejected'   -- finalised rejected kept
+        |         WHEN k%5 = 4 THEN 'Discarded'  -- at cap: 2 >= 2
+        |         WHEN k%17 = 0 THEN 'Failed' ELSE 'Completed' END AS e1s,
+        |    CASE WHEN k%5 IN (2,4) THEN 2 ELSE 1 END AS e1a
+        |  FROM pr
+        |), ex2 AS ( -- child c1 execs only under a success-family t1
+        |  SELECT *,
+        |    CASE WHEN e1s IN ('Completed','Succeeded') THEN
+        |           CASE WHEN u%4 = 1 THEN 'Completed'
+        |                WHEN u%13 = 0 THEN 'Failed' ELSE 'Completed' END
+        |         ELSE pcs END AS ecs,
+        |    CASE WHEN e1s IN ('Completed','Succeeded') THEN
+        |           CASE WHEN u%4 = 2 THEN 2 ELSE 1 END
+        |         ELSE pca END AS eca,
+        |    CASE WHEN (k+u)%4 = 1 THEN 'Succeeded'
+        |         WHEN (k+u)%4 = 2 THEN 'Discarded'
+        |         WHEN (k+u)%19 = 0 THEN 'Failed' ELSE 'Completed' END AS e2s,
+        |    CASE WHEN (k+u)%4 IN (2,3) THEN 2 ELSE 1 END AS e2a
+        |  FROM ex
+        |), blk AS ( -- chain blocks after the first incomplete message
+        |  SELECT *,
+        |    COALESCE(bool_or(
+        |        e1s NOT IN ('Completed','Succeeded','Rejected','Discarded','Abandoned')
+        |        OR ecs NOT IN ('Completed','Succeeded','Rejected','Discarded','Abandoned')
+        |        OR e2s NOT IN ('Completed','Succeeded','Rejected','Discarded','Abandoned'))
+        |      OVER (PARTITION BY chain ORDER BY event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      false) AS blocked
+        |  FROM ex2
+        |), fin AS ( -- blocked messages carry priors; else executed output
+        |  SELECT event_id,
+        |    CASE WHEN blocked THEN p1s ELSE e1s END AS f1s,
+        |    CASE WHEN blocked THEN p1a ELSE e1a END AS f1a,
+        |    CASE WHEN blocked THEN pcs ELSE ecs END AS fcs,
+        |    CASE WHEN blocked THEN pca ELSE eca END AS fca,
+        |    CASE WHEN blocked THEN p2s ELSE e2s END AS f2s,
+        |    CASE WHEN blocked THEN p2a ELSE e2a END AS f2a
+        |  FROM blk
+        |), v AS (
+        |  SELECT *,
+        |    CASE
+        |      WHEN f1s IN ('Completed','Succeeded')
+        |       AND fcs IN ('Completed','Succeeded')
+        |       AND f2s IN ('Completed','Succeeded') THEN 'Completed'
+        |      WHEN f1s IN ('Completed','Succeeded','Rejected','Discarded','Abandoned')
+        |       AND fcs IN ('Completed','Succeeded','Rejected','Discarded','Abandoned')
+        |       AND f2s IN ('Completed','Succeeded','Rejected','Discarded','Abandoned')
+        |        THEN 'Discarded'
+        |      WHEN f1s IN ('Failed','TimedOut') OR fcs IN ('Failed','TimedOut')
+        |        OR f2s IN ('Failed','TimedOut') THEN 'Failed'
+        |      ELSE 'Unstarted' END AS verdict
+        |  FROM fin
+        |)
+        |SELECT event_id, t.task,
+        |  CASE t.task WHEN 't1' THEN f1s WHEN 't1/c1' THEN fcs
+        |       ELSE f2s END AS state,
+        |  CASE t.task WHEN 't1' THEN f1a WHEN 't1/c1' THEN fca
+        |       ELSE f2a END AS attempts,
+        |  verdict
+        |FROM v, (VALUES ('t1'),('t1/c1'),('t2')) t(task)
+        |ORDER BY event_id, task""".stripMargin,
     "state_upsert" ->
       """SELECT event_id, 'S|' || event_id AS shardOrEventID,
         |  CASE WHEN event_id % 3 = 0 THEN 'v2' ELSE 'v1' END AS payload
