@@ -73,7 +73,8 @@ object SparkEntry {
       "batch_counts", "q1_agg", "q_join_agg",
       // training-data clusters
       "text_stats", "text_winnowing", "salted_counts", "dedup_exact",
-      "dedup_simhash", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+      "dedup_simhash", "dedup_simhash_pairs", "dedup_minhash_lsh",
+      "dedup_ngram_jaccard",
       "ann_topk_brute", "ann_topk_ivf", "embedding_dups",
       "multimodal_features")
     names.flatMap(n => queries.get(n).map(n -> _))

@@ -20,8 +20,17 @@ object TextShingles {
 
   private val hexChars = "0123456789abcdef".toCharArray
 
+  // One digest instance per executor thread: getInstance per token is a
+  // provider lookup + allocation inside the per-row kernel.
+  private val md5 = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest =
+      MessageDigest.getInstance("MD5")
+  }
+
   private def md5Hex(s: String): String = {
-    val d = MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+    val digest = md5.get()
+    digest.reset()
+    val d = digest.digest(s.getBytes("UTF-8"))
     val out = new Array[Char](32)
     var i = 0
     while (i < 16) {
@@ -49,7 +58,8 @@ object TextShingles {
 
   /** Distinct shingles (order preserved, as `array_distinct`). */
   def distinctShingles(n: Int): Column => Column = {
-    val f = udf((text: String) => shingleArray(text, n).distinct)
+    val f = udf((text: String) =>
+      if (text == null) null else shingleArray(text, n).distinct)
     c => f(c)
   }
 
@@ -73,6 +83,8 @@ object TextShingles {
   def winnowedFingerprints(k: Int, w: Int): Column => Column = {
     val pows = winnowPowers(k)
     val f = udf { (text: String) =>
+      if (text == null) null
+      else {
       val n = text.length
       if (n < k) Array.empty[Long]
       else {
@@ -95,6 +107,7 @@ object TextShingles {
           }
         mins.distinct.sorted
       }
+      }
     }
     c => f(c)
   }
@@ -110,29 +123,36 @@ object TextShingles {
     * the higher-order-function formulation runs interpreted per
     * element (see class doc) and would pay 64 array scans per row. */
   def simhash64: Column => Column = {
+    // boxed return so a null text propagates as null (the former
+    // Column-expression behavior) instead of NPE-ing the task
     val f = udf { (text: String) =>
-      val toks = text.trim.toLowerCase.split("\\s+")
-      val counts = new Array[Int](64)
-      var i = 0
-      while (i < toks.length) {
-        val v = java.lang.Long.parseUnsignedLong(
-          md5Hex(toks(i)).substring(0, 16), 16)
-        var j = 0
-        while (j < 64) {
-          if (((v >>> j) & 1L) == 1L) counts(j) += 1
-          j += 1
-        }
-        i += 1
-      }
-      var sig = 0L
-      var j = 0
-      while (j < 64) {
-        if (2 * counts(j) > toks.length) sig |= 1L << j
-        j += 1
-      }
-      sig
+      if (text == null) null
+      else java.lang.Long.valueOf(simhash64Value(text))
     }
     c => f(c)
+  }
+
+  private def simhash64Value(text: String): Long = {
+    val toks = text.trim.toLowerCase.split("\\s+")
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < toks.length) {
+      val v = java.lang.Long.parseUnsignedLong(
+        md5Hex(toks(i)).substring(0, 16), 16)
+      var j = 0
+      while (j < 64) {
+        if (((v >>> j) & 1L) == 1L) counts(j) += 1
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) {
+      if (2 * counts(j) > toks.length) sig |= 1L << j
+      j += 1
+    }
+    sig
   }
 
   /** MinHash signature: `numHashes` minima over distinct shingles,
@@ -144,6 +164,8 @@ object TextShingles {
     require(numHashes <= 8,
       "one 32-hex md5 yields at most 8 stride-4 hash windows")
     val f = udf { (text: String) =>
+      if (text == null) null
+      else {
       val mins = Array.fill(numHashes)("￿")
       val seen = new java.util.HashSet[String]()
       val shingles = shingleArray(text, shingleN)
@@ -162,6 +184,7 @@ object TextShingles {
         k += 1
       }
       mins
+      }
     }
     c => f(c)
   }
