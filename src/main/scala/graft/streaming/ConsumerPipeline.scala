@@ -40,7 +40,7 @@ object ConsumerPipeline {
   final case class BatchResult(messages: Long, unusable: Long,
       completed: Long, failed: Long, discarded: Long, blocked: Long,
       replay: Boolean, processAllCompleted: Long = 0,
-      processAllFailed: Long = 0)
+      processAllFailed: Long = 0, rejected: Long = 0)
 
   /** Key-space prefix for processAll master-task state rows — they live
     * in the same state table as message states, keyed per batch group
@@ -115,13 +115,32 @@ object ConsumerPipeline {
       lit(null).cast("int"))
     val usable = identified.filter(col("reason_unusable").isNull &&
       col("reason_rejected").isNull)
-    // BFK state identity: resolvable ids ⇒ `B|id|key|seqNo`, else the
-    // eventID (toMessageBFK fallback). Unusable records never reach
-    // here, so their markers stay keyed by eventID below.
+    // F2 — messages the identify phase rejected (unresolvable keys /
+    // seqNos): they skip task execution entirely and are discarded to
+    // the DMQ with their REAL reasonRejected during finalise
+    // (`/root/reference/kinesis-processing.js:708-724` discarding
+    // `batch.rejectedMessages`).
+    val rejectedMsgs = identified.filter(col("reason_unusable").isNull &&
+      col("reason_rejected").isNotNull)
+    // BFK state identity: resolvable ids ⇒ `B|id|key|seqNo|md5(msg)`,
+    // else the eventID (toMessageBFK fallback). The md5 tiebreak mirrors
+    // the reference's BFK carrying the message md5s alongside id/key/
+    // seqNo (`test/persisting.test.json` messageStates): two DISTINCT
+    // messages that happen to share business id|key|seqNo must get
+    // distinct state rows, while a replay that re-keys eventIDs but
+    // redelivers the same payload still matches its prior row. The
+    // all-ids-resolved test is a plain non-null conjunction over the
+    // id property values (codegen'd — no interpreted `forall` in the
+    // per-batch hot path). Unusable records never reach here, so their
+    // markers stay keyed by eventID below.
+    val idSources = Seq(col("message"), lit(null).cast("string"), recordJson)
     val stateKey =
       if (cfg.idPropertyNames.isEmpty) col("eventID")
-      else when(!forall(col("ids"), i => i.getField("value").isNull),
-          concat_ws("|", lit("B"), col("id"), col("key"), col("seqNo")))
+      else when(cfg.idPropertyNames
+            .map(n => Identify.propertyValue(n, idSources).isNotNull)
+            .reduce(_ && _),
+          concat_ws("|", lit("B"), col("id"), col("key"), col("seqNo"),
+            md5(col("message").cast("binary"))))
         .otherwise(col("eventID"))
     val sequenced = Identify.sequence(cfg, usable, col("shardOrEventID"),
         col("message"), lit(null).cast("string"), recordJson, col("eventID"),
@@ -142,8 +161,16 @@ object ConsumerPipeline {
     val stateSchema = StructType(Seq(
       StructField("chainKey", StringType), StructField("msgId", StringType),
       StructField("task", StringType),
-      StructField("state", StringType), StructField("attempts", IntegerType)))
-    val prior = StateStore.load(spark, statePath, stateSchema).as[TaskRun]
+      StructField("state", StringType), StructField("attempts", IntegerType),
+      StructField("reason", StringType)))
+    // Schema migration: a state table written before the `task` column
+    // existed (single-task era) loads `task = null`; coalesce to the
+    // implicit single task so `priorTasks.get(path)` still matches and
+    // attempts/budgets survive the upgrade. `reason` is nullable, so
+    // pre-reason tables need no special casing.
+    val prior = StateStore.load(spark, statePath, stateSchema)
+      .withColumn("task", coalesce(col("task"), lit("processOne")))
+      .as[TaskRun]
 
     val registry = tasks
     val maxAttempts = cfg.maxNumberOfAttempts
@@ -157,14 +184,19 @@ object ConsumerPipeline {
       }.cache()
 
     // Message-level verdicts over the per-node task states (replay /
-    // DMQ decisions happen at the message level).
+    // DMQ decisions happen at the message level), with the first
+    // rejected node's reason carried for the DMQ envelope.
     val verdicts = outcomes
       .groupByKey(r => (r.chainKey, r.msgId))(
         Encoders.product[(String, String)])
-      .mapGroups { (key, rs) =>
-        MsgState(key._1, key._2,
-          ResumableConsumer.messageVerdict(rs.map(_.state).toSeq), 0)
-      }.cache()
+      .mapGroups { (key, it) =>
+        val rs = it.toSeq
+        (key._1, key._2,
+          ResumableConsumer.messageVerdict(rs.map(_.state)),
+          ResumableConsumer.findReasonRejected(rs).orNull)
+      }(Encoders.product[(String, String, String, String)])
+      .toDF("chainKey", "msgId", "state", "reason")
+      .cache()
 
     // T4 — processAll master task, once per batch group, resumable:
     // a master finalised in prior state is skipped on replay; a failed
@@ -219,9 +251,19 @@ object ConsumerPipeline {
       .select(lit("DR").as("kind"), DeadLetters.deadRecordEnvelope(
         col("streamConsumerId"), col("shardOrEventID"), recordJson,
         col("reason_unusable"), at).as("envelope"))
+    // Identify-rejected messages → DMQ with their REAL reasonRejected,
+    // once-only across replays (the state marker below remembers them).
+    val newRejectedLetters = rejectedMsgs
+      .join(priorIds, rejectedMsgs("eventID") === priorIds("msgId"),
+        "left_anti")
+      .select(lit("DM").as("kind"), DeadLetters.deadMessageEnvelope(
+        col("streamConsumerId"), col("shardOrEventID"), col("message"),
+        col("reason_rejected"), at).as("envelope"))
     // A message is discarded (→ DMQ) only when ALL its task nodes
     // finalised with at least one rejected — never while a sibling
-    // task still has retry budget.
+    // task still has retry budget. The envelope's reasonRejected is the
+    // first rejected node's recorded failure cause, not a generic
+    // literal (reference `batch.findReasonRejected`).
     val priorDiscarded = prior
       .filter(!_.chainKey.startsWith(MasterKeyPrefix))
       .groupByKey(_.msgId)(Encoders.STRING)
@@ -229,34 +271,44 @@ object ConsumerPipeline {
         (id, ResumableConsumer.messageVerdict(rs.map(_.state).toSeq))
       }.filter(_._2 == TaskStatus.Discarded)
       .map(_._1)(Encoders.STRING).toDF("msgId")
-    val newlyDiscarded = verdicts.filter(_.state == TaskStatus.Discarded)
-      .map(_.msgId)(Encoders.STRING).toDF("msgId")
-      .except(priorDiscarded)
+    val newlyDiscarded = verdicts
+      .filter(col("state") === TaskStatus.Discarded)
+      .select(col("msgId"), col("reason"))
+      .join(priorDiscarded, Seq("msgId"), "left_anti")
     val deadMessages = sequenced
       .join(newlyDiscarded, col("stateKey") === col("msgId"))
       .select(lit("DM").as("kind"), DeadLetters.deadMessageEnvelope(
         col("streamConsumerId"), col("shardOrEventID"), col("message"),
-        lit("Discarded after max attempts"), at).as("envelope"))
-    val letters = newDeadRecords.unionByName(deadMessages)
+        coalesce(col("reason"), lit("Discarded after max attempts")),
+        at).as("envelope"))
+    val letters = newDeadRecords.unionByName(newRejectedLetters)
+      .unionByName(deadMessages)
     if (!letters.isEmpty)
       letters.write.mode("append").parquet(deadLetterPath)
 
-    // Unusable records enter the state table as Discarded markers so the
-    // DRQ write above stays once-only across replays.
+    // Unusable records and identify-rejected messages enter the state
+    // table as finalised markers so the DRQ/DMQ writes above stay
+    // once-only across replays.
     val deadRecordMarkers = unusableRecs.select(
       col("shardOrEventID").as("chainKey"), col("eventID").as("msgId"),
       lit("unusableRecord").as("task"),
-      lit(TaskStatus.Discarded).as("state"), lit(0).as("attempts"))
+      lit(TaskStatus.Discarded).as("state"), lit(0).as("attempts"),
+      col("reason_unusable").as("reason"))
+    val rejectedMarkers = rejectedMsgs.select(
+      col("shardOrEventID").as("chainKey"), col("eventID").as("msgId"),
+      lit("rejectedMessage").as("task"),
+      lit(TaskStatus.Rejected).as("state"), lit(0).as("attempts"),
+      col("reason_rejected").as("reason"))
     val masterRows = masterOutcomes.toDF()
     StateStore.save(
       StateStore.upsert(prior.toDF(),
         outcomes.toDF().unionByName(deadRecordMarkers)
-          .unionByName(masterRows),
+          .unionByName(rejectedMarkers).unionByName(masterRows),
         Seq("chainKey", "msgId", "task")),
       statePath)
 
-    val byState = verdicts.groupByKey(_.state)(Encoders.STRING)
-      .count().collect().toMap
+    val byState = verdicts.groupBy("state").count()
+      .as[(String, Long)].collect().toMap
     def n(s: String) = byState.getOrElse(s, 0L)
     val masterFailed = masterOutcomes
       .count(s => !TaskStatus.isFinalised(s.state))
@@ -271,7 +323,8 @@ object ConsumerPipeline {
         masterFailed > 0,
       processAllCompleted = masterOutcomes
         .count(_.state == TaskStatus.Completed),
-      processAllFailed = masterFailed)
+      processAllFailed = masterFailed,
+      rejected = rejectedMsgs.count())
     verdicts.unpersist()
     outcomes.unpersist()
     sequenced.unpersist()

@@ -38,9 +38,14 @@ final case class TaskDef(name: String, run: String => Try[Unit],
 
 /** Persisted per-(message, task-node) outcome for multi-task execution:
   * one row per node of each message's task trees (the reference's
-  * `msgState.ones.<TaskName>` map — `test/persisting.test.js:339-398`). */
+  * `msgState.ones.<TaskName>` map — `test/persisting.test.js:339-398`).
+  * `reason` carries the last failure's error message (the reference's
+  * `state.error`/`state.reason`, fixture `persisting.test.json` Rejected
+  * node) so the DMQ envelope can report the REAL rejection cause; null
+  * for successful/unstarted nodes and for rows loaded from pre-reason
+  * state tables. */
 final case class TaskRun(chainKey: String, msgId: String, task: String,
-    state: String, attempts: Int)
+    state: String, attempts: Int, reason: String = null)
 
 /** Cross-batch resumable ordered execution (SURVEY §2.6 T3 + §2.8):
   * the reference's replay-with-prior-state contract
@@ -105,14 +110,18 @@ object ResumableConsumer {
             own +: d.subTasks.flatMap(exec(_, path))
           else own +: d.subTasks.flatMap(carried(_, path))
         } else if (attempts >= maxAttempts) // retry budget burned (T6)
-          TaskRun(m.chainKey, m.msgId, path, Discarded, attempts) +:
+          // the Discarded node keeps the LAST failure's reason — that is
+          // the real cause the DMQ envelope must report
+          TaskRun(m.chainKey, m.msgId, path, Discarded, attempts,
+              prev.map(_.reason).orNull) +:
             d.subTasks.flatMap(carried(_, path))
         else d.run(m.payload) match {
           case Success(_) =>
             TaskRun(m.chainKey, m.msgId, path, Completed, attempts + 1) +:
               d.subTasks.flatMap(exec(_, path))
-          case Failure(_) =>
-            TaskRun(m.chainKey, m.msgId, path, Failed, attempts + 1) +:
+          case Failure(e) =>
+            TaskRun(m.chainKey, m.msgId, path, Failed, attempts + 1,
+                Option(e.getMessage).getOrElse(e.getClass.getName)) +:
               d.subTasks.flatMap(carried(_, path))
         }
       }
@@ -136,6 +145,14 @@ object ResumableConsumer {
     else if (states.forall(isFinalised)) Discarded
     else if (states.exists(failureFamily.contains)) Failed
     else Unstarted
+
+  /** The reference's `batch.findReasonRejected(message)`
+    * (`/root/reference/kinesis-processing.js:722`): the first rejected
+    * task node's recorded reason, scanning the message's nodes in
+    * execution order. */
+  def findReasonRejected(runs: Seq[TaskRun]): Option[String] =
+    runs.iterator.filter(r => TaskStatus.isRejected(r.state))
+      .flatMap(r => Option(r.reason)).take(1).toSeq.headOption
 
   /** Single-task form (one anonymous `processOne` task per message) —
     * the common case, expressed over [[executeChainTasks]]. */

@@ -1,0 +1,134 @@
+package graft
+
+import java.nio.file.Files
+import java.util.Base64
+
+import scala.util.{Failure, Try}
+
+import org.apache.spark.sql.functions._
+
+import graft.model.ConsumerConfig
+import graft.streaming.ConsumerPipeline
+
+/** Streaming-shell fidelity pinned against the reference contract:
+  * BFK state identity (`test/persisting.test.js:17-21` — the persisted
+  * message state carries md5s alongside id/key/seqNo), state-schema
+  * migration, and DMQ envelope reason propagation
+  * (`/root/reference/kinesis-processing.js:708-724`). */
+class PipelineFidelitySpec extends SparkSpec {
+
+  private def b64(s: String) =
+    Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
+
+  // ids + seqNos resolved from the MESSAGE payload only, so the BFK is
+  // fully payload-derived and eventIDs are free to change across
+  // redeliveries (the Kinesis resharding / re-poll case).
+  private val cfg = ConsumerConfig(
+    idPropertyNames = Seq("id"), seqNoPropertyNames = Seq("n"),
+    maxNumberOfAttempts = 1)
+
+  test("BFK collision: same id|key|seqNo, distinct payloads ⇒ distinct " +
+      "state rows and one DMQ envelope each") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-bfk").toString
+    // Two DIFFERENT messages whose business ids collide (same id, same
+    // seqNo) on different shards; both always fail, maxAttempts=1.
+    val batch = Seq(
+      ("e1", "shard-0", "pk1", b64("""{"id":7,"n":1,"v":"alpha"}""")),
+      ("e2", "shard-1", "pk2", b64("""{"id":7,"n":1,"v":"beta"}"""))
+    ).toDF("eventID", "shardId", "partitionKey", "data")
+    val fail: String => Try[Unit] =
+      p => Failure(new RuntimeException(s"boom:$p"))
+
+    val r1 = ConsumerPipeline(cfg, fail, s"$dir/state", s"$dir/dlq")(batch, 1L)
+    assert(r1.failed === 2 && r1.replay)
+    val state1 = spark.read.parquet(s"$dir/state")
+      .filter(col("task") === "processOne")
+    // the md5 tiebreak keeps the two colliding messages apart
+    assert(state1.select("msgId").distinct().count() === 2)
+    assert(state1.count() === 2)
+
+    // trigger 2 redelivers the same payloads under NEW eventIDs: the
+    // payload-derived BFK still matches, so attempts carry (1 ⇒ at-cap
+    // Discarded), rather than silently restarting at 0
+    val rekeyed = Seq(
+      ("e9", "shard-0", "pk1", b64("""{"id":7,"n":1,"v":"alpha"}""")),
+      ("e8", "shard-1", "pk2", b64("""{"id":7,"n":1,"v":"beta"}"""))
+    ).toDF("eventID", "shardId", "partitionKey", "data")
+    val r2 = ConsumerPipeline(cfg, fail, s"$dir/state", s"$dir/dlq")(rekeyed, 2L)
+    assert(r2.discarded === 2 && !r2.replay)
+
+    // exactly one DMQ envelope per distinct message, each with the REAL
+    // failure reason, not a generic literal
+    val letters = spark.read.parquet(s"$dir/dlq")
+      .filter(col("kind") === "DM")
+    assert(letters.count() === 2)
+    assert(letters.filter(col("envelope").contains("alpha")).count() === 1)
+    assert(letters.filter(col("envelope").contains("beta")).count() === 1)
+    assert(letters.filter(col("envelope")
+      .contains("\"reasonRejected\":\"boom:")).count() === 2)
+
+    // a replayed trigger after discard writes NOTHING new to the DMQ
+    ConsumerPipeline(cfg, fail, s"$dir/state", s"$dir/dlq")(rekeyed, 3L)
+    assert(spark.read.parquet(s"$dir/dlq")
+      .filter(col("kind") === "DM").count() === 2)
+  }
+
+  test("state-schema migration: pre-task-column state resumes with " +
+      "attempts intact") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-mig").toString
+    val statePath = s"$dir/state"
+    // Simulate a state table written by the single-task era: NO `task`
+    // and NO `reason` columns. e1 already failed once.
+    Seq(("S|shard-0", "e1", "Failed", 1))
+      .toDF("chainKey", "msgId", "state", "attempts")
+      .write.parquet(statePath)
+
+    val batch = Seq(
+      ("e1", "shard-0", "pk1", b64("""{"v":1,"poison":true}"""))
+    ).toDF("eventID", "shardId", "partitionKey", "data")
+    val task: String => Try[Unit] =
+      p => if (p.contains("poison")) Failure(new RuntimeException("boom"))
+           else Try(())
+
+    // maxAttempts=2 with one prior attempt: a CORRECT migration runs the
+    // task once more (attempts 1 → 2); a broken one would silently reset
+    // to a fresh row at attempts 1.
+    val r = ConsumerPipeline(ConsumerConfig(maxNumberOfAttempts = 2), task,
+      statePath, s"$dir/dlq")(batch, 1L)
+    assert(r.failed === 1)
+    val row = spark.read.parquet(statePath)
+      .filter(col("msgId") === "e1" && col("task") === "processOne")
+      .select("state", "attempts").as[(String, Int)].collect()
+    assert(row === Array(("Failed", 2)))
+  }
+
+  test("identify-rejected messages route to the DMQ once with their " +
+      "real reasonRejected") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-rej").toString
+    // m2 lacks the configured seqNo property `n` ⇒ rejected at identify
+    // (sequencing required); m1 is fine.
+    val batch = Seq(
+      ("e1", "shard-0", "pk1", b64("""{"id":1,"n":1,"v":"ok"}""")),
+      ("e2", "shard-0", "pk2", b64("""{"id":2,"v":"no-seqno"}"""))
+    ).toDF("eventID", "shardId", "partitionKey", "data")
+    val ok: String => Try[Unit] = _ => Try(())
+
+    val r1 = ConsumerPipeline(cfg, ok, s"$dir/state", s"$dir/dlq")(batch, 1L)
+    assert(r1.rejected === 1)
+    assert(r1.completed === 1 && !r1.replay) // rejection does not block
+    val dm = spark.read.parquet(s"$dir/dlq").filter(col("kind") === "DM")
+    assert(dm.count() === 1)
+    assert(dm.filter(col("envelope").contains(
+      "Sequencing is required, but failed to resolve any seqNos"))
+      .count() === 1)
+
+    // replay: the state marker keeps the DMQ write once-only
+    val r2 = ConsumerPipeline(cfg, ok, s"$dir/state", s"$dir/dlq")(batch, 2L)
+    assert(r2.rejected === 1)
+    assert(spark.read.parquet(s"$dir/dlq")
+      .filter(col("kind") === "DM").count() === 1)
+  }
+}
