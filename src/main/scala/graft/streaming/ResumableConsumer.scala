@@ -167,34 +167,53 @@ object ResumableConsumer {
   }
 
   /** Per-chain streaming state: `gen` counts this chain's triggers,
-    * `entries` maps msgId → (state, gen-last-touched). The gen stamp is
-    * what makes eviction safe: a finalised entry is only dropped once
+    * `entries` maps msgId → (per-node task runs keyed by path,
+    * gen-last-touched) — the full multi-task registry state per
+    * message, not just a collapsed verdict. The gen stamp is what
+    * makes eviction safe: a finalised entry is only dropped once
     * `retainTriggers` further triggers have passed, i.e. once the
     * at-least-once source can no longer redeliver it. */
   final case class ChainProgress(gen: Long,
-      entries: Map[String, (MsgState, Long)])
+      entries: Map[String, (Map[String, TaskRun], Long)])
 
-  /** Drop finalised entries not touched within the last `retainTriggers`
-    * triggers. Unfinalised entries are NEVER evicted — they still block
-    * the chain and carry retry budgets. */
-  def evictFinalised(entries: Map[String, (MsgState, Long)], gen: Long,
-      retainTriggers: Long): Map[String, (MsgState, Long)] =
-    entries.filter { case (_, (s, touched)) =>
-      !TaskStatus.isFinalised(s.state) || touched >= gen - retainTriggers
+  /** Drop entries whose MESSAGE verdict is finalised and that were not
+    * touched within the last `retainTriggers` triggers. Eviction is
+    * message-level: a message with ANY unfinalised node (including a
+    * node carried Unstarted under a discarded parent) is NEVER evicted
+    * — it still blocks the chain and carries retry budgets. */
+  def evictFinalised(entries: Map[String, (Map[String, TaskRun], Long)],
+      gen: Long, retainTriggers: Long): Map[String, (Map[String, TaskRun], Long)] =
+    entries.filter { case (_, (runs, touched)) =>
+      !TaskStatus.isFinalised(
+        messageVerdict(runs.valuesIterator.map(_.state).toSeq)) ||
+        touched >= gen - retainTriggers
     }
 
-  /** Streaming form: checkpointed `GroupState` replaces the DynamoDB
-    * batch-state item (S2/S3); replay ≡ the source redelivering rows
-    * with the same msgId. Update-mode output emits each message's
-    * latest state per trigger.
+  /** Registry-aware streaming form — the reference handler's
+    * `processStreamEvent(event, processOneTaskDefs, ...)` signature in
+    * streaming mode (`/root/reference/kinesis-consumer.js:112-178`):
+    * checkpointed `GroupState` replaces the DynamoDB batch-state item
+    * (S2/S3), holding one [[TaskRun]] per (message, task-tree node);
+    * replay ≡ the source redelivering rows with the same msgId.
+    * Update-mode output emits each message's latest VERDICT per
+    * trigger ([[messageVerdict]] over its nodes, attempts = max node
+    * attempts).
     *
-    * State is BOUNDED: finalised entries are evicted once
-    * `retainTriggers` triggers pass without the source redelivering
-    * them (past the source's redelivery window a tombstone serves no
-    * purpose), so per-chain state is O(in-flight + recent), not
-    * O(stream lifetime). Unfinalised entries always survive. */
-  def stream(msgs: Dataset[StreamMsg], run: String => Try[Unit],
+    * State is BOUNDED: message entries whose verdict is finalised are
+    * evicted once `retainTriggers` triggers pass without the source
+    * redelivering them (past the source's redelivery window a
+    * tombstone serves no purpose), so per-chain state is
+    * O(in-flight + recent), not O(stream lifetime). `retainTriggers`
+    * trades exactly-once resume for memory: a finalised message
+    * redelivered AFTER eviction re-executes from scratch, so size the
+    * knob to cover the source's maximum redelivery window (Kinesis:
+    * the stream's retention / the consumer's max replay depth).
+    * Entries with any unfinalised node always survive. Note: the
+    * checkpointed state is kryo-encoded — changing [[ChainProgress]]'s
+    * shape invalidates existing checkpoints. */
+  def streamTasks(msgs: Dataset[StreamMsg], registry: Seq[TaskDef],
       maxAttempts: Int, retainTriggers: Long = 100L): Dataset[MsgState] = {
+    require(registry.nonEmpty, "task registry must not be empty")
     implicit val stateEnc = Encoders.kryo[ChainProgress]
     implicit val outEnc = Encoders.product[MsgState]
     msgs.groupByKey(_.chainKey)(Encoders.STRING)
@@ -204,12 +223,29 @@ object ResumableConsumer {
             state: GroupState[ChainProgress]) =>
           val prior = state.getOption.getOrElse(ChainProgress(0L, Map.empty))
           val gen = prior.gen + 1
-          val out = executeChain(prior.entries.map { case (k, (s, _)) =>
-            k -> s }, it.toSeq, run, maxAttempts)
-          val touched = prior.entries ++ out.map(s => s.msgId -> (s, gen))
+          val priorRuns = prior.entries.map { case (id, (runs, _)) =>
+            id -> runs }
+          val runs = executeChainTasks(priorRuns, it.toSeq, registry,
+            maxAttempts)
+          val byMsg = runs.groupBy(_.msgId)
+          val out = runs.map(_.msgId).distinct.map { id =>
+            val rs = byMsg(id)
+            MsgState(rs.head.chainKey, id,
+              messageVerdict(rs.map(_.state)),
+              rs.map(_.attempts).max)
+          }
+          val touched = prior.entries ++ byMsg.map { case (id, rs) =>
+            id -> (rs.map(r => r.task -> r).toMap, gen) }
           state.update(ChainProgress(gen,
             evictFinalised(touched, gen, retainTriggers)))
           out.iterator
       }
   }
+
+  /** Single-task streaming convenience (one anonymous `processOne` task
+    * per message) over [[streamTasks]]. */
+  def stream(msgs: Dataset[StreamMsg], run: String => Try[Unit],
+      maxAttempts: Int, retainTriggers: Long = 100L): Dataset[MsgState] =
+    streamTasks(msgs, Seq(TaskDef("processOne", run)), maxAttempts,
+      retainTriggers)
 }
