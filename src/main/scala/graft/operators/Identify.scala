@@ -145,11 +145,41 @@ object Identify {
       .withColumn("reason_rejected", reason)
   }
 
+  /** Q1 heterogeneity fail-fast
+    * (`/root/reference/test/sequencing-per-shard.test.js:133-161`):
+    * when sequencing is required, every message must carry the SAME
+    * seqNo part name at each position — comparing values of different
+    * keys would order garbage, so the reference's
+    * `prepareMessagesForSequencing` throws instead. With CONFIGURED
+    * `seqNoPropertyNames` the part names are plan constants, so
+    * heterogeneity is impossible by construction and no check is
+    * needed; it can only arise on the data-driven default path (a
+    * batch mixing KPL user-records that carry `eventSubSeqNo` with
+    * plain records that don't). That one case costs a partial-agg
+    * `distinct` over a tiny derived column per batch.
+    *
+    * When sequencing is NOT required, heterogeneous seqNo names are
+    * tolerated (reference `sequencing-per-shard.test.js:163-220`). */
+  private def failFastOnHeterogeneousSeqNos(df: DataFrame): Unit = {
+    val nameArrs = df
+      .select(transform(col("seqNos"), p => p.getField("name")).as("names"))
+      .distinct().limit(8).collect()
+    if (nameArrs.length > 1) {
+      val arrs = nameArrs.map(_.getSeq[String](0))
+      val i = (0 until arrs.map(_.length).max).find(ix =>
+        arrs.map(_.lift(ix)).distinct.length > 1).getOrElse(0)
+      throw new IllegalStateException("NOT all of the messages have the " +
+        s"same key at sequence number part[$i]")
+    }
+  }
+
   /** Q4–Q6 mode selection from config: sequencing honoring the
     * validation matrix already enforced by [[ConsumerConfig]]. Key parts
     * are extracted from the configured key property names; seqNo parts
     * from the configured (or defaulted) seqNo property names, each
-    * normalized via [[Sequencing.sortKey]]. */
+    * normalized via [[Sequencing.sortKey]]. When sequencing is required
+    * on the data-driven default seqNo path, heterogeneous part names
+    * fail fast (see [[failFastOnHeterogeneousSeqNos]]). */
   def sequence(cfg: ConsumerConfig, df: DataFrame, shardCol: Column,
       message: Column, userRecord: Column, record: Column,
       eventSeqNo: Column, idCol: Column): DataFrame = {
@@ -160,9 +190,14 @@ object Identify {
           Sequencing.sortKey(propertyValue(n, sources)))
       else Seq(Sequencing.sortKey(eventSeqNo))
     if (!cfg.sequencingRequired) Sequencing.none(df)
-    else if (cfg.sequencingPerKey)
-      Sequencing.perKey(df, shardCol,
-        cfg.keyPropertyNames.map(n => propertyValue(n, sources)), parts, idCol)
-    else Sequencing.perShard(df, shardCol, parts, idCol)
+    else {
+      if (cfg.seqNoPropertyNames.isEmpty && df.columns.contains("seqNos"))
+        failFastOnHeterogeneousSeqNos(df)
+      if (cfg.sequencingPerKey)
+        Sequencing.perKey(df, shardCol,
+          cfg.keyPropertyNames.map(n => propertyValue(n, sources)), parts,
+          idCol)
+      else Sequencing.perShard(df, shardCol, parts, idCol)
+    }
   }
 }

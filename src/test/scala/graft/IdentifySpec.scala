@@ -47,4 +47,44 @@ class IdentifySpec extends SparkSpec {
     assert(out.select("reason_rejected").collect().head.getString(0) ===
       "Sequencing per key, but failed to resolve any keys")
   }
+
+  test("Q1 heterogeneity fail-fast: mixed seqNo part names with " +
+    "sequencing required throw; tolerated when not required " +
+    "(sequencing-per-shard.test.js:133-220)") {
+    import spark.implicits._
+    // unconfigured seqNoPropertyNames ⇒ data-driven default names: a
+    // KPL user-record row carries eventSubSeqNo, a plain row doesn't,
+    // so the part names disagree at position 1
+    val df = Seq(
+      ("e1", "s0", """{"v":1}""", "100", Some(7)),
+      ("e2", "s0", """{"v":2}""", "200", None)
+    ).toDF("eventID", "shard", "message", "eventSeqNo", "eventSubSeqNo")
+    def identified(cfg: graft.model.ConsumerConfig) =
+      Identify.idsKeysSeqNos(cfg, df, col("message"),
+        lit(null).cast("string"), lit(null).cast("string"),
+        col("eventSeqNo"), col("eventSubSeqNo"))
+    def sequenced(cfg: graft.model.ConsumerConfig) =
+      Identify.sequence(cfg, identified(cfg), col("shard"), col("message"),
+        lit(null).cast("string"), lit(null).cast("string"),
+        col("eventSeqNo"), col("eventID")).collect()
+
+    val required = graft.model.ConsumerConfig()
+    val ex = intercept[IllegalStateException] { sequenced(required) }
+    assert(ex.getMessage ===
+      "NOT all of the messages have the same key at sequence number part[1]")
+
+    // same heterogeneous data, sequencing NOT required: no throw
+    val optional = graft.model.ConsumerConfig(sequencingRequired = false)
+    assert(sequenced(optional).length === 2)
+
+    // homogeneous data with sequencing required: no throw
+    val homog = df.filter(col("eventID") === "e1")
+    val out = Identify.sequence(required,
+      Identify.idsKeysSeqNos(required, homog, col("message"),
+        lit(null).cast("string"), lit(null).cast("string"),
+        col("eventSeqNo"), col("eventSubSeqNo")),
+      col("shard"), col("message"), lit(null).cast("string"),
+      lit(null).cast("string"), col("eventSeqNo"), col("eventID"))
+    assert(out.collect().length === 1)
+  }
 }
