@@ -70,7 +70,7 @@ object SparkEntry {
       // stream-consumer clusters
       "decode_json", "decode_base64", "identify_ids", "seq_per_key",
       "seq_per_shard", "seq_heads", "seq_config_perkey", "task_lifecycle",
-      "batch_counts", "q1_agg", "q_join_agg",
+      "task_multi", "batch_counts", "q1_agg", "q_join_agg",
       // training-data clusters
       "text_stats", "text_winnowing", "salted_counts", "dedup_exact",
       "dedup_simhash", "dedup_simhash_pairs", "dedup_minhash_lsh",

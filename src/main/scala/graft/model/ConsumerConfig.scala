@@ -20,6 +20,14 @@ package graft.model
   * @param keyPropertyNames     compound property names → `keys`
   * @param seqNoPropertyNames   compound property names → `seqNos`
   *                             (empty ⇒ event seqNos are used)
+  * @param strict               escalate missing configured ID properties
+  *                             from warn-only (the reference's fixed
+  *                             behavior — ids never throw,
+  *                             `kinesis-identify.js:96-97,108-131`) to
+  *                             reject-with-reason; keys/seqNos are
+  *                             unaffected (their strictness is tied to
+  *                             sequencingPerKey / sequencingRequired as
+  *                             in the reference)
   * @param maxNumberOfAttempts  retry budget per task (default 10)
   * @param timeoutAtPercentageOfRemainingTime phase deadline fraction
   * @param batchStateTableName  state-store table (per-stage suffixing is the
@@ -37,6 +45,7 @@ final case class ConsumerConfig(
     idPropertyNames: Seq[String] = Nil,
     keyPropertyNames: Seq[String] = Nil,
     seqNoPropertyNames: Seq[String] = Nil,
+    strict: Boolean = false,
     maxNumberOfAttempts: Int = 10,
     timeoutAtPercentageOfRemainingTime: Double = 0.8,
     batchStateTableName: String = "batch_state",

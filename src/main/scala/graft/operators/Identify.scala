@@ -68,6 +68,20 @@ object Identify {
       concat(lit(s"$n:"),
         coalesce(propertyValue(n, sources).cast("string"), lit("")))): _*)
 
+  /** The reference's missing-property reason text, built from the
+    * resolved pairs: `Missing property [k2] for keys` /
+    * `Missing properties [k1, k2] for keys`
+    * (`kinesis-identify.js:158-167`). Null when nothing is missing. */
+  private def missingPropsReason(pairs: Column, forName: String): Column = {
+    val miss = transform(
+      filter(pairs, p => p.getField("value").isNull),
+      p => p.getField("name"))
+    when(size(miss) > 0, concat(
+      when(size(miss) === 1, lit("Missing property ["))
+        .otherwise(lit("Missing properties [")),
+      array_join(miss, ", "), lit(s"] for $forName")))
+  }
+
   /** I3 — resolve ids, keys and seqNos per the configured property names
     * (`kinesis-identify.js:85-133`, matrix
     * `test/kinesis-identify.test.js:208-425`):
@@ -75,12 +89,15 @@ object Identify {
     *  - `ids` from `idPropertyNames` (empty array when unconfigured)
     *  - `keys` from `keyPropertyNames`; sequencing-per-key with NO key
     *    property names is a FatalError at configure time (enforced by
-    *    [[ConsumerConfig]]'s constructor); per-key keys that resolve to
-    *    all-null mark the row rejected with the reference's reason
+    *    [[ConsumerConfig]]'s constructor); per-key key properties that
+    *    fail to resolve reject with the reference's
+    *    `Missing property [k] for keys` reason
     *  - `seqNos` from `seqNoPropertyNames`, defaulting to
     *    `[eventSeqNo, eventSubSeqNo]` (sub only when present) when
-    *    unconfigured; sequencing required with nothing resolvable marks
-    *    the row rejected
+    *    unconfigured; under required sequencing, missing configured
+    *    seqNo properties (or, on the default path, no resolvable event
+    *    seqNo) mark the row rejected
+    *  - `ids` with missing properties warn-only unless [[ConsumerConfig.strict]]
     *
     * Output columns: `ids`, `keys`, `seqNos` (array<struct<name,value>>),
     * flat `id`/`key`/`seqNo` strings (`key` is the reference's blank
@@ -128,16 +145,37 @@ object Identify {
         (pairs, flat)
       }
 
-    // Validation columns (reject-with-reason, kinesis-identify.js:108-131):
-    val keysUnresolvable = cfg.sequencingPerKey &&
-      cfg.keyPropertyNames.nonEmpty
-    val noKeys = forall(keys, k => k.getField("value").isNull)
+    // Validation columns — the reference's per-category strictness matrix
+    // (`getPropertyValues`'s throwErrorIfPropertyMissing,
+    // kinesis-identify.js:96-131, pinned by
+    // test/kinesis-identify.test.js:328-425): a missing configured
+    // property rejects for KEYS only under sequencingPerKey and for
+    // SEQNOS only under sequencingRequired, with the reference's exact
+    // "Missing property [n] for <kind>" reason; missing IDS always only
+    // warn (values stay null) unless `cfg.strict` escalates them. The
+    // reference throws per message; this engine's row-level equivalent
+    // is reject-with-reason, feeding the same DRQ path. One deviation
+    // forced by JSON: `get_json_object` cannot distinguish an absent
+    // property from one present with a JSON null, so null-valued counts
+    // as missing.
+    val idsMissing =
+      if (cfg.strict && cfg.idPropertyNames.nonEmpty)
+        missingPropsReason(ids, "ids")
+      else lit(null).cast("string")
+    val keysMissing =
+      if (cfg.sequencingPerKey && cfg.keyPropertyNames.nonEmpty)
+        missingPropsReason(keys, "keys")
+      else lit(null).cast("string")
+    val seqNosMissing =
+      if (cfg.sequencingRequired && cfg.seqNoPropertyNames.nonEmpty)
+        missingPropsReason(seqNos, "seqNos")
+      else lit(null).cast("string")
+    // Default-seqNo path (no configured names): sequencing required with
+    // no resolvable event seqNo (kinesis-identify.js:127-131).
     val noSeqNos = forall(seqNos, p => p.getField("value").isNull)
-    val reason =
-      when(lit(keysUnresolvable) && noKeys,
-        lit("Sequencing per key, but failed to resolve any keys"))
-      .when(lit(cfg.sequencingRequired) && noSeqNos,
-        lit("Sequencing is required, but failed to resolve any seqNos"))
+    val reason = coalesce(idsMissing, keysMissing, seqNosMissing,
+      when(lit(cfg.sequencingRequired) && noSeqNos,
+        lit("Sequencing is required, but failed to resolve any seqNos")))
 
     df.withColumn("ids", ids).withColumn("id", idStr)
       .withColumn("keys", keys).withColumn("key", keyStr)

@@ -10,9 +10,9 @@ import graft.operators.{Batching, DeadLetters, Sequencing, TaskStates}
 import graft.sources.{StateStore, Tables}
 import graft.streaming.{ResumableConsumer, StreamMsg, TaskDef, TaskRun}
 
-/** Output row of the `task_multi` oracle query: one row per
-  * (message, task-tree node) after a multi-task execution pass, plus
-  * the message-level verdict. */
+/** Output row of the `task_multi` oracle query — the encoder the final
+  * select is checked against: one row per (message, task-tree node)
+  * after a multi-task execution pass, plus the message-level verdict. */
 final case class TaskMultiRow(event_id: Long, task: String, state: String,
     attempts: Int, verdict: String)
 
@@ -24,7 +24,9 @@ private[queries] object TaskMulti {
   import graft.model.TaskStatus._
 
   private def ku(p: String): (Long, Long) = {
-    val a = p.split('|'); (a(0).toLong, a(1).toLong)
+    val a = p.split('|')
+    require(a.length == 2, s"task_multi payload must be 'k|u', got '$p'")
+    (a(0).toLong, a(1).toLong)
   }
   val run1: String => Try[Unit] = p => {
     val (k, _) = ku(p)
@@ -359,8 +361,15 @@ object BatchQueries {
             .as("chainKey"),
           col("event_id").cast("string").as("msgId"),
           col("event_id").as("seqNo"),
-          concat_ws("|", k, col("user_id")).as("payload"))
+          // a null k would be silently dropped by concat_ws, collapsing
+          // the payload to just user_id and failing ku's arity check —
+          // coalesce to -1 (same truncated-mod semantics in Scala and
+          // DuckDB, so every k-derived branch stays oracle-consistent)
+          concat_ws("|", coalesce(k, lit(-1L)), col("user_id"))
+            .as("payload"))
         .as[StreamMsg](Encoders.product[StreamMsg])
+      // One chain materialized per group (`it.toSeq`): memory is bounded
+      // by chain cardinality (~n/97 here), not corpus size.
       val runs = msgs.groupByKey(_.chainKey)(Encoders.STRING)
         .flatMapGroups { (_, it) =>
           val ms = it.toSeq
@@ -377,6 +386,7 @@ object BatchQueries {
         .join(verdicts, col("msgId") === col("v_msgId"))
         .select(col("msgId").cast("long").as("event_id"),
           col("task"), col("state"), col("attempts"), col("verdict"))
+        .as[TaskMultiRow](Encoders.product[TaskMultiRow]).toDF()
         .orderBy("event_id", "task")
     },
 
@@ -534,7 +544,8 @@ object BatchQueries {
     "task_multi" ->
       """WITH base AS (
         |  SELECT event_id,
-        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |    COALESCE(CAST(json_extract_string(props, '$.k') AS BIGINT),
+        |             -1) AS k,
         |    user_id AS u,
         |    event_id % 97 AS chain
         |  FROM events

@@ -174,6 +174,11 @@ object ConsumerPipeline {
 
     val registry = tasks
     val maxAttempts = cfg.maxNumberOfAttempts
+    // `ms.toSeq` materializes one CHAIN at a time — inherent to ordered
+    // chain execution (later links see earlier outcomes). Memory is
+    // bounded by chain cardinality (messages per shard/key, SURVEY
+    // §7.4), never by corpus size: more data means more chains, not
+    // longer ones.
     val outcomes = msgs.groupByKey(_.chainKey)(Encoders.STRING)
       .cogroup(prior.groupByKey(_.chainKey)(Encoders.STRING)) {
         (_, ms, ps) =>

@@ -35,8 +35,8 @@ class IdentifySpec extends SparkSpec {
     assert(v === "42")
   }
 
-  test("per-key sequencing with unresolvable keys rejects with the " +
-    "reference's reason (kinesis-identify.test.js:208-425 matrix)") {
+  test("per-key sequencing with an unresolvable key rejects with the " +
+    "reference's reason (kinesis-identify.test.js:328-357)") {
     import spark.implicits._
     val cfg = graft.model.ConsumerConfig(sequencingPerKey = true,
       keyPropertyNames = Seq("nope"))
@@ -45,7 +45,51 @@ class IdentifySpec extends SparkSpec {
       lit(null).cast("string"), lit(null).cast("string"),
       lit("1"), lit(null).cast("int"))
     assert(out.select("reason_rejected").collect().head.getString(0) ===
-      "Sequencing per key, but failed to resolve any keys")
+      "Missing property [nope] for keys")
+  }
+
+  test("strictness matrix: keys reject only under sequencingPerKey, " +
+    "seqNos only under sequencingRequired, ids only under strict " +
+    "(kinesis-identify.js:96-131, kinesis-identify.test.js:208-425)") {
+    import spark.implicits._
+    import graft.model.ConsumerConfig
+    // k1 and n1/n2 resolve; k2, n3, id2 are missing
+    val df = Seq("""{"id1":"123","k1":"ABC","n1":1,"n2":2}""")
+      .toDF("message")
+    def reason(cfg: ConsumerConfig): Option[String] =
+      Option(Identify.idsKeysSeqNos(cfg, df, col("message"),
+        lit(null).cast("string"), lit(null).cast("string"),
+        lit("1"), lit(null).cast("int"))
+        .select("reason_rejected").collect().head.getString(0))
+
+    // one missing key, sequencingPerKey: singular reference reason
+    assert(reason(ConsumerConfig(sequencingPerKey = true,
+      keyPropertyNames = Seq("k1", "k2"))) ===
+      Some("Missing property [k2] for keys"))
+    // both keys missing: plural form (kinesis-identify.test.js:342-356)
+    assert(reason(ConsumerConfig(sequencingPerKey = true,
+      keyPropertyNames = Seq("kx", "ky"))) ===
+      Some("Missing properties [kx, ky] for keys"))
+    // missing seqNo property with sequencing required
+    assert(reason(ConsumerConfig(
+      seqNoPropertyNames = Seq("n1", "n2", "n3"))) ===
+      Some("Missing property [n3] for seqNos"))
+    // same, sequencing NOT required: warn-only, no rejection
+    assert(reason(ConsumerConfig(sequencingRequired = false,
+      seqNoPropertyNames = Seq("n1", "n2", "n3"))) === None)
+    // missing id property: warn-only by default (reference fixed
+    // behavior, kinesis-identify.test.js:376-397)...
+    assert(reason(ConsumerConfig(
+      idPropertyNames = Seq("id1", "id2"), seqNoPropertyNames = Seq("n1")))
+      === None)
+    // ...but rejects when strict escalates it
+    assert(reason(ConsumerConfig(strict = true,
+      idPropertyNames = Seq("id1", "id2"), seqNoPropertyNames = Seq("n1")))
+      === Some("Missing property [id2] for ids"))
+    // everything resolvable: usable row even under strict
+    assert(reason(ConsumerConfig(strict = true,
+      idPropertyNames = Seq("id1"), seqNoPropertyNames = Seq("n1", "n2")))
+      === None)
   }
 
   test("Q1 heterogeneity fail-fast: mixed seqNo part names with " +

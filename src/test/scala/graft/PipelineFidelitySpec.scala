@@ -121,9 +121,11 @@ class PipelineFidelitySpec extends SparkSpec {
     assert(r1.completed === 1 && !r1.replay) // rejection does not block
     val dm = spark.read.parquet(s"$dir/dlq").filter(col("kind") === "DM")
     assert(dm.count() === 1)
+    // the reference-exact missing-property reason (kinesis-identify.js
+    // :158-167) — NOT the generic failed-to-resolve fallback, which is
+    // reserved for the default event-seqNo path
     assert(dm.filter(col("envelope").contains(
-      "Sequencing is required, but failed to resolve any seqNos"))
-      .count() === 1)
+      "Missing property [n] for seqNos")).count() === 1)
 
     // replay: the state marker keeps the DMQ write once-only
     val r2 = ConsumerPipeline(cfg, ok, s"$dir/state", s"$dir/dlq")(batch, 2L)
