@@ -149,6 +149,31 @@ object ConsumerQueries {
         .orderBy("event_id")
     },
 
+    // I3 strictness matrix over data-driven missingness: the message is
+    // rebuilt with conditionally-PRESENT JSON properties (to_json drops
+    // null struct fields), so `id2` is genuinely absent on every 3rd
+    // event and `sn` on every 5th. Under strict, a missing id property
+    // rejects with the reference's exact reason; a missing configured
+    // seqNo property rejects under required sequencing; ids win the
+    // precedence race when both are missing (15ths) — all re-derived
+    // independently in SQL (kinesis-identify.js:96-131,158-167).
+    "identify_strict" -> { (s, dir) =>
+      val e = Tables.events(s, dir)
+      val msg = to_json(struct(
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        when(pmod(col("event_id"), lit(3)) =!= 0, col("user_id")).as("id2"),
+        when(pmod(col("event_id"), lit(5)) =!= 0, col("event_id")).as("sn")))
+      val cfg = ConsumerConfig(strict = true,
+        idPropertyNames = Seq("k", "id2"),
+        seqNoPropertyNames = Seq("k", "sn"))
+      Identify.idsKeysSeqNos(cfg, e.withColumn("message", msg),
+          col("message"), nullStr, nullStr,
+          col("ts").cast("string"), lit(null).cast("int"))
+        .select(col("event_id"), col("id"), col("seqNo"),
+          col("reason_rejected").cast("string").as("reason_rejected"))
+        .orderBy("event_id")
+    },
+
     // Q5 through the config path: keys/seqNos extracted from JSON by
     // property name, normalized by sortKey (INTEGER_LIKE digits), then
     // chained per key — the reference's full identify→sequence flow.
@@ -283,6 +308,19 @@ object ConsumerQueries {
         |  md5('{"event_id":' || event_id || ',"user_id":' || user_id
         |      || ',"event_type":"' || event_type || '","ts":'
         |      || epoch_us(ts) || '}') AS md5_rec
+        |FROM events ORDER BY event_id""".stripMargin,
+    "identify_strict" ->
+      """SELECT event_id,
+        |  'k:' || json_extract_string(props, '$.k') || '|id2:' ||
+        |    CASE WHEN event_id % 3 <> 0 THEN CAST(user_id AS VARCHAR)
+        |         ELSE '' END AS id,
+        |  'k:' || json_extract_string(props, '$.k') || '|sn:' ||
+        |    CASE WHEN event_id % 5 <> 0 THEN CAST(event_id AS VARCHAR)
+        |         ELSE '' END AS seqNo,
+        |  CASE WHEN event_id % 3 = 0 THEN 'Missing property [id2] for ids'
+        |       WHEN event_id % 5 = 0
+        |         THEN 'Missing property [sn] for seqNos'
+        |  END AS reason_rejected
         |FROM events ORDER BY event_id""".stripMargin,
     "seq_config_perkey" ->
       """SELECT event_id,
