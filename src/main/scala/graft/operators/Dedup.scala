@@ -129,6 +129,67 @@ object Dedup {
       .select("id_a", "id_b", "hamming").distinct()
   }
 
+  /** Connected components over a near-dup pair list — the
+    * cluster-resolution step every dedup pipeline needs after pairing:
+    * pairs (a,b),(b,c) must collapse into ONE surviving document, which
+    * requires the transitive closure, not the raw pairs. Returns
+    * `(id, canonical)` for every id that appears in a pair, where
+    * `canonical` is the smallest id in its component (the conventional
+    * survivor choice); isolated documents are their own canonical by
+    * definition and are omitted to keep the output ∝ duplicates.
+    *
+    * Algorithm: iterative min-label propagation — each round every node
+    * takes the min of its own label and its neighbors' labels (one
+    * shuffle per round: an edge⋈label join + a min aggregation), until
+    * a round changes nothing. Rounds = graph diameter, which for
+    * near-dup graphs is tiny: components are near-cliques (copies of
+    * one underlying document pair with each other, not in long chains),
+    * so 2–3 rounds close them. The convergence check is a distributed
+    * `count`, not a collect. For adversarial million-node chain graphs
+    * the O(log² n) large-star/small-star contraction (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond") is the upgrade
+    * path; for dedup workloads label propagation does the same work
+    * with less per-round constant cost.
+    *
+    * @param maxIters hard cap; non-convergence within it throws rather
+    *                 than returning a silently-partial clustering
+    */
+  def connectedComponents(pairs: DataFrame, aCol: Column, bCol: Column,
+      maxIters: Int = 20): DataFrame = {
+    val sym = pairs.select(aCol.as("src"), bCol.as("dst"))
+      .union(pairs.select(bCol.as("src"), aCol.as("dst")))
+      .distinct().cache()
+    // Each round MUST truncate lineage (localCheckpoint, eager), not
+    // just cache: a cached plan still nests the previous round's plan,
+    // so an iterative loop grows the logical plan exponentially and
+    // dies in the optimizer long before any data-size limit.
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("canonical", col("id")).localCheckpoint()
+    var changed = 1L
+    var iters = 0
+    while (changed > 0 && iters < maxIters) {
+      val nbrMin = sym
+        .join(labels.select(col("id").as("dst"),
+          col("canonical").as("nbr_canonical")), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min("nbr_canonical").as("nbr_min"))
+      val next = labels
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("canonical").as("old"),
+          least(col("canonical"), coalesce(col("nbr_min"),
+            col("canonical"))).as("canonical"))
+        .localCheckpoint()
+      changed = next.filter(col("canonical") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      iters += 1
+    }
+    sym.unpersist()
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxIters rounds")
+    labels.select("id", "canonical")
+  }
+
   /** n-gram Jaccard near-dup pairs. Candidates share ≥1 surviving
     * shingle; shingles appearing in more than `maxDocFreq` documents are
     * pruned first (hot-shingle cap — keeps any single bucket from going

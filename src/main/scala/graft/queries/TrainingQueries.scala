@@ -104,6 +104,35 @@ object TrainingQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // Dedup cluster resolution: connected components over the SimHash
+    // near-dup pairs — (a,b),(b,c) collapse to one survivor via the
+    // transitive closure (min-label propagation; rounds = component
+    // diameter, ~2 for planted-copy near-cliques). The oracle closes
+    // the same edge set with a recursive CTE.
+    "dedup_components" -> { (s, dir) =>
+      val pairs = Dedup.simhashPairs(withCopies(s, dir), col("doc_id"),
+        col("text"), maxHamming = 3)
+      Dedup.connectedComponents(pairs, col("id_a"), col("id_b"))
+        .orderBy("id")
+    },
+
+    // Deterministic train/val/test split: a seeded md5 bucket per doc,
+    // compared against fixed hex thresholds (0xcc/256 ≈ 80%, 0xe6/256 ≈
+    // 90%) — pure per-row projection, no shuffle, reproducible across
+    // runs/engines, and stable under corpus growth (a doc's split never
+    // changes when other docs are added — the property random-number
+    // splits lack).
+    "train_split" -> { (s, dir) =>
+      val bucket = substring(
+        md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 2)
+      Tables.documents(s, dir).select(
+          col("doc_id"), col("source"), bucket.as("bucket"),
+          when(bucket < "cc", lit("train"))
+            .when(bucket < "e6", lit("val"))
+            .otherwise(lit("test")).as("split"))
+        .orderBy("doc_id")
+    },
+
     // Winnowing document fingerprints: rolling k-gram hashes, min per
     // window, distinct — any shared substring of length >= w+k-1
     // guarantees a shared fingerprint.
@@ -259,6 +288,47 @@ object TrainingQueries {
         |  AND a.doc_id < c.doc_id
         |WHERE bit_count(xor(a.simhash, c.simhash)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_components" ->
+      s"""WITH RECURSIVE $allDocsCte,
+        |t AS (SELECT doc_id, $toksExpr AS toks FROM all_docs),
+        |v AS (SELECT doc_id, $simhashValsExpr AS vals FROM t),
+        |bb AS (SELECT doc_id, $simhashBitsExpr AS bits FROM v),
+        |s AS (
+        |  SELECT doc_id, $simhashSigExpr AS simhash,
+        |    ${simhashBandExpr(0)} AS b0, ${simhashBandExpr(1)} AS b1,
+        |    ${simhashBandExpr(2)} AS b2, ${simhashBandExpr(3)} AS b3
+        |  FROM bb
+        |), bands AS (
+        |  SELECT doc_id, simhash, 0 AS band, b0 AS band_val FROM s
+        |  UNION ALL SELECT doc_id, simhash, 1, b1 FROM s
+        |  UNION ALL SELECT doc_id, simhash, 2, b2 FROM s
+        |  UNION ALL SELECT doc_id, simhash, 3, b3 FROM s
+        |), pr AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+        |  FROM bands a JOIN bands c
+        |    ON a.band = c.band AND a.band_val = c.band_val
+        |    AND a.doc_id < c.doc_id
+        |  WHERE bit_count(xor(a.simhash, c.simhash)) <= 3
+        |), sym AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pr
+        |  UNION SELECT id_b, id_a FROM pr
+        |), reach(node, lbl) AS (
+        |  SELECT src, src FROM sym
+        |  UNION
+        |  SELECT s2.dst, r.lbl FROM reach r JOIN sym s2 ON s2.src = r.node
+        |)
+        |SELECT node AS id, MIN(lbl) AS canonical
+        |FROM reach GROUP BY node ORDER BY id""".stripMargin,
+    "train_split" ->
+      """SELECT doc_id, source,
+        |  substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2)
+        |    AS bucket,
+        |  CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2)
+        |         < 'cc' THEN 'train'
+        |       WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2)
+        |         < 'e6' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "text_winnowing" ->
       s"""WITH h AS (
         |  SELECT doc_id, $winnowHashExpr AS hs
