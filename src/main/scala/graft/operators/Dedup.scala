@@ -156,9 +156,15 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, aCol: Column, bCol: Column,
       maxIters: Int = 20): DataFrame = {
-    val sym = pairs.select(aCol.as("src"), bCol.as("dst"))
-      .union(pairs.select(bCol.as("src"), aCol.as("dst")))
-      .distinct().cache()
+    // Materialize the pair lineage ONCE before the symmetric union —
+    // union(pairs, pairs.reversed) over an un-materialized plan would
+    // evaluate the (expensive) pairing lineage twice. No distinct on
+    // the symmetric view: duplicate edges cannot change a MIN.
+    val edges = pairs.select(aCol.as("src"), bCol.as("dst"))
+      .localCheckpoint()
+    val sym = edges
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .cache()
     // Each round MUST truncate lineage (localCheckpoint, eager), not
     // just cache: a cached plan still nests the previous round's plan,
     // so an iterative loop grows the logical plan exponentially and
@@ -173,12 +179,15 @@ object Dedup {
           col("canonical").as("nbr_canonical")), "dst")
         .groupBy(col("src").as("id"))
         .agg(min("nbr_canonical").as("nbr_min"))
+      // lazy checkpoint: the convergence count below materializes it,
+      // so each round is ONE job (plus nothing else) instead of an
+      // eager-checkpoint job followed by a count job
       val next = labels
         .join(nbrMin, Seq("id"), "left")
         .select(col("id"), col("canonical").as("old"),
           least(col("canonical"), coalesce(col("nbr_min"),
             col("canonical"))).as("canonical"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       changed = next.filter(col("canonical") =!= col("old")).count()
       labels.unpersist()
       labels = next
