@@ -24,6 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction((ident, info, builder))
     }
     ext.injectOptimizerRule(_ => graft.plans.ChainHeadsRule())
+    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy())
   }
 }
 
@@ -58,5 +59,9 @@ object GraftExtensions {
         .exists(_.isInstanceOf[graft.plans.ChainHeadsRule]))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.ChainHeadsRule()
+    if (!spark.experimental.extraStrategies
+        .exists(_.isInstanceOf[graft.plans.TopKStrategy]))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.TopKStrategy()
   }
 }

@@ -57,4 +57,34 @@ object TopK {
       .select(col("_1").as(groupCol), col("_2").as(idCol),
         col("_3").as(scoreCol), col("rank"))
   }
+
+  /** The same top-k contract through the NATIVE plan node
+    * ([[graft.plans.TopKPerGroupLogical]] →
+    * [[graft.plans.TopKPerGroupExec]] partial/final, planned by
+    * [[graft.plans.TopKStrategy]]): bounded heaps before AND after a
+    * Catalyst-planned hash exchange, `EXPLAIN`-visible, no
+    * (Long, Long, Double) encoding restriction. The trailing
+    * `row_number` window only ranks the ≤ groups×k survivors — a
+    * negligible sort over the answer, not the corpus. Result is
+    * column-for-column the window form's (pinned by `ann_topk_native`
+    * hash-matching `ann_topk_brute`'s oracle). */
+  def perGroupNative(df: DataFrame, groupCol: String, idCol: String,
+      scoreCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, SortOrder}
+    import org.apache.spark.sql.graft.bridge
+    val typed = df.select(col(groupCol).cast("long").as(groupCol),
+      col(idCol).cast("long").as(idCol),
+      col(scoreCol).cast("double").as(scoreCol))
+    val child = bridge.analyzed(typed)
+    def attr(n: String) = child.output.find(_.name == n).get
+    val node = graft.plans.TopKPerGroupLogical(
+      Seq(attr(groupCol)),
+      Seq(SortOrder(attr(scoreCol), Descending),
+        SortOrder(attr(idCol), Ascending)),
+      k, child)
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    bridge.ofRows(df.sparkSession, node)
+      .withColumn("rank", row_number().over(w))
+  }
 }

@@ -45,6 +45,22 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     },
 
+    // The SAME brute-force contract through the NATIVE top-k plan node
+    // (TopKPerGroupLogical → partial/final TopKPerGroupExec with a
+    // Catalyst-planned exchange, SURVEY §7.3 tier c) — hash-matching
+    // the identical oracle proves the custom operator end-to-end.
+    "ann_topk_native" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val scored = Similarity.scoredPairs(e, col("vec_id"),
+          col("embedding"), q, col("query_id"), col("qvec"))
+        .select("query_id", "vec_id", "cosine")
+      graft.operators.TopK.perGroupNative(scored, "query_id", "vec_id",
+          "cosine", k = 10)
+        .orderBy("query_id", "rank")
+    },
+
     // IVF-style probe: only the query's coarse cell (label) is scored
     // (partition-pruned), then the two-phase bounded top-k.
     "ann_topk_ivf" -> { (s, dir) =>
@@ -76,23 +92,29 @@ object SimilarityQueries {
         .orderBy("id_a", "id_b")
     })
 
+  /** Shared by ann_topk_brute and ann_topk_native: same contract, two
+    * engine paths (two-phase mapPartitions vs native plan node) — both
+    * must hash-match this ONE oracle. */
+  private val bruteTopKSql =
+    s"""WITH q AS (
+      |  SELECT vec_id AS query_id, embedding AS qvec
+      |  FROM embeddings WHERE vec_id < 5
+      |), p AS (
+      |  SELECT q.query_id, e.vec_id,
+      |    ${cosSql("e.embedding", "q.qvec")} AS cosine
+      |  FROM embeddings e, q
+      |), r AS (
+      |  SELECT *, CAST(ROW_NUMBER() OVER
+      |    (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INT)
+      |    AS rank
+      |  FROM p
+      |)
+      |SELECT query_id, vec_id, rank, cosine FROM r
+      |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
   val oracle: Map[String, String] = Map(
-    "ann_topk_brute" ->
-      s"""WITH q AS (
-        |  SELECT vec_id AS query_id, embedding AS qvec
-        |  FROM embeddings WHERE vec_id < 5
-        |), p AS (
-        |  SELECT q.query_id, e.vec_id,
-        |    ${cosSql("e.embedding", "q.qvec")} AS cosine
-        |  FROM embeddings e, q
-        |), r AS (
-        |  SELECT *, CAST(ROW_NUMBER() OVER
-        |    (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INT)
-        |    AS rank
-        |  FROM p
-        |)
-        |SELECT query_id, vec_id, rank, cosine FROM r
-        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "ann_topk_brute" -> bruteTopKSql,
+    "ann_topk_native" -> bruteTopKSql,
     "ann_topk_ivf" ->
       s"""WITH q AS (
         |  SELECT vec_id AS query_id, embedding AS qvec, label

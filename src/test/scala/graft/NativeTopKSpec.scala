@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TopK
+
+/** Pins the native top-k plan node ([[graft.plans.TopKPerGroupExec]]):
+  * result-identical to the declarative window form on multi-partition
+  * data, and the physical plan actually shows the partial/final pair
+  * around a Catalyst-planned exchange (the whole point — bounded
+  * selection BEFORE the shuffle). */
+class NativeTopKSpec extends SparkSpec {
+
+  test("native node matches the window form row-for-row") {
+    import spark.implicits._
+    val df = spark.range(10000).select(
+        pmod(col("id"), lit(7)).as("g"), col("id").as("i"),
+        pmod(col("id") * 2654435761L, lit(1000003L)).cast("double").as("s"))
+      .repartition(8)
+
+    val native = TopK.perGroupNative(df, "g", "i", "s", k = 5)
+      .select("g", "i", "s", "rank")
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy(col("s").desc, col("i"))
+    val windowed = df.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("g", "i", "s", "rank")
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+
+    assert(native.length === 35) // 7 groups × k=5
+    assert(native.toSeq === windowed.toSeq)
+  }
+
+  test("physical plan contains partial and final TopKPerGroup around " +
+      "an exchange") {
+    import spark.implicits._
+    val df = spark.range(100).select(
+      pmod(col("id"), lit(3)).as("g"), col("id").as("i"),
+      col("id").cast("double").as("s")).repartition(4)
+    val out = new java.io.ByteArrayOutputStream
+    Console.withOut(out) {
+      TopK.perGroupNative(df, "g", "i", "s", k = 2).explain()
+    }
+    val plan = out.toString
+    assert(plan.contains("TopKPerGroup(partial=true, k=2)"))
+    assert(plan.contains("TopKPerGroup(partial=false, k=2)"))
+    assert(plan.toLowerCase.contains("exchange hashpartitioning"))
+  }
+}
