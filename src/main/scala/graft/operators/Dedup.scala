@@ -24,6 +24,10 @@ import org.apache.spark.sql.functions._
   * deterministic across engines and runs (no JVM hashCode, no seed
   * drift).
   */
+/** Element type of the compiled bucket-pair expansion in
+  * [[Dedup.ngramJaccardPairs]] (field names are the downstream schema). */
+final case class IdPair(id_a: Long, id_b: Long)
+
 object Dedup {
 
   /** Exact dedup: keep the smallest id per fingerprint. Returns
@@ -222,9 +226,24 @@ object Dedup {
       .filter(size(col("ids")) <= maxDocFreq)
     val sizes = buckets.select(explode(col("ids")).as("id"))
       .groupBy("id").agg(count(lit(1)).as("set_size"))
-    val pairArr = flatten(transform(col("ids"), (a, i) =>
-      transform(slice(col("ids"), i + 2, size(col("ids"))), b =>
-        struct(a.as("id_a"), b.as("id_b")))))
+    // compiled pair expansion: the HOF form
+    // (flatten(transform(ids, transform(slice(...)))) evaluates
+    // interpreted — one boxed lambda dispatch per PAIR, which is the
+    // O(bucket²) inner loop of the whole operator. Same output order
+    // (i<j over the sorted bucket), compiled.
+    val expandPairs = udf { (ids: Seq[Long]) =>
+      val n = ids.length
+      val out = Array.newBuilder[IdPair]
+      out.sizeHint(n * (n - 1) / 2)
+      var i = 0
+      while (i < n) {
+        var j = i + 1
+        while (j < n) { out += IdPair(ids(i), ids(j)); j += 1 }
+        i += 1
+      }
+      out.result()
+    }
+    val pairArr = expandPairs(col("ids"))
     val inter = buckets.select(explode(pairArr).as("p"))
       .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .agg(count(lit(1)).as("inter"))
