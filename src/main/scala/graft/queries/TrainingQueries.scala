@@ -145,6 +145,33 @@ object TrainingQueries {
         .orderBy("doc_id", "fp")
     },
 
+    // End-to-end training-corpus composition — the whole pipeline a
+    // corpus build runs, as ONE declarative plan Catalyst optimizes
+    // together: exact-dedup survivors (planted copies collapse) →
+    // token-count quality gate → deterministic md5 split →
+    // per-(split, lang) counts. Pins that the operators COMPOSE, not
+    // just work in isolation.
+    "corpus_pipeline" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("lang"))
+      val corpus = d.unionByName(d.select(
+        (col("doc_id") + CopyShift).as("doc_id"), col("text"),
+        col("lang")))
+      val keep = Dedup.exact(corpus, col("doc_id"),
+          TextAnalysis.fingerprint(col("text")))
+        .select(col("keep_id").as("doc_id"))
+      val bucket = substring(
+        md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 2)
+      corpus.join(keep, "doc_id")
+        .filter(TextAnalysis.tokenCount(col("text")) >= 10)
+        .select(col("lang"),
+          when(bucket < "cc", lit("train"))
+            .when(bucket < "e6", lit("val"))
+            .otherwise(lit("test")).as("split"))
+        .groupBy("split", "lang").agg(count(lit(1)).as("n_docs"))
+        .orderBy("split", "lang")
+    },
+
     // Corpus analytics: per-source integer rollups (one partial-agg
     // shuffle; all-int outputs are engine-deterministic).
     "corpus_stats" -> { (s, dir) =>
@@ -342,6 +369,25 @@ object TrainingQueries {
         |)
         |SELECT doc_id, unnest(list_sort(list_distinct(mins))) AS fp
         |FROM wmin ORDER BY doc_id, fp""".stripMargin,
+    "corpus_pipeline" ->
+      s"""WITH ad AS (
+        |  SELECT doc_id, text, lang FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + $CopyShift AS doc_id, text, lang FROM documents
+        |), keep AS (
+        |  SELECT MIN(doc_id) AS doc_id FROM ad GROUP BY md5($normExpr)
+        |), q AS (
+        |  SELECT a.doc_id, a.lang FROM ad a JOIN keep USING (doc_id)
+        |  WHERE len(string_split_regex(trim(a.text), '\\s+')) >= 10
+        |)
+        |SELECT
+        |  CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2)
+        |         < 'cc' THEN 'train'
+        |       WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2)
+        |         < 'e6' THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  lang, COUNT(*) AS n_docs
+        |FROM q GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
     "corpus_stats" ->
       """SELECT source,
         |  COUNT(*) AS n_docs,
