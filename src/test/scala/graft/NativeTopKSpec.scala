@@ -33,6 +33,35 @@ class NativeTopKSpec extends SparkSpec {
     assert(native.toSeq === windowed.toSeq)
   }
 
+  test("property: random data with score ties matches the window form " +
+      "across k and partition counts") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    (1 to 4).foreach { round =>
+      val n = 500 + rnd.nextInt(1500)
+      val groups = 1 + rnd.nextInt(9)
+      val k = 1 + rnd.nextInt(7)
+      val parts = 1 + rnd.nextInt(12)
+      // coarse scores force ties; the id tiebreak must resolve them
+      // identically in the heap and in the window
+      val rows = (0 until n).map(i =>
+        (rnd.nextInt(groups).toLong, i.toLong, rnd.nextInt(20).toDouble))
+      val df = rows.toDF("g", "i", "s").repartition(parts)
+
+      val native = TopK.perGroupNative(df, "g", "i", "s", k)
+        .select("g", "i", "s", "rank")
+        .as[(Long, Long, Double, Int)].collect().toSet
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("g").orderBy(col("s").desc, col("i"))
+      val windowed = df.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select("g", "i", "s", "rank")
+        .as[(Long, Long, Double, Int)].collect().toSet
+      assert(native === windowed,
+        s"round $round: n=$n groups=$groups k=$k parts=$parts")
+    }
+  }
+
   test("physical plan contains partial and final TopKPerGroup around " +
       "an exchange") {
     import spark.implicits._
