@@ -60,6 +60,59 @@ class TransformWithStateSpec extends SparkSpec {
       }
     }
   }
+
+  test("store-state eviction: finalised entries drop after " +
+      "retainTriggers, unfinalised survive, post-eviction redelivery " +
+      "re-executes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    runs.clear()
+    // "m1 ok" completes (finalised ⇒ evictable once untouched past the
+    // window); "stuck bad" keeps failing under a high cap (Failed ⇒
+    // unfinalised ⇒ must NEVER evict)
+    val registry = Seq(TaskDef("t1",
+      counted("t1", p => p.contains("bad"))))
+    val input = MemoryStream[StreamMsg]
+    val out = ChainTasksProcessor.streamTasks(input.toDS(), registry,
+      maxAttempts = 100, retainTriggers = 2)
+    val q = out.writeStream.format("memory").queryName("tws_evict")
+      .outputMode("update").start()
+    try {
+      input.addData(StreamMsg("c0", "m1", 1, "m1 ok"),
+        StreamMsg("c0", "stuck", 2, "stuck bad"))
+      q.processAllAvailable()
+      assert(runs.get("t1|m1 ok") === 1)
+      assert(runs.get("t1|stuck bad") === 1)
+      // four more triggers on the same chain advance the generation;
+      // m1 and stuck are not redelivered, so m1 (finalised) ages out of
+      // the retainTriggers=2 window while stuck must survive eviction
+      (2 to 5).foreach { i =>
+        input.addData(StreamMsg("c0", s"f$i", 10L + i, s"f$i ok"))
+        q.processAllAvailable()
+      }
+      // redeliver both: m1's state was evicted ⇒ it re-executes from
+      // scratch (the documented at-least-once trade); stuck's state
+      // survived ⇒ its attempts CONTINUE from the stored count
+      input.addData(StreamMsg("c0", "m1", 1, "m1 ok"),
+        StreamMsg("c0", "stuck", 2, "stuck bad"))
+      q.processAllAvailable()
+      assert(runs.get("t1|m1 ok") === 2)
+      assert(runs.get("t1|stuck bad") === 2)
+      val stuckAttempts = spark.table("tws_evict").as[MsgState].collect()
+        .filter(_.msgId == "stuck").map(_.attempts).max
+      assert(stuckAttempts === 2) // prior attempt retained, not reset
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
 
 object TransformWithStateSpec {
