@@ -31,6 +31,12 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * Semantics: keep the first k rows per group in `order`'s total order.
   * Callers must make the order total (trailing unique tiebreak) for
   * deterministic output — same contract as the window form it replaces.
+  *
+  * Memory bound (honest limitation): heaps hold
+  * `groups-per-partition × k` row copies and do NOT spill. That is the
+  * right trade for top-k's natural shape (many rows, bounded groups —
+  * ANN queries, per-key heads); for group cardinality approaching the
+  * row count prefer the window form, whose sort spills to disk.
   */
 case class TopKPerGroupLogical(groupExprs: Seq[Expression],
     order: Seq[SortOrder], k: Int, child: LogicalPlan) extends UnaryNode {
