@@ -145,6 +145,49 @@ object TrainingQueries {
         .orderBy("doc_id", "fp")
     },
 
+    // Per-source document cap — the corpus-balancing step (don't let
+    // one crawl domain dominate): keep the top-5 docs per source by
+    // token count, through the NATIVE top-k plan node on a second,
+    // independent contract (group=source hash, score=tokens).
+    "source_cap" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCount(col("text")).cast("double").as("tokens"),
+          // the node takes long group keys; sources are a small enum,
+          // so a per-row hash stands in for the dictionary id a real
+          // catalog would carry
+          abs(hash(col("source"))).cast("long").as("source_id"))
+      graft.operators.TopK.perGroupNative(
+          d.select(col("source_id"), col("doc_id"), col("tokens")),
+          "source_id", "doc_id", "tokens", k = 5)
+        .join(d.select(col("doc_id"), col("source")), "doc_id")
+        .select(col("source"), col("doc_id"),
+          col("tokens").cast("long").as("tokens"), col("rank"))
+        .orderBy("source", "rank")
+    },
+
+    // Decontamination: flag corpus docs sharing ANY word-3-shingle with
+    // a benchmark set (here: doc_id < 20 stands in for the eval set).
+    // Shape: the benchmark's shingle set is TINY next to the corpus —
+    // a broadcast semi-join against it, so the corpus streams through
+    // one scan with no corpus-sized shuffle.
+    "decontaminate" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      val shingles = graft.functions.TextShingles.distinctShingles(3)
+      val bench = broadcast(d.filter(col("doc_id") < 20)
+        .select(explode(shingles(col("text"))).as("sh")).distinct())
+      val corpusSh = d.filter(col("doc_id") >= 20)
+        .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+      val contaminated = corpusSh.join(bench, "sh")
+        .select("doc_id").distinct()
+      d.filter(col("doc_id") >= 20)
+        .join(contaminated.withColumn("contaminated", lit(true)),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("contaminated"), lit(false)).as("contaminated"))
+        .orderBy("doc_id")
+    },
+
     // End-to-end training-corpus composition — the whole pipeline a
     // corpus build runs, as ONE declarative plan Catalyst optimizes
     // together: exact-dedup survivors (planted copies collapse) →
@@ -369,6 +412,32 @@ object TrainingQueries {
         |)
         |SELECT doc_id, unnest(list_sort(list_distinct(mins))) AS fp
         |FROM wmin ORDER BY doc_id, fp""".stripMargin,
+    "source_cap" ->
+      """WITH r AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE)
+        |      AS tokens_d,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY CAST(len(string_split_regex(trim(text), '\s+'))
+        |        AS DOUBLE) DESC, doc_id) AS rnk
+        |  FROM documents
+        |)
+        |SELECT source, doc_id, CAST(tokens_d AS BIGINT) AS tokens,
+        |  CAST(rnk AS INT) AS rank
+        |FROM r WHERE rnk <= 5 ORDER BY source, rank""".stripMargin,
+    "decontaminate" ->
+      s"""WITH bench AS (
+        |  SELECT DISTINCT unnest(list_distinct($shinglesExpr)) AS sh
+        |  FROM documents WHERE doc_id < 20
+        |), corp AS (
+        |  SELECT doc_id, unnest(list_distinct($shinglesExpr)) AS sh
+        |  FROM documents WHERE doc_id >= 20
+        |), cont AS (
+        |  SELECT DISTINCT c.doc_id FROM corp c JOIN bench b USING (sh)
+        |)
+        |SELECT d.doc_id, (cont.doc_id IS NOT NULL) AS contaminated
+        |FROM documents d LEFT JOIN cont ON d.doc_id = cont.doc_id
+        |WHERE d.doc_id >= 20 ORDER BY d.doc_id""".stripMargin,
     "corpus_pipeline" ->
       s"""WITH ad AS (
         |  SELECT doc_id, text, lang FROM documents
