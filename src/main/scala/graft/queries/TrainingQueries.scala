@@ -188,6 +188,23 @@ object TrainingQueries {
         .orderBy("doc_id")
     },
 
+    // Stratified hash sampling — corpus rebalancing (downsample the
+    // over-represented stratum, keep the rest): per-stratum keep-rates
+    // applied through the SAME seeded md5 bucket as train_split, so
+    // sampling is deterministic, reproducible, independent of both row
+    // order and corpus growth, and a pure per-row projection+filter (no
+    // shuffle, no RNG state). 256 hex buckets give rate granularity
+    // 1/256; 'en' keeps ~25% ('40'/256), every other lang keeps all.
+    "sample_stratified" -> { (s, dir) =>
+      val bucket = substring(
+        md5(concat(lit("sample:"), col("doc_id").cast("string"))), 1, 2)
+      Tables.documents(s, dir)
+        .filter(when(col("lang") === "en", bucket < "40")
+          .otherwise(lit(true)))
+        .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang")
+    },
+
     // End-to-end training-corpus composition — the whole pipeline a
     // corpus build runs, as ONE declarative plan Catalyst optimizes
     // together: exact-dedup survivors (planted copies collapse) →
@@ -438,6 +455,13 @@ object TrainingQueries {
         |SELECT d.doc_id, (cont.doc_id IS NOT NULL) AS contaminated
         |FROM documents d LEFT JOIN cont ON d.doc_id = cont.doc_id
         |WHERE d.doc_id >= 20 ORDER BY d.doc_id""".stripMargin,
+    "sample_stratified" ->
+      """SELECT lang, COUNT(*) AS n_docs
+        |FROM documents
+        |WHERE lang <> 'en'
+        |   OR substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 2)
+        |      < '40'
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "corpus_pipeline" ->
       s"""WITH ad AS (
         |  SELECT doc_id, text, lang FROM documents
