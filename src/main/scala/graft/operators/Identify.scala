@@ -203,7 +203,10 @@ object Identify {
       .select(transform(col("seqNos"), p => p.getField("name")).as("names"))
       .distinct().limit(8).collect()
     if (nameArrs.length > 1) {
-      val arrs = nameArrs.map(_.getSeq[String](0))
+      // a caller-supplied seqNos column may contain nulls — treat a
+      // null part-name array as empty rather than NPE inside the check
+      val arrs = nameArrs.map(r =>
+        Option(r.getSeq[String](0)).getOrElse(Seq.empty))
       val i = (0 until arrs.map(_.length).max).find(ix =>
         arrs.map(_.lift(ix)).distinct.length > 1).getOrElse(0)
       throw new IllegalStateException("NOT all of the messages have the " +
