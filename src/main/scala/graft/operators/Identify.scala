@@ -129,7 +129,17 @@ object Identify {
         (propertyPairs(cfg.seqNoPropertyNames, sources),
           pipeString(cfg.seqNoPropertyNames, sources))
       else {
-        val sub = eventSubSeqNo.isNotNull
+        // JS-truthiness fidelity (kinesis-identify.js:121-126): the
+        // reference gates the eventSubSeqNo part on `eventSubSeqNo ?`,
+        // so a NUMERIC ZERO sub-sequence number — which is exactly what
+        // KPL de-aggregation assigns the FIRST user-record of every
+        // aggregate (kpl-deagg-async.js:116) — counts as absent and the
+        // message resolves a single-part seqNo. Consequence inherited
+        // from the reference: a multi-record KPL aggregate under
+        // required sequencing with DEFAULT seqNo names mixes 1-part and
+        // 2-part tuples and fails the Q1 heterogeneity check — KPL
+        // pipelines configure seqNoPropertyNames.
+        val sub = eventSubSeqNo.isNotNull && eventSubSeqNo =!= lit(0)
         val pairs = when(sub, array(
             struct(lit("eventSeqNo").as("name"),
               eventSeqNo.cast("string").as("value")),

@@ -92,6 +92,29 @@ class IdentifySpec extends SparkSpec {
       === None)
   }
 
+  test("KPL sub-seqNo ZERO resolves a single-part seqNo (JS truthiness, " +
+    "kinesis-identify.js:121-126; deagg assigns 0 to the first " +
+    "user-record)") {
+    import spark.implicits._
+    val df = Seq(
+      ("e0", "100", Some(0)),  // first KPL user-record: subSeqNo 0
+      ("e1", "100", Some(1)),
+      ("e2", "200", None)      // plain record: no userRecord at all
+    ).toDF("eventID", "eventSeqNo", "eventSubSeqNo")
+    val out = Identify.idsKeysSeqNos(
+        graft.model.ConsumerConfig(sequencingRequired = false), df,
+        lit("{}"), lit(null).cast("string"), lit(null).cast("string"),
+        col("eventSeqNo"), col("eventSubSeqNo"))
+      .select(col("eventID"),
+        transform(col("seqNos"), p => p.getField("name")).as("names"),
+        col("seqNo"))
+      .collect().map(r => (r.getString(0), r.getSeq[String](1), r.getString(2)))
+    assert(out(0) === (("e0", Seq("eventSeqNo"), "eventSeqNo:100")))
+    assert(out(1) === (("e1", Seq("eventSeqNo", "eventSubSeqNo"),
+      "eventSeqNo:100|eventSubSeqNo:1")))
+    assert(out(2) === (("e2", Seq("eventSeqNo"), "eventSeqNo:200")))
+  }
+
   test("Q1 heterogeneity fail-fast: mixed seqNo part names with " +
     "sequencing required throw; tolerated when not required " +
     "(sequencing-per-shard.test.js:133-220)") {
