@@ -75,6 +75,7 @@ object SparkEntry {
       "text_stats", "text_winnowing", "salted_counts", "dedup_exact",
       "dedup_simhash", "dedup_simhash_pairs", "dedup_minhash_lsh",
       "dedup_ngram_jaccard", "dedup_components", "train_split",
+      "source_cap", "decontaminate",
       "ann_topk_brute", "ann_topk_native", "ann_topk_ivf", "embedding_dups",
       "multimodal_features")
     names.flatMap(n => queries.get(n).map(n -> _))
