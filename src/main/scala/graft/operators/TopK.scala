@@ -72,9 +72,10 @@ object TopK {
       scoreCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, SortOrder}
     import org.apache.spark.sql.graft.bridge
-    val typed = df.select(col(groupCol).cast("long").as(groupCol),
-      col(idCol).cast("long").as(idCol),
-      col(scoreCol).cast("double").as(scoreCol))
+    // No casts: the exec keys and orders arbitrary expressions
+    // (UnsafeProjection + RowOrdering), so string groups / integer
+    // scores pass through with their input types intact.
+    val typed = df.select(col(groupCol), col(idCol), col(scoreCol))
     val child = bridge.analyzed(typed)
     def attr(n: String) = child.output.find(_.name == n).get
     val node = graft.plans.TopKPerGroupLogical(

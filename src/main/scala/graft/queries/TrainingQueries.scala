@@ -148,19 +148,15 @@ object TrainingQueries {
     // Per-source document cap — the corpus-balancing step (don't let
     // one crawl domain dominate): keep the top-5 docs per source by
     // token count, through the NATIVE top-k plan node on a second,
-    // independent contract (group=source hash, score=tokens).
+    // independent contract (string group key, long score) — the node
+    // groups the source column DIRECTLY, so there is no surrogate-hash
+    // collision risk and no join-back to recover the source name.
     "source_cap" -> { (s, dir) =>
       val d = Tables.documents(s, dir)
-        .select(col("doc_id"), col("source"),
-          TextAnalysis.tokenCount(col("text")).cast("double").as("tokens"),
-          // the node takes long group keys; sources are a small enum,
-          // so a per-row hash stands in for the dictionary id a real
-          // catalog would carry
-          abs(hash(col("source"))).cast("long").as("source_id"))
+        .select(col("source"), col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("tokens"))
       graft.operators.TopK.perGroupNative(
-          d.select(col("source_id"), col("doc_id"), col("tokens")),
-          "source_id", "doc_id", "tokens", k = 5)
-        .join(d.select(col("doc_id"), col("source")), "doc_id")
+          d, "source", "doc_id", "tokens", k = 5)
         .select(col("source"), col("doc_id"),
           col("tokens").cast("long").as("tokens"), col("rank"))
         .orderBy("source", "rank")

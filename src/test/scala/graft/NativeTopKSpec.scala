@@ -62,6 +62,25 @@ class NativeTopKSpec extends SparkSpec {
     }
   }
 
+  test("arbitrary input types: string group key and integer score " +
+      "pass through uncast") {
+    import spark.implicits._
+    val rows = Seq(
+      ("alpha", 1L, 30), ("alpha", 2L, 50), ("alpha", 3L, 50),
+      ("alpha", 4L, 10), ("beta", 5L, 7), ("beta", 6L, 9))
+    val df = rows.toDF("src", "id", "score").repartition(5)
+
+    val got = TopK.perGroupNative(df, "src", "id", "score", k = 2)
+    // output schema keeps the INPUT types — no silent long/double cast
+    assert(got.schema("src").dataType.typeName === "string")
+    assert(got.schema("score").dataType.typeName === "integer")
+    val rs = got.select("src", "id", "score", "rank")
+      .as[(String, Long, Int, Int)].collect().toSet
+    assert(rs === Set(
+      ("alpha", 2L, 50, 1), ("alpha", 3L, 50, 2),
+      ("beta", 6L, 9, 1), ("beta", 5L, 7, 2)))
+  }
+
   test("physical plan contains partial and final TopKPerGroup around " +
       "an exchange") {
     import spark.implicits._
