@@ -139,8 +139,27 @@ object Identify {
         // required sequencing with DEFAULT seqNo names mixes 1-part and
         // 2-part tuples and fails the Q1 heterogeneity check — KPL
         // pipelines configure seqNoPropertyNames.
+        //
+        // The SAME gate guards the whole default path: the reference
+        // only builds seqNos at all under `eventIdAndSeqNos.eventSeqNo
+        // ?`, so a falsy eventSeqNo yields EMPTY seqNos — which rejects
+        // under required sequencing — never a ('eventSeqNo', null/'0')
+        // pair. JS falsiness is TYPE-dependent: a string is falsy only
+        // when empty (string "0" is truthy), a number when zero — so
+        // the gate resolves the column's static type and mirrors each
+        // case (plan-time schema lookup; no job, streaming-safe).
+        val seqTruthy =
+          df.select(eventSeqNo).schema.head.dataType match {
+            case _: org.apache.spark.sql.types.NumericType =>
+              eventSeqNo.isNotNull && eventSeqNo =!= lit(0)
+            case _ =>
+              val s = eventSeqNo.cast("string")
+              s.isNotNull && s =!= ""
+          }
         val sub = eventSubSeqNo.isNotNull && eventSubSeqNo =!= lit(0)
-        val pairs = when(sub, array(
+        val pairs = when(!seqTruthy,
+            array().cast("array<struct<name:string,value:string>>"))
+          .when(sub, array(
             struct(lit("eventSeqNo").as("name"),
               eventSeqNo.cast("string").as("value")),
             struct(lit("eventSubSeqNo").as("name"),
@@ -148,7 +167,8 @@ object Identify {
           .otherwise(array(
             struct(lit("eventSeqNo").as("name"),
               eventSeqNo.cast("string").as("value"))))
-        val flat = when(sub, concat_ws("|",
+        val flat = when(!seqTruthy, lit(null).cast("string"))
+          .when(sub, concat_ws("|",
             concat(lit("eventSeqNo:"), eventSeqNo.cast("string")),
             concat(lit("eventSubSeqNo:"), eventSubSeqNo.cast("string"))))
           .otherwise(concat(lit("eventSeqNo:"), eventSeqNo.cast("string")))
@@ -242,7 +262,15 @@ object Identify {
       else Seq(Sequencing.sortKey(eventSeqNo))
     if (!cfg.sequencingRequired) Sequencing.none(df)
     else {
-      if (cfg.seqNoPropertyNames.isEmpty && df.columns.contains("seqNos"))
+      // The eager check collects — illegal on a genuine streaming
+      // DataFrame (AnalysisException at plan time). Skip it there: the
+      // engine's streaming drivers run this inside foreachBatch, where
+      // each micro-batch arrives as a BATCH DataFrame and the check
+      // still fires per batch; a caller wiring a raw streaming DF
+      // through `sequence` gets the reference's throw on the first
+      // micro-batch its own foreachBatch materializes.
+      if (cfg.seqNoPropertyNames.isEmpty && !df.isStreaming &&
+          df.columns.contains("seqNos"))
         failFastOnHeterogeneousSeqNos(df)
       if (cfg.sequencingPerKey)
         Sequencing.perKey(df, shardCol,

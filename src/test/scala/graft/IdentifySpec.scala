@@ -115,6 +115,64 @@ class IdentifySpec extends SparkSpec {
     assert(out(2) === (("e2", Seq("eventSeqNo"), "eventSeqNo:200")))
   }
 
+  test("falsy eventSeqNo gates the WHOLE default seqNo path (JS " +
+    "truthiness, kinesis-identify.js:121-126): empty seqNos, rejected " +
+    "under required sequencing") {
+    import spark.implicits._
+    // string column: JS string falsiness — null and "" gate, "0" is
+    // TRUTHY (a Kinesis sequenceNumber is a string)
+    val strDf = Seq(
+      ("e0", Some("100"), Some(1)), // truthy: normal two-part seqNo
+      ("e1", None, Some(1)),        // null eventSeqNo
+      ("e2", Some("0"), Some(1)),   // string "0": truthy in JS
+      ("e3", Some(""), Some(1))     // empty-string: falsy
+    ).toDF("eventID", "eventSeqNo", "eventSubSeqNo")
+    def run(cfg: graft.model.ConsumerConfig,
+        df: org.apache.spark.sql.DataFrame) =
+      Identify.idsKeysSeqNos(cfg, df, lit("{}"),
+          lit(null).cast("string"), lit(null).cast("string"),
+          col("eventSeqNo"), col("eventSubSeqNo"))
+        .select(col("eventID"), size(col("seqNos")).as("n"),
+          col("seqNo"), col("reason_rejected"))
+        .collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getString(2),
+          r.getString(3)))
+
+    val required = run(graft.model.ConsumerConfig(), strDf)
+    assert(required(0) === (("e0", 2, "eventSeqNo:100|eventSubSeqNo:1",
+      null)))
+    assert(required(2) === (("e2", 2, "eventSeqNo:0|eventSubSeqNo:1",
+      null)))
+    // falsy eventSeqNo ⇒ NO seqNos at all (not an ('eventSeqNo', null)
+    // pair), so required sequencing rejects with the reference's reason
+    Seq(required(1), required(3)).foreach { case (id, n, flat, reason) =>
+      assert(n === 0 && flat === null, id)
+      assert(reason ===
+        "Sequencing is required, but failed to resolve any seqNos", id)
+    }
+    // sequencing not required: same empty seqNos, but usable
+    val optional = run(graft.model.ConsumerConfig(
+      sequencingRequired = false), strDf)
+    Seq(optional(1), optional(3)).foreach { case (id, n, _, reason) =>
+      assert(n === 0 && reason === null, id)
+    }
+
+    // numeric column: JS number falsiness — zero gates
+    val numDf = Seq(
+      ("e0", Some(100L), Some(1)),
+      ("e1", Some(0L), Some(1)),    // numeric 0: falsy
+      ("e2", None, Some(1))
+    ).toDF("eventID", "eventSeqNo", "eventSubSeqNo")
+    val numeric = run(graft.model.ConsumerConfig(), numDf)
+    assert(numeric(0) === (("e0", 2, "eventSeqNo:100|eventSubSeqNo:1",
+      null)))
+    Seq(numeric(1), numeric(2)).foreach { case (id, n, flat, reason) =>
+      assert(n === 0 && flat === null, id)
+      assert(reason ===
+        "Sequencing is required, but failed to resolve any seqNos", id)
+    }
+  }
+
   test("Q1 heterogeneity fail-fast: mixed seqNo part names with " +
     "sequencing required throw; tolerated when not required " +
     "(sequencing-per-shard.test.js:133-220)") {
@@ -153,5 +211,25 @@ class IdentifySpec extends SparkSpec {
       col("shard"), col("message"), lit(null).cast("string"),
       lit(null).cast("string"), col("eventSeqNo"), col("eventID"))
     assert(out.collect().length === 1)
+  }
+
+  test("sequence() on a genuine streaming DataFrame builds without the " +
+    "eager heterogeneity collect (no AnalysisException at plan time)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(String, String, String, String)]
+    val df = input.toDF()
+      .toDF("eventID", "shard", "message", "eventSeqNo")
+    val cfg = graft.model.ConsumerConfig()
+    val identified = Identify.idsKeysSeqNos(cfg, df, col("message"),
+      lit(null).cast("string"), lit(null).cast("string"),
+      col("eventSeqNo"), lit(null).cast("int"))
+    // before the isStreaming guard this threw AnalysisException here
+    // (collect() on a streaming source at plan-construction time)
+    val out = Identify.sequence(cfg, identified, col("shard"),
+      col("message"), lit(null).cast("string"), lit(null).cast("string"),
+      col("eventSeqNo"), col("eventID"))
+    assert(out.isStreaming)
   }
 }

@@ -104,6 +104,48 @@ class PipelineFidelitySpec extends SparkSpec {
     assert(row === Array(("Failed", 2)))
   }
 
+  test("BFK key-format migration: pre-md5 legacy state rows match by " +
+      "their prefix, keep attempts, and re-key without duplicate DMQs") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-bfk-mig").toString
+    val statePath = s"$dir/state"
+    // A state table written before the md5 tiebreak: the key is the
+    // md5-stripped prefix of today's format. e-old already failed once.
+    Seq(("S|shard-0", "B|id:7| |n:1", "processOne", "Failed", 1))
+      .toDF("chainKey", "msgId", "task", "state", "attempts")
+      .write.parquet(statePath)
+
+    val batch = Seq(
+      ("e1", "shard-0", "pk1", b64("""{"id":7,"n":1,"v":"alpha"}"""))
+    ).toDF("eventID", "shardId", "partitionKey", "data")
+    val fail: String => Try[Unit] =
+      p => Failure(new RuntimeException(s"boom:$p"))
+
+    // maxAttempts=2 with one LEGACY prior attempt: a correct migration
+    // runs once more (attempts 1 → 2); a broken one resets to 1.
+    val cfg2 = cfg.copy(maxNumberOfAttempts = 2)
+    val r1 = ConsumerPipeline(cfg2, fail, statePath, s"$dir/dlq")(batch, 1L)
+    assert(r1.failed === 1 && r1.replay)
+    val rows = spark.read.parquet(statePath)
+      .filter(col("task") === "processOne")
+      .select("msgId", "state", "attempts").as[(String, String, Int)]
+      .collect()
+    assert(rows.length === 1)
+    val (newKey, st, att) = rows.head
+    assert(st === "Failed" && att === 2)
+    // the row was re-keyed to the md5-suffixed format — one-time migration
+    assert(newKey.startsWith("B|id:7| |n:1|") &&
+      newKey.matches(""".*\|[0-9a-f]{32}$"""))
+
+    // redelivery: at cap ⇒ discarded, exactly ONE DMQ envelope (the
+    // migrated row's discard marker must anti-join future replays too)
+    val r2 = ConsumerPipeline(cfg2, fail, statePath, s"$dir/dlq")(batch, 2L)
+    assert(r2.discarded === 1 && !r2.replay)
+    ConsumerPipeline(cfg2, fail, statePath, s"$dir/dlq")(batch, 3L)
+    assert(spark.read.parquet(s"$dir/dlq")
+      .filter(col("kind") === "DM").count() === 1)
+  }
+
   test("identify-rejected messages route to the DMQ once with their " +
       "real reasonRejected") {
     import spark.implicits._
