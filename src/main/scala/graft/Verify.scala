@@ -37,7 +37,11 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql.filter(o => selected(o._1))
+    // ALWAYS the full oracle map, even when `only` restricts the queries
+    // run: a spot-check pointed at an outDir holding a previous full run
+    // must not truncate its oracle_sql.json and break later full
+    // verifications against that dir.
+    val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

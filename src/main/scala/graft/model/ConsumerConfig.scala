@@ -30,6 +30,13 @@ package graft.model
   *                             in the reference)
   * @param maxNumberOfAttempts  retry budget per task (default 10)
   * @param timeoutAtPercentageOfRemainingTime phase deadline fraction
+  * @param migrateLegacyStateKeys re-key state rows written in the
+  *                             pre-md5-tiebreak `B|id|key|seqNo` format
+  *                             on load (one-time per key). Leave true
+  *                             while any pre-upgrade state table may
+  *                             still hold legacy rows; set false once
+  *                             migration is complete so steady-state
+  *                             batches skip the migration join entirely
   * @param batchStateTableName  state-store table (per-stage suffixing is the
   *                             deployment's concern)
   * @param deadRecordQueueName  DRQ sink name
@@ -46,6 +53,7 @@ final case class ConsumerConfig(
     keyPropertyNames: Seq[String] = Nil,
     seqNoPropertyNames: Seq[String] = Nil,
     strict: Boolean = false,
+    migrateLegacyStateKeys: Boolean = true,
     maxNumberOfAttempts: Int = 10,
     timeoutAtPercentageOfRemainingTime: Double = 0.8,
     batchStateTableName: String = "batch_state",

@@ -150,6 +150,15 @@ object Identify {
         // case (plan-time schema lookup; no job, streaming-safe).
         val seqTruthy =
           df.select(eventSeqNo).schema.head.dataType match {
+            // JS numeric falsiness includes NaN (`NaN ? …` is false), and
+            // Spark's `NaN != 0` is TRUE — so float/double columns need
+            // an explicit isnan guard or a NaN seqNo would slip through
+            // as truthy where the reference yields empty seqNos.
+            // Integral and decimal types cannot hold NaN.
+            case org.apache.spark.sql.types.DoubleType |
+                 org.apache.spark.sql.types.FloatType =>
+              eventSeqNo.isNotNull && !isnan(eventSeqNo) &&
+                eventSeqNo =!= lit(0)
             case _: org.apache.spark.sql.types.NumericType =>
               eventSeqNo.isNotNull && eventSeqNo =!= lit(0)
             case _ =>

@@ -172,34 +172,39 @@ object ConsumerPipeline {
       .withColumn("task", coalesce(col("task"), lit("processOne")))
     // Key-format migration: rows written before the md5 tiebreak carry
     // `B|id|key|seqNo` — the md5-stripped PREFIX of today's keys. Match
-    // legacy rows to this batch's keys by that prefix so in-flight
-    // attempts and already-discarded markers survive the upgrade (the
-    // redelivered payload recomputes the new key; the prefix is the
-    // whole legacy key). Detection is exact: every id/key/seqNo segment
-    // is a `name:value` pipe string, so a legacy key's last segment
-    // always contains a colon and can never look like the 32-hex md5
-    // suffix. Two current messages sharing a legacy prefix each inherit
-    // the one legacy row — exactly the shared-row semantics the old
-    // format had. Rows whose message is not in this batch stay on the
-    // legacy key and migrate whenever it is next redelivered. The
-    // re-keyed rows flow through the upsert below, so migration is
-    // one-time per key. The mapping is one row per B|-keyed message of
-    // the current micro-batch — always broadcastable.
-    val legacyMap = sequenced
-      .filter(col("stateKey").startsWith("B|"))
-      .select(col("stateKey").as("_newKey"),
-        regexp_replace(col("stateKey"), "\\|[0-9a-f]{32}$", "")
-          .as("_legacyKey"))
-      .distinct()
-    val prior = loaded
-      .join(broadcast(legacyMap),
-        loaded("msgId").startsWith("B|") &&
-          !loaded("msgId").rlike("\\|[0-9a-f]{32}$") &&
-          loaded("msgId") === col("_legacyKey"),
-        "left")
-      .withColumn("msgId", coalesce(col("_newKey"), col("msgId")))
-      .drop("_newKey", "_legacyKey")
-      .as[TaskRun]
+    // legacy rows by EQUALITY against this batch's computed legacy keys
+    // so in-flight attempts and already-discarded markers survive the
+    // upgrade (the redelivered payload recomputes the new key; the
+    // prefix is the whole legacy key). Equality is the safe
+    // classification: a regex "does it end in the 32-hex md5 suffix"
+    // test would misread a legacy key whose trailing property VALUE
+    // happens to end in `|` + 32 lowercase hex chars and never migrate
+    // it, whereas a current-format key can never EQUAL the md5-stripped
+    // prefix of a different key without an md5-level collision. Two
+    // current messages sharing a legacy prefix each inherit the one
+    // legacy row — exactly the shared-row semantics the old format had.
+    // Rows whose message is not in this batch stay on the legacy key
+    // and migrate whenever it is next redelivered; the re-keyed rows
+    // flow through the upsert below, so migration is one-time per key.
+    // The mapping is one row per B|-keyed message of the current
+    // micro-batch — always broadcastable — and the join is a plain
+    // broadcast-hash equality probe on the msgId column the state load
+    // scans anyway. Once a deployment knows all legacy rows are gone it
+    // sets `migrateLegacyStateKeys = false` and the join disappears
+    // from the plan entirely.
+    val prior = (if (!cfg.migrateLegacyStateKeys) loaded else {
+      val legacyMap = sequenced
+        .filter(col("stateKey").startsWith("B|"))
+        .select(col("stateKey").as("_newKey"),
+          regexp_replace(col("stateKey"), "\\|[0-9a-f]{32}$", "")
+            .as("_legacyKey"))
+        .distinct()
+      loaded
+        .join(broadcast(legacyMap), loaded("msgId") === col("_legacyKey"),
+          "left")
+        .withColumn("msgId", coalesce(col("_newKey"), col("msgId")))
+        .drop("_newKey", "_legacyKey")
+    }).as[TaskRun]
 
     val registry = tasks
     val maxAttempts = cfg.maxNumberOfAttempts

@@ -171,6 +171,23 @@ class IdentifySpec extends SparkSpec {
       assert(reason ===
         "Sequencing is required, but failed to resolve any seqNos", id)
     }
+
+    // floating-point column: JS number falsiness includes NaN (`NaN ?`
+    // is false) — and Spark's `NaN != 0` is TRUE, so this only holds
+    // with an explicit isnan guard in the truthiness gate
+    val dblDf = Seq(
+      ("e0", Some(100.0), Some(1)),
+      ("e1", Some(Double.NaN), Some(1)), // NaN: falsy in JS
+      ("e2", Some(0.0), Some(1))         // 0.0: falsy
+    ).toDF("eventID", "eventSeqNo", "eventSubSeqNo")
+    val dbl = run(graft.model.ConsumerConfig(), dblDf)
+    assert(dbl(0) === (("e0", 2, "eventSeqNo:100.0|eventSubSeqNo:1",
+      null)))
+    Seq(dbl(1), dbl(2)).foreach { case (id, n, flat, reason) =>
+      assert(n === 0 && flat === null, id)
+      assert(reason ===
+        "Sequencing is required, but failed to resolve any seqNos", id)
+    }
   }
 
   test("Q1 heterogeneity fail-fast: mixed seqNo part names with " +

@@ -146,6 +146,74 @@ class PipelineFidelitySpec extends SparkSpec {
       .filter(col("kind") === "DM").count() === 1)
   }
 
+  test("BFK key-format migration matches by equality: a legacy key whose " +
+      "property value ends in |<32 hex> still migrates") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-bfk-hex").toString
+    val statePath = s"$dir/state"
+    // Adversarial legacy row: the seqNo VALUE itself ends in '|' + 32
+    // lowercase hex chars, so a regex "ends in the md5 suffix"
+    // classification would misread it as current-format and never
+    // migrate it (attempts silently reset). Equality matching against
+    // the batch's computed legacy keys is immune.
+    val hexTail = "a" * 32
+    val legacyKey = s"B|id:7| |n:1|$hexTail"
+    Seq(("S|shard-0", legacyKey, "processOne", "Failed", 1))
+      .toDF("chainKey", "msgId", "task", "state", "attempts")
+      .write.parquet(statePath)
+
+    val batch = Seq(
+      ("e1", "shard-0", "pk1", b64(s"""{"id":7,"n":"1|$hexTail","v":"x"}"""))
+    ).toDF("eventID", "shardId", "partitionKey", "data")
+    val fail: String => Try[Unit] =
+      _ => Failure(new RuntimeException("boom"))
+
+    val cfg2 = cfg.copy(maxNumberOfAttempts = 2)
+    val r1 = ConsumerPipeline(cfg2, fail, statePath, s"$dir/dlq")(batch, 1L)
+    assert(r1.failed === 1)
+    val rows = spark.read.parquet(statePath)
+      .filter(col("task") === "processOne")
+      .select("msgId", "attempts").as[(String, Int)].collect()
+    // one row, attempts carried 1 → 2, re-keyed with a REAL md5 suffix
+    // appended after the hex-tailed legacy key
+    assert(rows.length === 1)
+    assert(rows.head._2 === 2)
+    assert(rows.head._1.startsWith(legacyKey + "|") &&
+      rows.head._1.matches(""".*\|[0-9a-f]{32}$"""))
+  }
+
+  test("migrateLegacyStateKeys=false skips the migration join: legacy " +
+      "rows stay untouched and the batch starts fresh rows") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-bfk-off").toString
+    val statePath = s"$dir/state"
+    Seq(("S|shard-0", "B|id:7| |n:1", "processOne", "Failed", 1))
+      .toDF("chainKey", "msgId", "task", "state", "attempts")
+      .write.parquet(statePath)
+
+    val batch = Seq(
+      ("e1", "shard-0", "pk1", b64("""{"id":7,"n":1,"v":"alpha"}"""))
+    ).toDF("eventID", "shardId", "partitionKey", "data")
+    val fail: String => Try[Unit] =
+      _ => Failure(new RuntimeException("boom"))
+
+    val cfg2 = cfg.copy(maxNumberOfAttempts = 2,
+      migrateLegacyStateKeys = false)
+    val r1 = ConsumerPipeline(cfg2, fail, statePath, s"$dir/dlq")(batch, 1L)
+    assert(r1.failed === 1)
+    // steady-state semantics: no prefix matching ran — the legacy row
+    // survives on its old key at attempts 1 and the message got a FRESH
+    // md5-suffixed row at attempts 1 (two rows total)
+    val rows = spark.read.parquet(statePath)
+      .filter(col("task") === "processOne")
+      .select("msgId", "attempts").as[(String, Int)].collect()
+      .sortBy(_._1.length)
+    assert(rows.length === 2)
+    assert(rows.head === (("B|id:7| |n:1", 1)))
+    assert(rows.last._1.matches("""B\|id:7\| \|n:1\|[0-9a-f]{32}""") &&
+      rows.last._2 === 1)
+  }
+
   test("identify-rejected messages route to the DMQ once with their " +
       "real reasonRejected") {
     import spark.implicits._
