@@ -149,17 +149,29 @@ object Dedup {
     * near-dup graphs is tiny: components are near-cliques (copies of
     * one underlying document pair with each other, not in long chains),
     * so 2–3 rounds close them. The convergence check is a distributed
-    * `count`, not a collect. For adversarial million-node chain graphs
-    * the O(log² n) large-star/small-star contraction (Kiveris et al.,
-    * "Connected Components in MapReduce and Beyond") is the upgrade
-    * path; for dedup workloads label propagation does the same work
-    * with less per-round constant cost.
+    * `count`, not a collect.
     *
-    * @param maxIters hard cap; non-convergence within it throws rather
-    *                 than returning a silently-partial clustering
+    * Chain-shaped graphs (boilerplate sequences that near-dup pairwise
+    * but not transitively) need diameter rounds under propagation, so
+    * after `switchAfter` unconverged rounds the remaining budget goes
+    * to the O(log² n) large-star/small-star contraction (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond"): the edge
+    * set is first CONTRACTED through the propagated labels (the
+    * quotient graph — near-clique components already closed by then
+    * vanish as self-edges), then alternating star rounds shrink any
+    * surviving chain geometrically instead of one hop per round. For
+    * dedup workloads propagation alone converges first and the
+    * fallback never runs.
+    *
+    * @param maxIters total round budget (propagation rounds + star
+    *                 alternations); non-convergence within it throws
+    *                 rather than returning a silently-partial
+    *                 clustering
+    * @param switchAfter propagation rounds to attempt before handing
+    *                 the remaining budget to star contraction
     */
   def connectedComponents(pairs: DataFrame, aCol: Column, bCol: Column,
-      maxIters: Int = 20): DataFrame = {
+      maxIters: Int = 30, switchAfter: Int = 8): DataFrame = {
     // Materialize the pair lineage ONCE before the symmetric union —
     // union(pairs, pairs.reversed) over an un-materialized plan would
     // evaluate the (expensive) pairing lineage twice. No distinct on
@@ -177,7 +189,7 @@ object Dedup {
       .withColumn("canonical", col("id")).localCheckpoint()
     var changed = 1L
     var iters = 0
-    while (changed > 0 && iters < maxIters) {
+    while (changed > 0 && iters < math.min(switchAfter, maxIters)) {
       val nbrMin = sym
         .join(labels.select(col("id").as("dst"),
           col("canonical").as("nbr_canonical")), "dst")
@@ -197,10 +209,93 @@ object Dedup {
       labels = next
       iters += 1
     }
+    if (changed > 0 && iters < maxIters) {
+      // Star-contraction fallback on the QUOTIENT graph: rewrite each
+      // edge through the propagated labels and drop self-edges —
+      // components propagation already closed disappear; what's left
+      // is the (far smaller) graph of still-merging label values.
+      // Labels are always ids of nodes in the same component and the
+      // component min always keeps its own label, so the quotient's
+      // component minima ARE the true minima; composing the star
+      // result back over the label column yields exact canonicals.
+      val la = labels.select(col("id").as("src"),
+        col("canonical").as("_lsrc"))
+      val lb = labels.select(col("id").as("dst"),
+        col("canonical").as("_ldst"))
+      val quotient = sym.join(la, "src").join(lb, "dst")
+        .select(col("_lsrc").as("src"), col("_ldst").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct().localCheckpoint()
+      val starLabels = starContraction(quotient, maxIters - iters)
+        .select(col("id").as("_sid"), col("canonical").as("_scanon"))
+      labels = labels
+        .join(starLabels, labels("canonical") === col("_sid"), "left")
+        .select(col("id"),
+          coalesce(col("_scanon"), col("canonical")).as("canonical"))
+      changed = 0
+    }
     sym.unpersist()
     require(changed == 0,
       s"connectedComponents did not converge in $maxIters rounds")
     labels.select("id", "canonical")
+  }
+
+  /** Alternating large-star/small-star contraction (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond"): each alternation
+    * is two grouped passes over the edge set — large-star points every
+    * neighbor LARGER than the group node at the neighborhood minimum
+    * (halving chain distances), small-star re-points the smaller
+    * neighbors — and the fixed point is a forest of stars centered at
+    * each component's minimum id. Distances shrink geometrically, so
+    * chains converge in O(log² n) alternations where propagation needs
+    * diameter rounds. Returns `(id, canonical)` for every NON-root
+    * node (roots are their own canonical and are simply absent — the
+    * caller coalesces). Throws if the edge set hasn't reached a fixed
+    * point within `maxRounds` alternations. */
+  private def starContraction(edges0: DataFrame,
+      maxRounds: Int): DataFrame = {
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(
+        e.select(col("dst").as("src"), col("src").as("dst")))
+      val mins = sym.groupBy("src").agg(min("dst").as("_mn"))
+        .select(col("src"), least(col("_mn"), col("src")).as("_m"))
+      sym.join(mins, "src")
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("_m").as("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val oriented = e.select(
+          greatest(col("src"), col("dst")).as("src"),
+          least(col("src"), col("dst")).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      val mins = oriented.groupBy("src").agg(min("dst").as("_m"))
+      oriented.join(mins, "src")
+        .select(col("dst").as("src"), col("_m").as("dst"))
+        .union(mins.select(col("src"), col("_m").as("dst")))
+        .filter(col("src") =!= col("dst")).distinct()
+    }
+    var e = edges0
+    var rounds = 0
+    var done = e.isEmpty
+    while (!done && rounds < maxRounds) {
+      // one alternation; localCheckpoint truncates lineage so iterated
+      // plans stay flat (same rationale as the propagation loop)
+      val next = smallStar(largeStar(e)).localCheckpoint(eager = false)
+      // fixed point ⇔ identical distinct edge sets: equal counts plus
+      // an empty one-sided anti-join
+      done = next.count() == e.count() &&
+        next.join(e, Seq("src", "dst"), "left_anti").isEmpty
+      e.unpersist()
+      e = next
+      rounds += 1
+    }
+    require(done,
+      s"connectedComponents star contraction did not converge in " +
+        s"$maxRounds alternations")
+    // the fixed point is a star forest: every non-root points at its
+    // component minimum
+    e.select(col("src").as("id"), col("dst").as("canonical"))
   }
 
   /** n-gram Jaccard near-dup pairs. Candidates share ≥1 surviving

@@ -34,7 +34,8 @@ class ComponentsSpec extends SparkSpec {
   test("non-convergence within maxIters throws instead of returning a " +
       "partial clustering") {
     import spark.implicits._
-    // a 5-hop chain cannot close in 2 rounds
+    // a 5-hop chain cannot close in 2 propagation rounds, and
+    // maxIters=2 leaves the star-contraction fallback zero budget
     val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
       .toDF("id_a", "id_b")
     val ex = intercept[IllegalArgumentException] {
@@ -47,5 +48,22 @@ class ComponentsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(ok.values.toSet === Set(1L))
     assert(ok.keySet === Set(1L, 2L, 3L, 4L, 5L, 6L))
+  }
+
+  test("10k-node path graph converges via the large-star/small-star " +
+      "fallback (diameter ≫ propagation budget)") {
+    import spark.implicits._
+    // A pure chain is the adversarial dup topology: pairwise near-dup
+    // boilerplate that never closes transitively. Diameter 9999 —
+    // label propagation alone would need 9999 rounds; the contraction
+    // fallback must close it geometrically within the default budget.
+    val n = 10000L
+    val chain = spark.range(1L, n)
+      .select(col("id").as("id_a"), (col("id") + 1L).as("id_b"))
+    val out = Dedup.connectedComponents(chain, col("id_a"), col("id_b"))
+      .as[(Long, Long)].collect()
+    assert(out.length === n)
+    assert(out.map(_._2).distinct === Array(1L))
+    assert(out.map(_._1).sorted === (1L to n).toArray)
   }
 }
