@@ -71,13 +71,14 @@ object SparkEntry {
       "decode_json", "decode_base64", "identify_ids", "seq_per_key",
       "seq_per_shard", "seq_heads", "seq_config_perkey", "task_lifecycle",
       "task_multi", "batch_counts", "q1_agg", "q_join_agg",
+      "state_upsert", "windowed_counts",
       // training-data clusters
       "text_stats", "text_winnowing", "salted_counts", "dedup_exact",
       "dedup_simhash", "dedup_simhash_pairs", "dedup_minhash_lsh",
       "dedup_ngram_jaccard", "dedup_components", "train_split",
       "source_cap", "decontaminate",
       "ann_topk_brute", "ann_topk_native", "ann_topk_ivf", "embedding_dups",
-      "multimodal_features")
+      "multimodal_features", "corpus_pipeline")
     names.flatMap(n => queries.get(n).map(n -> _))
   }
 }

@@ -24,4 +24,34 @@ class EntrySpec extends SparkSpec {
       assert(n > 0, s"$name returned no rows")
     }
   }
+
+  test("README count claims match the registry and the test tree " +
+      "(drift fails fast instead of shipping stale docs)") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val readme = new String(Files.readAllBytes(Paths.get("README.md")),
+      "UTF-8")
+    def claim(re: String): Int = re.r.findFirstMatchIn(readme) match {
+      case Some(m) => m.group(1).toInt
+      case None => fail(s"README claim not found: $re")
+    }
+    assert(claim("""`queries` \((\d+)""") === SparkEntry.queries.size,
+      "README query count drifted")
+    assert(claim("""`benchQueries` \((\d+) headline""") ===
+      SparkEntry.benchQueries.size, "README benchQueries count drifted")
+    // suites = *Spec.scala files (minus the SparkSpec base class);
+    // tests = `test("` cases across them — the same numbers `sbt test`
+    // reports, derived from the sources so a new spec updates them
+    val specs = Files.list(Paths.get("src/test/scala/graft")).iterator()
+      .asScala.filter(_.getFileName.toString.endsWith("Spec.scala"))
+      .filterNot(_.getFileName.toString == "SparkSpec.scala").toSeq
+    val tests = specs.map { p =>
+      """(?m)^\s+test\(""".r
+        .findAllIn(new String(Files.readAllBytes(p), "UTF-8")).length
+    }.sum
+    assert(claim("""(\d+) ScalaTest suites""") === specs.size,
+      "README suite count drifted")
+    assert(claim("""suites / (\d+) tests""") === tests,
+      "README test count drifted")
+  }
 }
