@@ -15,6 +15,7 @@ import graft.streaming.{ChainTasksProcessor, MsgState, StreamMsg, TaskDef}
   * variables. */
 class TransformWithStateSpec extends SparkSpec {
   import TransformWithStateSpec._
+  import scala.jdk.CollectionConverters._
 
   test("registry with flaky sub-task resumes from store state across " +
       "triggers (RocksDB transformWithState)") {
@@ -54,6 +55,77 @@ class TransformWithStateSpec extends SparkSpec {
       assert(runs.get("c1|tws flaky") === 2)
     } finally {
       q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
+  test("checkpoint restart: a FRESH query over the SAME checkpoint dir " +
+      "resumes attempts and completed roots (simulated JVM restart)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    runs.clear()
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-tws-restart").toString
+    // t1 always succeeds; c1 fails on its first attempt only — so the
+    // ONLY way trigger 2 can flip m1 to Completed without re-running t1
+    // is by reloading both task states from the checkpoint, exactly the
+    // reference's prior-DynamoDB-state-honored-after-cold-start
+    // contract (kinesis-consumer.test.js:746-847)
+    val registry = Seq(
+      TaskDef("t1", counted("t1", _ => false),
+        Seq(TaskDef("c1", counted("c1", p =>
+          p.contains("flaky") && runs.get("c1|" + p) <= 1)))))
+    val input = MemoryStream[StreamMsg]
+    // the memory sink refuses checkpoint recovery, so collect verdicts
+    // through foreachBatch (recoverable) into a static buffer — the
+    // same sink family ConsumerPipeline itself targets
+    restartOut.clear()
+    def startQuery() =
+      ChainTasksProcessor.streamTasks(input.toDS(), registry,
+          maxAttempts = 2)
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[MsgState],
+            _: Long) =>
+          df.collect().foreach(restartOut.add)
+        }
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .start()
+    try {
+      val q1 = startQuery()
+      input.addData(StreamMsg("c0", "m1", 1, "restart flaky"))
+      q1.processAllAvailable()
+      assert(restartOut.asScala
+        .map(s => s.msgId -> s.state).toMap ===
+        Map("m1" -> TaskStatus.Failed))
+      // cold stop — the in-memory operator state dies with the query;
+      // only the checkpoint (offsets + RocksDB snapshots) survives
+      q1.stop()
+      q1.awaitTermination()
+
+      val q2 = startQuery()
+      try {
+        input.addData(StreamMsg("c0", "m1", 1, "restart flaky"))
+        q2.processAllAvailable()
+        val out = restartOut.asScala.toSeq
+        val fin = out.filter(s => s.msgId == "m1" &&
+          s.state == TaskStatus.Completed)
+        assert(fin.nonEmpty, s"no Completed verdict after restart: " +
+          out.mkString(", "))
+        // attempts CONTINUED from the pre-restart store (1 → 2), and
+        // the completed root was resumed, not re-executed
+        assert(fin.map(_.attempts).max === 2)
+        assert(runs.get("t1|restart flaky") === 1)
+        assert(runs.get("c1|restart flaky") === 2)
+      } finally q2.stop()
+    } finally {
       prev match {
         case Some(v) => spark.conf.set(key, v)
         case None => spark.conf.unset(key)
@@ -119,6 +191,11 @@ object TransformWithStateSpec {
   // static counters: task closures serialize per task (see
   // MultiTaskStreamingSpec)
   val runs = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  // verdicts collected by the restart test's foreachBatch sink — static
+  // so the closure survives serialization AND query restarts
+  val restartOut =
+    new java.util.concurrent.ConcurrentLinkedQueue[MsgState]()
 
   def counted(name: String, bad: String => Boolean): String => Try[Unit] =
     p => {
