@@ -7,11 +7,15 @@ import org.apache.spark.sql.functions._
   * payloads with typed metadata, batched decode / feature-extraction
   * over `mapPartitions`, and frame sampling as pure column ops.
   *
-  * The DECODE STEP IS A STUB: real pipelines call image/audio codecs
-  * (not available in this environment), so [[decodeStub]] derives
-  * deterministic features from the raw bytes instead. Everything around
-  * it — schemas, the partition-batched execution shape, feature output
-  * types — is the real plumbing a codec would drop into.
+  * The decode step is a REAL pure-JVM container parse — BMP headers
+  * (width / height / channels) and WAV RIFF chunks (sample rate /
+  * channels / duration) — over fixture bytes synthesized by
+  * [[makeBmp]]/[[makeWav]] (this sandbox ships no media files or codec
+  * libraries, so the fixtures stand in for upstream media; the parse
+  * itself is byte-level and format-faithful). A production deployment
+  * swaps the parse body for a full codec (JPEG, FLAC, …) — the
+  * schemas, the partition-batched execution shape, and the
+  * fixed-shape feature output are exactly what that codec drops into.
   *
   * Scale design: decode is per-row CPU work with heavyweight per-batch
   * setup (codec contexts). `mapPartitions` + `grouped(batchSize)` gives
@@ -26,25 +30,69 @@ object Multimodal {
   final case class MediaRecord(id: Long, media_type: String,
       payload: Array[Byte])
 
-  /** Fixed-shape decoded features (what a real codec would emit:
-    * dimensions, duration, channel stats, …). */
+  /** Fixed-shape parsed features. Container-specific fields are null
+    * for the other container (width/height: BMP; sample_rate /
+    * duration_ms: WAV; channels: both — BMP bits-per-pixel / 8, WAV
+    * channel count). An unrecognized container yields all-null parsed
+    * fields — the caller's dead-letter decision, not the decoder's. */
   final case class MediaFeatures(id: Long, media_type: String,
-      n_bytes: Int, first_byte: Int, last_byte: Int, byte_sum: Long,
-      mean_byte: Double)
+      n_bytes: Int, width: Option[Int], height: Option[Int],
+      channels: Option[Int], sample_rate: Option[Int],
+      duration_ms: Option[Double])
 
-  /** STUB decode — deterministic byte statistics standing in for a real
-    * image/audio decode. Replace the body with the codec call; the
-    * signature and batching contract stay. */
-  def decodeStub(r: MediaRecord): MediaFeatures = {
-    val bytes = r.payload
-    var sum = 0L
-    var i = 0
-    while (i < bytes.length) { sum += bytes(i) & 0xFF; i += 1 }
-    MediaFeatures(r.id, r.media_type, bytes.length,
-      if (bytes.nonEmpty) bytes(0) & 0xFF else -1,
-      if (bytes.nonEmpty) bytes(bytes.length - 1) & 0xFF else -1,
-      sum,
-      if (bytes.nonEmpty) sum.toDouble / bytes.length else 0.0)
+  // ---- little-endian readers (BMP and RIFF are both LE) ----
+  private def u16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+  private def u32(b: Array[Byte], o: Int): Long =
+    (b(o) & 0xFF).toLong | ((b(o + 1) & 0xFF).toLong << 8) |
+      ((b(o + 2) & 0xFF).toLong << 16) | ((b(o + 3) & 0xFF).toLong << 24)
+
+  /** Real header parse: BMP (BITMAPINFOHEADER) or WAV (RIFF/WAVE fmt +
+    * data chunks). Byte-level and allocation-free — the per-row hot
+    * path a 100 TB decode stage actually runs. */
+  def decode(r: MediaRecord): MediaFeatures = {
+    val b = r.payload
+    if (b.length >= 54 && b(0) == 'B'.toByte && b(1) == 'M'.toByte) {
+      // BMP: DIB header at 14; width/height at 18/22 (signed, but the
+      // fixtures never emit negatives), bits-per-pixel at 28
+      val width = u32(b, 18).toInt
+      val height = u32(b, 22).toInt
+      val bpp = u16(b, 28)
+      MediaFeatures(r.id, r.media_type, b.length, Some(width),
+        Some(height), Some(bpp / 8), None, None)
+    } else if (b.length >= 44 && b(0) == 'R'.toByte && b(1) == 'I'.toByte
+        && b(2) == 'F'.toByte && b(3) == 'F'.toByte
+        && b(8) == 'W'.toByte && b(9) == 'A'.toByte
+        && b(10) == 'V'.toByte && b(11) == 'E'.toByte) {
+      // WAV: walk RIFF chunks for fmt (channels, sample rate, bits) and
+      // data (payload size) — chunk order is NOT fixed by the spec
+      var o = 12
+      var channels = 0; var sampleRate = 0; var bits = 0
+      var dataSize = -1L
+      while (o + 8 <= b.length && (dataSize < 0 || sampleRate == 0)) {
+        val size = u32(b, o + 4)
+        if (b(o) == 'f'.toByte && b(o + 1) == 'm'.toByte &&
+            b(o + 2) == 't'.toByte && b(o + 3) == ' '.toByte) {
+          channels = u16(b, o + 10)
+          sampleRate = u32(b, o + 12).toInt
+          bits = u16(b, o + 22)
+        } else if (b(o) == 'd'.toByte && b(o + 1) == 'a'.toByte &&
+            b(o + 2) == 't'.toByte && b(o + 3) == 'a'.toByte) {
+          dataSize = size
+        }
+        o += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+      }
+      val byteRate = sampleRate.toLong * channels * (bits / 8)
+      val durationMs =
+        if (dataSize >= 0 && byteRate > 0)
+          Some(dataSize * 1000.0 / byteRate)
+        else None
+      MediaFeatures(r.id, r.media_type, b.length, None, None,
+        if (channels > 0) Some(channels) else None,
+        if (sampleRate > 0) Some(sampleRate) else None, durationMs)
+    } else
+      MediaFeatures(r.id, r.media_type, b.length, None, None, None,
+        None, None)
   }
 
   /** Partition-batched decode: one decoder context per `batchSize`
@@ -55,9 +103,64 @@ object Multimodal {
     media.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         // real pipeline: open codec context once per batch here
-        batch.iterator.map(decodeStub)
+        batch.iterator.map(decode)
       }
     }
+  }
+
+  /** Synthesize a valid 24bpp BMP (54-byte header + 4-byte-aligned
+    * rows, zero pixels) — the sandbox's stand-in for upstream image
+    * bytes. The parse path treats its output as opaque. */
+  def makeBmp(width: Int, height: Int): Array[Byte] = {
+    require(width > 0 && height > 0, "BMP dims must be positive")
+    val rowSize = ((width * 3 + 3) / 4) * 4
+    val dataSize = rowSize * height
+    val out = new Array[Byte](54 + dataSize)
+    def w16(o: Int, v: Int): Unit = {
+      out(o) = v.toByte; out(o + 1) = (v >> 8).toByte
+    }
+    def w32(o: Int, v: Int): Unit = {
+      out(o) = v.toByte; out(o + 1) = (v >> 8).toByte
+      out(o + 2) = (v >> 16).toByte; out(o + 3) = (v >> 24).toByte
+    }
+    out(0) = 'B'.toByte; out(1) = 'M'.toByte
+    w32(2, out.length) // file size
+    w32(10, 54)        // pixel-array offset
+    w32(14, 40)        // BITMAPINFOHEADER size
+    w32(18, width); w32(22, height)
+    w16(26, 1)         // planes
+    w16(28, 24)        // bits per pixel
+    w32(34, dataSize)  // image size
+    out
+  }
+
+  /** Synthesize a valid 16-bit PCM WAV (44-byte RIFF header + zero
+    * samples); `dataBytes` is truncated to the block-align boundary as
+    * any real encoder would. */
+  def makeWav(sampleRate: Int, channels: Int, dataBytes: Int): Array[Byte] = {
+    require(sampleRate > 0 && channels > 0, "WAV params must be positive")
+    val blockAlign = channels * 2
+    val dataSize = math.max(0, dataBytes - dataBytes % blockAlign)
+    val out = new Array[Byte](44 + dataSize)
+    def w16(o: Int, v: Int): Unit = {
+      out(o) = v.toByte; out(o + 1) = (v >> 8).toByte
+    }
+    def w32(o: Int, v: Int): Unit = {
+      out(o) = v.toByte; out(o + 1) = (v >> 8).toByte
+      out(o + 2) = (v >> 16).toByte; out(o + 3) = (v >> 24).toByte
+    }
+    def tag(o: Int, s: String): Unit =
+      s.getBytes("US-ASCII").zipWithIndex.foreach { case (c, i) =>
+        out(o + i) = c
+      }
+    tag(0, "RIFF"); w32(4, 36 + dataSize); tag(8, "WAVE")
+    tag(12, "fmt "); w32(16, 16)
+    w16(20, 1) // PCM
+    w16(22, channels); w32(24, sampleRate)
+    w32(28, sampleRate * blockAlign) // byte rate
+    w16(32, blockAlign); w16(34, 16) // bits per sample
+    tag(36, "data"); w32(40, dataSize)
+    out
   }
 
   /** Frame sampling as a pure column op: fixed-size frames from the

@@ -5,11 +5,14 @@ import org.apache.spark.sql.functions._
 import graft.operators.Multimodal
 import graft.sources.Tables
 
-/** Multimodal plumbing queries: document text re-encoded as the opaque
-  * binary payload (the texts are ASCII, so the byte-level oracle can be
-  * derived in SQL), pushed through the REAL decode path —
-  * `Dataset[MediaRecord]` → partition-batched `mapPartitions` decode →
-  * typed feature rows. Only the codec call inside the stub is fake. */
+/** Multimodal plumbing queries: deterministic BMP/WAV containers
+  * synthesized per document (dims/rates derived from `doc_id`, audio
+  * payload size from the text length — the sandbox ships no media
+  * files), pushed through the REAL decode path — `Dataset[MediaRecord]`
+  * → partition-batched `mapPartitions` decode → byte-level header
+  * parse → typed feature rows. The oracle re-derives the parsed
+  * features from the same doc_id/length formulas, so the synth→parse
+  * roundtrip is what's actually checked. */
 object MultimodalQueries {
 
   val all: Map[String, Q] = Map(
@@ -18,11 +21,18 @@ object MultimodalQueries {
     "multimodal_features" -> { (s, dir) =>
       import s.implicits._
       val media = Tables.documents(s, dir)
-        .select(col("doc_id").as("id"),
-          element_at(array(lit("image"), lit("audio"), lit("video")),
-            pmod(col("doc_id"), lit(3)).cast("int") + 1).as("media_type"),
-          encode(col("text"), "UTF-8").as("payload"))
-        .as[Multimodal.MediaRecord]
+        .select(col("doc_id").cast("long").as("id"),
+          length(col("text")).as("tlen"))
+        .as[(Long, Int)]
+        .map { case (id, tlen) =>
+          if (id % 2 == 0)
+            Multimodal.MediaRecord(id, "image",
+              Multimodal.makeBmp((id % 16 + 1).toInt, (id % 8 + 1).toInt))
+          else
+            Multimodal.MediaRecord(id, "audio",
+              Multimodal.makeWav((8000 + (id % 4) * 4000).toInt,
+                (((id - 1) / 2) % 2 + 1).toInt, tlen))
+        }
       Multimodal.decodeFeatures(media, batchSize = 64)
         .toDF()
         .orderBy("id")
@@ -41,21 +51,30 @@ object MultimodalQueries {
 
   val oracle: Map[String, String] = Map(
     "multimodal_features" ->
-      """WITH b AS (
-        |  SELECT doc_id AS id,
-        |    ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1]
-        |      AS media_type,
-        |    text, length(text) AS n,
-        |    list_sum(list_transform(range(1, length(text) + 1),
-        |      i -> ascii(substr(text, CAST(i AS INT), 1)))) AS byte_sum
+      """WITH f AS (
+        |  SELECT doc_id AS id, length(text) AS tlen,
+        |    CAST(doc_id % 16 + 1 AS INT) AS w,
+        |    CAST(doc_id % 8 + 1 AS INT) AS h,
+        |    CAST(8000 + (doc_id % 4) * 4000 AS INT) AS sr,
+        |    CAST(((doc_id - 1) // 2) % 2 + 1 AS INT) AS ch
         |  FROM documents
         |)
-        |SELECT id, media_type, CAST(n AS INT) AS n_bytes,
-        |  ascii(substr(text, 1, 1)) AS first_byte,
-        |  ascii(substr(text, CAST(n AS INT), 1)) AS last_byte,
-        |  CAST(byte_sum AS BIGINT) AS byte_sum,
-        |  CAST(byte_sum AS DOUBLE) / n AS mean_byte
-        |FROM b ORDER BY id""".stripMargin,
+        |SELECT id,
+        |  CASE WHEN id % 2 = 0 THEN 'image' ELSE 'audio' END
+        |    AS media_type,
+        |  CASE WHEN id % 2 = 0
+        |    THEN CAST(54 + ((w * 3 + 3) // 4) * 4 * h AS INT)
+        |    ELSE CAST(44 + tlen - tlen % (ch * 2) AS INT)
+        |  END AS n_bytes,
+        |  CASE WHEN id % 2 = 0 THEN w END AS width,
+        |  CASE WHEN id % 2 = 0 THEN h END AS height,
+        |  CASE WHEN id % 2 = 0 THEN 3 ELSE ch END AS channels,
+        |  CASE WHEN id % 2 = 1 THEN sr END AS sample_rate,
+        |  CASE WHEN id % 2 = 1
+        |    THEN CAST(tlen - tlen % (ch * 2) AS DOUBLE) * 1000.0
+        |      / (sr * ch * 2)
+        |  END AS duration_ms
+        |FROM f ORDER BY id""".stripMargin,
     "multimodal_frames" ->
       """WITH f AS (
         |  SELECT doc_id, text,

@@ -1,0 +1,83 @@
+package graft
+
+import graft.operators.Multimodal
+import graft.operators.Multimodal.{MediaFeatures, MediaRecord}
+
+/** Pins the real container parse behind the multimodal decode path:
+  * BMP header fields (with 4-byte row padding), WAV RIFF chunk
+  * walking (out-of-order and odd-sized chunks included), block-align
+  * truncation, duration math, and the all-null unknown-container
+  * contract. */
+class MultimodalSpec extends SparkSpec {
+
+  test("BMP roundtrip: width/height/channels parse back, rows pad to " +
+      "4 bytes") {
+    // width 5 ⇒ raw row 15 bytes ⇒ padded row 16: the file size proves
+    // the parse reads the real container, not the synth inputs
+    val bmp = Multimodal.makeBmp(5, 3)
+    assert(bmp.length === 54 + 16 * 3)
+    val f = Multimodal.decode(MediaRecord(1L, "image", bmp))
+    assert(f === MediaFeatures(1L, "image", 54 + 48, Some(5), Some(3),
+      Some(3), None, None))
+  }
+
+  test("WAV roundtrip: sample rate, channels, block-align truncation, " +
+      "duration") {
+    // 1001 data bytes at stereo 16-bit truncate to 1000 (block align 4)
+    val wav = Multimodal.makeWav(8000, 2, 1001)
+    assert(wav.length === 44 + 1000)
+    val f = Multimodal.decode(MediaRecord(2L, "audio", wav))
+    assert(f.channels === Some(2) && f.sample_rate === Some(8000))
+    // 1000 bytes / (8000 Hz * 2 ch * 2 B) = 31.25 ms
+    assert(f.duration_ms === Some(1000 * 1000.0 / 32000))
+    assert(f.n_bytes === 1044)
+  }
+
+  test("WAV chunk walk: an odd-sized LIST chunk before fmt is skipped " +
+      "with word alignment") {
+    val base = Multimodal.makeWav(16000, 1, 64)
+    // splice an odd-sized (3-byte ⇒ 1 pad byte) LIST chunk between the
+    // RIFF header and the fmt chunk — legal RIFF, and exactly what
+    // real encoders emit (metadata chunks in arbitrary positions)
+    val list = Array[Byte]('L', 'I', 'S', 'T', 3, 0, 0, 0,
+      'x', 'y', 'z', 0)
+    val spliced = base.slice(0, 12) ++ list ++ base.drop(12)
+    val f = Multimodal.decode(MediaRecord(3L, "audio", spliced))
+    assert(f.channels === Some(1) && f.sample_rate === Some(16000))
+    assert(f.duration_ms === Some(64 * 1000.0 / 32000))
+  }
+
+  test("unknown container yields all-null parsed fields, never a " +
+      "misparse") {
+    val junk = Array.tabulate[Byte](100)(i => (i * 7).toByte)
+    val f = Multimodal.decode(MediaRecord(4L, "video", junk))
+    assert(f === MediaFeatures(4L, "video", 100, None, None, None,
+      None, None))
+    // too-short payloads (below either header size) are unknown too
+    val short = Multimodal.decode(MediaRecord(5L, "image",
+      Array[Byte]('B', 'M', 0)))
+    assert(short.width === None && short.n_bytes === 3)
+  }
+
+  test("decodeFeatures keeps the partition-batched shape over a " +
+      "Dataset of mixed containers") {
+    import spark.implicits._
+    val media = spark.range(0, 100).map { i =>
+      if (i % 2 == 0)
+        MediaRecord(i, "image", Multimodal.makeBmp((i % 9 + 1).toInt, 4))
+      else MediaRecord(i, "audio", Multimodal.makeWav(8000, 1, 200))
+    }
+    val out = Multimodal.decodeFeatures(media, batchSize = 8)
+      .collect().sortBy(_.id)
+    assert(out.length === 100)
+    out.foreach { f =>
+      if (f.id % 2 == 0)
+        assert(f.width === Some((f.id % 9 + 1).toInt) &&
+          f.height === Some(4) && f.sample_rate === None)
+      else
+        assert(f.sample_rate === Some(8000) &&
+          f.duration_ms === Some(200 * 1000.0 / 16000) &&
+          f.width === None)
+    }
+  }
+}
