@@ -90,17 +90,74 @@ object Similarity {
       .drop("_vnorm", "_qnorm")
   }
 
-  /** Embedding-cosine near-duplicate pairs within a bucket: one
-    * shuffle on the bucket column, pair cost ∝ Σ bucket², never N². */
+  /** Embedding-cosine near-duplicate pairs within a bucket, with the
+    * bucket refined by `probeDims` chord-bound projection grids.
+    *
+    * A coarse bucket column alone (class label, cluster id) has FIXED
+    * cardinality, so its per-bucket population grows linearly with the
+    * corpus and the in-bucket pair expansion quadratically — measured
+    * 12.8× time at 10× rows in the r9 scale run. The refinement is
+    * EXACT, not probabilistic: a pair with cosine ≥ t has normalized
+    * chord ‖â−b̂‖ ≤ √(2−2t), so its projections onto any UNIT vector
+    * differ by at most that width — quantized to grid cells of exactly
+    * that width, the two cells differ by at most 1 per projection.
+    * Joining home cells against ±1-probed cells therefore cannot miss
+    * a qualifying pair; the final codegen'd cosine filter is
+    * unchanged, so the result set is identical to the unrefined join.
+    *
+    * Scale knob: each projection multiplies candidate-cutting cell
+    * count (data-spread / √(2−2t) cells per dim) and costs a 3× probe
+    * duplication of the (id, cells, vec) probe side — pick `probeDims`
+    * so expected cell occupancy stays O(constant) as the corpus grows.
+    * Projections are deterministic Walsh ±1 sign patterns (unit after
+    * /√d), computed per ROW in O(d) next to the O(d) norm — never per
+    * pair. */
   def cosineDupPairs(df: DataFrame, idCol: Column, vecCol: Column,
-      bucketCol: String, threshold: Double): DataFrame = {
-    val withNorm = df.withColumn("_norm", norm(vecCol))
-    val a = withNorm.select(col(bucketCol), idCol.as("id_a"),
-      vecCol.as("vec_a"), col("_norm").as("_norm_a"))
-    val b = withNorm.select(col(bucketCol), idCol.as("id_b"),
-      vecCol.as("vec_b"), col("_norm").as("_norm_b"))
-    a.join(b, bucketCol)
-      .filter(col("id_a") < col("id_b"))
+      bucketCol: String, threshold: Double,
+      probeDims: Int = 2): DataFrame = {
+    require(threshold > -1.0 && threshold < 1.0,
+      "threshold must be in (-1, 1)")
+    val cellW = math.sqrt(2.0 - 2.0 * threshold)
+    val base = df.select(col(bucketCol).as("_bk"), idCol.as("_id"),
+        vecCol.as("_vec"))
+      .withColumn("_norm", norm(col("_vec")))
+    // Walsh pattern k: sign flips every 2^k elements; unit projection
+    // value = Σ ±x_i / (√d · ‖x‖), cell = ⌊proj / cellW⌋
+    val withCells = (0 until probeDims).foldLeft(base) { (acc, k) =>
+      val signed = aggregate(
+        zip_with(col("_vec"),
+          sequence(lit(0), size(col("_vec")) - 1),
+          (x, i) => when(pmod(shiftright(i, k), lit(2)) === 0, x)
+            .otherwise(-x)),
+        lit(0.0), (a, x) => a + x)
+      acc.withColumn(s"_c$k",
+        floor(signed / (sqrt(size(col("_vec")).cast("double")) *
+          col("_norm") * lit(cellW))))
+    }
+    // probe side duplicates each row into the 3^probeDims neighboring
+    // cell combinations; emitting a pair only when the PROBE id is the
+    // smaller one both dedups (exactly one of the two directions
+    // satisfies the order) and keeps coverage (offsets are symmetric)
+    val offsets = Seq.fill(probeDims)(Seq(-1, 0, 1))
+      .foldLeft(Seq(Seq.empty[Int]))((acc, s) =>
+        for (c <- acc; x <- s) yield c :+ x)
+    val offArr = array(offsets.map(o =>
+      struct(o.zipWithIndex.map { case (v, i) => lit(v).as(s"o$i") }: _*)
+    ): _*)
+    val aCols = Seq(col("_bk"), col("_id").as("id_a"),
+      col("_vec").as("vec_a"), col("_norm").as("_norm_a")) ++
+      (0 until probeDims).map(k =>
+        (col(s"_c$k") + col(s"_off").getField(s"o$k")).as(s"_ca$k"))
+    val a = withCells.withColumn("_off", explode(offArr)).select(aCols: _*)
+    val bCols = Seq(col("_bk").as("_bkb"), col("_id").as("id_b"),
+      col("_vec").as("vec_b"), col("_norm").as("_norm_b")) ++
+      (0 until probeDims).map(k => col(s"_c$k").as(s"_cb$k"))
+    val b = withCells.select(bCols: _*)
+    val joinCond = (0 until probeDims)
+      .map(k => col(s"_ca$k") === col(s"_cb$k"))
+      .foldLeft(col("_bk") === col("_bkb") &&
+        col("id_a") < col("id_b"))(_ && _)
+    a.join(b, joinCond)
       .withColumn("cosine",
         dot(col("vec_a"), col("vec_b")) / (col("_norm_a") * col("_norm_b")))
       .filter(col("cosine") >= threshold)
