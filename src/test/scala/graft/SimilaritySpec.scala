@@ -1,0 +1,88 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity}
+
+/** Property pins for the two operators with non-obvious exactness
+  * arguments: the chord-bound grid refinement in
+  * [[Similarity.cosineDupPairs]] (must return the IDENTICAL pair set
+  * as an unrefined bucket join — the grid may only prune pairs that
+  * cannot qualify) and the large-star/small-star fallback in
+  * [[Dedup.connectedComponents]] (must produce the same components as
+  * pure propagation on arbitrary random graphs, not just paths). */
+class SimilaritySpec extends SparkSpec {
+
+  test("cosineDupPairs grid refinement returns exactly the naive " +
+      "bucket-join pair set on random vectors (seeded)") {
+    import spark.implicits._
+    val rnd = new Random(42)
+    val dim = 16
+    // clustered vectors: points near one of 30 seeded directions, so a
+    // healthy mix of qualifying and non-qualifying in-bucket pairs
+    // exists at the 0.95 threshold; 4 labels ensure multi-bucket
+    val centers = Array.fill(30)(Array.fill(dim)(rnd.nextGaussian()))
+    val rows = (0 until 600).map { i =>
+      val c = centers(rnd.nextInt(centers.length))
+      val noise = if (rnd.nextBoolean()) 0.02 else 0.6
+      val v = c.map(x => (x + noise * rnd.nextGaussian()).toFloat)
+      (i.toLong, v, i % 4)
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    def naive = {
+      val withNorm = df.withColumn("_norm",
+        Similarity.norm(col("embedding")))
+      val a = withNorm.select(col("label"), col("vec_id").as("id_a"),
+        col("embedding").as("vec_a"), col("_norm").as("_norm_a"))
+      val b = withNorm.select(col("label"), col("vec_id").as("id_b"),
+        col("embedding").as("vec_b"), col("_norm").as("_norm_b"))
+      a.join(b, "label").filter(col("id_a") < col("id_b"))
+        .withColumn("cosine", Similarity.dot(col("vec_a"), col("vec_b")) /
+          (col("_norm_a") * col("_norm_b")))
+        .filter(col("cosine") >= 0.95)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    }
+    val refined = (1 to 3).map { p =>
+      Similarity.cosineDupPairs(df, col("vec_id"), col("embedding"),
+          "label", threshold = 0.95, probeDims = p)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    }
+    val expected = naive
+    assert(expected.nonEmpty, "degenerate fixture: no qualifying pairs")
+    refined.zipWithIndex.foreach { case (got, i) =>
+      assert(got === expected, s"probeDims=${i + 1} diverged")
+    }
+  }
+
+  test("star-contraction fallback produces identical components to " +
+      "pure propagation on random graphs (seeded)") {
+    import spark.implicits._
+    val rnd = new Random(7)
+    // sparse random graph: mixed topology — some chains, some bushy
+    // components, some isolated pairs
+    val edges = (0 until 800).map { _ =>
+      val a = rnd.nextInt(500).toLong
+      val d = 1 + rnd.nextInt(6)
+      (a, math.min(499L, a + d))
+    }.filter(e => e._1 != e._2).distinct
+    val pairs = edges.toDF("id_a", "id_b")
+    // propagation-only: generous budget, never reaches the fallback
+    val byProp = Dedup.connectedComponents(pairs, col("id_a"),
+        col("id_b"), maxIters = 200, switchAfter = 200)
+      .as[(Long, Long)].collect().toMap
+    // fallback-heavy: propagation capped at 1 round, contraction does
+    // the real work
+    val byStar = Dedup.connectedComponents(pairs, col("id_a"),
+        col("id_b"), maxIters = 40, switchAfter = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(byProp === byStar)
+    assert(byProp.nonEmpty)
+    // canonical really is the component minimum: no member maps to a
+    // larger id than itself maps through
+    byProp.foreach { case (id, canon) =>
+      assert(canon <= id && byProp(canon) === canon)
+    }
+  }
+}
