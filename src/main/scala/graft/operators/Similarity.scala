@@ -72,6 +72,96 @@ object Similarity {
       .drop("_vnorm", "_qnorm")
   }
 
+  /** Train an IVF coarse quantizer: Lloyd's k-means over the vector
+    * column, returning the centroid matrix (collected — a coarse
+    * quantizer is k ≲ thousands of d-dim rows, always driver-sized).
+    *
+    * Determinism: initialization is farthest-point — the md5-smallest
+    * vector seeds first, then each next seed is the vector with the
+    * LOWEST max-cosine to the chosen set (md5 tiebreak) — content-
+    * derived and partitioning-independent, and unlike naive md5-order
+    * seeding it cannot plant two seeds in one tight cluster and starve
+    * another (k driver-paced scans of the training pool, fine for
+    * coarse k). Training then runs a FIXED `iters` Lloyd rounds — no
+    * RNG, no convergence-dependent round count. Per-round cost is one
+    * scan:
+    * assign (broadcast centroid literals, argmax cosine) + a
+    * `posexplode`→`groupBy(cell, pos)` partial-agg mean — k·d groups,
+    * never a shuffle of the vectors themselves. Empty cells retain
+    * their previous centroid. Centroid means sum doubles in partition
+    * order, so trailing bits may differ across cluster layouts — pin
+    * results with tolerances, not hashes.
+    *
+    * @param sampleFraction train on a deterministic md5-bucketed
+    *   sample (coarse quantizers don't need every row; at 100 TB you
+    *   train on ~10⁻⁴ of the corpus and assign everything) */
+  def trainCentroids(df: DataFrame, vecCol: Column, k: Int,
+      iters: Int = 5, sampleFraction: Double = 1.0): Array[Array[Float]] = {
+    require(k > 0 && iters >= 0)
+    val pool =
+      if (sampleFraction >= 1.0) df.select(vecCol.as("_v"))
+      else df.select(vecCol.as("_v"))
+        .filter(conv(substring(md5(to_json(struct(vecCol))), 1, 4), 16, 10)
+          .cast("long") < (sampleFraction * 65536).toLong)
+    val hashed = pool
+      .withColumn("_h", md5(to_json(struct(col("_v")))))
+      .withColumn("_n", norm(col("_v")))
+      .cache()
+    val first = hashed.orderBy("_h").limit(1)
+      .collect().map(_.getSeq[Float](0).toArray)
+    require(first.nonEmpty, "no vectors to train on")
+    var centroids = first
+    while (centroids.length < k) {
+      val maxCos = centroids.map { cArr =>
+        val n = math.sqrt(cArr.foldLeft(0.0)((a, x) => a + x.toDouble * x))
+        dot(col("_v"), array(cArr.toSeq.map(x => lit(x)): _*)) /
+          (col("_n") * lit(if (n == 0) 1.0 else n))
+      }.reduce((a, b) => greatest(a, b))
+      val next = hashed.orderBy(maxCos.asc, col("_h").asc).limit(1)
+        .collect().map(_.getSeq[Float](0).toArray)
+      centroids = centroids ++ next
+    }
+    for (_ <- 1 to iters) {
+      val stats = hashed
+        .select(assignCells(col("_v"), centroids).as("_cell"),
+          posexplode(col("_v")).as(Seq("_pos", "_x")))
+        .groupBy("_cell", "_pos")
+        .agg(sum(col("_x").cast("double")).as("_s"),
+          count(lit(1)).as("_n"))
+        .collect()
+      val byCell = stats.groupBy(_.getInt(0))
+      centroids = centroids.zipWithIndex.map { case (prev, c) =>
+        byCell.get(c) match {
+          case Some(rows) =>
+            val out = prev.clone()
+            rows.foreach(r =>
+              out(r.getInt(1)) = (r.getDouble(2) / r.getLong(3)).toFloat)
+            out
+          case None => prev
+        }
+      }
+    }
+    hashed.unpersist()
+    centroids
+  }
+
+  /** Nearest-centroid cell id by cosine (norm of the input vector is a
+    * common factor of the argmax and cancels; centroid norms fold to
+    * plan-time constants). Ties break to the SMALLEST cell id. The
+    * centroids become k codegen'd [[FloatVecDot]] terms in one
+    * projection — right for coarse k (≲ a few hundred); a
+    * million-centroid fine quantizer would switch to a broadcast
+    * matrix in `mapPartitions` instead. */
+  def assignCells(vec: Column, centroids: Seq[Array[Float]]): Column = {
+    val scored = centroids.zipWithIndex.map { case (cArr, i) =>
+      val n = math.sqrt(cArr.foldLeft(0.0)((a, x) => a + x.toDouble * x))
+      val cLit = array(cArr.toSeq.map(x => lit(x)): _*)
+      struct((dot(vec, cLit) / lit(if (n == 0) 1.0 else n)).as("s"),
+        lit(-i).as("ni"))
+    }
+    (-array_max(array(scored: _*)).getField("ni")).cast("int")
+  }
+
   /** IVF-style probed top-k: vectors and queries carry a coarse cell id
     * (cluster/IVF cell); only same-cell vectors are scored. On a
     * cell-partitioned table the scan prunes to the probed cells. */

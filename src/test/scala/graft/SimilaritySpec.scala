@@ -56,6 +56,70 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF quantizer: trainCentroids recovers well-separated cluster " +
+      "means, assignCells routes to the nearest, probe recall is exact") {
+    import spark.implicits._
+    val rnd = new Random(11)
+    val dim = 8
+    // four orthogonal-direction clusters, tight noise: the true coarse
+    // structure a quantizer must find
+    val centers = (0 until 4).map { c =>
+      Array.tabulate(dim)(i => if (i == 2 * c) 1.0f else 0.0f)
+    }
+    val rows = (0 until 800).map { i =>
+      val c = i % 4
+      val v = centers(c).map(x => x + 0.05f * rnd.nextGaussian().toFloat)
+      (i.toLong, v, c)
+    }
+    val df = rows.toDF("vec_id", "embedding", "true_c")
+
+    val cents = Similarity.trainCentroids(df, col("embedding"), k = 4,
+      iters = 5)
+    assert(cents.length === 4)
+    // every true center is ~recovered by exactly one trained centroid
+    // (cosine > 0.99 to it), i.e. no two clusters merged
+    val matched = centers.map { tc =>
+      val n = math.sqrt(tc.map(x => x * x.toDouble).sum)
+      cents.indexWhere { cc =>
+        val cn = math.sqrt(cc.map(x => x * x.toDouble).sum)
+        val d = tc.zip(cc).map { case (a, b) => a.toDouble * b }.sum
+        d / (n * cn) > 0.99
+      }
+    }
+    assert(matched.forall(_ >= 0) && matched.distinct.length === 4)
+
+    // assignment agrees with a scala-side nearest-centroid argmax
+    val assigned = df.select(col("vec_id"), col("true_c"),
+        Similarity.assignCells(col("embedding"), cents).as("cell"))
+      .as[(Long, Int, Int)].collect()
+    val cellsByTrue = assigned.groupBy(_._2)
+      .map { case (t, xs) => t -> xs.map(_._3).distinct }
+    // tight clusters ⇒ each true cluster maps onto ONE trained cell
+    assert(cellsByTrue.values.forall(_.length === 1))
+    assert(cellsByTrue.values.flatten.toSeq.distinct.length === 4)
+
+    // end-to-end: probe only the query's trained cell; top-10 matches
+    // brute force exactly (in-cluster neighbors dominate at this
+    // separation, so pruning the other cells loses nothing)
+    val cellCol = Similarity.assignCells(col("embedding"), cents)
+    val indexed = df.withColumn("cell", cellCol)
+    val queries = indexed.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+        col("cell"))
+    val ivf = Similarity.ivfTopK(indexed, col("vec_id"), col("embedding"),
+        "cell", queries, col("query_id"), col("qvec"), k = 10)
+      .select(col("query_id"), col("vec_id"), col("rank"))
+      .as[(Long, Long, Int)].collect().toSet
+    val brute = Similarity.bruteForceTopK(df, col("vec_id"),
+        col("embedding"),
+        df.filter(col("vec_id") < 4).select(col("vec_id").as("query_id"),
+          col("embedding").as("qvec")),
+        col("query_id"), col("qvec"), k = 10)
+      .select(col("query_id"), col("vec_id"), col("rank"))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(ivf === brute)
+  }
+
   test("star-contraction fallback produces identical components to " +
       "pure propagation on random graphs (seeded)") {
     import spark.implicits._
