@@ -162,9 +162,32 @@ object Similarity {
     (-array_max(array(scored: _*)).getField("ni")).cast("int")
   }
 
+  /** The `nprobe` nearest centroid cells by cosine, best first (ties
+    * to the smaller cell id) — the multi-probe companion to
+    * [[assignCells]]: a query near a cell boundary must search its
+    * runner-up cells or it misses true neighbors that quantized across
+    * the line. Returns `array<int>`; explode it onto the query side of
+    * [[ivfTopK]] (each corpus vector lives in exactly one cell, so
+    * multi-probing cannot duplicate a (query, vector) pair). */
+  def probeCells(vec: Column, centroids: Seq[Array[Float]],
+      nprobe: Int): Column = {
+    require(nprobe >= 1 && nprobe <= centroids.length)
+    val scored = centroids.zipWithIndex.map { case (cArr, i) =>
+      val n = math.sqrt(cArr.foldLeft(0.0)((a, x) => a + x.toDouble * x))
+      val cLit = array(cArr.toSeq.map(x => lit(x)): _*)
+      struct((dot(vec, cLit) / lit(if (n == 0) 1.0 else n)).as("s"),
+        lit(-i).as("ni"))
+    }
+    transform(
+      slice(sort_array(array(scored: _*), asc = false), 1, nprobe),
+      c => (-c.getField("ni")).cast("int"))
+  }
+
   /** IVF-style probed top-k: vectors and queries carry a coarse cell id
     * (cluster/IVF cell); only same-cell vectors are scored. On a
-    * cell-partitioned table the scan prunes to the probed cells. */
+    * cell-partitioned table the scan prunes to the probed cells. For
+    * multi-probe, pre-explode [[probeCells]] into the query side's
+    * `cellCol` — Q×nprobe probe rows, each still a pruned cell scan. */
   def ivfTopK(vectors: DataFrame, idCol: Column, vecCol: Column,
       cellCol: String, queries: DataFrame, queryIdCol: Column,
       queryVecCol: Column, k: Int): DataFrame = {

@@ -120,6 +120,46 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf === brute)
   }
 
+  test("multi-probe IVF: boundary queries recover the neighbors that " +
+      "nprobe=1 quantizes away") {
+    import spark.implicits._
+    val rnd = new Random(23)
+    val dim = 8
+    val centers = (0 until 4).map { c =>
+      Array.tabulate(dim)(i => if (i == 2 * c) 1.0f else 0.0f)
+    }
+    val corpus = (0 until 800).map { i =>
+      val c = i % 4
+      (i.toLong, centers(c).map(x => x + 0.05f * rnd.nextGaussian().toFloat))
+    }
+    val df = corpus.toDF("vec_id", "embedding")
+    val cents = Similarity.trainCentroids(df, col("embedding"), k = 4,
+      iters = 5)
+    val indexed = df.withColumn("cell",
+      Similarity.assignCells(col("embedding"), cents))
+    // a query BETWEEN clusters 0 and 1 (equal cosine to both): its true
+    // top-10 straddles the cell boundary
+    val qvec = Array.tabulate(dim)(i =>
+      if (i == 0 || i == 2) 0.7071f else 0.0f)
+    val qDf = Seq((9999L, qvec)).toDF("query_id", "qvec")
+    val brute = Similarity.bruteForceTopK(df, col("vec_id"),
+        col("embedding"), qDf, col("query_id"), col("qvec"), k = 10)
+      .select("vec_id").as[Long].collect().toSet
+    def probed(nprobe: Int) = {
+      val probes = qDf.select(col("query_id"), col("qvec"),
+        explode(Similarity.probeCells(col("qvec"), cents, nprobe))
+          .as("cell"))
+      Similarity.ivfTopK(indexed, col("vec_id"), col("embedding"),
+          "cell", probes, col("query_id"), col("qvec"), k = 10)
+        .select("vec_id").as[Long].collect().toSet
+    }
+    // nprobe=1 sees only one side of the boundary; nprobe=2 is exact
+    val one = probed(1)
+    assert((brute -- one).nonEmpty,
+      "fixture not on a boundary: nprobe=1 already exact")
+    assert(probed(2) === brute)
+  }
+
   test("star-contraction fallback produces identical components to " +
       "pure propagation on random graphs (seeded)") {
     import spark.implicits._
