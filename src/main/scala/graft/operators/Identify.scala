@@ -165,7 +165,21 @@ object Identify {
               val s = eventSeqNo.cast("string")
               s.isNotNull && s =!= ""
           }
-        val sub = eventSubSeqNo.isNotNull && eventSubSeqNo =!= lit(0)
+        // the sub-seqNo gate mirrors the same type-aware JS truthiness
+        // (`eventSubSeqNo ?`): NaN is falsy for float/double columns,
+        // string "0" is truthy, numeric 0 is falsy
+        val sub =
+          df.select(eventSubSeqNo).schema.head.dataType match {
+            case org.apache.spark.sql.types.DoubleType |
+                 org.apache.spark.sql.types.FloatType =>
+              eventSubSeqNo.isNotNull && !isnan(eventSubSeqNo) &&
+                eventSubSeqNo =!= lit(0)
+            case _: org.apache.spark.sql.types.NumericType =>
+              eventSubSeqNo.isNotNull && eventSubSeqNo =!= lit(0)
+            case _ =>
+              val s = eventSubSeqNo.cast("string")
+              s.isNotNull && s =!= ""
+          }
         val pairs = when(!seqTruthy,
             array().cast("array<struct<name:string,value:string>>"))
           .when(sub, array(

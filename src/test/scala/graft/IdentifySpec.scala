@@ -188,6 +188,27 @@ class IdentifySpec extends SparkSpec {
       assert(reason ===
         "Sequencing is required, but failed to resolve any seqNos", id)
     }
+
+    // the SUB-seqNo gate is type-aware too: NaN sub is falsy (single-
+    // part tuple, message still usable), string "0" sub is truthy
+    val subDbl = Seq(
+      ("e0", "100", Some(1.0)),
+      ("e1", "100", Some(Double.NaN)), // NaN sub ⇒ single-part
+      ("e2", "100", Some(0.0))         // 0.0 sub ⇒ single-part
+    ).toDF("eventID", "eventSeqNo", "eventSubSeqNo")
+    val sd = run(graft.model.ConsumerConfig(), subDbl)
+    assert(sd(0) === (("e0", 2, "eventSeqNo:100|eventSubSeqNo:1.0", null)))
+    assert(sd(1) === (("e1", 1, "eventSeqNo:100", null)))
+    assert(sd(2) === (("e2", 1, "eventSeqNo:100", null)))
+    val subStr = Seq(
+      ("e0", "100", Some("0")), // string "0": truthy in JS ⇒ two-part
+      ("e1", "100", Some("")),  // empty string: falsy ⇒ single-part
+      ("e2", "100", None)
+    ).toDF("eventID", "eventSeqNo", "eventSubSeqNo")
+    val ss = run(graft.model.ConsumerConfig(), subStr)
+    assert(ss(0) === (("e0", 2, "eventSeqNo:100|eventSubSeqNo:0", null)))
+    assert(ss(1) === (("e1", 1, "eventSeqNo:100", null)))
+    assert(ss(2) === (("e2", 1, "eventSeqNo:100", null)))
   }
 
   test("Q1 heterogeneity fail-fast: mixed seqNo part names with " +
