@@ -112,11 +112,9 @@ object Similarity {
     require(first.nonEmpty, "no vectors to train on")
     var centroids = first
     while (centroids.length < k) {
-      val maxCos = centroids.map { cArr =>
-        val n = math.sqrt(cArr.foldLeft(0.0)((a, x) => a + x.toDouble * x))
-        dot(col("_v"), array(cArr.toSeq.map(x => lit(x)): _*)) /
-          (col("_n") * lit(if (n == 0) 1.0 else n))
-      }.reduce((a, b) => greatest(a, b))
+      val maxCos = array_max(array(
+        centroidScores(col("_v"), centroids): _*)).getField("s") /
+        col("_n")
       val next = hashed.orderBy(maxCos.asc, col("_h").asc).limit(1)
         .collect().map(_.getSeq[Float](0).toArray)
       centroids = centroids ++ next
@@ -152,15 +150,22 @@ object Similarity {
     * projection — right for coarse k (≲ a few hundred); a
     * million-centroid fine quantizer would switch to a broadcast
     * matrix in `mapPartitions` instead. */
-  def assignCells(vec: Column, centroids: Seq[Array[Float]]): Column = {
-    val scored = centroids.zipWithIndex.map { case (cArr, i) =>
+  /** One `(cosine·‖vec‖, -idx)` struct per centroid — ‖vec‖ is a
+    * common positive factor of every comparison, so argmax/ordering
+    * over these equals argmax over true cosines; `-idx` makes
+    * lexicographic max break ties to the SMALLEST cell id. */
+  private def centroidScores(vec: Column,
+      centroids: Seq[Array[Float]]): Seq[Column] =
+    centroids.zipWithIndex.map { case (cArr, i) =>
       val n = math.sqrt(cArr.foldLeft(0.0)((a, x) => a + x.toDouble * x))
       val cLit = array(cArr.toSeq.map(x => lit(x)): _*)
       struct((dot(vec, cLit) / lit(if (n == 0) 1.0 else n)).as("s"),
         lit(-i).as("ni"))
     }
-    (-array_max(array(scored: _*)).getField("ni")).cast("int")
-  }
+
+  def assignCells(vec: Column, centroids: Seq[Array[Float]]): Column =
+    (-array_max(array(centroidScores(vec, centroids): _*))
+      .getField("ni")).cast("int")
 
   /** The `nprobe` nearest centroid cells by cosine, best first (ties
     * to the smaller cell id) — the multi-probe companion to
@@ -172,14 +177,9 @@ object Similarity {
   def probeCells(vec: Column, centroids: Seq[Array[Float]],
       nprobe: Int): Column = {
     require(nprobe >= 1 && nprobe <= centroids.length)
-    val scored = centroids.zipWithIndex.map { case (cArr, i) =>
-      val n = math.sqrt(cArr.foldLeft(0.0)((a, x) => a + x.toDouble * x))
-      val cLit = array(cArr.toSeq.map(x => lit(x)): _*)
-      struct((dot(vec, cLit) / lit(if (n == 0) 1.0 else n)).as("s"),
-        lit(-i).as("ni"))
-    }
     transform(
-      slice(sort_array(array(scored: _*), asc = false), 1, nprobe),
+      slice(sort_array(array(centroidScores(vec, centroids): _*),
+        asc = false), 1, nprobe),
       c => (-c.getField("ni")).cast("int"))
   }
 
