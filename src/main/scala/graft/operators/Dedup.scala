@@ -279,13 +279,19 @@ object Dedup {
     var rounds = 0
     var done = e.isEmpty
     while (!done && rounds < maxRounds) {
-      // one alternation; localCheckpoint truncates lineage so iterated
-      // plans stay flat (same rationale as the propagation loop)
-      val next = smallStar(largeStar(e)).localCheckpoint(eager = false)
+      // one alternation; BOTH passes checkpoint lazily — smallStar
+      // references its input three times (orientation, mins, join), so
+      // an untruncated largeStar sub-plan would re-evaluate its
+      // shuffles per reference; lazy checkpoints materialize each pass
+      // once when the convergence count below runs (same rationale as
+      // the propagation loop)
+      val ls = largeStar(e).localCheckpoint(eager = false)
+      val next = smallStar(ls).localCheckpoint(eager = false)
       // fixed point ⇔ identical distinct edge sets: equal counts plus
       // an empty one-sided anti-join
       done = next.count() == e.count() &&
         next.join(e, Seq("src", "dst"), "left_anti").isEmpty
+      ls.unpersist()
       e.unpersist()
       e = next
       rounds += 1
