@@ -109,8 +109,11 @@ object Multimodal {
   }
 
   /** Synthesize a valid 24bpp BMP (54-byte header + 4-byte-aligned
-    * rows, zero pixels) — the sandbox's stand-in for upstream image
-    * bytes. The parse path treats its output as opaque. */
+    * rows) — the sandbox's stand-in for upstream image bytes. Pixels
+    * are a deterministic gradient (channel c of pixel (x,y) =
+    * `(x*7 + y*31 + c*101) mod 256`) so pixel-reading operators
+    * ([[resizeBmp]]) have real content to verify against. The parse
+    * path treats the output as opaque. */
   def makeBmp(width: Int, height: Int): Array[Byte] = {
     require(width > 0 && height > 0, "BMP dims must be positive")
     val rowSize = ((width * 3 + 3) / 4) * 4
@@ -131,6 +134,53 @@ object Multimodal {
     w16(26, 1)         // planes
     w16(28, 24)        // bits per pixel
     w32(34, dataSize)  // image size
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val o = 54 + y * rowSize + x * 3
+        out(o) = ((x * 7 + y * 31) & 0xFF).toByte
+        out(o + 1) = ((x * 7 + y * 31 + 101) & 0xFF).toByte
+        out(o + 2) = ((x * 7 + y * 31 + 202) & 0xFF).toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Nearest-neighbor resize of a 24bpp BMP payload — the pixel-level
+    * transform of the multimodal tier (a production deployment swaps
+    * the NN kernel for its codec's resampler; the parse → transform →
+    * re-encode shape is the real plumbing). Pure byte walk, one output
+    * allocation; returns null for payloads that are not 24bpp BMPs
+    * (the caller's dead-letter decision, mirroring [[decode]]). */
+  def resizeBmp(raw: Array[Byte], targetW: Int, targetH: Int): Array[Byte] = {
+    require(targetW > 0 && targetH > 0, "target dims must be positive")
+    if (raw == null || raw.length < 54 || raw(0) != 'B'.toByte ||
+        raw(1) != 'M'.toByte || u16(raw, 28) != 24) return null
+    val w = u32(raw, 18).toInt
+    val h = u32(raw, 22).toInt
+    val srcOff = u32(raw, 10).toInt
+    val srcRow = ((w * 3 + 3) / 4) * 4
+    if (w <= 0 || h <= 0 || srcOff + srcRow.toLong * h > raw.length)
+      return null
+    val out = makeBmp(targetW, targetH)
+    val dstRow = ((targetW * 3 + 3) / 4) * 4
+    var ty = 0
+    while (ty < targetH) {
+      val sy = (ty.toLong * h / targetH).toInt
+      var tx = 0
+      while (tx < targetW) {
+        val sx = (tx.toLong * w / targetW).toInt
+        val so = srcOff + sy * srcRow + sx * 3
+        val to = 54 + ty * dstRow + tx * 3
+        out(to) = raw(so); out(to + 1) = raw(so + 1)
+        out(to + 2) = raw(so + 2)
+        tx += 1
+      }
+      ty += 1
+    }
     out
   }
 

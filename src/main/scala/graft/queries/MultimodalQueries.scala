@@ -38,6 +38,33 @@ object MultimodalQueries {
         .orderBy("id")
     },
 
+    // Pixel-level resize: parse dims → nearest-neighbor downsample to
+    // half → re-encode → re-parse. The oracle re-derives the resized
+    // header facts from the synthesis formulas, so what's checked is
+    // the full parse→transform→encode→parse roundtrip; pixel-value
+    // correctness is pinned byte-for-byte in MultimodalSpec.
+    "multimodal_resize" -> { (s, dir) =>
+      import s.implicits._
+      val media = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long").as("id"))
+        .as[Long]
+        .map { id =>
+          Multimodal.MediaRecord(id, "image",
+            Multimodal.makeBmp((id % 16 + 1).toInt, (id % 8 + 1).toInt))
+        }
+      val resized = media.map { r =>
+        val f = Multimodal.decode(r)
+        Multimodal.MediaRecord(r.id, r.media_type,
+          Multimodal.resizeBmp(r.payload,
+            math.max(1, f.width.get / 2), math.max(1, f.height.get / 2)))
+      }
+      Multimodal.decodeFeatures(resized, batchSize = 64)
+        .toDF()
+        .select("id", "media_type", "n_bytes", "width", "height",
+          "channels")
+        .orderBy("id")
+    },
+
     // Frame sampling before decode: 16-byte frames, every 4th kept.
     "multimodal_frames" -> { (s, dir) =>
       val frames = Multimodal.sampleFrames(col("text"), frameBytes = 16,
@@ -75,6 +102,21 @@ object MultimodalQueries {
         |      / (sr * ch * 2)
         |  END AS duration_ms
         |FROM f ORDER BY id""".stripMargin,
+    "multimodal_resize" ->
+      """WITH f AS (
+        |  SELECT doc_id AS id,
+        |    CAST(doc_id % 16 + 1 AS INT) AS w,
+        |    CAST(doc_id % 8 + 1 AS INT) AS h
+        |  FROM documents
+        |), r AS (
+        |  SELECT id, GREATEST(w // 2, 1) AS rw, GREATEST(h // 2, 1) AS rh
+        |  FROM f
+        |)
+        |SELECT id, 'image' AS media_type,
+        |  CAST(54 + ((rw * 3 + 3) // 4) * 4 * rh AS INT) AS n_bytes,
+        |  CAST(rw AS INT) AS width, CAST(rh AS INT) AS height,
+        |  CAST(3 AS INT) AS channels
+        |FROM r ORDER BY id""".stripMargin,
     "multimodal_frames" ->
       """WITH f AS (
         |  SELECT doc_id, text,

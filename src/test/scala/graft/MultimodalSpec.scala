@@ -47,6 +47,42 @@ class MultimodalSpec extends SparkSpec {
     assert(f.duration_ms === Some(64 * 1000.0 / 32000))
   }
 
+  test("resizeBmp: nearest-neighbor picks the exact source pixels, " +
+      "handles padding, upsizes, and rejects non-BMP input") {
+    // 4×4 → 2×2: NN samples source pixels (0,0),(2,0),(0,2),(2,2);
+    // makeBmp's gradient (channel c of (x,y) = x*7+y*31+c*101 mod 256)
+    // makes every byte predictable
+    val resized = Multimodal.resizeBmp(Multimodal.makeBmp(4, 4), 2, 2)
+    val f = Multimodal.decode(MediaRecord(1L, "image", resized))
+    assert(f.width === Some(2) && f.height === Some(2) &&
+      f.channels === Some(3))
+    val dstRow = ((2 * 3 + 3) / 4) * 4 // width 2 ⇒ 6 raw ⇒ 8 padded
+    for (ty <- 0 until 2; tx <- 0 until 2; c <- 0 until 3) {
+      val got = resized(54 + ty * dstRow + tx * 3 + c) & 0xFF
+      val expected = (2 * tx * 7 + 2 * ty * 31 + c * 101) & 0xFF
+      assert(got === expected, s"pixel ($tx,$ty) channel $c")
+    }
+
+    // width 3 source has padded rows (9 raw ⇒ 12); resize must stride
+    // by the PADDED row size or row 1+ pixels shear
+    val shear = Multimodal.resizeBmp(Multimodal.makeBmp(3, 4), 1, 2)
+    // target (0,1) ⇐ source (0,2): channel 0 = 2*31 = 62
+    assert((shear(54 + ((1 * 3 + 3) / 4) * 4) & 0xFF) === 62)
+
+    // NN upsizing works too (2×2 → 4×4 repeats each source pixel)
+    val up = Multimodal.resizeBmp(Multimodal.makeBmp(2, 2), 4, 4)
+    val uf = Multimodal.decode(MediaRecord(2L, "image", up))
+    assert(uf.width === Some(4) && uf.height === Some(4))
+    val upRow = ((4 * 3 + 3) / 4) * 4
+    // target (1,1) ⇐ source (0,0) ⇒ channel 0 value 0
+    assert((up(54 + upRow + 3) & 0xFF) === 0)
+
+    // WAV and junk payloads are not resizable images
+    assert(Multimodal.resizeBmp(Multimodal.makeWav(8000, 1, 64), 2, 2)
+      == null)
+    assert(Multimodal.resizeBmp(Array[Byte](1, 2, 3), 2, 2) == null)
+  }
+
   test("unknown container yields all-null parsed fields, never a " +
       "misparse") {
     val junk = Array.tabulate[Byte](100)(i => (i * 7).toByte)
