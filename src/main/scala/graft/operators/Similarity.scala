@@ -235,17 +235,21 @@ object Similarity {
         vecCol.as("_vec"))
       .withColumn("_norm", norm(col("_vec")))
     // Walsh pattern k: sign flips every 2^k elements; unit projection
-    // value = Σ ±x_i / (√d · ‖x‖), cell = ⌊proj / cellW⌋
+    // value = Σ ±x_i / (√d · ‖x‖), cell = ⌊proj / cellW⌋. The sign
+    // vector is row-independent, so probe the (shared) dimension once
+    // at plan time and fold it to a CONSTANT ±1 array — the signed sum
+    // is then one codegen'd FloatVecDot instead of an interpreted
+    // per-element lambda chain (cosine requires equal dims anyway; a
+    // genuinely streaming input would need the HOF form, but streaming
+    // near-dup pairing goes through StreamingDedup, not here).
+    val dimRow = df.select(size(vecCol)).limit(1).collect()
+    val dim = if (dimRow.isEmpty) 1 else dimRow.head.getInt(0)
     val withCells = (0 until probeDims).foldLeft(base) { (acc, k) =>
-      val signed = aggregate(
-        zip_with(col("_vec"),
-          sequence(lit(0), size(col("_vec")) - 1),
-          (x, i) => when(pmod(shiftright(i, k), lit(2)) === 0, x)
-            .otherwise(-x)),
-        lit(0.0), (a, x) => a + x)
+      val signs = array((0 until dim).map(i =>
+        lit(if (((i >> k) & 1) == 0) 1.0f else -1.0f)): _*)
       acc.withColumn(s"_c$k",
-        floor(signed / (sqrt(size(col("_vec")).cast("double")) *
-          col("_norm") * lit(cellW))))
+        floor(dot(col("_vec"), signs) /
+          (lit(math.sqrt(dim.toDouble)) * col("_norm") * lit(cellW))))
     }
     // probe side duplicates each row into the 3^probeDims neighboring
     // cell combinations; emitting a pair only when the PROBE id is the
