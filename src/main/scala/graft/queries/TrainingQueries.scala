@@ -116,6 +116,23 @@ object TrainingQueries {
         .orderBy("id")
     },
 
+    // The full near-dup collapse a training pipeline actually ships:
+    // pair → cluster → keep one survivor per component (the min-id
+    // canonical) plus every unpaired doc. The components output is
+    // ∝ duplicates, so the anti-join's right side is small and
+    // broadcastable at any corpus size where dups are the minority.
+    "dedup_survivors" -> { (s, dir) =>
+      val docs = withCopies(s, dir)
+      val pairs = Dedup.simhashPairs(docs, col("doc_id"), col("text"),
+        maxHamming = 3)
+      val comp = Dedup.connectedComponents(pairs, col("id_a"), col("id_b"))
+      val dropped = comp.filter(col("id") =!= col("canonical"))
+        .select(col("id").as("doc_id"))
+      docs.select("doc_id")
+        .join(broadcast(dropped), Seq("doc_id"), "left_anti")
+        .orderBy("doc_id")
+    },
+
     // Deterministic train/val/test split: a seeded md5 bucket per doc,
     // compared against fixed hex thresholds (0xcc/256 ≈ 80%, 0xe6/256 ≈
     // 90%) — pure per-row projection, no shuffle, reproducible across
@@ -296,6 +313,41 @@ object TrainingQueries {
     s"SELECT doc_id, $b AS band, h${2 * b} || '|' || h${2 * b + 1} AS band_key FROM sig"
   }.mkString("\n  UNION ALL ")
 
+  /** Shared prefix of the components/survivors oracles: SimHash band
+    * pairs symmetrized, then the recursive-CTE transitive closure
+    * (`reach`). DuckDB accepts non-recursive CTEs appended after the
+    * recursive one, so both oracles extend this with their final
+    * SELECT. */
+  private val componentsReachCte =
+    s"""WITH RECURSIVE $allDocsCte,
+      |t AS (SELECT doc_id, $toksExpr AS toks FROM all_docs),
+      |v AS (SELECT doc_id, $simhashValsExpr AS vals FROM t),
+      |bb AS (SELECT doc_id, $simhashBitsExpr AS bits FROM v),
+      |s AS (
+      |  SELECT doc_id, $simhashSigExpr AS simhash,
+      |    ${simhashBandExpr(0)} AS b0, ${simhashBandExpr(1)} AS b1,
+      |    ${simhashBandExpr(2)} AS b2, ${simhashBandExpr(3)} AS b3
+      |  FROM bb
+      |), bands AS (
+      |  SELECT doc_id, simhash, 0 AS band, b0 AS band_val FROM s
+      |  UNION ALL SELECT doc_id, simhash, 1, b1 FROM s
+      |  UNION ALL SELECT doc_id, simhash, 2, b2 FROM s
+      |  UNION ALL SELECT doc_id, simhash, 3, b3 FROM s
+      |), pr AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+      |  FROM bands a JOIN bands c
+      |    ON a.band = c.band AND a.band_val = c.band_val
+      |    AND a.doc_id < c.doc_id
+      |  WHERE bit_count(xor(a.simhash, c.simhash)) <= 3
+      |), sym AS (
+      |  SELECT id_a AS src, id_b AS dst FROM pr
+      |  UNION SELECT id_b, id_a FROM pr
+      |), reach(node, lbl) AS (
+      |  SELECT src, src FROM sym
+      |  UNION
+      |  SELECT s2.dst, r.lbl FROM reach r JOIN sym s2 ON s2.src = r.node
+      |)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "text_stats" ->
       s"""WITH d AS (
@@ -372,36 +424,18 @@ object TrainingQueries {
         |WHERE bit_count(xor(a.simhash, c.simhash)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
     "dedup_components" ->
-      s"""WITH RECURSIVE $allDocsCte,
-        |t AS (SELECT doc_id, $toksExpr AS toks FROM all_docs),
-        |v AS (SELECT doc_id, $simhashValsExpr AS vals FROM t),
-        |bb AS (SELECT doc_id, $simhashBitsExpr AS bits FROM v),
-        |s AS (
-        |  SELECT doc_id, $simhashSigExpr AS simhash,
-        |    ${simhashBandExpr(0)} AS b0, ${simhashBandExpr(1)} AS b1,
-        |    ${simhashBandExpr(2)} AS b2, ${simhashBandExpr(3)} AS b3
-        |  FROM bb
-        |), bands AS (
-        |  SELECT doc_id, simhash, 0 AS band, b0 AS band_val FROM s
-        |  UNION ALL SELECT doc_id, simhash, 1, b1 FROM s
-        |  UNION ALL SELECT doc_id, simhash, 2, b2 FROM s
-        |  UNION ALL SELECT doc_id, simhash, 3, b3 FROM s
-        |), pr AS (
-        |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
-        |  FROM bands a JOIN bands c
-        |    ON a.band = c.band AND a.band_val = c.band_val
-        |    AND a.doc_id < c.doc_id
-        |  WHERE bit_count(xor(a.simhash, c.simhash)) <= 3
-        |), sym AS (
-        |  SELECT id_a AS src, id_b AS dst FROM pr
-        |  UNION SELECT id_b, id_a FROM pr
-        |), reach(node, lbl) AS (
-        |  SELECT src, src FROM sym
-        |  UNION
-        |  SELECT s2.dst, r.lbl FROM reach r JOIN sym s2 ON s2.src = r.node
-        |)
+      s"""$componentsReachCte
         |SELECT node AS id, MIN(lbl) AS canonical
         |FROM reach GROUP BY node ORDER BY id""".stripMargin,
+    "dedup_survivors" ->
+      s"""$componentsReachCte,
+        |comp AS (
+        |  SELECT node AS id, MIN(lbl) AS canonical
+        |  FROM reach GROUP BY node
+        |)
+        |SELECT doc_id FROM all_docs
+        |WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> canonical)
+        |ORDER BY doc_id""".stripMargin,
     "train_split" ->
       """SELECT doc_id, source,
         |  substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2)
