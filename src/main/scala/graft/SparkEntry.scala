@@ -75,7 +75,8 @@ object SparkEntry {
       // training-data clusters
       "text_stats", "text_winnowing", "salted_counts", "dedup_exact",
       "dedup_simhash", "dedup_simhash_pairs", "dedup_minhash_lsh",
-      "dedup_ngram_jaccard", "dedup_components", "train_split",
+      "dedup_ngram_jaccard", "dedup_components", "dedup_survivors",
+      "train_split",
       "source_cap", "decontaminate",
       "ann_topk_brute", "ann_topk_native", "ann_topk_ivf", "embedding_dups",
       "multimodal_features", "corpus_pipeline")
