@@ -53,14 +53,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ConsumerQueries.all ++ BatchQueries.all ++ TrainingQueries.all ++
-      SimilarityQueries.all ++ MultimodalQueries.all
+      SimilarityQueries.all ++ MultimodalQueries.all ++ TemporalQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ConsumerQueries.oracle ++ BatchQueries.oracle ++
       TrainingQueries.oracle ++ SimilarityQueries.oracle ++
-      MultimodalQueries.oracle
+      MultimodalQueries.oracle ++ TemporalQueries.oracle
 
   /** Headline subset for Bench: representative of each operator cluster,
     * in a fixed order (a full run of every registered query would bench
@@ -72,14 +72,18 @@ object SparkEntry {
       "seq_per_shard", "seq_heads", "seq_config_perkey", "task_lifecycle",
       "task_multi", "batch_counts", "q1_agg", "q_join_agg",
       "state_upsert", "windowed_counts",
+      // temporal cluster
+      "asof_join", "sessionize",
       // training-data clusters
-      "text_stats", "text_winnowing", "salted_counts", "dedup_exact",
+      "text_stats", "text_repetition", "text_redact", "text_winnowing",
+      "salted_counts",
+      "dedup_exact",
       "dedup_simhash", "dedup_simhash_pairs", "dedup_minhash_lsh",
       "dedup_ngram_jaccard", "dedup_components", "dedup_survivors",
       "train_split",
       "source_cap", "decontaminate",
       "ann_topk_brute", "ann_topk_native", "ann_topk_ivf", "embedding_dups",
-      "multimodal_features", "corpus_pipeline")
+      "multimodal_features", "corpus_pipeline", "corpus_quantiles")
     names.flatMap(n => queries.get(n).map(n -> _))
   }
 }

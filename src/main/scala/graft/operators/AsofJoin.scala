@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward as-of join: for every left row, attach the latest right row
+  * whose time is at-or-before the left row's time, per join key — the
+  * "state at event time" lookup (prices at trade time, last config at
+  * request time, last purchase at click time) that a plain equi-join
+  * cannot express and an inequality join expresses only as a quadratic
+  * per-key expansion + argmax.
+  *
+  * Spark has no native as-of join, so this composes one from primitives
+  * Catalyst already optimizes, with NO join at all:
+  *
+  *   1. tag both inputs and union them (left rows carry their payload,
+  *      right rows carry theirs; each side's missing columns are typed
+  *      nulls),
+  *   2. one hash shuffle on the key + one sort on (time, side) per
+  *      partition — the same cost as the shuffle half of a sort-merge
+  *      join,
+  *   3. a running `last(right_payload, ignoreNulls)` window fills each
+  *      left row with the most recent right payload seen at-or-before
+  *      it; right rows sort BEFORE left rows at equal times, so the
+  *      at-or-before match is inclusive exactly like the `>=` in
+  *      DuckDB/kdb ASOF semantics,
+  *   4. keep the left rows.
+  *
+  * At 100 TB this is ONE exchange of left+right combined and a
+  * per-partition sort — strictly cheaper than the union-of-two-sorts a
+  * sort-merge join would do, and there is no per-key quadratic term at
+  * all: a key with L lefts and R rights costs (L+R)·log(L+R) in the
+  * sort, not L·R. Skew caveat: a single pathological key serializes
+  * into one task's sort (documented trade-off; range-partitioning
+  * within key on time is the escape hatch, same as for any window).
+  *
+  * The right payload travels as ONE struct column so the window needs a
+  * single `last` regardless of payload width, and `ignoreNulls` cannot
+  * be fooled by a genuinely-null right ATTRIBUTE (the struct itself is
+  * non-null for every right row).
+  *
+  * Null semantics match SQL ASOF: null-keyed or null-timed right rows
+  * match nobody (filtered before the union); null-keyed left rows
+  * survive with a null match (their partition holds no right rows);
+  * null-timed left rows sort first and match nothing.
+  *
+  * `tolerance` (same unit as the time columns) bounds the lookback:
+  * a match older than `leftTime - tolerance` is discarded — pandas
+  * `merge_asof(tolerance=...)` semantics, applied AFTER the window so
+  * the plan shape is unchanged.
+  */
+object AsofJoin {
+
+  /** @param left      driving rows; all its columns pass through
+    * @param right     lookup rows
+    * @param leftKey   join key column on `left`
+    * @param rightKey  join key column on `right`
+    * @param leftTime  event-time column on `left` (any orderable type;
+    *                  must be comparable with `rightTime`)
+    * @param rightTime event-time column on `right`
+    * @param payload   (outputName, column-on-right) pairs attached to
+    *                  each left row from its matched right row; all
+    *                  null when no right row is at-or-before
+    * @param matchedTimeCol when set, also emit the matched right row's
+    *                  time under this name (null on no-match)
+    * @param tolerance max lookback distance as a Column-compatible
+    *                  literal; matches with rightTime < leftTime - tol
+    *                  are dropped
+    */
+  def backward(
+      left: DataFrame, right: DataFrame,
+      leftKey: Column, rightKey: Column,
+      leftTime: Column, rightTime: Column,
+      payload: Seq[(String, Column)],
+      matchedTimeCol: Option[String] = None,
+      tolerance: Option[Column] = None): DataFrame = {
+    require(payload.nonEmpty, "as-of join needs at least one payload column")
+    val leftCols = left.columns.toSeq
+    require(!leftCols.exists(_.startsWith("_asof_")),
+      "left columns may not start with the reserved prefix _asof_")
+
+    // Right side: key/time + the payload struct (matched time rides
+    // inside so tolerance and matchedTimeCol need no second window).
+    val rTagged = right
+      .filter(rightKey.isNotNull && rightTime.isNotNull)
+      .select(
+        rightKey.as("_asof_k"), rightTime.as("_asof_t"),
+        lit(0).as("_asof_side"),
+        struct(
+          (payload.map { case (n, c) => c.as(n) } :+
+            rightTime.as("_asof_mt")): _*).as("_asof_pay"))
+
+    // Left side: same 4-column shape + the full left row as a struct, so
+    // the union schema is fixed no matter how wide the left row is.
+    val lTagged = left
+      .select(
+        leftKey.as("_asof_k"), leftTime.as("_asof_t"),
+        lit(1).as("_asof_side"),
+        lit(null).cast(rTagged.schema("_asof_pay").dataType).as("_asof_pay"),
+        struct(leftCols.map(col): _*).as("_asof_row"))
+
+    val unioned = rTagged
+      .withColumn("_asof_row",
+        lit(null).cast(lTagged.schema("_asof_row").dataType))
+      .unionByName(lTagged)
+
+    // Right rows (side 0) sort before left rows (side 1) at equal time:
+    // inclusive at-or-before. The running last() is the whole join.
+    val w = Window.partitionBy(col("_asof_k"))
+      .orderBy(col("_asof_t").asc, col("_asof_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matchedRaw = last(col("_asof_pay"), ignoreNulls = true).over(w)
+    val matched = tolerance match {
+      case Some(tol) => when(
+        matchedRaw("_asof_mt") >= col("_asof_t") - tol, matchedRaw)
+      case None => matchedRaw
+    }
+
+    val outCols =
+      leftCols.map(n => col(s"_asof_row.`$n`").as(n)) ++
+        payload.map { case (n, _) => col(s"_asof_m.`$n`").as(n) } ++
+        matchedTimeCol.map(n => col("_asof_m._asof_mt").as(n)).toSeq
+    unioned
+      .withColumn("_asof_m", matched)
+      .filter(col("_asof_side") === 1)
+      .select(outCols: _*)
+  }
+}

@@ -95,6 +95,29 @@ object TextAnalysis {
     md5(concat_ws(" ",
       array_sort(array_distinct(tokens(lower(text))))).cast("binary"))
 
+  /** PII scrub patterns, ordered: URLs first (they may embed emails /
+    * digit runs), then emails, then dotted IPv4, then +-prefixed phone
+    * numbers. Restricted to the regex subset with identical semantics
+    * in Java regex (Spark codegen) and RE2 (the DuckDB oracle): no
+    * lookaround, no backrefs, ASCII classes and word boundaries only —
+    * so one pattern list drives both engines. */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("url", "https?://[^\\s]+", "<URL>"),
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b",
+      "<IP>"),
+    ("phone", "\\+[0-9]{7,15}", "<PHONE>"))
+
+  /** PII redaction: replace every match of each pattern (in
+    * [[PiiPatterns]] order) with its placeholder token — the standard
+    * scrub pass before a corpus ships to training. A chain of
+    * codegen'd `regexp_replace` calls: per-row, shuffle-free, one scan
+    * pass at any corpus size. */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (_, pat, tok)) =>
+      regexp_replace(c, pat, tok)
+    }
+
   /** Word n-gram shingles (the unit of Jaccard/MinHash dedup). */
   def shingles(text: Column, n: Int): Column = {
     val toks = tokens(lower(text))

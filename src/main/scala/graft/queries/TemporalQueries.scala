@@ -1,0 +1,145 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.AsofJoin
+import graft.sources.Tables
+
+/** Event-time queries over the `events` table: the as-of join (state at
+  * event time) and gap-based sessionization — the two temporal
+  * primitives every behavioral/training-data pipeline needs and plain
+  * equi-joins/group-bys cannot express.
+  *
+  * `events.ts` is read as epoch-NANO longs (see GraftSession); outputs
+  * expose times as epoch MICROS (`ts div 1000`, exact — the generator
+  * writes micro-resolution values) so the DuckDB oracle can mirror them
+  * with `epoch_us(ts)`.
+  */
+object TemporalQueries {
+
+  private val SessionGapUs = 6L * 3600 * 1000000 // 6 hours, micros
+
+  val all: Map[String, Q] = Map(
+
+    // As-of join: every non-purchase event picks up the user's most
+    // recent purchase value at-or-before its own timestamp. One hash
+    // exchange + per-partition sort, NO join node (AsofJoin unions the
+    // tagged sides and runs one last()-window) — per-key cost is
+    // (L+R)·log(L+R), never L·R. The oracle is DuckDB's NATIVE
+    // `ASOF LEFT JOIN` — a fully independent implementation of the
+    // same semantics, including the inclusive `>=` tie rule.
+    "asof_join" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val left = ev.filter(col("event_type") =!= "purchase")
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("ts_us"))
+      val right = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("r_user"),
+          expr("ts div 1000").as("r_ts_us"), col("value"))
+      AsofJoin.backward(left, right,
+          left("user_id"), right("r_user"),
+          left("ts_us"), right("r_ts_us"),
+          payload = Seq("last_purchase_value" -> right("value")),
+          matchedTimeCol = Some("last_purchase_ts_us"))
+        .orderBy("event_id")
+    },
+
+    // Attribution flavor of the as-of join: each purchase claims the
+    // user's most recent CLICK, but only within a 24h lookback — the
+    // `tolerance` path (pandas merge_asof semantics). Same single
+    // exchange; the tolerance is a post-window null-out, so the plan
+    // shape is identical to the unbounded join. The oracle composes
+    // DuckDB's ASOF (latest at-or-before) with an age filter — the
+    // equivalent relational definition of a bounded lookback.
+    "asof_tolerance" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val left = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("ts_us"), col("value").as("purchase_value"))
+      val right = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("r_user"),
+          expr("ts div 1000").as("r_ts_us"),
+          col("event_id").as("click_id"))
+      AsofJoin.backward(left, right,
+          left("user_id"), right("r_user"),
+          left("ts_us"), right("r_ts_us"),
+          payload = Seq("click_id" -> right("click_id")),
+          matchedTimeCol = Some("click_ts_us"),
+          tolerance = Some(lit(24L * 3600 * 1000000)))
+        .orderBy("event_id")
+    },
+
+    // Gap-based sessionization through Spark's NATIVE session_window
+    // (the same operator the streaming path uses, so batch backfill and
+    // live sessions share one definition): a session extends while the
+    // next event arrives within 6h of the previous one (INCLUSIVE — an
+    // event exactly 6h later still merges, pinned by SessionizeSpec);
+    // session end = last event + gap. One partial-agg shuffle on
+    // (user_id, merged window) — Spark merges windows map-side, so at
+    // 100 TB the exchange carries per-session partials, not raw events.
+    // The oracle re-derives sessions relationally (lag → break flag at
+    // diff > gap → running sum → group), a genuinely different
+    // algorithm.
+    "sessionize" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
+      graft.streaming.Sessions.gapSessions(
+          ev, timeCol = "event_ts", keyCol = "user_id", gap = "6 hours",
+          aggs = Seq(count(lit(1)).as("n_events"),
+            countDistinct(col("event_type")).as("n_types"),
+            decSum(col("value")).as("sum_value")))
+        .select(col("user_id"),
+          unix_micros(col("session_start")).as("session_start_us"),
+          unix_micros(col("session_end")).as("session_end_us"),
+          col("n_events"), col("n_types"), col("sum_value"))
+        .orderBy("user_id", "session_start_us")
+    })
+
+  val oracle: Map[String, String] = Map(
+    "asof_join" ->
+      """SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+        |  r.value AS last_purchase_value,
+        |  epoch_us(r.ts) AS last_purchase_ts_us
+        |FROM (SELECT * FROM events WHERE event_type <> 'purchase') l
+        |ASOF LEFT JOIN
+        |  (SELECT user_id, ts, value FROM events
+        |   WHERE event_type = 'purchase') r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin,
+    "asof_tolerance" ->
+      """SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+        |  l.value AS purchase_value,
+        |  CASE WHEN epoch_us(l.ts) - epoch_us(r.ts) <= 86400000000
+        |    THEN r.event_id END AS click_id,
+        |  CASE WHEN epoch_us(l.ts) - epoch_us(r.ts) <= 86400000000
+        |    THEN epoch_us(r.ts) END AS click_ts_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+        |ASOF LEFT JOIN
+        |  (SELECT user_id, ts, event_id FROM events
+        |   WHERE event_type = 'click') r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin,
+    "sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |           IS NULL
+        |         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |           > INTERVAL 6 HOUR
+        |         THEN 1 ELSE 0 END AS brk,
+        |    event_type
+        |  FROM events
+        |), g AS (
+        |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM e
+        |)
+        |SELECT user_id,
+        |  epoch_us(MIN(ts)) AS session_start_us,
+        |  epoch_us(MAX(ts) + INTERVAL 6 HOUR) AS session_end_us,
+        |  COUNT(*) AS n_events,
+        |  COUNT(DISTINCT event_type) AS n_types,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM g GROUP BY user_id, sess
+        |ORDER BY user_id, session_start_us""".stripMargin)
+}

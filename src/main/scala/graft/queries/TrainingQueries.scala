@@ -61,6 +61,33 @@ object TrainingQueries {
         .orderBy("doc_id")
     },
 
+    // Gopher-style repetition counters (top/duplicated tokens and
+    // bigrams) — one compiled per-row kernel, no shuffle; ratios are
+    // single divisions of exact ints (bit-stable vs the oracle, which
+    // re-derives the counts RELATIONALLY via unnest + GROUP BY).
+    // Division guards: ratios are null when the denominator is 0.
+    "text_repetition" -> { (s, dir) =>
+      val r = graft.functions.Repetition.stats(col("text"))
+      Tables.documents(s, dir).withColumn("r", r)
+        .select(col("doc_id"),
+          col("r.n_tokens").as("n_tokens"),
+          col("r.top_tok_count").as("top_tok_count"),
+          col("r.dup_tok_count").as("dup_tok_count"),
+          col("r.n_bigrams").as("n_bigrams"),
+          col("r.top_bigram_count").as("top_bigram_count"),
+          col("r.dup_bigram_count").as("dup_bigram_count"),
+          when(col("r.n_tokens") > 0,
+            col("r.top_tok_count").cast("double") / col("r.n_tokens"))
+            .as("top_tok_frac"),
+          when(col("r.n_tokens") > 0,
+            col("r.dup_tok_count").cast("double") / col("r.n_tokens"))
+            .as("dup_tok_frac"),
+          when(col("r.n_bigrams") > 0,
+            col("r.dup_bigram_count").cast("double") / col("r.n_bigrams"))
+            .as("dup_bigram_frac"))
+        .orderBy("doc_id")
+    },
+
     // Exact dedup: one partial-agg shuffle on the canonical fingerprint;
     // every planted duplicate collapses onto its original (keep_id =
     // min, dup_count = 2).
@@ -245,6 +272,63 @@ object TrainingQueries {
         .orderBy("split", "lang")
     },
 
+    // PII scrubbing: deterministic synthetic PII (emails/phones on
+    // doc_id%5, URLs/IPs on doc_id%7 — the raw corpus has none) is
+    // injected IDENTICALLY on both sides, then redacted through the
+    // shared TextAnalysis.PiiPatterns chain. Pure per-row codegen'd
+    // regexp pass, no shuffle; the oracle re-runs the same patterns in
+    // RE2 (the list is restricted to the Java∩RE2-identical subset)
+    // and the md5 of the full redacted text pins every replacement
+    // byte-for-byte.
+    "text_redact" -> { (s, dir) =>
+      val idS = col("doc_id").cast("string")
+      val withPii = concat(col("text"),
+        when(col("doc_id") % 5 === 0, concat(
+          lit(" reach me at user"), idS, lit("@example.com or +1555"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, concat(
+          lit(" docs at https://example.org/d/"), idS,
+          lit(" host 10.0."), (col("doc_id") % 256).cast("string"),
+          lit(".17"))).otherwise(lit(""))).as("t")
+      val red = TextAnalysis.redactPii(withPii)
+      val tokCounts = TextAnalysis.PiiPatterns.map { case (name, _, tok) =>
+        regexp_count(red, lit(tok)).as(s"n_${name}s")
+      }
+      Tables.documents(s, dir).select(
+          Seq(col("doc_id"), md5(red.cast("binary")).as("redacted_fp"),
+            length(red).as("n_chars_redacted")) ++ tokCounts: _*)
+        .orderBy("doc_id")
+    },
+
+    // Exact per-source token-length quantiles (p50/p90/p99), SQL
+    // percentile_disc definition (smallest value at cumulative rank ≥
+    // ceil(p·n) — all-integer output, so cross-engine exact). Shape for
+    // 100 TB: aggregate a (source, tokens) HISTOGRAM first (partial-agg
+    // shuffle; output ∝ #sources × #distinct lengths, tiny), then run
+    // the cumulative window on the histogram — never a corpus-wide
+    // per-group sort, which is how a naive percentile over raw rows
+    // would execute. The oracle is DuckDB's native quantile_disc
+    // (probed: same ceil(p·n) indexing, including FP boundaries).
+    "corpus_quantiles" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val hist = Tables.documents(s, dir)
+        .groupBy(col("source"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("tokens"))
+        .agg(count(lit(1)).as("cnt"))
+      val cum = sum("cnt").over(
+        Window.partitionBy("source").orderBy("tokens"))
+      val tot = sum("cnt").over(Window.partitionBy("source"))
+      val ranked = hist.select(col("source"), col("tokens"),
+        cum.as("cum"), tot.as("n"))
+      def qd(p: Double) =
+        min(when(col("cum") >= ceil(lit(p) * col("n")), col("tokens")))
+      ranked.groupBy("source")
+        .agg(qd(0.5).as("p50_tokens"), qd(0.9).as("p90_tokens"),
+          qd(0.99).as("p99_tokens"))
+        .orderBy("source")
+    },
+
     // Corpus analytics: per-source integer rollups (one partial-agg
     // shuffle; all-int outputs are engine-deterministic).
     "corpus_stats" -> { (s, dir) =>
@@ -372,6 +456,52 @@ object TrainingQueries {
         |  md5($normExpr) AS fp,
         |  md5(array_to_string(list_sort(list_distinct($toksExpr)), ' ')) AS bag_fp
         |FROM d ORDER BY doc_id""".stripMargin,
+    "text_repetition" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, $toksExpr AS toks FROM documents
+        |), tok AS (
+        |  SELECT doc_id, unnest(toks) AS w FROM t
+        |), tc AS (
+        |  SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY 1, 2
+        |), ts AS (
+        |  SELECT doc_id, CAST(MAX(c) AS INT) AS top_tok_count,
+        |    CAST(COALESCE(SUM(c) FILTER (WHERE c >= 2), 0) AS INT)
+        |      AS dup_tok_count
+        |  FROM tc GROUP BY 1
+        |), bg AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(toks)),
+        |      i -> toks[i] || ' ' || toks[i+1])) AS g
+        |  FROM t
+        |), bc AS (
+        |  SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY 1, 2
+        |), bs AS (
+        |  SELECT doc_id, CAST(MAX(c) AS INT) AS top_bigram_count,
+        |    CAST(COALESCE(SUM(c) FILTER (WHERE c >= 2), 0) AS INT)
+        |      AS dup_bigram_count
+        |  FROM bc GROUP BY 1
+        |)
+        |SELECT t.doc_id,
+        |  CAST(len(toks) AS INT) AS n_tokens,
+        |  COALESCE(ts.top_tok_count, 0) AS top_tok_count,
+        |  COALESCE(ts.dup_tok_count, 0) AS dup_tok_count,
+        |  CAST(greatest(len(toks) - 1, 0) AS INT) AS n_bigrams,
+        |  COALESCE(bs.top_bigram_count, 0) AS top_bigram_count,
+        |  COALESCE(bs.dup_bigram_count, 0) AS dup_bigram_count,
+        |  CASE WHEN len(toks) > 0 THEN
+        |    CAST(COALESCE(ts.top_tok_count, 0) AS DOUBLE) / len(toks)
+        |  END AS top_tok_frac,
+        |  CASE WHEN len(toks) > 0 THEN
+        |    CAST(COALESCE(ts.dup_tok_count, 0) AS DOUBLE) / len(toks)
+        |  END AS dup_tok_frac,
+        |  CASE WHEN len(toks) - 1 > 0 THEN
+        |    CAST(COALESCE(bs.dup_bigram_count, 0) AS DOUBLE)
+        |      / (len(toks) - 1)
+        |  END AS dup_bigram_frac
+        |FROM t
+        |LEFT JOIN ts ON t.doc_id = ts.doc_id
+        |LEFT JOIN bs ON t.doc_id = bs.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
     "dedup_exact" ->
       s"""WITH $allDocsCte
         |SELECT md5($normExpr) AS fp, MIN(doc_id) AS keep_id,
@@ -511,6 +641,43 @@ object TrainingQueries {
         |       ELSE 'test' END AS split,
         |  lang, COUNT(*) AS n_docs
         |FROM q GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
+    "text_redact" -> {
+      // the Scala pattern string's chars embed verbatim in a SQL
+      // single-quoted literal (no escape processing there)
+      val redExpr = TextAnalysis.PiiPatterns.foldLeft("t") {
+        case (acc, (_, pat, tok)) =>
+          s"regexp_replace($acc, '$pat', '$tok', 'g')"
+      }
+      val tokCounts = TextAnalysis.PiiPatterns.map { case (name, _, tok) =>
+        s"CAST(len(regexp_extract_all(red, '$tok')) AS INT) AS n_${name}s"
+      }.mkString(",\n  ")
+      s"""WITH p AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 5 = 0 THEN ' reach me at user'
+        |         || CAST(doc_id AS VARCHAR) || '@example.com or +1555'
+        |         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |       ELSE '' END
+        |    || CASE WHEN doc_id % 7 = 0 THEN ' docs at https://example.org/d/'
+        |         || CAST(doc_id AS VARCHAR) || ' host 10.0.'
+        |         || CAST(doc_id % 256 AS VARCHAR) || '.17'
+        |       ELSE '' END AS t
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, $redExpr AS red FROM p
+        |)
+        |SELECT doc_id, md5(red) AS redacted_fp,
+        |  CAST(length(red) AS INT) AS n_chars_redacted,
+        |  $tokCounts
+        |FROM r ORDER BY doc_id""".stripMargin
+    },
+    "corpus_quantiles" ->
+      s"""SELECT source,
+        |  quantile_disc(t, 0.5) AS p50_tokens,
+        |  quantile_disc(t, 0.9) AS p90_tokens,
+        |  quantile_disc(t, 0.99) AS p99_tokens
+        |FROM (SELECT source, CAST(len($toksExpr) AS BIGINT) AS t
+        |      FROM documents)
+        |GROUP BY source ORDER BY source""".stripMargin,
     "corpus_stats" ->
       """SELECT source,
         |  COUNT(*) AS n_docs,
