@@ -69,6 +69,43 @@ object TemporalQueries {
         .orderBy("event_id")
     },
 
+    // Ordered funnel with stage deadlines: how far does each user get
+    // through signup → click-within-24h → purchase-within-24h-of-that-
+    // click, each stage strictly after the previous? Three cascaded
+    // running-min windows over ONE partitioning (user, ordered by
+    // time) — Catalyst plans a single exchange + sort and chains the
+    // Window operators, so the cost at 100 TB is one shuffle of the
+    // events regardless of funnel depth; per-user state is three
+    // longs, never a collected event list. (user_id, ts) is unique in
+    // this dataset, so "strictly after" needs no tie rule. The oracle
+    // mirrors the windows in SQL.
+    "funnel_stages" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val DayUs = 86400000000L
+      val w = Window.partitionBy("user_id").orderBy("ts_us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+          col("event_type"))
+      val withS = ev.withColumn("s_ts",
+        min(when(col("event_type") === "signup", col("ts_us"))).over(w))
+      val withC = withS.withColumn("c_ts",
+        min(when(col("event_type") === "click" &&
+          col("ts_us") <= col("s_ts") + DayUs, col("ts_us"))).over(w))
+      val withP = withC.withColumn("p_ts",
+        min(when(col("event_type") === "purchase" &&
+          col("ts_us") <= col("c_ts") + DayUs, col("ts_us"))).over(w))
+      withP.groupBy("user_id")
+        .agg(min(col("s_ts")).as("s_any"), min(col("c_ts")).as("c_any"),
+          min(col("p_ts")).as("p_any"))
+        .select(when(col("p_any").isNotNull, lit("3_purchase"))
+          .when(col("c_any").isNotNull, lit("2_click"))
+          .when(col("s_any").isNotNull, lit("1_signup"))
+          .otherwise(lit("0_none")).as("funnel_stage"))
+        .groupBy("funnel_stage").agg(count(lit(1)).as("n_users"))
+        .orderBy("funnel_stage")
+    },
+
     // Gap-based sessionization through Spark's NATIVE session_window
     // (the same operator the streaming path uses, so batch backfill and
     // live sessions share one definition): a session extends while the
@@ -119,6 +156,39 @@ object TemporalQueries {
         |   WHERE event_type = 'click') r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY l.event_id""".stripMargin,
+    "funnel_stages" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events
+        |), w1 AS (
+        |  SELECT *, MIN(CASE WHEN event_type = 'signup' THEN ts_us END)
+        |    OVER (PARTITION BY user_id ORDER BY ts_us
+        |          ROWS UNBOUNDED PRECEDING) AS s_ts
+        |  FROM e
+        |), w2 AS (
+        |  SELECT *, MIN(CASE WHEN event_type = 'click'
+        |                      AND ts_us <= s_ts + 86400000000
+        |                     THEN ts_us END)
+        |    OVER (PARTITION BY user_id ORDER BY ts_us
+        |          ROWS UNBOUNDED PRECEDING) AS c_ts
+        |  FROM w1
+        |), w3 AS (
+        |  SELECT *, MIN(CASE WHEN event_type = 'purchase'
+        |                      AND ts_us <= c_ts + 86400000000
+        |                     THEN ts_us END)
+        |    OVER (PARTITION BY user_id ORDER BY ts_us
+        |          ROWS UNBOUNDED PRECEDING) AS p_ts
+        |  FROM w2
+        |), u AS (
+        |  SELECT user_id, MIN(s_ts) AS s_any, MIN(c_ts) AS c_any,
+        |    MIN(p_ts) AS p_any
+        |  FROM w3 GROUP BY user_id
+        |)
+        |SELECT CASE WHEN p_any IS NOT NULL THEN '3_purchase'
+        |            WHEN c_any IS NOT NULL THEN '2_click'
+        |            WHEN s_any IS NOT NULL THEN '1_signup'
+        |            ELSE '0_none' END AS funnel_stage,
+        |  COUNT(*) AS n_users
+        |FROM u GROUP BY 1 ORDER BY funnel_stage""".stripMargin,
     "sessionize" ->
       """WITH e AS (
         |  SELECT user_id, ts, value,
