@@ -13,7 +13,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local("graft-bench")
+    // optional trailing args restrict to named queries (local scale
+    // spot-runs); default — the driver's call — benches the full set
+    val only = args.toSet
     val headline = SparkEntry.benchQueries
+      .filter { case (n, _) => only.isEmpty || only(n) }
     Seq(warmupDir, sfDir).foreach { dir =>
       headline.foreach { case (_, fn) =>
         try { fn(spark, dir).count() } catch { case _: Throwable => () }

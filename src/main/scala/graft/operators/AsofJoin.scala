@@ -40,6 +40,12 @@ import org.apache.spark.sql.functions._
   * be fooled by a genuinely-null right ATTRIBUTE (the struct itself is
   * non-null for every right row).
   *
+  * Determinism caveat (same as SQL ASOF): if the right side holds two
+  * rows with the SAME (key, time), which one wins is sort-order
+  * dependent — pre-deduplicate the right side (e.g. max-by a
+  * tiebreaker column) when that can occur; the engine does not pick
+  * silently on your behalf in any documented order.
+  *
   * Null semantics match SQL ASOF: null-keyed or null-timed right rows
   * match nobody (filtered before the union); null-keyed left rows
   * survive with a null match (their partition holds no right rows);
