@@ -80,7 +80,7 @@ object SparkEntry {
       "dedup_exact",
       "dedup_simhash", "dedup_simhash_pairs", "dedup_minhash_lsh",
       "dedup_ngram_jaccard", "dedup_components", "dedup_survivors",
-      "train_split",
+      "dedup_incremental", "train_split",
       "source_cap", "decontaminate",
       "ann_topk_brute", "ann_topk_native", "ann_topk_ivf", "embedding_dups",
       "multimodal_features", "corpus_pipeline", "corpus_quantiles")

@@ -160,6 +160,33 @@ object TrainingQueries {
         .orderBy("doc_id")
     },
 
+    // Incremental ingest: dedupe a NEW crawl batch against the
+    // EXISTING corpus — the daily-increment pattern (a re-crawl
+    // overlaps what's already ingested, and scrapes duplicate pages
+    // within itself). Existing = docs [0,400); batch = a re-crawl of
+    // [300,500) (1M-shifted ids) plus an in-batch second scrape of
+    // [450,500) (2M-shifted). Accepted = in-batch min-id per
+    // fingerprint, anti-joined against the existing fingerprint set →
+    // exactly the 100 genuinely-new docs. 100 TB shape: the existing
+    // set is corpus-sized, so this is a fingerprint-hashed shuffle
+    // anti-join (NEVER a broadcast of the corpus); the in-batch
+    // min-id groupBy hashes on the same key, so Catalyst reuses one
+    // exchange for both.
+    "dedup_incremental" -> { (s, dir) =>
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val fp = TextAnalysis.fingerprint(col("text"))
+      val existing = d.filter(col("doc_id") < 400).select(fp.as("fp"))
+      val batch = d.filter(col("doc_id") >= 300)
+        .select((col("doc_id") + CopyShift).as("doc_id"), col("text"))
+        .unionByName(d.filter(col("doc_id") >= 450)
+          .select((col("doc_id") + 2 * CopyShift).as("doc_id"),
+            col("text")))
+        .select(col("doc_id"), fp.as("fp"))
+      batch.groupBy("fp").agg(min("doc_id").as("doc_id"))
+        .join(existing.distinct(), Seq("fp"), "left_anti")
+        .select("doc_id").orderBy("doc_id")
+    },
+
     // Deterministic train/val/test split: a seeded md5 bucket per doc,
     // compared against fixed hex thresholds (0xcc/256 ≈ 80%, 0xe6/256 ≈
     // 90%) — pure per-row projection, no shuffle, reproducible across
@@ -565,6 +592,22 @@ object TrainingQueries {
         |)
         |SELECT doc_id FROM all_docs
         |WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> canonical)
+        |ORDER BY doc_id""".stripMargin,
+    "dedup_incremental" ->
+      s"""WITH existing AS (
+        |  SELECT DISTINCT md5($normExpr) AS fp FROM documents
+        |  WHERE doc_id < 400
+        |), batch AS (
+        |  SELECT doc_id + $CopyShift AS doc_id, md5($normExpr) AS fp
+        |  FROM documents WHERE doc_id >= 300
+        |  UNION ALL
+        |  SELECT doc_id + ${2 * CopyShift} AS doc_id, md5($normExpr) AS fp
+        |  FROM documents WHERE doc_id >= 450
+        |), kept AS (
+        |  SELECT fp, MIN(doc_id) AS doc_id FROM batch GROUP BY fp
+        |)
+        |SELECT doc_id FROM kept
+        |WHERE fp NOT IN (SELECT fp FROM existing)
         |ORDER BY doc_id""".stripMargin,
     "train_split" ->
       """SELECT doc_id, source,
