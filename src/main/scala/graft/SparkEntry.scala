@@ -64,9 +64,10 @@ object SparkEntry {
 
   /** Headline subset for Bench: representative of each operator cluster,
     * in a fixed order (a full run of every registered query would bench
-    * the registry, not the engine). */
-  def benchQueries: Seq[(String, (SparkSession, String) => DataFrame)] = {
-    val names = Seq(
+    * the registry, not the engine). Exposed as a name list so EntrySpec
+    * can assert every name resolves — `flatMap(queries.get)` would
+    * otherwise silently drop a typo'd entry from the bench. */
+  val benchNames: Seq[String] = Seq(
       // stream-consumer clusters
       "decode_json", "decode_base64", "identify_ids", "seq_per_key",
       "seq_per_shard", "seq_heads", "seq_config_perkey", "task_lifecycle",
@@ -84,6 +85,7 @@ object SparkEntry {
       "source_cap", "decontaminate",
       "ann_topk_brute", "ann_topk_native", "ann_topk_ivf", "embedding_dups",
       "multimodal_features", "corpus_pipeline", "corpus_quantiles")
-    names.flatMap(n => queries.get(n).map(n -> _))
-  }
+
+  def benchQueries: Seq[(String, (SparkSession, String) => DataFrame)] =
+    benchNames.flatMap(n => queries.get(n).map(n -> _))
 }

@@ -167,11 +167,16 @@ object TrainingQueries {
     // [300,500) (1M-shifted ids) plus an in-batch second scrape of
     // [450,500) (2M-shifted). Accepted = in-batch min-id per
     // fingerprint, anti-joined against the existing fingerprint set →
-    // exactly the 100 genuinely-new docs. 100 TB shape: the existing
-    // set is corpus-sized, so this is a fingerprint-hashed shuffle
-    // anti-join (NEVER a broadcast of the corpus); the in-batch
-    // min-id groupBy hashes on the same key, so Catalyst reuses one
-    // exchange for both.
+    // exactly the 100 genuinely-new docs. Catalyst rewrites the
+    // declared groupBy→anti-join into anti-join FIRST (pushed below
+    // the union — valid because the join key IS the grouping key) so
+    // known-duplicate rows never reach the aggregate, and picks the
+    // join strategy from stats: broadcast at this toy SF, a
+    // fingerprint-hashed shuffle anti-join once the existing set
+    // outgrows the broadcast threshold — exactly the adaptive
+    // behavior a 100 TB ingest needs (declare the logical plan, let
+    // the optimizer place the exchanges; plan re-read via
+    // tools/Explain).
     "dedup_incremental" -> { (s, dir) =>
       val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       val fp = TextAnalysis.fingerprint(col("text"))

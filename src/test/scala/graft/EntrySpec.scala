@@ -25,6 +25,14 @@ class EntrySpec extends SparkSpec {
     }
   }
 
+  test("every bench name resolves to a registered query (a typo would " +
+      "silently shrink the bench)") {
+    val missing = SparkEntry.benchNames.filterNot(SparkEntry.queries.contains)
+    assert(missing.isEmpty, s"bench names not in the registry: $missing")
+    assert(SparkEntry.benchNames.distinct.size ===
+      SparkEntry.benchNames.size, "duplicate bench names")
+  }
+
   test("README count claims match the registry and the test tree " +
       "(drift fails fast instead of shipping stale docs)") {
     import java.nio.file.{Files, Paths}
