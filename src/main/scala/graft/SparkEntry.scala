@@ -74,7 +74,7 @@ object SparkEntry {
       "task_multi", "batch_counts", "q1_agg", "q_join_agg",
       "state_upsert", "windowed_counts",
       // temporal cluster
-      "asof_join", "sessionize", "funnel_stages",
+      "asof_join", "sessionize", "funnel_stages", "retention_cohorts",
       // training-data clusters
       "text_stats", "text_repetition", "text_redact", "text_winnowing",
       "salted_counts",

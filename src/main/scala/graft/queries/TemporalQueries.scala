@@ -44,6 +44,30 @@ object TemporalQueries {
         .orderBy("event_id")
     },
 
+    // Retention cohorts: users grouped by the week of their FIRST
+    // event; for each (cohort, weeks-since) cell, how many of that
+    // cohort were active — the classic retention triangle. The cohort
+    // comes from a whole-partition window min (no join-back of a
+    // first-seen table), so the plan is ONE exchange on user plus the
+    // final cell partial-agg; weeks are integer epoch-µs divisions
+    // (no calendar/timezone semantics to drift between engines).
+    // Activity signal = high-value purchases (value ≥ 100) — sparse
+    // enough (~0.5/user/week) that cohorts differ and cells decay,
+    // i.e. the output actually discriminates.
+    "retention_cohorts" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase" && col("value") >= 100)
+        .select(col("user_id"),
+          expr("((ts div 1000) div 86400000000) div 7").as("week"))
+      ev.withColumn("cohort_week",
+          min("week").over(Window.partitionBy("user_id")))
+        .groupBy(col("cohort_week"),
+          (col("week") - col("cohort_week")).as("weeks_since"))
+        .agg(countDistinct("user_id").as("n_users"))
+        .orderBy("cohort_week", "weeks_since")
+    },
+
     // Attribution flavor of the as-of join: each purchase claims the
     // user's most recent CLICK, but only within a 24h lookback — the
     // `tolerance` path (pandas merge_asof semantics). Same single
@@ -143,6 +167,19 @@ object TemporalQueries {
         |   WHERE event_type = 'purchase') r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY l.event_id""".stripMargin,
+    "retention_cohorts" ->
+      """WITH e AS (
+        |  SELECT user_id, (epoch_us(ts) // 86400000000) // 7 AS week
+        |  FROM events
+        |  WHERE event_type = 'purchase' AND value >= 100
+        |), c AS (
+        |  SELECT *, MIN(week) OVER (PARTITION BY user_id) AS cohort_week
+        |  FROM e
+        |)
+        |SELECT cohort_week, week - cohort_week AS weeks_since,
+        |  COUNT(DISTINCT user_id) AS n_users
+        |FROM c GROUP BY 1, 2
+        |ORDER BY cohort_week, weeks_since""".stripMargin,
     "asof_tolerance" ->
       """SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
         |  l.value AS purchase_value,
