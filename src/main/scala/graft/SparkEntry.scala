@@ -84,6 +84,7 @@ object SparkEntry {
       "dedup_incremental", "train_split",
       "source_cap", "decontaminate",
       "ann_topk_brute", "ann_topk_native", "ann_topk_ivf", "embedding_dups",
+      "embedding_survivors",
       "multimodal_features", "corpus_pipeline", "corpus_quantiles")
 
   def benchQueries: Seq[(String, (SparkSession, String) => DataFrame)] =

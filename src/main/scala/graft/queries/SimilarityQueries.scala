@@ -90,6 +90,31 @@ object SimilarityQueries {
       Similarity.cosineDupPairs(all, col("vec_id"), col("embedding"),
           "label", threshold = 0.99)
         .orderBy("id_a", "id_b")
+    },
+
+    // Cross-tier composition: the embedding-space near-dup COLLAPSE —
+    // cosine pairs (Similarity tier) → transitive closure (Dedup
+    // tier's connectedComponents, star-contraction fallback and all) →
+    // keep min-id canonicals + unpaired vectors. Pins that the two
+    // tiers compose on a shared pair contract, exactly like the text
+    // pipeline's dedup_survivors. The dropped set is ∝ duplicates, so
+    // the final anti-join broadcasts it at any corpus size where dups
+    // are the minority.
+    "embedding_survivors" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"), col("label"))
+      val all = e.unionByName(
+        e.select((col("vec_id") + CopyShift).as("vec_id"),
+          col("embedding"), col("label")))
+      val pairs = Similarity.cosineDupPairs(all, col("vec_id"),
+        col("embedding"), "label", threshold = 0.99)
+      val comp = graft.operators.Dedup.connectedComponents(
+        pairs, col("id_a"), col("id_b"))
+      val dropped = comp.filter(col("id") =!= col("canonical"))
+        .select(col("id").as("vec_id"))
+      all.select("vec_id")
+        .join(broadcast(dropped), Seq("vec_id"), "left_anti")
+        .orderBy("vec_id")
     })
 
   /** Shared by ann_topk_brute and ann_topk_native: same contract, two
@@ -143,5 +168,28 @@ object SimilarityQueries {
         |    ON a.label = b.label AND a.vec_id < b.vec_id
         |)
         |SELECT id_a, id_b, cosine FROM pairs
-        |WHERE cosine >= 0.99 ORDER BY id_a, id_b""".stripMargin)
+        |WHERE cosine >= 0.99 ORDER BY id_a, id_b""".stripMargin,
+    "embedding_survivors" ->
+      s"""WITH RECURSIVE all_vecs AS (
+        |  SELECT vec_id, embedding, label FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + $CopyShift, embedding, label FROM embeddings
+        |), p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM all_vecs a JOIN all_vecs b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id
+        |  WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.99
+        |), sym AS (
+        |  SELECT id_a AS src, id_b AS dst FROM p
+        |  UNION SELECT id_b, id_a FROM p
+        |), reach(node, lbl) AS (
+        |  SELECT src, src FROM sym
+        |  UNION
+        |  SELECT s2.dst, r.lbl FROM reach r JOIN sym s2 ON s2.src = r.node
+        |), comp AS (
+        |  SELECT node AS id, MIN(lbl) AS canonical FROM reach GROUP BY node
+        |)
+        |SELECT vec_id FROM all_vecs
+        |WHERE vec_id NOT IN (SELECT id FROM comp WHERE id <> canonical)
+        |ORDER BY vec_id""".stripMargin)
 }
