@@ -77,7 +77,7 @@ object SparkEntry {
       "asof_join", "sessionize", "funnel_stages", "retention_cohorts",
       // training-data clusters
       "text_stats", "text_repetition", "text_redact", "text_winnowing",
-      "salted_counts",
+      "vocab_topk", "quality_gate", "salted_counts",
       "dedup_exact",
       "dedup_simhash", "dedup_simhash_pairs", "dedup_minhash_lsh",
       "dedup_ngram_jaccard", "dedup_components", "dedup_survivors",

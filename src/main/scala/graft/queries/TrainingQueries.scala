@@ -160,6 +160,49 @@ object TrainingQueries {
         .orderBy("doc_id")
     },
 
+    // Corpus vocabulary: global token top-20 by frequency (Zipf head) —
+    // explode → two-stage partial-agg count (shuffle carries per-token
+    // partials, ∝ vocab, not corpus) → the final top-k is a sort of
+    // the VOCAB-sized aggregate, with (count desc, token asc) total
+    // order so the cut is deterministic.
+    "vocab_topk" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(TextAnalysis.tokens(lower(col("text"))))
+          .as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token").asc)
+        .limit(20)
+    },
+
+    // The composed quality gate a corpus build actually ships — the
+    // Gopher/MassiveText-style accept/reject verdict with the FIRST
+    // failing rule as the reason (length window, stopword floor,
+    // repetition ceilings, language allowlist), all per-row codegen'd
+    // expressions over one scan; the gate COMPOSES the stats, lang-id
+    // and repetition tiers into one plan.
+    "quality_gate" -> { (s, dir) =>
+      val t = col("text")
+      val rep = graft.functions.Repetition.stats(t)
+      val nTok = TextAnalysis.tokenCount(t)
+      val stopR = TextAnalysis.stopwordCount(t) / nTok
+      val topF = col("_rep.top_tok_count").cast("double") / nTok
+      val dupB = when(col("_rep.n_bigrams") > 0,
+        col("_rep.dup_bigram_count").cast("double") / col("_rep.n_bigrams"))
+        .otherwise(lit(0.0))
+      val lang = TextAnalysis.langId(t)
+      Tables.documents(s, dir).withColumn("_rep", rep)
+        .select(col("doc_id"),
+          when(nTok < 15, lit("too_short"))
+            .when(nTok > 90, lit("too_long"))
+            .when(stopR < 0.03, lit("low_stopwords"))
+            .when(topF > 0.125, lit("repetitive_token"))
+            .when(dupB > 0.1, lit("repetitive_bigrams"))
+            .when(!lang.isin("en", "de", "es", "fr"), lit("lang"))
+            .otherwise(lit("accept")).as("verdict"))
+        .groupBy("verdict").agg(count(lit(1)).as("n_docs"))
+        .orderBy("verdict")
+    },
+
     // Incremental ingest: dedupe a NEW crawl batch against the
     // EXISTING corpus — the daily-increment pattern (a re-crawl
     // overlaps what's already ingested, and scrapes duplicate pages
@@ -598,6 +641,58 @@ object TrainingQueries {
         |SELECT doc_id FROM all_docs
         |WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> canonical)
         |ORDER BY doc_id""".stripMargin,
+    "vocab_topk" ->
+      s"""SELECT token, COUNT(*) AS n
+        |FROM (SELECT unnest($toksExpr) AS token FROM documents)
+        |GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin,
+    "quality_gate" ->
+      s"""WITH d AS (
+        |  SELECT doc_id, text,
+        |    ${langScores.map(_._2).mkString("greatest(", ", ", ")")} AS m
+        |  FROM documents
+        |), base AS (
+        |  SELECT doc_id, $langCase AS lang,
+        |    len($toksExpr) AS n_tok,
+        |    len(list_filter($toksExpr, t -> t IN $stopwordList)) AS n_stop
+        |  FROM d
+        |), tok AS (
+        |  SELECT doc_id, unnest($toksExpr) AS w FROM documents
+        |), tc AS (
+        |  SELECT doc_id, MAX(c) AS top_tok FROM (
+        |    SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY 1, 2
+        |  ) GROUP BY doc_id
+        |), bgl AS (
+        |  SELECT doc_id, $toksExpr AS toks FROM documents
+        |), bg AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |    i -> toks[i] || ' ' || toks[i+1])) AS g
+        |  FROM bgl
+        |), bc AS (
+        |  SELECT doc_id,
+        |    COALESCE(SUM(c) FILTER (WHERE c >= 2), 0) AS dup_bg
+        |  FROM (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY 1, 2)
+        |  GROUP BY doc_id
+        |), v AS (
+        |  SELECT b.doc_id,
+        |    CASE WHEN b.n_tok < 15 THEN 'too_short'
+        |         WHEN b.n_tok > 90 THEN 'too_long'
+        |         WHEN CAST(b.n_stop AS DOUBLE) / b.n_tok < 0.03
+        |           THEN 'low_stopwords'
+        |         WHEN CAST(tc.top_tok AS DOUBLE) / b.n_tok > 0.125
+        |           THEN 'repetitive_token'
+        |         WHEN (CASE WHEN b.n_tok - 1 > 0
+        |                THEN CAST(COALESCE(bc.dup_bg, 0) AS DOUBLE)
+        |                     / (b.n_tok - 1)
+        |                ELSE 0 END) > 0.1
+        |           THEN 'repetitive_bigrams'
+        |         WHEN b.lang NOT IN ('en', 'de', 'es', 'fr') THEN 'lang'
+        |         ELSE 'accept' END AS verdict
+        |  FROM base b
+        |  JOIN tc ON b.doc_id = tc.doc_id
+        |  LEFT JOIN bc ON b.doc_id = bc.doc_id
+        |)
+        |SELECT verdict, COUNT(*) AS n_docs
+        |FROM v GROUP BY verdict ORDER BY verdict""".stripMargin,
     "dedup_incremental" ->
       s"""WITH existing AS (
         |  SELECT DISTINCT md5($normExpr) AS fp FROM documents
