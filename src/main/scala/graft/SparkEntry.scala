@@ -76,8 +76,8 @@ object SparkEntry {
       // temporal cluster
       "asof_join", "sessionize", "funnel_stages", "retention_cohorts",
       // training-data clusters
-      "text_stats", "text_repetition", "text_redact", "text_winnowing",
-      "vocab_topk", "quality_gate", "salted_counts",
+      "text_stats", "text_repetition", "text_redact", "text_normalize",
+      "text_winnowing", "vocab_topk", "quality_gate", "salted_counts",
       "dedup_exact",
       "dedup_simhash", "dedup_simhash_pairs", "dedup_minhash_lsh",
       "dedup_ngram_jaccard", "dedup_components", "dedup_survivors",

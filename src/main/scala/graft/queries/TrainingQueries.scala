@@ -19,6 +19,13 @@ object TrainingQueries {
 
   private val CopyShift = 1000000L
 
+  /** NFC-normalizable suffix in DECOMPOSED form: e+◌́ (U+0301),
+    * A+◌̊ (U+030A), o+◌̈ (U+0308) — composes to "café Ångströ̈m"-style
+    * precomposed codepoints under NFC, so `changed` is provably true
+    * on injected docs. Shared verbatim by the query and its oracle. */
+  private[queries] val DecomposedSuffix =
+    " cafe\u0301 A\u030Angstro\u0308m"
+
   /** documents ∪ id-shifted copy (planted duplicates). */
   private def withCopies(s: org.apache.spark.sql.SparkSession, dir: String) = {
     val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
@@ -157,6 +164,23 @@ object TrainingQueries {
         .select(col("id").as("doc_id"))
       docs.select("doc_id")
         .join(broadcast(dropped), Seq("doc_id"), "left_anti")
+        .orderBy("doc_id")
+    },
+
+    // Unicode NFC normalization: deterministic DECOMPOSED-form
+    // suffixes (combining acute/ring/diaeresis — the ASCII corpus has
+    // none) are injected identically on both sides, normalized, and
+    // pinned byte-for-byte via md5 — the canonical-composition pass
+    // that keeps composed-vs-decomposed crawls from evading dedup.
+    // `changed` must be true exactly on the injected docs.
+    "text_normalize" -> { (s, dir) =>
+      val injected = concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          lit(TrainingQueries.DecomposedSuffix)).otherwise(lit("")))
+      val norm = graft.functions.Nfc.nfc(injected)
+      Tables.documents(s, dir).select(col("doc_id"),
+          md5(norm.cast("binary")).as("nfc_fp"),
+          (norm =!= injected).as("changed"))
         .orderBy("doc_id")
     },
 
@@ -641,6 +665,16 @@ object TrainingQueries {
         |SELECT doc_id FROM all_docs
         |WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> canonical)
         |ORDER BY doc_id""".stripMargin,
+    "text_normalize" ->
+      s"""WITH p AS (
+        |  SELECT doc_id,
+        |    text || CASE WHEN doc_id % 3 = 0 THEN '$DecomposedSuffix'
+        |                 ELSE '' END AS t
+        |  FROM documents
+        |)
+        |SELECT doc_id, md5(nfc_normalize(t)) AS nfc_fp,
+        |  nfc_normalize(t) <> t AS changed
+        |FROM p ORDER BY doc_id""".stripMargin,
     "vocab_topk" ->
       s"""SELECT token, COUNT(*) AS n
         |FROM (SELECT unnest($toksExpr) AS token FROM documents)
