@@ -97,9 +97,10 @@ object SimilarityQueries {
     // tier's connectedComponents, star-contraction fallback and all) →
     // keep min-id canonicals + unpaired vectors. Pins that the two
     // tiers compose on a shared pair contract, exactly like the text
-    // pipeline's dedup_survivors. The dropped set is ∝ duplicates, so
-    // the final anti-join broadcasts it at any corpus size where dups
-    // are the minority.
+    // pipeline's dedup_survivors. The anti-join carries NO broadcast
+    // hint: the dropped set is ∝ duplicates, which on high-dup corpora
+    // is corpus-scale — stats/AQE choose broadcast vs shuffle
+    // (StrategyNeutralSpec pins both plans).
     "embedding_survivors" -> { (s, dir) =>
       val e = Tables.embeddings(s, dir)
         .select(col("vec_id"), col("embedding"), col("label"))
@@ -113,7 +114,7 @@ object SimilarityQueries {
       val dropped = comp.filter(col("id") =!= col("canonical"))
         .select(col("id").as("vec_id"))
       all.select("vec_id")
-        .join(broadcast(dropped), Seq("vec_id"), "left_anti")
+        .join(dropped, Seq("vec_id"), "left_anti")
         .orderBy("vec_id")
     })
 

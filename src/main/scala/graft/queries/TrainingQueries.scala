@@ -152,9 +152,15 @@ object TrainingQueries {
 
     // The full near-dup collapse a training pipeline actually ships:
     // pair → cluster → keep one survivor per component (the min-id
-    // canonical) plus every unpaired doc. The components output is
-    // ∝ duplicates, so the anti-join's right side is small and
-    // broadcastable at any corpus size where dups are the minority.
+    // canonical) plus every unpaired doc. The anti-join is deliberately
+    // strategy-NEUTRAL (no broadcast hint): the dropped set is ∝
+    // duplicate count, and real crawl corpora run 30-80% near-dups, so
+    // a forced broadcast of `dropped` would exceed the ~8 GB broadcast
+    // cap long before 100 TB. Stats/AQE pick broadcast at toy SFs and a
+    // doc_id-hashed shuffle anti-join once dropped outgrows the
+    // threshold — same adaptive pattern as dedup_incremental
+    // (StrategyNeutralSpec pins the shuffle plan under a lowered
+    // threshold).
     "dedup_survivors" -> { (s, dir) =>
       val docs = withCopies(s, dir)
       val pairs = Dedup.simhashPairs(docs, col("doc_id"), col("text"),
@@ -163,7 +169,7 @@ object TrainingQueries {
       val dropped = comp.filter(col("id") =!= col("canonical"))
         .select(col("id").as("doc_id"))
       docs.select("doc_id")
-        .join(broadcast(dropped), Seq("doc_id"), "left_anti")
+        .join(dropped, Seq("doc_id"), "left_anti")
         .orderBy("doc_id")
     },
 
