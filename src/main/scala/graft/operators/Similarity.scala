@@ -76,15 +76,25 @@ object Similarity {
     * column, returning the centroid matrix (collected — a coarse
     * quantizer is k ≲ thousands of d-dim rows, always driver-sized).
     *
-    * Determinism: initialization is farthest-point — the md5-smallest
-    * vector seeds first, then each next seed is the vector with the
-    * LOWEST max-cosine to the chosen set (md5 tiebreak) — content-
-    * derived and partitioning-independent, and unlike naive md5-order
-    * seeding it cannot plant two seeds in one tight cluster and starve
-    * another (k driver-paced scans of the training pool, fine for
-    * coarse k). Training then runs a FIXED `iters` Lloyd rounds — no
-    * RNG, no convergence-dependent round count. Per-round cost is one
-    * scan:
+    * Initialization is a DETERMINISTIC k-means‖-style oversampling
+    * (Bahmani et al., VLDB'12): the md5-smallest vector seeds first,
+    * then `initRounds` rounds each Bernoulli-sample ~ℓ = 2k candidates
+    * with per-row probability ℓ·d(x,C)/Σd — far rows are likelier, so
+    * no tight cluster hogs the candidate set — then one assignment
+    * scan weights the ~1+ℓ·rounds candidates by the pool mass they
+    * capture, and a driver-side weighted farthest-point pass picks the
+    * final k. That is O(initRounds) full scans instead of the k
+    * driver-paced scans of naive farthest-point init — at k = 512-4096
+    * (realistic 100 TB IVF) init no longer dominates training.
+    *
+    * Determinism without RNG: the Bernoulli draw for row x in round r
+    * compares the md5-derived uniform frac(md5(h(x):r)) against
+    * ℓ·d_q(x)/Z where d_q is the cosine distance QUANTIZED to 2⁻²⁰
+    * grid longs and Z their LONG sum — integer sums are associative,
+    * so the threshold (and thus the candidate set, weights, and final
+    * centroids) is identical under any partitioning. Training then
+    * runs a FIXED `iters` Lloyd rounds — no RNG, no
+    * convergence-dependent round count. Per-round cost is one scan:
     * assign (broadcast centroid literals, argmax cosine) + a
     * `posexplode`→`groupBy(cell, pos)` partial-agg mean — k·d groups,
     * never a shuffle of the vectors themselves. Empty cells retain
@@ -94,10 +104,13 @@ object Similarity {
     *
     * @param sampleFraction train on a deterministic md5-bucketed
     *   sample (coarse quantizers don't need every row; at 100 TB you
-    *   train on ~10⁻⁴ of the corpus and assign everything) */
+    *   train on ~10⁻⁴ of the corpus and assign everything)
+    * @param initRounds oversampling rounds (each ~2k candidates; the
+    *   paper shows ~5 rounds match k-means++ quality) */
   def trainCentroids(df: DataFrame, vecCol: Column, k: Int,
-      iters: Int = 5, sampleFraction: Double = 1.0): Array[Array[Float]] = {
-    require(k > 0 && iters >= 0)
+      iters: Int = 5, sampleFraction: Double = 1.0,
+      initRounds: Int = 4): Array[Array[Float]] = {
+    require(k > 0 && iters >= 0 && initRounds >= 0)
     val pool =
       if (sampleFraction >= 1.0) df.select(vecCol.as("_v"))
       else df.select(vecCol.as("_v"))
@@ -107,18 +120,10 @@ object Similarity {
       .withColumn("_h", md5(to_json(struct(col("_v")))))
       .withColumn("_n", norm(col("_v")))
       .cache()
-    val first = hashed.orderBy("_h").limit(1)
-      .collect().map(_.getSeq[Float](0).toArray)
+    val first = hashed.orderBy("_h").limit(1).select("_v", "_h")
+      .collect().map(r => (r.getSeq[Float](0).toArray, r.getString(1)))
     require(first.nonEmpty, "no vectors to train on")
-    var centroids = first
-    while (centroids.length < k) {
-      val maxCos = array_max(array(
-        centroidScores(col("_v"), centroids): _*)).getField("s") /
-        col("_n")
-      val next = hashed.orderBy(maxCos.asc, col("_h").asc).limit(1)
-        .collect().map(_.getSeq[Float](0).toArray)
-      centroids = centroids ++ next
-    }
+    var centroids = kmeansParInit(hashed, first, k, initRounds)
     for (_ <- 1 to iters) {
       val stats = hashed
         .select(assignCells(col("_v"), centroids).as("_cell"),
@@ -141,6 +146,81 @@ object Similarity {
     }
     hashed.unpersist()
     centroids
+  }
+
+  /** Deterministic k-means‖ oversampling init (see [[trainCentroids]]
+    * Scaladoc for the determinism argument). Returns exactly k seed
+    * vectors. */
+  private def kmeansParInit(hashed: DataFrame,
+      first: Array[(Array[Float], String)], k: Int,
+      initRounds: Int): Array[Array[Float]] = {
+    val ell = math.max(2 * k, 8)
+    var cand = first
+    var r = 1
+    var exhausted = false
+    while (r <= initRounds && !exhausted) {
+      val maxCos = array_max(array(
+        centroidScores(col("_v"), cand.map(_._1).toSeq): _*))
+        .getField("s") / col("_n")
+      // cosine distance quantized to a 2^-20 grid as LONG: the global
+      // normalizer Z is then an associative integer sum — identical
+      // under any partitioning, so the Bernoulli threshold is too
+      val distQ = greatest(lit(0L),
+        floor((lit(1.0) - maxCos) * lit(1048576.0)).cast("long"))
+      val z = hashed.select(sum(distQ).as("z")).head.getLong(0)
+      if (z <= 0L) exhausted = true // every row coincides with a seed
+      else {
+        val u = conv(substring(
+          md5(concat(col("_h"), lit(s":kmpar:$r"))), 1, 15), 16, 10)
+          .cast("long").cast("double") / lit(math.pow(2.0, 60))
+        val p = distQ.cast("double") * lit(ell.toDouble / z.toDouble)
+        val drawn = hashed.filter(u < p).select("_v", "_h").collect()
+          .map(row => (row.getSeq[Float](0).toArray, row.getString(1)))
+        val known = cand.map(_._2).toSet
+        cand = cand ++ drawn.filterNot(t => known(t._2))
+        r += 1
+      }
+    }
+    // weight candidates by captured pool mass (one assignment scan),
+    // then a driver-side weighted farthest-point pass picks k — cheap:
+    // the candidate set is ~1 + ell*initRounds rows
+    val candSorted = cand.sortBy(_._2)
+    val vecs = candSorted.map(_._1)
+    val weights = hashed
+      .select(assignCells(col("_v"), vecs.toSeq).as("_c"))
+      .groupBy("_c").count().collect()
+      .map(row => row.getInt(0) -> row.getLong(1)).toMap
+    val norms = vecs.map(v =>
+      math.max(math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x)),
+        Double.MinPositiveValue))
+    def cosAt(i: Int, j: Int): Double = {
+      var s = 0.0; var d = 0
+      val a = vecs(i); val b = vecs(j)
+      while (d < math.min(a.length, b.length)) {
+        s += a(d).toDouble * b(d); d += 1
+      }
+      s / (norms(i) * norms(j))
+    }
+    val chosen = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val startIdx = vecs.indices
+      .maxBy(i => (weights.getOrElse(i, 0L), -i.toLong))
+    chosen += startIdx
+    val bestCos = Array.tabulate(vecs.length)(i => cosAt(i, startIdx))
+    while (chosen.length < math.min(k, vecs.length)) {
+      val next = vecs.indices.filterNot(chosen.contains)
+        .maxBy(i =>
+          (weights.getOrElse(i, 0L).toDouble * (1.0 - bestCos(i)), -i.toLong))
+      chosen += next
+      vecs.indices.foreach { i =>
+        val c = cosAt(i, next)
+        if (c > bestCos(i)) bestCos(i) = c
+      }
+    }
+    // pool smaller than k: cycle the candidates (matches the old
+    // farthest-point behavior of repeating once everything is a seed)
+    val picked = chosen.map(vecs).toArray
+    if (picked.length >= k) picked
+    else Array.tabulate(k)(i => picked(i % picked.length))
   }
 
   /** Nearest-centroid cell id by cosine (norm of the input vector is a

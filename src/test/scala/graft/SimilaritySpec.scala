@@ -189,4 +189,35 @@ class SimilaritySpec extends SparkSpec {
       assert(canon <= id && byProp(canon) === canon)
     }
   }
+
+  test("k-means|| init is partitioning-independent: identical seeds " +
+      "from 1-partition and 7-partition layouts (iters=0 isolates init)") {
+    import spark.implicits._
+    val rnd = new Random(23)
+    val dim = 8
+    val rows = (0 until 600).map { i =>
+      val c = i % 6
+      val v = Array.tabulate(dim)(j =>
+        (if (j == c) 1.0f else 0.0f) + 0.05f * rnd.nextGaussian().toFloat)
+      (i.toLong, v)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    // quantized-long normalizer + md5 Bernoulli draws: the candidate
+    // set, weights, and greedy picks must not see partition boundaries
+    val a = Similarity.trainCentroids(df.repartition(1),
+      col("embedding"), k = 8, iters = 0)
+    val b = Similarity.trainCentroids(df.repartition(7),
+      col("embedding"), k = 8, iters = 0)
+    assert(a.length === 8 && b.length === 8)
+    a.zip(b).foreach { case (x, y) => assert(x.toSeq === y.toSeq) }
+    // oversampling really oversamples: seeds cover all 6 planted
+    // directions (no two true clusters starved)
+    val covered = (0 until 6).count { c =>
+      a.exists { s =>
+        val n = math.sqrt(s.map(x => x * x.toDouble).sum)
+        s(c) / n > 0.8
+      }
+    }
+    assert(covered === 6, s"only $covered/6 clusters seeded")
+  }
 }
