@@ -10,12 +10,34 @@ package graft
 object Bench {
   private val warmupDir = "/root/testdata/sf0.001"
 
+  /** Fixed single-thread mixing loop (~0.5 s uncontended): identical
+    * work every call, so its wall time is a pure machine-load gauge.
+    * One runs before each timed pass and the times ship in the JSON as
+    * "calib" — when bench numbers inflate vs steady-state (SCALE.md
+    * min-of-3), an inflated calib pins it on sandbox contention, not
+    * the engine. */
+  private def calibrate(): Double = {
+    val t0 = System.nanoTime()
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0
+    while (i < 150000000) { x ^= x >>> 33; x *= 0xFF51AFD7ED558CCDL; i += 1 }
+    if (x == 42L) print("") // keep the loop observable
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = GraftSession.local("graft-bench")
     // optional trailing args restrict to named queries (local scale
-    // spot-runs); default — the driver's call — benches the full set
+    // spot-runs); default — the driver's call — benches the full set.
+    // Unknown names fail FAST: a typo must not silently shrink the
+    // benched set and report a "successful" run of the wrong queries.
     val only = args.toSet
+    val valid = SparkEntry.benchQueries.map(_._1).toSet
+    val unknown = only.diff(valid)
+    require(unknown.isEmpty,
+      s"unknown bench queries: ${unknown.toSeq.sorted.mkString(", ")}; " +
+        s"valid names: ${valid.toSeq.sorted.mkString(", ")}")
+    val spark = GraftSession.local("graft-bench")
     val headline = SparkEntry.benchQueries
       .filter { case (n, _) => only.isEmpty || only(n) }
     Seq(warmupDir, sfDir).foreach { dir =>
@@ -23,17 +45,23 @@ object Bench {
         try { fn(spark, dir).count() } catch { case _: Throwable => () }
       }
     }
-    // Three timed passes, per-query MIN over SUCCESSFUL passes only: the
-    // machine shares CPU with driver-side jobs, so a single pass can be
-    // contended 2-10×; the minimum is the steady-state engine cost. A
+    // Three timed passes, INTERLEAVED round-robin (q1..qN, q1..qN,
+    // q1..qN) with per-query MIN over SUCCESSFUL passes only: the
+    // machine shares CPU with driver-side jobs, so a single sample can
+    // be contended 2-10×; interleaving separates a query's samples by a
+    // full pass (~minutes), decorrelating them from any one contention
+    // burst, and the minimum is the steady-state engine cost. A
     // throwing pass is excluded (it must not win the min as a bogus
     // near-zero), and a query with zero successful passes is reported in
     // "failed" and left out of the total instead of corrupting it. The
     // cache is cleared before each pass so operators that persist reused
     // intermediates (dedup joins) pay their cache build inside the
-    // measurement.
+    // measurement. A calibration probe before each pass records machine
+    // load at that moment (see calibrate()).
+    val calibs = scala.collection.mutable.ArrayBuffer.empty[Double]
     val passes = (1 to 3).map { _ =>
       spark.catalog.clearCache()
+      calibs += calibrate()
       headline.map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
@@ -49,8 +77,9 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val calibJson = calibs.map(c => f"$c%.3f").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"calib":$calibJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

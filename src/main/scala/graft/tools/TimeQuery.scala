@@ -8,12 +8,26 @@ import graft.{GraftSession, SparkEntry}
   * cache clearing: just the query under the engine config). */
 object TimeQuery {
   def main(args: Array[String]): Unit = {
+    if (args.isEmpty) {
+      System.err.println("usage: TimeQuery <query-name> [passes]\n" +
+        "registered queries:\n  " +
+        SparkEntry.queries.keys.toSeq.sorted.mkString("\n  "))
+      sys.exit(2)
+    }
     val name = args(0)
     val passes = if (args.length > 1) args(1).toInt else 3
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
       "/root/testdata/sf0.1")
+    val fn = SparkEntry.queries.getOrElse(name, {
+      val near = SparkEntry.queries.keys.toSeq
+        .filter(k => k.contains(name) || name.contains(k.take(5)))
+      System.err.println(s"unknown query '$name'" +
+        (if (near.nonEmpty) s" — did you mean: ${near.sorted.mkString(", ")}?"
+         else "") + "\nrun with no args to list all registered names")
+      sys.exit(2)
+      throw new IllegalStateException("unreachable")
+    })
     val spark = GraftSession.local("graft-time")
-    val fn = SparkEntry.queries(name)
     (1 to passes).foreach { i =>
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()

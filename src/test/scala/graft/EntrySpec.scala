@@ -33,6 +33,15 @@ class EntrySpec extends SparkSpec {
       SparkEntry.benchNames.size, "duplicate bench names")
   }
 
+  test("Bench CLI rejects unknown query names before starting a " +
+      "session (the silent-shrink failure mode, CLI path)") {
+    val e = intercept[IllegalArgumentException] {
+      Bench.main(Array("no_such_query_xyz"))
+    }
+    assert(e.getMessage.contains("no_such_query_xyz"))
+    assert(e.getMessage.contains("valid names"))
+  }
+
   test("README count claims match the registry and the test tree " +
       "(drift fails fast instead of shipping stale docs)") {
     import java.nio.file.{Files, Paths}
