@@ -85,6 +85,18 @@ object AsofJoin {
     val leftCols = left.columns.toSeq
     require(!leftCols.exists(_.startsWith("_asof_")),
       "left columns may not start with the reserved prefix _asof_")
+    // Output = left columns ++ payload names (++ matchedTimeCol): any
+    // collision would produce duplicate output names that only fail —
+    // ambiguously — when something downstream references them. Fail
+    // here, at the call site, with the offending names.
+    val outNames = payload.map(_._1) ++ matchedTimeCol
+    val dupOut = outNames.diff(outNames.distinct).distinct
+    require(dupOut.isEmpty,
+      s"duplicate output column name(s): ${dupOut.mkString(", ")}")
+    val clash = outNames.filter(leftCols.toSet)
+    require(clash.isEmpty,
+      s"payload/matchedTimeCol name(s) collide with left columns: " +
+        clash.mkString(", "))
 
     // Right side: key/time + the payload struct (matched time rides
     // inside so tolerance and matchedTimeCol need no second window).

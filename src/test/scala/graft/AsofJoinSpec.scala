@@ -98,4 +98,28 @@ class AsofJoinSpec extends SparkSpec {
     val got = join(left, right).filter(kv => expected.contains(kv._1))
     assert(got === expected)
   }
+
+  test("output-name collisions fail fast at the call site, not " +
+      "ambiguously downstream") {
+    val l = Seq((1L, 1L, 10L)).toDF("id", "k", "t")
+    val r = Seq((1L, 5L, "x")).toDF("rk", "rt", "v")
+    // payload name shadows a left column
+    val e1 = intercept[IllegalArgumentException] {
+      AsofJoin.backward(l, r, l("k"), r("rk"), l("t"), r("rt"),
+        payload = Seq("id" -> r("v")))
+    }
+    assert(e1.getMessage.contains("id"))
+    // matchedTimeCol shadows a left column
+    val e2 = intercept[IllegalArgumentException] {
+      AsofJoin.backward(l, r, l("k"), r("rk"), l("t"), r("rt"),
+        payload = Seq("v" -> r("v")), matchedTimeCol = Some("t"))
+    }
+    assert(e2.getMessage.contains("t"))
+    // two payloads under one name
+    val e3 = intercept[IllegalArgumentException] {
+      AsofJoin.backward(l, r, l("k"), r("rk"), l("t"), r("rt"),
+        payload = Seq("v" -> r("v"), "v" -> r("rt")))
+    }
+    assert(e3.getMessage.contains("duplicate"))
+  }
 }
