@@ -236,27 +236,36 @@ object TrainingQueries {
     // Incremental ingest: dedupe a NEW crawl batch against the
     // EXISTING corpus — the daily-increment pattern (a re-crawl
     // overlaps what's already ingested, and scrapes duplicate pages
-    // within itself). Existing = docs [0,400); batch = a re-crawl of
-    // [300,500) (1M-shifted ids) plus an in-batch second scrape of
-    // [450,500) (2M-shifted). Accepted = in-batch min-id per
-    // fingerprint, anti-joined against the existing fingerprint set →
-    // exactly the 100 genuinely-new docs. Catalyst rewrites the
-    // declared groupBy→anti-join into anti-join FIRST (pushed below
-    // the union — valid because the join key IS the grouping key) so
-    // known-duplicate rows never reach the aggregate, and picks the
-    // join strategy from stats: broadcast at this toy SF, a
-    // fingerprint-hashed shuffle anti-join once the existing set
-    // outgrows the broadcast threshold — exactly the adaptive
-    // behavior a 100 TB ingest needs (declare the logical plan, let
-    // the optimizer place the exchanges; plan re-read via
-    // tools/Explain).
+    // within itself). Split points are FRACTIONS of the corpus size
+    // (existing = first 80%, re-crawl = last 40% 1M-shifted, in-batch
+    // second scrape = last 10% 2M-shifted), so the benched regime is
+    // scale-INVARIANT: at every SF the batch overlaps half the
+    // existing tail and 20% of the corpus is genuinely new — the
+    // sf0.1→sf1 growth ratio measures the same daily-increment shape,
+    // not a degenerate all-new batch (the r9 fixed-threshold version
+    // drifted regimes with SF). Accepted = in-batch min-id per
+    // fingerprint, anti-joined against the existing fingerprint set.
+    // Catalyst rewrites the declared groupBy→anti-join into anti-join
+    // FIRST (pushed below the union — valid because the join key IS
+    // the grouping key) so known-duplicate rows never reach the
+    // aggregate, and picks the join strategy from stats: broadcast at
+    // this toy SF, a fingerprint-hashed shuffle anti-join once the
+    // existing set outgrows the broadcast threshold — exactly the
+    // adaptive behavior a 100 TB ingest needs (declare the logical
+    // plan, let the optimizer place the exchanges; plan re-read via
+    // tools/Explain). The size probe is a 1-row max aggregate —
+    // bounded driver work, like the Similarity dim probe.
     "dedup_incremental" -> { (s, dir) =>
       val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       val fp = TextAnalysis.fingerprint(col("text"))
-      val existing = d.filter(col("doc_id") < 400).select(fp.as("fp"))
-      val batch = d.filter(col("doc_id") >= 300)
+      val n = d.agg(max("doc_id")).head.getLong(0) + 1
+      val existEnd = n * 4 / 5
+      val recrawlStart = n * 3 / 5
+      val rescrapeStart = n * 9 / 10
+      val existing = d.filter(col("doc_id") < existEnd).select(fp.as("fp"))
+      val batch = d.filter(col("doc_id") >= recrawlStart)
         .select((col("doc_id") + CopyShift).as("doc_id"), col("text"))
-        .unionByName(d.filter(col("doc_id") >= 450)
+        .unionByName(d.filter(col("doc_id") >= rescrapeStart)
           .select((col("doc_id") + 2 * CopyShift).as("doc_id"),
             col("text")))
         .select(col("doc_id"), fp.as("fp"))
@@ -734,15 +743,17 @@ object TrainingQueries {
         |SELECT verdict, COUNT(*) AS n_docs
         |FROM v GROUP BY verdict ORDER BY verdict""".stripMargin,
     "dedup_incremental" ->
-      s"""WITH existing AS (
+      s"""WITH sz AS (
+        |  SELECT MAX(doc_id) + 1 AS n FROM documents
+        |), existing AS (
         |  SELECT DISTINCT md5($normExpr) AS fp FROM documents
-        |  WHERE doc_id < 400
+        |  WHERE doc_id < (SELECT n * 4 // 5 FROM sz)
         |), batch AS (
         |  SELECT doc_id + $CopyShift AS doc_id, md5($normExpr) AS fp
-        |  FROM documents WHERE doc_id >= 300
+        |  FROM documents WHERE doc_id >= (SELECT n * 3 // 5 FROM sz)
         |  UNION ALL
         |  SELECT doc_id + ${2 * CopyShift} AS doc_id, md5($normExpr) AS fp
-        |  FROM documents WHERE doc_id >= 450
+        |  FROM documents WHERE doc_id >= (SELECT n * 9 // 10 FROM sz)
         |), kept AS (
         |  SELECT fp, MIN(doc_id) AS doc_id FROM batch GROUP BY fp
         |)
