@@ -192,19 +192,8 @@ object ConsumerPipeline {
     // scans anyway. Once a deployment knows all legacy rows are gone it
     // sets `migrateLegacyStateKeys = false` and the join disappears
     // from the plan entirely.
-    val prior = (if (!cfg.migrateLegacyStateKeys) loaded else {
-      val legacyMap = sequenced
-        .filter(col("stateKey").startsWith("B|"))
-        .select(col("stateKey").as("_newKey"),
-          regexp_replace(col("stateKey"), "\\|[0-9a-f]{32}$", "")
-            .as("_legacyKey"))
-        .distinct()
-      loaded
-        .join(broadcast(legacyMap), loaded("msgId") === col("_legacyKey"),
-          "left")
-        .withColumn("msgId", coalesce(col("_newKey"), col("msgId")))
-        .drop("_newKey", "_legacyKey")
-    }).as[TaskRun]
+    val prior = resolvePriorState(loaded, sequenced,
+      cfg.migrateLegacyStateKeys).as[TaskRun]
 
     val registry = tasks
     val maxAttempts = cfg.maxNumberOfAttempts
@@ -374,4 +363,26 @@ object ConsumerPipeline {
           s"${result.blocked} blocked — replaying")
     result
   }
+
+  /** Prior-state key resolution (T2 revive): identity when
+    * `migrate = false` — the migration join must be ABSENT from the
+    * plan, not just inert (pinned by `PipelineFidelitySpec`'s plan
+    * assertion) — else the legacy-prefix broadcast probe documented at
+    * the call site in [[multi]]. Package-visible so the spec can
+    * assert on the plan of exactly the fragment the pipeline runs. */
+  private[graft] def resolvePriorState(loaded: DataFrame,
+      sequenced: DataFrame, migrate: Boolean): DataFrame =
+    if (!migrate) loaded else {
+      val legacyMap = sequenced
+        .filter(col("stateKey").startsWith("B|"))
+        .select(col("stateKey").as("_newKey"),
+          regexp_replace(col("stateKey"), "\\|[0-9a-f]{32}$", "")
+            .as("_legacyKey"))
+        .distinct()
+      loaded
+        .join(broadcast(legacyMap), loaded("msgId") === col("_legacyKey"),
+          "left")
+        .withColumn("msgId", coalesce(col("_newKey"), col("msgId")))
+        .drop("_newKey", "_legacyKey")
+    }
 }

@@ -214,6 +214,25 @@ class PipelineFidelitySpec extends SparkSpec {
       rows.last._2 === 1)
   }
 
+  test("migrateLegacyStateKeys=false leaves NO migration join in the " +
+      "plan (absent, not merely inert)") {
+    import spark.implicits._
+    val loaded = Seq(("S|s0", "B|id:1| |n:1", "processOne", "Failed", 1))
+      .toDF("chainKey", "msgId", "task", "state", "attempts")
+    val sequenced = Seq(("B|id:1| |n:1" + "|" + "a" * 32))
+      .toDF("stateKey")
+    val off = graft.streaming.ConsumerPipeline
+      .resolvePriorState(loaded, sequenced, migrate = false)
+    val offPlan = off.queryExecution.optimizedPlan.toString
+    assert(!offPlan.contains("_legacyKey") && !offPlan.contains("Join"),
+      s"migration join survives the off switch:\n$offPlan")
+    val on = graft.streaming.ConsumerPipeline
+      .resolvePriorState(loaded, sequenced, migrate = true)
+    val onPlan = on.queryExecution.optimizedPlan.toString
+    assert(onPlan.contains("_legacyKey") && onPlan.contains("Join"),
+      s"migration join missing when enabled:\n$onPlan")
+  }
+
   test("identify-rejected messages route to the DMQ once with their " +
       "real reasonRejected") {
     import spark.implicits._
