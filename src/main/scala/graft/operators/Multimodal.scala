@@ -8,9 +8,10 @@ import org.apache.spark.sql.functions._
   * over `mapPartitions`, and frame sampling as pure column ops.
   *
   * The decode step is a REAL pure-JVM container parse — BMP headers
-  * (width / height / channels) and WAV RIFF chunks (sample rate /
-  * channels / duration) — over fixture bytes synthesized by
-  * [[makeBmp]]/[[makeWav]] (this sandbox ships no media files or codec
+  * (width / height / channels), PNG signature + IHDR (width / height /
+  * color-type channels), and WAV RIFF chunks (sample rate / channels /
+  * duration) — over fixture bytes synthesized by
+  * [[makeBmp]]/[[makeWav]]/[[makePng]] (this sandbox ships no media files or codec
   * libraries, so the fixtures stand in for upstream media; the parse
   * itself is byte-level and format-faithful). A production deployment
   * swaps the parse body for a full codec (JPEG, FLAC, …) — the
@@ -46,10 +47,26 @@ object Multimodal {
   private def u32(b: Array[Byte], o: Int): Long =
     (b(o) & 0xFF).toLong | ((b(o + 1) & 0xFF).toLong << 8) |
       ((b(o + 2) & 0xFF).toLong << 16) | ((b(o + 3) & 0xFF).toLong << 24)
+  // ---- big-endian reader (PNG is network byte order) ----
+  private def be32(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xFF).toLong << 24) | ((b(o + 1) & 0xFF).toLong << 16) |
+      ((b(o + 2) & 0xFF).toLong << 8) | (b(o + 3) & 0xFF).toLong
 
-  /** Real header parse: BMP (BITMAPINFOHEADER) or WAV (RIFF/WAVE fmt +
-    * data chunks). Byte-level and allocation-free — the per-row hot
-    * path a 100 TB decode stage actually runs. */
+  private val PngSig: Array[Int] =
+    Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+
+  /** PNG color type → samples per pixel (PNG spec §11.2.2): gray 1,
+    * RGB 3, palette-indexed 1, gray+alpha 2, RGBA 4; anything else is
+    * malformed (null channels, dims still reported). */
+  private def pngChannels(colorType: Int): Option[Int] = colorType match {
+    case 0 => Some(1); case 2 => Some(3); case 3 => Some(1)
+    case 4 => Some(2); case 6 => Some(4); case _ => None
+  }
+
+  /** Real header parse: BMP (BITMAPINFOHEADER), PNG (signature +
+    * IHDR), or WAV (RIFF/WAVE fmt + data chunks). Byte-level and
+    * allocation-free — the per-row hot path a 100 TB decode stage
+    * actually runs. */
   def decode(r: MediaRecord): MediaFeatures = {
     val b = r.payload
     if (b.length >= 54 && b(0) == 'B'.toByte && b(1) == 'M'.toByte) {
@@ -60,6 +77,16 @@ object Multimodal {
       val bpp = u16(b, 28)
       MediaFeatures(r.id, r.media_type, b.length, Some(width),
         Some(height), Some(bpp / 8), None, None)
+    } else if (b.length >= 33 &&
+        (0 until 8).forall(i => (b(i) & 0xFF) == PngSig(i)) &&
+        b(12) == 'I'.toByte && b(13) == 'H'.toByte &&
+        b(14) == 'D'.toByte && b(15) == 'R'.toByte) {
+      // PNG: IHDR is mandated first (spec §5.6) — width/height at
+      // 16/20 (big-endian), color type at 25
+      val width = be32(b, 16).toInt
+      val height = be32(b, 20).toInt
+      MediaFeatures(r.id, r.media_type, b.length, Some(width),
+        Some(height), pngChannels(b(25) & 0xFF), None, None)
     } else if (b.length >= 44 && b(0) == 'R'.toByte && b(1) == 'I'.toByte
         && b(2) == 'F'.toByte && b(3) == 'F'.toByte
         && b(8) == 'W'.toByte && b(9) == 'A'.toByte
@@ -181,6 +208,37 @@ object Multimodal {
       }
       ty += 1
     }
+    out
+  }
+
+  /** Synthesize a minimal valid PNG: 8-byte signature, IHDR (8-bit
+    * RGB, no interlace) with a real CRC-32, and an IEND chunk — 45
+    * bytes total. No IDAT: the fixture pins header parsing, and a
+    * zero-pixel stream would add nothing the BMP fixtures don't
+    * already cover at the pixel level. */
+  def makePng(width: Int, height: Int): Array[Byte] = {
+    require(width > 0 && height > 0, "PNG dims must be positive")
+    val out = new Array[Byte](8 + 25 + 12)
+    PngSig.zipWithIndex.foreach { case (v, i) => out(i) = v.toByte }
+    def wbe32(o: Int, v: Long): Unit = {
+      out(o) = (v >> 24).toByte; out(o + 1) = (v >> 16).toByte
+      out(o + 2) = (v >> 8).toByte; out(o + 3) = v.toByte
+    }
+    def chunk(o: Int, typ: String, dataLen: Int): Unit = {
+      wbe32(o, dataLen.toLong)
+      typ.getBytes("US-ASCII").zipWithIndex.foreach { case (c, i) =>
+        out(o + 4 + i) = c
+      }
+      val crc = new java.util.zip.CRC32
+      crc.update(out, o + 4, 4 + dataLen)
+      wbe32(o + 8 + dataLen, crc.getValue)
+    }
+    // IHDR data: width, height, bit depth 8, color type 2 (RGB),
+    // compression 0, filter 0, interlace 0
+    wbe32(16, width.toLong); wbe32(20, height.toLong)
+    out(24) = 8; out(25) = 2
+    chunk(8, "IHDR", 13)
+    chunk(33, "IEND", 0)
     out
   }
 

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.operators.Multimodal
 import graft.sources.Tables
 
-/** Multimodal plumbing queries: deterministic BMP/WAV containers
+/** Multimodal plumbing queries: deterministic BMP/WAV/PNG containers
   * synthesized per document (dims/rates derived from `doc_id`, audio
   * payload size from the text length — the sandbox ships no media
   * files), pushed through the REAL decode path — `Dataset[MediaRecord]`
@@ -17,7 +17,11 @@ object MultimodalQueries {
 
   val all: Map[String, Q] = Map(
 
-    // Batched decode/feature-extraction over binary payloads.
+    // Batched decode/feature-extraction over binary payloads; three
+    // REAL container classes (BMP, WAV, PNG by doc_id mod 3) so the
+    // unknown-container all-null path is pinned against positives
+    // from three distinct parsers (LE structs, RIFF chunk walk, BE
+    // chunks + CRC).
     "multimodal_features" -> { (s, dir) =>
       import s.implicits._
       val media = Tables.documents(s, dir)
@@ -25,13 +29,16 @@ object MultimodalQueries {
           length(col("text")).as("tlen"))
         .as[(Long, Int)]
         .map { case (id, tlen) =>
-          if (id % 2 == 0)
+          if (id % 3 == 0)
             Multimodal.MediaRecord(id, "image",
               Multimodal.makeBmp((id % 16 + 1).toInt, (id % 8 + 1).toInt))
-          else
+          else if (id % 3 == 1)
             Multimodal.MediaRecord(id, "audio",
               Multimodal.makeWav((8000 + (id % 4) * 4000).toInt,
-                (((id - 1) / 2) % 2 + 1).toInt, tlen))
+                (((id - 1) / 3) % 2 + 1).toInt, tlen))
+          else
+            Multimodal.MediaRecord(id, "image",
+              Multimodal.makePng((id % 16 + 1).toInt, (id % 8 + 1).toInt))
         }
       Multimodal.decodeFeatures(media, batchSize = 64)
         .toDF()
@@ -83,21 +90,23 @@ object MultimodalQueries {
         |    CAST(doc_id % 16 + 1 AS INT) AS w,
         |    CAST(doc_id % 8 + 1 AS INT) AS h,
         |    CAST(8000 + (doc_id % 4) * 4000 AS INT) AS sr,
-        |    CAST(((doc_id - 1) // 2) % 2 + 1 AS INT) AS ch
+        |    CAST(((doc_id - 1) // 3) % 2 + 1 AS INT) AS ch
         |  FROM documents
         |)
         |SELECT id,
-        |  CASE WHEN id % 2 = 0 THEN 'image' ELSE 'audio' END
+        |  CASE WHEN id % 3 = 1 THEN 'audio' ELSE 'image' END
         |    AS media_type,
-        |  CASE WHEN id % 2 = 0
+        |  CASE WHEN id % 3 = 0
         |    THEN CAST(54 + ((w * 3 + 3) // 4) * 4 * h AS INT)
-        |    ELSE CAST(44 + tlen - tlen % (ch * 2) AS INT)
+        |    WHEN id % 3 = 1
+        |    THEN CAST(44 + tlen - tlen % (ch * 2) AS INT)
+        |    ELSE 45
         |  END AS n_bytes,
-        |  CASE WHEN id % 2 = 0 THEN w END AS width,
-        |  CASE WHEN id % 2 = 0 THEN h END AS height,
-        |  CASE WHEN id % 2 = 0 THEN 3 ELSE ch END AS channels,
-        |  CASE WHEN id % 2 = 1 THEN sr END AS sample_rate,
-        |  CASE WHEN id % 2 = 1
+        |  CASE WHEN id % 3 <> 1 THEN w END AS width,
+        |  CASE WHEN id % 3 <> 1 THEN h END AS height,
+        |  CASE WHEN id % 3 = 1 THEN ch ELSE 3 END AS channels,
+        |  CASE WHEN id % 3 = 1 THEN sr END AS sample_rate,
+        |  CASE WHEN id % 3 = 1
         |    THEN CAST(tlen - tlen % (ch * 2) AS DOUBLE) * 1000.0
         |      / (sr * ch * 2)
         |  END AS duration_ms

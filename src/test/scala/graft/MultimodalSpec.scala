@@ -95,6 +95,34 @@ class MultimodalSpec extends SparkSpec {
     assert(short.width === None && short.n_bytes === 3)
   }
 
+  test("PNG roundtrip: signature + IHDR parse back width/height and " +
+      "color-type channels; CRC and chunk layout are format-faithful") {
+    val png = Multimodal.makePng(640, 480)
+    assert(png.length === 45)
+    val f = Multimodal.decode(MediaRecord(1L, "image", png))
+    assert(f.width === Some(640) && f.height === Some(480) &&
+      f.channels === Some(3) && f.sample_rate === None &&
+      f.duration_ms === None)
+    // the fixture is format-faithful, not just our own dialect: the
+    // stored IHDR CRC must equal an independently computed CRC-32
+    // over type+data (what any external PNG reader validates first)
+    val crc = new java.util.zip.CRC32
+    crc.update(png, 12, 17) // IHDR type + data
+    val stored = ((png(29) & 0xFFL) << 24) | ((png(30) & 0xFFL) << 16) |
+      ((png(31) & 0xFFL) << 8) | (png(32) & 0xFFL)
+    assert(crc.getValue === stored, "IHDR CRC-32 mismatch")
+    // color-type → channels mapping: grayscale(0)=1, RGBA(6)=4,
+    // malformed(7)=None (dims still parse)
+    for ((ct, exp) <- Seq(0 -> Some(1), 6 -> Some(4), 7 -> None)) {
+      val p2 = png.clone(); p2(25) = ct.toByte
+      val f2 = Multimodal.decode(MediaRecord(2L, "image", p2))
+      assert(f2.channels === exp && f2.width === Some(640))
+    }
+    // truncated signature falls through to unknown-container all-null
+    val f3 = Multimodal.decode(MediaRecord(3L, "image", png.take(20)))
+    assert(f3.width === None && f3.n_bytes === 20)
+  }
+
   test("decodeFeatures keeps the partition-batched shape over a " +
       "Dataset of mixed containers") {
     import spark.implicits._
