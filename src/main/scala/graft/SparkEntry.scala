@@ -75,6 +75,7 @@ object SparkEntry {
       "state_upsert", "windowed_counts",
       // temporal cluster
       "asof_join", "sessionize", "funnel_stages", "retention_cohorts",
+      "range_join_binned",
       // training-data clusters
       "text_stats", "text_repetition", "text_redact", "text_normalize",
       "text_winnowing", "vocab_topk", "quality_gate", "salted_counts",
@@ -85,7 +86,8 @@ object SparkEntry {
       "source_cap", "decontaminate",
       "ann_topk_brute", "ann_topk_native", "ann_topk_ivf", "embedding_dups",
       "embedding_survivors",
-      "multimodal_features", "corpus_pipeline", "corpus_quantiles")
+      "multimodal_features", "corpus_pipeline", "corpus_quantiles",
+      "corpus_rollup")
 
   def benchQueries: Seq[(String, (SparkSession, String) => DataFrame)] =
     benchNames.flatMap(n => queries.get(n).map(n -> _))

@@ -44,6 +44,32 @@ object TemporalQueries {
         .orderBy("event_id")
     },
 
+    // Binned range join: customers matched to same-nation suppliers
+    // whose account-balance band (±200) contains the customer's
+    // balance — the point-in-interval shape (band lookups, tier
+    // tables, IP ranges) Spark would otherwise plan as an O(N·M)
+    // BroadcastNestedLoopJoin. RangeJoin bins the number line (width =
+    // the 400-unit band, so ≤ 2 bins per interval), explodes interval
+    // bins, and equi-joins on (nation, bin) + residual BETWEEN — an
+    // ordinary shuffled join, AQE-eligible (RangeJoinSpec pins both
+    // the no-BNLJ plan and brute-force equality).
+    "range_join_binned" -> { (s, dir) =>
+      val c = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+      val sup = Tables.supplier(s, dir)
+        .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"),
+          (col("s_acctbal") - 200).as("lo"),
+          (col("s_acctbal") + 200).as("hi"))
+      graft.operators.RangeJoin.pointInInterval(
+          c, col("c_acctbal"), sup, col("lo"), col("hi"),
+          binWidth = 400.0,
+          pointKey = Some(col("c_nationkey")),
+          intervalKey = Some(col("s_nationkey")))
+        .select(col("c_custkey"), col("s_suppkey"),
+          col("c_acctbal"), col("s_acctbal"))
+        .orderBy("c_custkey", "s_suppkey")
+    },
+
     // Retention cohorts: users grouped by the week of their FIRST
     // event; for each (cohort, weeks-since) cell, how many of that
     // cohort were active — the classic retention triangle. The cohort
@@ -157,6 +183,12 @@ object TemporalQueries {
     })
 
   val oracle: Map[String, String] = Map(
+    "range_join_binned" ->
+      """SELECT c.c_custkey, s.s_suppkey, c.c_acctbal, s.s_acctbal
+        |FROM customer c JOIN supplier s
+        |  ON c.c_nationkey = s.s_nationkey
+        | AND c.c_acctbal BETWEEN s.s_acctbal - 200 AND s.s_acctbal + 200
+        |ORDER BY c.c_custkey, s.s_suppkey""".stripMargin,
     "asof_join" ->
       """SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
         |  r.value AS last_purchase_value,

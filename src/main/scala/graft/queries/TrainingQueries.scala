@@ -274,6 +274,23 @@ object TrainingQueries {
         .select("doc_id").orderBy("doc_id")
     },
 
+    // Corpus report with subtotals: one ROLLUP pass produces the
+    // (lang, source) cells, per-lang subtotals and the grand total —
+    // Spark expands the grouping sets BEFORE the exchange, so partial
+    // aggregation still combines map-side and the shuffle carries one
+    // partial row per (set, group), never a second scan per level
+    // (the hand-rolled alternative is 3 scans + a union). grouping_id
+    // disambiguates a genuine NULL group from a rollup subtotal.
+    "corpus_rollup" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .rollup(col("lang"), col("source"))
+        .agg(grouping_id().as("gid"),
+          count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).as("sum_chars"))
+        .orderBy(col("gid").asc, col("lang").asc_nulls_first,
+          col("source").asc_nulls_first)
+    },
+
     // Deterministic train/val/test split: a seeded md5 bucket per doc,
     // compared against fixed hex thresholds (0xcc/256 ≈ 80%, 0xe6/256 ≈
     // 90%) — pure per-row projection, no shuffle, reproducible across
@@ -760,6 +777,12 @@ object TrainingQueries {
         |SELECT doc_id FROM kept
         |WHERE fp NOT IN (SELECT fp FROM existing)
         |ORDER BY doc_id""".stripMargin,
+    "corpus_rollup" ->
+      """SELECT lang, source, GROUPING(lang, source) AS gid,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(length(text)) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY ROLLUP(lang, source)
+        |ORDER BY gid, lang NULLS FIRST, source NULLS FIRST""".stripMargin,
     "train_split" ->
       """SELECT doc_id, source,
         |  substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2)

@@ -1,0 +1,120 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.RangeJoin
+
+/** Pins [[RangeJoin.pointInInterval]]: exact equality with the brute-
+  * force BETWEEN join on pseudo-random data (seeded) across bin widths
+  * that under- and over-shoot the interval width, the exactly-once
+  * property (no duplicate pairs from multi-bin intervals), BETWEEN
+  * null/degenerate semantics, and — the reason the operator exists —
+  * a plan with NO BroadcastNestedLoopJoin. */
+class RangeJoinSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val rnd = new Random(7)
+  private val points = (0 until 400).map(i =>
+    (i.toLong, rnd.nextInt(5).toLong, rnd.nextDouble() * 1000))
+  private val intervals = (0 until 120).map { i =>
+    val lo = rnd.nextDouble() * 1000
+    (1000L + i, rnd.nextInt(5).toLong, lo, lo + rnd.nextDouble() * 80)
+  }
+
+  private def brute(): Set[(Long, Long)] =
+    (for {
+      (pid, pk, p) <- points
+      (iid, ik, lo, hi) <- intervals
+      if pk == ik && p >= lo && p <= hi
+    } yield (pid, iid)).toSet
+
+  private def binned(width: Double): Seq[(Long, Long)] = {
+    val p = points.toDF("pid", "pk", "p")
+    val i = intervals.toDF("iid", "ik", "lo", "hi")
+    RangeJoin.pointInInterval(p, col("p"), i, col("lo"), col("hi"),
+        binWidth = width,
+        pointKey = Some(col("pk")), intervalKey = Some(col("ik")))
+      .select("pid", "iid").as[(Long, Long)].collect().toSeq
+  }
+
+  test("matches the brute-force BETWEEN join exactly, once per pair, " +
+      "for bin widths below / near / above the interval width") {
+    val expected = brute()
+    assert(expected.nonEmpty, "degenerate fixture: no matches")
+    for (w <- Seq(7.0, 80.0, 2000.0)) {
+      val got = binned(w)
+      assert(got.length === got.distinct.length,
+        s"duplicate pairs at binWidth=$w")
+      assert(got.toSet === expected, s"binWidth=$w diverged")
+    }
+  }
+
+  test("null points, null bounds, and hi < lo intervals match nothing " +
+      "(SQL BETWEEN semantics)") {
+    val p = Seq((1L, Some(5.0)), (2L, None))
+      .toDF("pid", "p")
+    val i = Seq(
+      (10L, Some(0.0), Some(10.0)),  // valid: contains 5.0
+      (11L, None, Some(10.0)),       // null lo
+      (12L, Some(0.0), None),        // null hi
+      (13L, Some(9.0), Some(1.0)))   // inverted
+      .toDF("iid", "lo", "hi")
+    val got = RangeJoin.pointInInterval(p, col("p"), i,
+        col("lo"), col("hi"), binWidth = 4.0)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 10L)))
+  }
+
+  test("plans as an equi-join even with NO equi keys — the case where " +
+      "naive Spark falls back to a nested-loop plan") {
+    val p = points.toDF("pid", "pk", "p")
+    val i = intervals.toDF("iid", "ik", "lo", "hi")
+    // keyless: the bin column is the ONLY equi key, and it suffices
+    val df = RangeJoin.pointInInterval(p.drop("pk"), col("p"),
+      i.drop("ik"), col("lo"), col("hi"), binWidth = 80.0)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+           !plan.contains("CartesianProduct"),
+      s"range join fell back to a nested-loop plan:\n$plan")
+    // and the naive keyless formulation really does nested-loop (the
+    // operator is not redundant)
+    val naive = p.drop("pk").join(i.drop("ik"),
+      col("p") >= col("lo") && col("p") <= col("hi"))
+    val naivePlan = naive.queryExecution.executedPlan.toString
+    assert(naivePlan.contains("BroadcastNestedLoopJoin") ||
+           naivePlan.contains("CartesianProduct"),
+      s"baseline unexpectedly planned an equi-join:\n$naivePlan")
+    // keyless result still exact
+    val expected = (for {
+      (pid, _, pv) <- points; (iid, _, lo, hi) <- intervals
+      if pv >= lo && pv <= hi
+    } yield (pid, iid)).toSet
+    val got = df.select("pid", "iid").as[(Long, Long)].collect()
+    assert(got.length === got.distinct.length)
+    assert(got.toSet === expected)
+  }
+
+  test("guards: bad binWidth, one-sided keys, overlapping or reserved " +
+      "column names fail fast") {
+    val p = points.toDF("pid", "pk", "p")
+    val i = intervals.toDF("iid", "ik", "lo", "hi")
+    intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(p, col("p"), i, col("lo"), col("hi"), 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(p, col("p"), i, col("lo"), col("hi"),
+        10.0, pointKey = Some(col("pk")), intervalKey = None)
+    }
+    intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(p, col("p"),
+        i.withColumnRenamed("iid", "pid"), col("lo"), col("hi"), 10.0)
+    }
+    intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(p.withColumn("_rj_x", lit(1)), col("p"),
+        i, col("lo"), col("hi"), 10.0)
+    }
+  }
+}
