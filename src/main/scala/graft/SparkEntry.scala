@@ -83,7 +83,7 @@ object SparkEntry {
       "dedup_simhash", "dedup_simhash_pairs", "dedup_minhash_lsh",
       "dedup_ngram_jaccard", "dedup_components", "dedup_survivors",
       "dedup_incremental", "train_split",
-      "source_cap", "decontaminate",
+      "source_cap", "decontaminate", "dedup_incremental_bloom",
       "ann_topk_brute", "ann_topk_native", "ann_topk_ivf", "embedding_dups",
       "embedding_survivors",
       "multimodal_features", "corpus_pipeline", "corpus_quantiles",

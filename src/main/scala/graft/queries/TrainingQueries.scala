@@ -34,6 +34,30 @@ object TrainingQueries {
   }
 
   /** The same corpus construction in SQL. */
+  /** Shared construction for the incremental-ingest pair: existing =
+    * first 80% of the corpus (fingerprints), batch = a re-crawl of the
+    * last 40% plus a second scrape of the last 10%, id-shifted so
+    * batch ids never collide with existing ones. Split points are
+    * corpus-size FRACTIONS, so the regime is scale-invariant. The size
+    * probe is a 1-row max aggregate — bounded driver work. */
+  private def incrementalIngest(
+      s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val fp = TextAnalysis.fingerprint(col("text"))
+    val n = d.agg(max("doc_id")).head.getLong(0) + 1
+    val existEnd = n * 4 / 5
+    val recrawlStart = n * 3 / 5
+    val rescrapeStart = n * 9 / 10
+    val existing = d.filter(col("doc_id") < existEnd).select(fp.as("fp"))
+    val batch = d.filter(col("doc_id") >= recrawlStart)
+      .select((col("doc_id") + CopyShift).as("doc_id"), col("text"))
+      .unionByName(d.filter(col("doc_id") >= rescrapeStart)
+        .select((col("doc_id") + 2 * CopyShift).as("doc_id"),
+          col("text")))
+      .select(col("doc_id"), fp.as("fp"))
+    (batch, existing)
+  }
+
   private val allDocsCte =
     s"""all_docs AS (
        |  SELECT doc_id, text FROM documents
@@ -256,21 +280,29 @@ object TrainingQueries {
     // tools/Explain). The size probe is a 1-row max aggregate —
     // bounded driver work, like the Similarity dim probe.
     "dedup_incremental" -> { (s, dir) =>
-      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      val fp = TextAnalysis.fingerprint(col("text"))
-      val n = d.agg(max("doc_id")).head.getLong(0) + 1
-      val existEnd = n * 4 / 5
-      val recrawlStart = n * 3 / 5
-      val rescrapeStart = n * 9 / 10
-      val existing = d.filter(col("doc_id") < existEnd).select(fp.as("fp"))
-      val batch = d.filter(col("doc_id") >= recrawlStart)
-        .select((col("doc_id") + CopyShift).as("doc_id"), col("text"))
-        .unionByName(d.filter(col("doc_id") >= rescrapeStart)
-          .select((col("doc_id") + 2 * CopyShift).as("doc_id"),
-            col("text")))
-        .select(col("doc_id"), fp.as("fp"))
+      val (batch, existing) = incrementalIngest(s, dir)
       batch.groupBy("fp").agg(min("doc_id").as("doc_id"))
         .join(existing.distinct(), Seq("fp"), "left_anti")
+        .select("doc_id").orderBy("doc_id")
+    },
+
+    // Same incremental-ingest answer, Bloom-accelerated: the existing
+    // corpus's fingerprint set becomes a ~1.2 GB-at-10⁹-keys Bloom
+    // filter (one treeAggregate, no driver scan); batch rows the
+    // filter PROVES new (no false negatives) bypass the anti-join
+    // entirely, and only true dups + ~1% false positives pay the
+    // exchange. Result is bit-identical to dedup_incremental — the
+    // SAME DuckDB oracle checks both — because the exact anti-join
+    // scrubs the false positives. This is the variant that survives
+    // when the existing set outgrows both the broadcast cap (raw
+    // keys too big) and patience (shuffling the whole daily batch);
+    // see operators/BloomAntiJoin for the full scale argument.
+    "dedup_incremental_bloom" -> { (s, dir) =>
+      val (batch, existing) = incrementalIngest(s, dir)
+      graft.operators.BloomAntiJoin.antiJoin(
+          batch.groupBy("fp").agg(min("doc_id").as("doc_id")),
+          "fp", existing, "fp",
+          expectedItems = math.max(1L, existing.count()), fpp = 0.01)
         .select("doc_id").orderBy("doc_id")
     },
 
@@ -563,6 +595,25 @@ object TrainingQueries {
       |  SELECT s2.dst, r.lbl FROM reach r JOIN sym s2 ON s2.src = r.node
       |)""".stripMargin
 
+  private lazy val incrementalIngestSql =
+    s"""WITH sz AS (
+      |  SELECT MAX(doc_id) + 1 AS n FROM documents
+      |), existing AS (
+      |  SELECT DISTINCT md5($normExpr) AS fp FROM documents
+      |  WHERE doc_id < (SELECT n * 4 // 5 FROM sz)
+      |), batch AS (
+      |  SELECT doc_id + $CopyShift AS doc_id, md5($normExpr) AS fp
+      |  FROM documents WHERE doc_id >= (SELECT n * 3 // 5 FROM sz)
+      |  UNION ALL
+      |  SELECT doc_id + ${2 * CopyShift} AS doc_id, md5($normExpr) AS fp
+      |  FROM documents WHERE doc_id >= (SELECT n * 9 // 10 FROM sz)
+      |), kept AS (
+      |  SELECT fp, MIN(doc_id) AS doc_id FROM batch GROUP BY fp
+      |)
+      |SELECT doc_id FROM kept
+      |WHERE fp NOT IN (SELECT fp FROM existing)
+      |ORDER BY doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "text_stats" ->
       s"""WITH d AS (
@@ -759,24 +810,10 @@ object TrainingQueries {
         |)
         |SELECT verdict, COUNT(*) AS n_docs
         |FROM v GROUP BY verdict ORDER BY verdict""".stripMargin,
-    "dedup_incremental" ->
-      s"""WITH sz AS (
-        |  SELECT MAX(doc_id) + 1 AS n FROM documents
-        |), existing AS (
-        |  SELECT DISTINCT md5($normExpr) AS fp FROM documents
-        |  WHERE doc_id < (SELECT n * 4 // 5 FROM sz)
-        |), batch AS (
-        |  SELECT doc_id + $CopyShift AS doc_id, md5($normExpr) AS fp
-        |  FROM documents WHERE doc_id >= (SELECT n * 3 // 5 FROM sz)
-        |  UNION ALL
-        |  SELECT doc_id + ${2 * CopyShift} AS doc_id, md5($normExpr) AS fp
-        |  FROM documents WHERE doc_id >= (SELECT n * 9 // 10 FROM sz)
-        |), kept AS (
-        |  SELECT fp, MIN(doc_id) AS doc_id FROM batch GROUP BY fp
-        |)
-        |SELECT doc_id FROM kept
-        |WHERE fp NOT IN (SELECT fp FROM existing)
-        |ORDER BY doc_id""".stripMargin,
+    "dedup_incremental" -> incrementalIngestSql,
+    // Bloom variant is EXACT (the anti-join scrubs false positives;
+    // Bloom has no false negatives) — same oracle by design.
+    "dedup_incremental_bloom" -> incrementalIngestSql,
     "corpus_rollup" ->
       """SELECT lang, source, GROUPING(lang, source) AS gid,
         |  COUNT(*) AS n_docs,
