@@ -228,6 +228,37 @@ object TrainingQueries {
         .limit(20)
     },
 
+    // Per-document keyword extraction: top-3 terms by a tf-idf-style
+    // weight. Two-pass shape — (doc, token) term frequencies, then a
+    // vocab-sized document-frequency aggregate joined back on token —
+    // both exchanges hash on `token`, so Catalyst reuses one
+    // partitioning for the df aggregate and the join, and the join's
+    // df side is vocab-sized (Zipf-small next to the corpus), never a
+    // second corpus scan. The weight is tf/(df+1) — a PROPORTIONAL
+    // idf rather than log-idf, deliberately: integer÷integer is one
+    // correctly-rounded IEEE op, bit-identical across engines, where
+    // ln() is only 1-ulp-accurate and mathematically-tied scores
+    // (2·ln 9 = ln 81) could rank differently in Spark vs the oracle.
+    // Ranking is total-ordered by (score desc, token asc) so the
+    // top-3 cut is deterministic.
+    "tfidf_topk" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(TextAnalysis.tokens(lower(col("text")))).as("token"))
+        .filter(!col("token").isin(TextAnalysis.DefaultStopwords: _*))
+      val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("token").asc)
+      tf.join(dfreq, Seq("token"))
+        .withColumn("score", col("tf") / (col("df") + lit(1)))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("doc_id", "rank", "token", "tf", "df", "score")
+        .orderBy("doc_id", "rank")
+    },
+
     // The composed quality gate a corpus build actually ships — the
     // Gopher/MassiveText-style accept/reject verdict with the FIRST
     // failing rule as the reason (length window, stopword floor,
@@ -388,6 +419,34 @@ object TrainingQueries {
           Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("contaminated"), lit(false)).as("contaminated"))
+        .orderBy("doc_id")
+    },
+
+    // Contamination REPORT: for each contaminated doc, how many of its
+    // distinct shingles appear in the benchmark set and the overlap
+    // fraction — the evidence a decontamination threshold (e.g. the
+    // PaLM-style "≥70% 8-gram overlap" rule) is actually set from,
+    // where `decontaminate` only gives the boolean. Shape: the same
+    // broadcast semi-join as decontaminate feeds a doc_id partial-agg
+    // overlap count; the per-doc totals are a pure projection of the
+    // same scan, and the final inner join's overlap side is only the
+    // CONTAMINATED docs (tiny), so AQE broadcasts it — no corpus-sized
+    // exchange anywhere. overlap_frac is one long÷long IEEE division,
+    // bit-identical in the oracle.
+    "contamination_overlap" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      val shingles = graft.functions.TextShingles.distinctShingles(3)
+      val bench = broadcast(d.filter(col("doc_id") < 20)
+        .select(explode(shingles(col("text"))).as("sh")).distinct())
+      val corpusSh = d.filter(col("doc_id") >= 20)
+        .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+      val totals = d.filter(col("doc_id") >= 20)
+        .select(col("doc_id"), size(shingles(col("text"))).as("n_shingles"))
+      val overlap = corpusSh.join(bench, "sh")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+      totals.join(overlap, Seq("doc_id"))
+        .withColumn("overlap_frac", col("n_overlap") / col("n_shingles"))
+        .select("doc_id", "n_shingles", "n_overlap", "overlap_frac")
         .orderBy("doc_id")
     },
 
@@ -762,6 +821,23 @@ object TrainingQueries {
       s"""SELECT token, COUNT(*) AS n
         |FROM (SELECT unnest($toksExpr) AS token FROM documents)
         |GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin,
+    "tfidf_topk" ->
+      s"""WITH tok AS (
+        |  SELECT doc_id, unnest($toksExpr) AS token FROM documents
+        |), tf AS (
+        |  SELECT doc_id, token, COUNT(*) AS tf FROM tok
+        |  WHERE token NOT IN $stopwordList GROUP BY doc_id, token
+        |), df AS (
+        |  SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+        |), scored AS (
+        |  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+        |    tf.tf / (df.df + 1) AS score,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY tf.tf / (df.df + 1) DESC, tf.token ASC) AS rank
+        |  FROM tf JOIN df USING (token)
+        |)
+        |SELECT doc_id, rank, token, tf, df, score FROM scored
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "quality_gate" ->
       s"""WITH d AS (
         |  SELECT doc_id, text,
@@ -869,6 +945,24 @@ object TrainingQueries {
         |SELECT d.doc_id, (cont.doc_id IS NOT NULL) AS contaminated
         |FROM documents d LEFT JOIN cont ON d.doc_id = cont.doc_id
         |WHERE d.doc_id >= 20 ORDER BY d.doc_id""".stripMargin,
+    "contamination_overlap" ->
+      s"""WITH bench AS (
+        |  SELECT DISTINCT unnest(list_distinct($shinglesExpr)) AS sh
+        |  FROM documents WHERE doc_id < 20
+        |), corp AS (
+        |  SELECT doc_id, unnest(list_distinct($shinglesExpr)) AS sh
+        |  FROM documents WHERE doc_id >= 20
+        |), tot AS (
+        |  SELECT doc_id, len(list_distinct($shinglesExpr)) AS n_shingles
+        |  FROM documents WHERE doc_id >= 20
+        |), ov AS (
+        |  SELECT c.doc_id, COUNT(*) AS n_overlap
+        |  FROM corp c JOIN bench b USING (sh) GROUP BY c.doc_id
+        |)
+        |SELECT t.doc_id, t.n_shingles, o.n_overlap,
+        |  o.n_overlap / t.n_shingles AS overlap_frac
+        |FROM tot t JOIN ov o USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
     "sample_stratified" ->
       """SELECT lang, COUNT(*) AS n_docs
         |FROM documents
