@@ -78,13 +78,14 @@ object SparkEntry {
       "range_join_binned",
       // training-data clusters
       "text_stats", "text_repetition", "text_redact", "text_normalize",
-      "text_winnowing", "vocab_topk", "tfidf_topk", "quality_gate",
-      "salted_counts",
+      "text_winnowing", "vocab_topk", "tfidf_topk", "collocations_topk",
+      "quality_gate", "salted_counts",
       "dedup_exact",
       "dedup_simhash", "dedup_simhash_pairs", "dedup_minhash_lsh",
       "dedup_ngram_jaccard", "dedup_components", "dedup_survivors",
       "dedup_incremental", "train_split",
       "source_cap", "decontaminate", "contamination_overlap",
+      "mixture_sample",
       "dedup_incremental_bloom",
       "ann_topk_brute", "ann_topk_native", "ann_topk_ivf", "embedding_dups",
       "embedding_survivors",

@@ -422,6 +422,43 @@ object TrainingQueries {
         .orderBy("doc_id")
     },
 
+    // Bigram collocation mining: top-20 adjacent-word pairs by
+    // pointwise-mutual-information LIFT — n_ab·N / (n_a·n_b), the
+    // PMI without the log. Same top-20 as PMI (log is monotone), but
+    // every score is two correctly-rounded IEEE ops on exact integer
+    // counts, so the ranking is bit-identical in the oracle, where
+    // log-PMI's 1-ulp ln() could flip mathematically-tied ranks.
+    // Shape: ONE corpus scan feeds the bigram pair-agg (map-side
+    // partials on the pair key, min-count pruned right at the agg),
+    // the unigram agg is vocab-sized, and both lookup joins hash on a
+    // single-token key against vocab-sized sides — AQE broadcasts
+    // them when vocab allows. The token-total N is a 1-row aggregate
+    // (bounded driver work, same pattern as the corpus-size probes).
+    "collocations_topk" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+        .select(TextAnalysis.tokens(lower(col("text"))).as("toks"))
+      val nTotal = d.agg(sum(size(col("toks")))).head.getLong(0)
+      val uni = d.select(explode(col("toks")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("n"))
+      val pairs = d.filter(size(col("toks")) >= 2)
+        .select(explode(zip_with(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1),
+          (x, y) => struct(x.as("w1"), y.as("w2")))).as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 5)
+      pairs
+        .join(uni.select(col("w").as("w1"), col("n").as("n_a")), "w1")
+        .join(uni.select(col("w").as("w2"), col("n").as("n_b")), "w2")
+        .withColumn("lift",
+          (col("n_ab").cast("double") * lit(nTotal).cast("double")) /
+            (col("n_a").cast("double") * col("n_b")))
+        .select("w1", "w2", "n_ab", "n_a", "n_b", "lift")
+        .orderBy(col("lift").desc, col("w1").asc, col("w2").asc)
+        .limit(20)
+    },
+
     // Contamination REPORT: for each contaminated doc, how many of its
     // distinct shingles appear in the benchmark set and the overlap
     // fraction — the evidence a decontamination threshold (e.g. the
@@ -465,6 +502,41 @@ object TrainingQueries {
           .otherwise(lit(true)))
         .groupBy("lang").agg(count(lit(1)).as("n_docs"))
         .orderBy("lang")
+    },
+
+    // Mixture rebalancing to a token BUDGET — the data-mixing step of
+    // a corpus build (cap each over-represented source at a budget;
+    // DoReMi-style static mixtures are exactly this with other
+    // weights). Budget is data-derived (half the per-source average,
+    // so the regime is scale-invariant); each source's keep-rate is
+    // total/(2·n_src·tok_s), and acceptance is the SAME seeded-md5
+    // uniform as train_split — deterministic, row-order independent,
+    // and a doc's fate never changes when other docs arrive. Plan:
+    // per-source token totals are a source-cardinality aggregate, the
+    // 1-row global rides a broadcast crossJoin (no driver collect),
+    // rates join back broadcast, and the accept test is a per-row
+    // projection — the only exchanges are source-sized. Keep-rate
+    // comparisons are correctly-rounded IEEE ops on identical
+    // operands in identical order, so Spark and the oracle agree
+    // exactly (no log, no RNG).
+    "mixture_sample" -> { (s, dir) =>
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+        TextAnalysis.tokenCount(col("text")).as("toks"))
+      val bySource = d.groupBy("source").agg(sum("toks").as("tok_s"))
+      val global = bySource
+        .agg(sum("tok_s").as("total"), count(lit(1)).as("n_src"))
+      val rates = bySource.crossJoin(broadcast(global))
+        .select(col("source"),
+          (col("total").cast("double") /
+            (col("n_src") * lit(2) * col("tok_s"))).as("rate"))
+      val u = conv(substring(
+          md5(concat(lit("mix:"), col("doc_id").cast("string"))), 1, 8),
+        16, 10).cast("long") / lit(4294967296.0)
+      d.join(broadcast(rates), "source")
+        .filter(u < col("rate"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs_kept"), sum("toks").as("tokens_kept"))
+        .orderBy("source")
     },
 
     // End-to-end training-corpus composition — the whole pipeline a
@@ -945,6 +1017,46 @@ object TrainingQueries {
         |SELECT d.doc_id, (cont.doc_id IS NOT NULL) AS contaminated
         |FROM documents d LEFT JOIN cont ON d.doc_id = cont.doc_id
         |WHERE d.doc_id >= 20 ORDER BY d.doc_id""".stripMargin,
+    "mixture_sample" ->
+      s"""WITH d AS (
+        |  SELECT doc_id, source,
+        |    len(string_split_regex(trim(text), '\\s+')) AS toks
+        |  FROM documents
+        |), bys AS (
+        |  SELECT source, SUM(toks) AS tok_s FROM d GROUP BY source
+        |), g AS (
+        |  SELECT CAST(SUM(tok_s) AS BIGINT) AS total, COUNT(*) AS n_src
+        |  FROM bys
+        |), rates AS (
+        |  SELECT source,
+        |    CAST(g.total AS DOUBLE) / (g.n_src * 2 * tok_s) AS rate
+        |  FROM bys, g
+        |)
+        |SELECT d.source, COUNT(*) AS n_docs_kept,
+        |  CAST(SUM(d.toks) AS BIGINT) AS tokens_kept
+        |FROM d JOIN rates USING (source)
+        |WHERE ('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |      / 4294967296.0 < rate
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
+    "collocations_topk" ->
+      s"""WITH tok AS (
+        |  SELECT $toksExpr AS toks FROM documents
+        |), tot AS (
+        |  SELECT SUM(len(toks)) AS n FROM tok
+        |), un AS (
+        |  SELECT w, COUNT(*) AS n
+        |  FROM (SELECT unnest(toks) AS w FROM tok) GROUP BY w
+        |), bn AS (
+        |  SELECT bg[1] AS w1, bg[2] AS w2, COUNT(*) AS n_ab
+        |  FROM (SELECT unnest(list_transform(range(1, len(toks)),
+        |          i -> [toks[i], toks[i+1]])) AS bg FROM tok)
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 5
+        |)
+        |SELECT b.w1, b.w2, b.n_ab, a.n AS n_a, c.n AS n_b,
+        |  (CAST(b.n_ab AS DOUBLE) * CAST((SELECT n FROM tot) AS DOUBLE))
+        |    / (CAST(a.n AS DOUBLE) * c.n) AS lift
+        |FROM bn b JOIN un a ON b.w1 = a.w JOIN un c ON b.w2 = c.w
+        |ORDER BY lift DESC, w1 ASC, w2 ASC LIMIT 20""".stripMargin,
     "contamination_overlap" ->
       s"""WITH bench AS (
         |  SELECT DISTINCT unnest(list_distinct($shinglesExpr)) AS sh
