@@ -55,7 +55,9 @@ object TrainingQueries {
         .select((col("doc_id") + 2 * CopyShift).as("doc_id"),
           col("text")))
       .select(col("doc_id"), fp.as("fp"))
-    (batch, existing)
+    // doc_ids are dense 0..n-1, so the existing-set row count IS the
+    // range bound — sizes the Bloom filter without a count() scan
+    (batch, existing, existEnd)
   }
 
   private val allDocsCte =
@@ -229,12 +231,15 @@ object TrainingQueries {
     },
 
     // Per-document keyword extraction: top-3 terms by a tf-idf-style
-    // weight. Two-pass shape — (doc, token) term frequencies, then a
-    // vocab-sized document-frequency aggregate joined back on token —
-    // both exchanges hash on `token`, so Catalyst reuses one
-    // partitioning for the df aggregate and the join, and the join's
-    // df side is vocab-sized (Zipf-small next to the corpus), never a
-    // second corpus scan. The weight is tf/(df+1) — a PROPORTIONAL
+    // weight. Two-pass shape — (doc, token) term frequencies with
+    // map-side partials, then the document-frequency aggregate reads
+    // the ALREADY-AGGREGATED tf output (corpus-distinct-terms sized,
+    // not corpus-token sized) and its join back is vocab-sized
+    // (Zipf-small → broadcast), never a second corpus scan. The
+    // rank<=3 cut compiles to WindowGroupLimit (partial per-group
+    // top-k before the doc_id exchange, plan-verified), so no
+    // partition ever materializes a full per-doc sort.
+    // The weight is tf/(df+1) — a PROPORTIONAL
     // idf rather than log-idf, deliberately: integer÷integer is one
     // correctly-rounded IEEE op, bit-identical across engines, where
     // ln() is only 1-ulp-accurate and mathematically-tied scores
@@ -311,7 +316,7 @@ object TrainingQueries {
     // tools/Explain). The size probe is a 1-row max aggregate —
     // bounded driver work, like the Similarity dim probe.
     "dedup_incremental" -> { (s, dir) =>
-      val (batch, existing) = incrementalIngest(s, dir)
+      val (batch, existing, _) = incrementalIngest(s, dir)
       batch.groupBy("fp").agg(min("doc_id").as("doc_id"))
         .join(existing.distinct(), Seq("fp"), "left_anti")
         .select("doc_id").orderBy("doc_id")
@@ -319,21 +324,25 @@ object TrainingQueries {
 
     // Same incremental-ingest answer, Bloom-accelerated: the existing
     // corpus's fingerprint set becomes a ~1.2 GB-at-10⁹-keys Bloom
-    // filter (one treeAggregate, no driver scan); batch rows the
-    // filter PROVES new (no false negatives) bypass the anti-join
-    // entirely, and only true dups + ~1% false positives pay the
-    // exchange. Result is bit-identical to dedup_incremental — the
-    // SAME DuckDB oracle checks both — because the exact anti-join
-    // scrubs the false positives. This is the variant that survives
-    // when the existing set outgrows both the broadcast cap (raw
-    // keys too big) and patience (shuffling the whole daily batch);
-    // see operators/BloomAntiJoin for the full scale argument.
+    // filter (one codegen'd native aggregate, no driver scan); batch
+    // rows the filter PROVES new (no false negatives) bypass the
+    // anti-join entirely, and only true dups + ~1% false positives
+    // pay it. The anti-join sits BELOW the min-id aggregate (they
+    // commute — fp is both join and grouping key), so known
+    // duplicates never reach the exchange and the aggregate runs ONCE
+    // over the branch union. Result is bit-identical to
+    // dedup_incremental — the SAME DuckDB oracle checks both —
+    // because the exact anti-join scrubs the false positives. This is
+    // the variant that survives when the existing set outgrows both
+    // the broadcast cap (raw keys too big) and patience (shuffling
+    // the whole daily batch); see operators/BloomAntiJoin for the
+    // full scale argument and the measured sf1 profile.
     "dedup_incremental_bloom" -> { (s, dir) =>
-      val (batch, existing) = incrementalIngest(s, dir)
+      val (batch, existing, existCount) = incrementalIngest(s, dir)
       graft.operators.BloomAntiJoin.antiJoin(
-          batch.groupBy("fp").agg(min("doc_id").as("doc_id")),
-          "fp", existing, "fp",
-          expectedItems = math.max(1L, existing.count()), fpp = 0.01)
+          batch, "fp", existing, "fp",
+          expectedItems = math.max(1L, existCount), fpp = 0.01)
+        .groupBy("fp").agg(min("doc_id").as("doc_id"))
         .select("doc_id").orderBy("doc_id")
     },
 
@@ -502,6 +511,46 @@ object TrainingQueries {
           .otherwise(lit(true)))
         .groupBy("lang").agg(count(lit(1)).as("n_docs"))
         .orderBy("lang")
+    },
+
+    // Vocabulary DRIFT between two corpus snapshots (first vs second
+    // half by doc_id — stand-ins for last week's crawl vs this
+    // week's): per-token chi-square contribution, top-20 — the
+    // distribution-shift monitor a continuously-ingesting pipeline
+    // alarms on. One scan feeds a single (token, half) aggregate
+    // (map-side partials); the per-half totals are a 2-row aggregate
+    // OVER the vocab-sized output broadcast back, so the corpus is
+    // never re-scanned and the chi-square math runs on the vocab
+    // table. Scores are chains of correctly-rounded IEEE ops on exact
+    // integer counts in pinned order — bit-identical in the oracle
+    // (same reason tfidf/collocations avoid ln). Min-count floor
+    // keeps hapax noise out of the top-20.
+    "vocab_drift" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      val half = d.agg((max("doc_id") / 2).cast("long")).head.getLong(0)
+      val counts = d
+        .select(when(col("doc_id") <= half, lit("a")).otherwise(lit("b"))
+            .as("half"),
+          explode(TextAnalysis.tokens(lower(col("text")))).as("token"))
+        .groupBy("token").agg(
+          sum(when(col("half") === "a", 1L).otherwise(0L)).as("c1"),
+          sum(when(col("half") === "b", 1L).otherwise(0L)).as("c2"))
+        .filter(col("c1") + col("c2") >= 20)
+      val totals = counts
+        .agg(sum("c1").as("n1"), sum("c2").as("n2"))
+      counts.crossJoin(broadcast(totals))
+        .withColumn("e1",
+          ((col("c1") + col("c2")).cast("double") * col("n1")) /
+            (col("n1") + col("n2")))
+        .withColumn("e2",
+          ((col("c1") + col("c2")).cast("double") * col("n2")) /
+            (col("n1") + col("n2")))
+        .withColumn("chi2",
+          ((col("c1") - col("e1")) * (col("c1") - col("e1"))) / col("e1") +
+            ((col("c2") - col("e2")) * (col("c2") - col("e2"))) / col("e2"))
+        .select("token", "c1", "c2", "chi2")
+        .orderBy(col("chi2").desc, col("token").asc)
+        .limit(20)
     },
 
     // Mixture rebalancing to a token BUDGET — the data-mixing step of
@@ -1017,6 +1066,33 @@ object TrainingQueries {
         |SELECT d.doc_id, (cont.doc_id IS NOT NULL) AS contaminated
         |FROM documents d LEFT JOIN cont ON d.doc_id = cont.doc_id
         |WHERE d.doc_id >= 20 ORDER BY d.doc_id""".stripMargin,
+    "vocab_drift" ->
+      s"""WITH h AS (
+        |  SELECT MAX(doc_id) // 2 AS half FROM documents
+        |), tok AS (
+        |  SELECT CASE WHEN doc_id <= (SELECT half FROM h)
+        |    THEN 'a' ELSE 'b' END AS half,
+        |    unnest($toksExpr) AS token FROM documents
+        |), counts AS (
+        |  SELECT token,
+        |    CAST(SUM(CASE WHEN half = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(SUM(CASE WHEN half = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        |  FROM tok GROUP BY token
+        |), f AS (
+        |  SELECT * FROM counts WHERE c1 + c2 >= 20
+        |), t AS (
+        |  SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+        |    CAST(SUM(c2) AS BIGINT) AS n2 FROM f
+        |)
+        |SELECT token, c1, c2,
+        |  ((c1 - e1) * (c1 - e1)) / e1 + ((c2 - e2) * (c2 - e2)) / e2 AS chi2
+        |FROM (
+        |  SELECT token, c1, c2,
+        |    (CAST(c1 + c2 AS DOUBLE) * n1) / (n1 + n2) AS e1,
+        |    (CAST(c1 + c2 AS DOUBLE) * n2) / (n1 + n2) AS e2
+        |  FROM f, t
+        |)
+        |ORDER BY chi2 DESC, token ASC LIMIT 20""".stripMargin,
     "mixture_sample" ->
       s"""WITH d AS (
         |  SELECT doc_id, source,
