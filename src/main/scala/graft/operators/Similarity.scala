@@ -116,7 +116,17 @@ object Similarity {
       else df.select(vecCol.as("_v"))
         .filter(conv(substring(md5(to_json(struct(vecCol))), 1, 4), 16, 10)
           .cast("long") < (sampleFraction * 65536).toLong)
+    // Re-partition the training pool to full parallelism BEFORE
+    // caching: an embeddings table often arrives as few fat parquet
+    // splits (sf0.1 is ONE 13 MB split), and every driver-paced
+    // training round re-scans this cached pool — without the spread, a
+    // 32-core session trains on one thread (measured: k=16 init alone
+    // ran minutes single-threaded; spread it's seconds). One
+    // shuffle of the pool, amortized over every init + Lloyd round.
+    // Partitioning does NOT affect results: round sums are associative
+    // integer sums and the Bernoulli draws are per-row md5 decisions.
     val hashed = pool
+      .repartition(pool.sparkSession.sparkContext.defaultParallelism)
       .withColumn("_h", md5(to_json(struct(col("_v")))))
       .withColumn("_n", norm(col("_v")))
       .cache()
@@ -159,9 +169,11 @@ object Similarity {
     var r = 1
     var exhausted = false
     while (r <= initRounds && !exhausted) {
-      val maxCos = array_max(array(
-        centroidScores(col("_v"), cand.map(_._1).toSeq): _*))
-        .getField("s") / col("_n")
+      // candidate sets reach ~ell·rounds vectors, so scoring MUST go
+      // through the flat CentroidBest kernel — the per-centroid
+      // expression form ran 230 s/task here at k=256 (see its Scaladoc)
+      val maxCos = graft.functions.CentroidBest(col("_v"),
+        cand.map(_._1).toSeq).getField("cos") / col("_n")
       // cosine distance quantized to a 2^-20 grid as LONG: the global
       // normalizer Z is then an associative integer sum — identical
       // under any partitioning, so the Bernoulli threshold is too
@@ -244,8 +256,7 @@ object Similarity {
     }
 
   def assignCells(vec: Column, centroids: Seq[Array[Float]]): Column =
-    (-array_max(array(centroidScores(vec, centroids): _*))
-      .getField("ni")).cast("int")
+    graft.functions.CentroidBest(vec, centroids).getField("cell")
 
   /** The `nprobe` nearest centroid cells by cosine, best first (ties
     * to the smaller cell id) — the multi-probe companion to

@@ -220,4 +220,46 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(covered === 6, s"only $covered/6 clusters seeded")
   }
+
+  test("CentroidBest kernel equals the per-centroid-literal " +
+      "formulation (cell and score) on random, tied, zero and NaN " +
+      "vectors") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new Random(7)
+    val dim = 8
+    val cents: Seq[Array[Float]] =
+      Seq.fill(37)(Array.fill(dim)(rnd.nextGaussian().toFloat)) ++
+        Seq(Array.fill(dim)(0.0f)) :+            // zero centroid (norm->1)
+        Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val vecs: Seq[Array[Float]] =
+      Seq.tabulate(200)(_ => Array.fill(dim)(rnd.nextGaussian().toFloat)) ++
+        Seq(Array.fill(dim)(0.0f),               // ties every centroid at 0
+          cents(3),                              // exact centroid hit
+          Array.fill(dim)(Float.NaN))            // NaN scores everywhere
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v")
+    // legacy formulation, inlined (the pre-round-10 assignCells body)
+    def legacyScores = cents.zipWithIndex.map { case (cArr, i) =>
+      val n = math.sqrt(cArr.foldLeft(0.0)((a, x) => a + x.toDouble * x))
+      val cLit = array(cArr.toSeq.map(x => lit(x)): _*)
+      struct((Similarity.dot(col("v"), cLit) /
+        lit(if (n == 0) 1.0 else n)).as("s"), lit(-i).as("ni"))
+    }
+    val got = df.select(col("id"),
+        graft.functions.CentroidBest(col("v"), cents).getField("cell")
+          .as("kc"),
+        graft.functions.CentroidBest(col("v"), cents).getField("cos")
+          .as("ks"),
+        (-array_max(array(legacyScores: _*)).getField("ni")).cast("int")
+          .as("lc"),
+        array_max(array(legacyScores: _*)).getField("s").as("ls"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getInt(1) === r.getInt(3), s"cell mismatch at id ${r.getLong(0)}")
+      val ks = r.getDouble(2); val ls = r.getDouble(4)
+      assert(java.lang.Double.compare(ks, ls) === 0,
+        s"score mismatch at id ${r.getLong(0)}: $ks vs $ls")
+    }
+  }
 }
