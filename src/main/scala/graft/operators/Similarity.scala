@@ -236,25 +236,12 @@ object Similarity {
   }
 
   /** Nearest-centroid cell id by cosine (norm of the input vector is a
-    * common factor of the argmax and cancels; centroid norms fold to
-    * plan-time constants). Ties break to the SMALLEST cell id. The
-    * centroids become k codegen'd [[FloatVecDot]] terms in one
-    * projection — right for coarse k (≲ a few hundred); a
-    * million-centroid fine quantizer would switch to a broadcast
-    * matrix in `mapPartitions` instead. */
-  /** One `(cosine·‖vec‖, -idx)` struct per centroid — ‖vec‖ is a
-    * common positive factor of every comparison, so argmax/ordering
-    * over these equals argmax over true cosines; `-idx` makes
-    * lexicographic max break ties to the SMALLEST cell id. */
-  private def centroidScores(vec: Column,
-      centroids: Seq[Array[Float]]): Seq[Column] =
-    centroids.zipWithIndex.map { case (cArr, i) =>
-      val n = math.sqrt(cArr.foldLeft(0.0)((a, x) => a + x.toDouble * x))
-      val cLit = array(cArr.toSeq.map(x => lit(x)): _*)
-      struct((dot(vec, cLit) / lit(if (n == 0) 1.0 else n)).as("s"),
-        lit(-i).as("ni"))
-    }
-
+    * common positive factor of the argmax and cancels; centroid norms
+    * fold into the kernel's reference matrix). Ties break to the
+    * SMALLEST cell id. One [[graft.functions.CentroidBest]] kernel
+    * expression regardless of k — see its Scaladoc for why the
+    * per-centroid-literal formulation this replaced collapses at
+    * training-scale k. */
   def assignCells(vec: Column, centroids: Seq[Array[Float]]): Column =
     graft.functions.CentroidBest(vec, centroids).getField("cell")
 
@@ -266,13 +253,8 @@ object Similarity {
     * [[ivfTopK]] (each corpus vector lives in exactly one cell, so
     * multi-probing cannot duplicate a (query, vector) pair). */
   def probeCells(vec: Column, centroids: Seq[Array[Float]],
-      nprobe: Int): Column = {
-    require(nprobe >= 1 && nprobe <= centroids.length)
-    transform(
-      slice(sort_array(array(centroidScores(vec, centroids): _*),
-        asc = false), 1, nprobe),
-      c => (-c.getField("ni")).cast("int"))
-  }
+      nprobe: Int): Column =
+    graft.functions.CentroidTopN(vec, centroids, nprobe)
 
   /** IVF-style probed top-k: vectors and queries carry a coarse cell id
     * (cluster/IVF cell); only same-cell vectors are scored. On a

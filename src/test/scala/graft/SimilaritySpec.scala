@@ -262,4 +262,35 @@ class SimilaritySpec extends SparkSpec {
         s"score mismatch at id ${r.getLong(0)}: $ks vs $ls")
     }
   }
+
+  test("CentroidTopN kernel equals the sort_array/slice formulation " +
+      "(order and ties) on random vectors with duplicate centroids") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new Random(11)
+    val dim = 8
+    val base = Seq.fill(29)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    // duplicate centroids make exact score ties — the ordering edge
+    val cents: Seq[Array[Float]] = base ++ Seq(base(2).clone, base(7).clone)
+    val nprobe = 5
+    val df = Seq.tabulate(150)(i =>
+        (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+      .toDF("id", "v")
+    def legacyScores = cents.zipWithIndex.map { case (cArr, i) =>
+      val n = math.sqrt(cArr.foldLeft(0.0)((a, x) => a + x.toDouble * x))
+      val cLit = array(cArr.toSeq.map(x => lit(x)): _*)
+      struct((Similarity.dot(col("v"), cLit) /
+        lit(if (n == 0) 1.0 else n)).as("s"), lit(-i).as("ni"))
+    }
+    val legacy = transform(
+      slice(sort_array(array(legacyScores: _*), asc = false), 1, nprobe),
+      c => (-c.getField("ni")).cast("int"))
+    val rows = df.select(col("id"),
+        graft.functions.CentroidTopN(col("v"), cents, nprobe).as("k"),
+        legacy.as("l"))
+      .as[(Long, Seq[Int], Seq[Int])].collect()
+    rows.foreach { case (id, k, l) =>
+      assert(k === l, s"probe order mismatch at id $id: $k vs $l")
+    }
+  }
 }
