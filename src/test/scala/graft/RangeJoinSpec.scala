@@ -117,4 +117,31 @@ class RangeJoinSpec extends SparkSpec {
         i, col("lo"), col("hi"), 10.0)
     }
   }
+
+  test("negative coordinates bin correctly (floor, not truncation, " +
+      "at the zero boundary)") {
+    // points straddle zero; truncating division would alias bins -1
+    // and 0 and either miss or duplicate pairs at the boundary
+    val rnd2 = new Random(13)
+    val pts = (0 until 300).map(i =>
+      (i.toLong, rnd2.nextDouble() * 400 - 200))
+    val ivs = (0 until 80).map { i =>
+      val lo = rnd2.nextDouble() * 400 - 200
+      (5000L + i, lo, lo + rnd2.nextDouble() * 30)
+    }
+    val expected = (for {
+      (pid, pv) <- pts; (iid, lo, hi) <- ivs
+      if pv >= lo && pv <= hi
+    } yield (pid, iid)).toSet
+    assert(expected.nonEmpty)
+    for (w <- Seq(7.0, 30.0, 500.0)) {
+      val got = RangeJoin.pointInInterval(
+          pts.toDF("pid", "p"), col("p"),
+          ivs.toDF("iid", "lo", "hi"), col("lo"), col("hi"), binWidth = w)
+        .select("pid", "iid").as[(Long, Long)].collect()
+      assert(got.length === got.distinct.length,
+        s"duplicate pairs at binWidth=$w")
+      assert(got.toSet === expected, s"binWidth=$w diverged on negatives")
+    }
+  }
 }
