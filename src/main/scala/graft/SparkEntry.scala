@@ -90,7 +90,7 @@ object SparkEntry {
       "ann_topk_brute", "ann_topk_native", "ann_topk_ivf", "embedding_dups",
       "embedding_survivors",
       "multimodal_features", "corpus_pipeline", "corpus_quantiles",
-      "corpus_rollup")
+      "corpus_rollup", "length_outliers")
 
   def benchQueries: Seq[(String, (SparkSession, String) => DataFrame)] =
     benchNames.flatMap(n => queries.get(n).map(n -> _))

@@ -672,6 +672,39 @@ object TrainingQueries {
         .orderBy("source")
     },
 
+    // Percentile-based length outlier trim — the corpus-cleaning cut
+    // ("drop the shortest 5% and longest 5%") with EXACT corpus-wide
+    // thresholds, reported per source. Same histogram trick as
+    // corpus_quantiles: the cumulative window runs over the
+    // TOKEN-COUNT HISTOGRAM (cardinality = distinct doc lengths,
+    // bounded), never a corpus-wide sort — its single-partition window
+    // is histogram-sized by construction. The 1-row threshold pair
+    // broadcasts back over the per-row classification, so the corpus
+    // pays one histogram partial-agg + one classify scan.
+    "length_outliers" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.documents(s, dir).select(col("source"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("tokens"))
+      val hist = d.groupBy("tokens").agg(count(lit(1)).as("cnt"))
+      val ranked = hist.select(col("tokens"),
+        sum("cnt").over(Window.orderBy("tokens")).as("cum"),
+        sum("cnt").over(
+          Window.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)).as("n"))
+      def qd(p: Double) =
+        min(when(col("cum") >= ceil(lit(p) * col("n")), col("tokens")))
+      val th = ranked.agg(qd(0.05).as("lo"), qd(0.95).as("hi"))
+      d.crossJoin(broadcast(th))
+        .groupBy("source").agg(
+          sum(when(col("tokens") < col("lo"), 1L).otherwise(0L))
+            .as("n_short"),
+          sum(when(col("tokens") > col("hi"), 1L).otherwise(0L))
+            .as("n_long"),
+          sum(when(col("tokens").between(col("lo"), col("hi")), 1L)
+            .otherwise(0L)).as("n_kept"))
+        .orderBy("source")
+    },
+
     // Corpus analytics: per-source integer rollups (one partial-agg
     // shuffle; all-int outputs are engine-deterministic).
     "corpus_stats" -> { (s, dir) =>
@@ -1214,6 +1247,22 @@ object TrainingQueries {
         |FROM (SELECT source, CAST(len($toksExpr) AS BIGINT) AS t
         |      FROM documents)
         |GROUP BY source ORDER BY source""".stripMargin,
+    "length_outliers" ->
+      s"""WITH d AS (
+        |  SELECT source, CAST(len($toksExpr) AS BIGINT) AS tokens
+        |  FROM documents
+        |), th AS (
+        |  SELECT quantile_disc(tokens, 0.05) AS lo,
+        |    quantile_disc(tokens, 0.95) AS hi FROM d
+        |)
+        |SELECT source,
+        |  CAST(SUM(CASE WHEN tokens < lo THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_short,
+        |  CAST(SUM(CASE WHEN tokens > hi THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_long,
+        |  CAST(SUM(CASE WHEN tokens BETWEEN lo AND hi THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_kept
+        |FROM d, th GROUP BY source ORDER BY source""".stripMargin,
     "corpus_stats" ->
       """SELECT source,
         |  COUNT(*) AS n_docs,
