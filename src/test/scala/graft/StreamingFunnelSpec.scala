@@ -13,6 +13,13 @@ import graft.streaming.StreamingFunnel.{FunnelEvent, FunnelProgress}
   * event-time-ordered micro-batches. Plus transition unit cases for
   * the deadline edges the dataset may not hit.
   */
+object StreamingFunnelSpec {
+  /** foreachBatch target for the restart case — static so the closure
+    * stays serializable and both query incarnations append here. */
+  val restartOut = new java.util.concurrent.ConcurrentLinkedQueue[
+    (Long, Long, String)]()
+}
+
 class StreamingFunnelSpec extends SparkSpec {
   import StreamingFunnel.DayUs
 
@@ -95,5 +102,51 @@ class StreamingFunnelSpec extends SparkSpec {
       // the fixture exercises more than one funnel stage
       assert(batch.values.toSet.size > 1, "degenerate fixture")
     } finally q.stop()
+  }
+
+  test("checkpoint restart: funnel state survives a simulated JVM " +
+      "restart — a post-restart purchase completes the pre-restart " +
+      "signup+click") {
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[FunnelEvent]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-funnel-restart").toString
+    StreamingFunnelSpec.restartOut.clear()
+    def startQuery() =
+      StreamingFunnel.stages(input.toDS())
+        .writeStream
+        .foreachBatch {
+          (df: org.apache.spark.sql.Dataset[StreamingFunnel.UserStage],
+              _: Long) =>
+            df.collect().foreach(u => StreamingFunnelSpec.restartOut
+              .add((u.userId, u.gen, u.stage)))
+        }
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .start()
+
+    val t0 = 5000000L
+    val q1 = startQuery()
+    try {
+      input.addData(FunnelEvent(1L, t0, "signup"),
+        FunnelEvent(1L, t0 + 10, "click"))
+      q1.processAllAvailable()
+    } finally { q1.stop(); q1.awaitTermination() }
+
+    // cold restart: only checkpointed state survives. The purchase
+    // lands within 24h of the recovered click time — it can only
+    // reach 3_purchase if (s, c) were RECOVERED; a fresh query would
+    // see a bare purchase and stay at 0_none.
+    val q2 = startQuery()
+    try {
+      input.addData(FunnelEvent(1L, t0 + 20, "purchase"))
+      q2.processAllAvailable()
+      val last = StreamingFunnelSpec.restartOut.asScala.toSeq
+        .filter(_._1 == 1L).maxBy(_._2)
+      assert(last._3 === "3_purchase",
+        s"state not recovered: ${StreamingFunnelSpec.restartOut.asScala.toSeq}")
+    } finally q2.stop()
   }
 }
