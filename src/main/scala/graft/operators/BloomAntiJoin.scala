@@ -62,16 +62,57 @@ import org.apache.spark.util.sketch.BloomFilter
 object BloomAntiJoin {
 
   /** Serialized Bloom filter of `xxhash64(keyCol)` over `df` — ONE
-    * codegen'd aggregate, no RDD conversion, no driver-side scan. */
+    * codegen'd aggregate, no RDD conversion, no driver-side scan.
+    *
+    * Sizing trap: [[BloomFilterAggregate]] silently `Math.min`-clips
+    * both its `estimatedNumItems` and `numBits` literals to
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems` (default
+    * 4.19M) / `.maxNumBits` (default ~8 MB) — caps meant for Spark's
+    * own plan-embedded runtime filters, not this broadcast-variable
+    * path. At this operator's motivating scale (10⁹ keys → ~1.2 GB)
+    * the clipped sketch would have effective fpp ≈ 1, the prefilter
+    * would pass nearly every row, and the avoided shuffle would
+    * silently return (the exact anti-join keeps the ANSWER right, so
+    * no oracle catches it). So the caps are raised to cover this
+    * build for the duration of the aggregate (restored after), and
+    * the deserialized sketch's bit size is checked loudly. */
   private[graft] def buildBloom(df: DataFrame, keyCol: Column,
       expectedItems: Long, fpp: Double): BloomFilter = {
     val numBits = BloomFilter.optimalNumOfBits(expectedItems, fpp)
     val agg = new BloomFilterAggregate(
       bridge.toExpression(xxhash64(keyCol)),
       Literal(expectedItems), Literal(numBits)).toAggregateExpression()
-    val bin = df.filter(keyCol.isNotNull)
-      .select(bridge.toColumn(agg)).head.getAs[Array[Byte]](0)
-    BloomFilter.readFrom(bin)
+    val bin = withMinConf(df,
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems" -> expectedItems,
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" -> numBits) {
+      df.filter(keyCol.isNotNull)
+        .select(bridge.toColumn(agg)).head.getAs[Array[Byte]](0)
+    }
+    val bloom = BloomFilter.readFrom(bin)
+    require(bloom.bitSize() >= numBits,
+      s"Bloom build was clipped: requested $numBits bits for " +
+        s"$expectedItems items @ fpp=$fpp but got ${bloom.bitSize()} — " +
+        "the runtime.bloomFilter caps did not take effect")
+    bloom
+  }
+
+  /** Run `f` with each long-valued conf raised to AT LEAST the given
+    * floor (never lowered), restoring prior values afterwards. The
+    * confs propagate to executor-side `SQLConf.get` via the task's
+    * local properties, so the aggregate's lazy `Math.min` sees the
+    * raised cap on every partial as well as the final merge. */
+  private def withMinConf[T](df: DataFrame, floors: (String, Long)*)(
+      f: => T): T = {
+    val conf = df.sparkSession.conf
+    val saved = floors.map { case (k, _) => k -> conf.getOption(k) }
+    floors.foreach { case (k, floor) =>
+      val cur = conf.getOption(k).map(_.toLong).getOrElse(Long.MinValue)
+      if (cur < floor) conf.set(k, floor)
+    }
+    try f finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
   }
 
   /** @param left     probe side; all columns pass through unchanged

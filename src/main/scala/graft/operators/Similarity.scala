@@ -111,6 +111,14 @@ object Similarity {
       iters: Int = 5, sampleFraction: Double = 1.0,
       initRounds: Int = 4): Array[Array[Float]] = {
     require(k > 0 && iters >= 0 && initRounds >= 0)
+    // initRounds = 0 with k > 1 would degenerate: the candidate pool is
+    // only the md5-smallest vector, the cycle fallback copies it k
+    // times, and Lloyd cannot separate identical centroids (every row
+    // assigns to cell 0; empty cells keep the same copy) — an
+    // effective k=1 quantizer that LOOKS trained. Fail loudly instead.
+    require(k == 1 || initRounds >= 1,
+      s"initRounds must be >= 1 when k > 1 (k=$k): zero oversampling " +
+        "rounds seed k identical centroids that Lloyd cannot separate")
     val pool =
       if (sampleFraction >= 1.0) df.select(vecCol.as("_v"))
       else df.select(vecCol.as("_v"))

@@ -19,16 +19,25 @@ import org.apache.spark.sql.functions._
   * property. Batch callers who want unbounded lookback use
   * `AsofJoin.backward`.
   *
-  * Shape: interval join (right.time ∈ [left.time − t, left.time]) →
-  * group by the left row → `max_by(payload, right.time)`. Two stateful
-  * operators chained (join + aggregation) — supported since Spark 3.5;
-  * the aggregate emits a left row once the watermark passes its event
-  * time, i.e. once no earlier-arriving right row can still appear.
+  * Shape: LEFT OUTER interval join (right.time ∈ [left.time − t,
+  * left.time]) → group by the left row → `max_by(payload,
+  * right.time)`. Two stateful operators chained (join + aggregation) —
+  * supported since Spark 3.5; the aggregate emits a left row once the
+  * watermark passes its event time, i.e. once no earlier-arriving
+  * right row can still appear. The outer join emits an unmatched left
+  * row (null right columns) once the watermark proves no match can
+  * still arrive; `max_by` ignores null-ordered rows, so that left row
+  * surfaces with a null payload struct — the same null-payload shape
+  * batch emits for unmatched rows (these are the unattributed rows an
+  * attribution pipeline reports on).
   *
   * Divergences from batch, by construction:
-  * - left rows with NO in-window match are not emitted (inner interval
-  *   join; batch emits them with a null payload). Compare on the
-  *   matched overlap.
+  * - EXACT duplicate left rows (identical in every column) collapse to
+  *   one output row: the final group-by keys on all left columns, and
+  *   a streaming-safe per-row discriminator does not exist (monotonic
+  *   ids are unsupported on streams). Batch emits one row per
+  *   duplicate. Carry a unique id column on the left stream if
+  *   duplicates are meaningful.
   * - ties on equal right time follow `max_by` (arbitrary among equal
   *   keys) — pre-dedupe the right side for deterministic ties, same
   *   contract as the batch operator's duplicate-(key,time) caveat.
@@ -50,6 +59,7 @@ object StreamingAsof {
     * @param payload   right column names to attach from the matched row
     * @param tolerance SQL interval literal body, e.g. "20 seconds"
     * @return left columns + `<payload>` columns + `matched_time`
+    *         (nulls when no right row fell in the window)
     */
   def backward(
       left: DataFrame, leftKey: String, leftTime: String,
@@ -62,10 +72,23 @@ object StreamingAsof {
     require(clash.isEmpty,
       s"right-side output name(s) collide with left columns: " +
         clash.mkString(", "))
+    // The interval condition below resolves columns BY NAME across both
+    // inputs, so a key/time name present on both sides would resolve
+    // ambiguously (an AnalysisException deep in the join, or worse, a
+    // silently self-referential predicate). Fail at the API edge
+    // instead, mirroring the payload-clash check above.
+    val rightCols = right.columns.toSet
+    val ambiguous = (Seq(leftKey, leftTime).filter(rightCols) ++
+      Seq(rightKey, rightTime).filter(leftCols.toSet)).distinct
+    require(ambiguous.isEmpty,
+      "key/time column name(s) appear on BOTH join sides (the interval " +
+        "condition would resolve them ambiguously): " +
+        ambiguous.mkString(", ") + " — rename one side")
     val joined = left.join(
       right,
       expr(s"$leftKey = $rightKey AND $rightTime BETWEEN " +
-        s"$leftTime - INTERVAL $tolerance AND $leftTime"))
+        s"$leftTime - INTERVAL $tolerance AND $leftTime"),
+      "left_outer")
     val pay = struct((payload.map(col) :+
       col(rightTime).as("matched_time")): _*)
     joined

@@ -53,6 +53,30 @@ class BloomAntiJoinSpec extends SparkSpec {
       s"prefilter passed $candidates of 10000 rows — not selective")
   }
 
+  test("oversized builds are NOT silently clipped to the runtime " +
+      "bloom-filter caps") {
+    // BloomFilterAggregate Math.min-clips its sizing literals to
+    // spark.sql.optimizer.runtime.bloomFilter.maxNumItems (4.19M) /
+    // maxNumBits (~8 MB = 67.1M bits). Size a build ABOVE both caps
+    // and assert the sketch actually carries the requested bits — the
+    // conf raise-and-restore in buildBloom is what makes this pass;
+    // without it the sketch comes back capped with effective fpp ~1.
+    import graft.operators.BloomAntiJoin
+    val requestedBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(10_000_000L, 0.01) // ~95.9M bits > 67.1M cap
+    assert(requestedBits > 67108864L, "test premise: above the cap")
+    val tiny = Seq("a", "b", "c").toDF("k")
+    val bloom = BloomAntiJoin.buildBloom(
+      tiny, $"k", expectedItems = 10_000_000L, fpp = 0.01)
+    assert(bloom.bitSize() >= requestedBits,
+      s"clipped: ${bloom.bitSize()} < $requestedBits")
+    // and the session confs were restored after the build
+    val restored = spark.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits").toLong
+    assert(restored <= 67108864L,
+      s"conf not restored: maxNumBits = $restored")
+  }
+
   test("dedup_incremental_bloom matches dedup_incremental on sf0.001") {
     val plain = SparkEntry.queries("dedup_incremental")(spark, sf0001)
       .as[Long].collect().toSeq

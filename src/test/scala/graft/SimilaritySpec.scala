@@ -56,6 +56,23 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("trainCentroids rejects initRounds = 0 with k > 1 (would seed " +
+      "k identical centroids Lloyd cannot separate)") {
+    import spark.implicits._
+    val df = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.trainCentroids(df, col("embedding"), k = 2,
+        iters = 1, initRounds = 0)
+    }
+    assert(ex.getMessage.contains("initRounds"))
+    // k = 1 with zero rounds stays legal: a single centroid needs no
+    // oversampling and the md5-smallest seed is well-defined
+    val one = Similarity.trainCentroids(df, col("embedding"), k = 1,
+      iters = 1, initRounds = 0)
+    assert(one.length === 1)
+  }
+
   test("IVF quantizer: trainCentroids recovers well-separated cluster " +
       "means, assignCells routes to the nearest, probe recall is exact") {
     import spark.implicits._

@@ -7,17 +7,19 @@ import graft.operators.AsofJoin
 import graft.streaming.StreamingAsof
 
 /** Drives [[StreamingAsof.backward]] across two MemoryStreams with
-  * watermarks and pins it against the BATCH as-of operator on the
-  * matched overlap: every row the live path emits must be exactly the
-  * row the backfill path computes for that left event (same
-  * at-or-before-inclusive, latest-wins, tolerance-bounded semantics),
-  * and finalized left events are emitted exactly once. The temporal
-  * tier's flagship thus has a live-path contract, not just a batch
-  * oracle. */
+  * watermarks and pins it against the BATCH as-of operator on ALL
+  * finalized left rows — matched rows carry the same
+  * at-or-before-inclusive, latest-wins, tolerance-bounded payload, and
+  * UNMATCHED left rows surface with a null payload exactly like the
+  * batch operator (the left-outer interval join parity added in round
+  * 11; these are the unattributed-conversion rows an attribution
+  * pipeline reports on). Finalized left events are emitted exactly
+  * once. The temporal tier's flagship thus has a live-path contract,
+  * not just a batch oracle. */
 class StreamingAsofSpec extends SparkSpec {
 
-  test("streaming as-of agrees with the batch operator on the matched " +
-      "overlap across micro-batches") {
+  test("streaming as-of agrees with the batch operator on ALL left " +
+      "rows, unmatched included, across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val t0 = 1000000L
@@ -55,7 +57,7 @@ class StreamingAsofSpec extends SparkSpec {
       q.processAllAvailable()
 
       val streamed = spark.table("sasof_out")
-        .as[(Long, Long, String, Long)].collect().toSet
+        .as[(Long, Long, Option[String], Option[Long])].collect().toSet
 
       // batch twin on the SAME events (purchase 9@t0+200 included —
       // its watermark passed; 9@t0+300 may still be open, so compare
@@ -70,18 +72,24 @@ class StreamingAsofSpec extends SparkSpec {
           payload = Seq("tag" -> rb("tag")),
           matchedTimeCol = Some("m_sec"),
           tolerance = Some(lit(20L)))
-        .filter(col("tag").isNotNull)
         .select("p_user", "p_sec", "tag", "m_sec")
-        .as[(Long, Long, String, Long)].collect().toSet
+        .as[(Long, Long, Option[String], Option[Long])].collect().toSet
 
       // the known-finalized matches are present and correct
-      assert(streamed.contains((1L, t0 + 7, "b", t0 + 5)),
+      assert(streamed.contains((1L, t0 + 7, Some("b"), Some(t0 + 5))),
         s"latest-at-or-before match missing: $streamed")
-      assert(streamed.contains((9L, t0 + 200, "z", t0 + 200)),
+      assert(streamed.contains((9L, t0 + 200, Some("z"), Some(t0 + 200))),
         "inclusive at-time match missing")
-      // nothing outside tolerance or unmatched leaks
-      assert(!streamed.exists(_._1 == 2L), "outside-tolerance row emitted")
-      assert(!streamed.exists(_._1 == 3L), "unmatched row emitted")
+      // unmatched left rows DO surface, with null payloads, matching
+      // the batch operator (outside-tolerance and no-click users)
+      assert(streamed.contains((2L, t0 + 30, None, None)),
+        s"outside-tolerance row should emit with null payload: $streamed")
+      assert(streamed.contains((3L, t0 + 7, None, None)),
+        s"no-match row should emit with null payload: $streamed")
+      // exactly-once per finalized left row
+      val emitted = spark.table("sasof_out").collect()
+      assert(emitted.length == streamed.size,
+        s"duplicate emissions: ${emitted.length} rows, ${streamed.size} distinct")
       // and EVERY streamed row equals the batch operator's answer
       assert(streamed.subsetOf(batch),
         s"live path diverged from batch: ${streamed.diff(batch)}")
