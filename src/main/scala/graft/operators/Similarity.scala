@@ -98,9 +98,14 @@ object Similarity {
     * assign (broadcast centroid literals, argmax cosine) + a
     * `posexplode`→`groupBy(cell, pos)` partial-agg mean — k·d groups,
     * never a shuffle of the vectors themselves. Empty cells retain
-    * their previous centroid. Centroid means sum doubles in partition
-    * order, so trailing bits may differ across cluster layouts — pin
-    * results with tolerances, not hashes.
+    * their previous centroid. Lloyd means sum per-element values
+    * quantized to the same 2⁻²⁰ grid as LONGs, so the WHOLE trained
+    * quantizer — init and iterations — is bit-identical under any
+    * partitioning or shuffle-merge order (a plain double sum varies
+    * in the trailing bits with cluster layout); the ≤2⁻²⁰ per-element
+    * quantization is noise for a coarse quantizer, and it is what
+    * lets `ann_topk_ivf_trained` export the centroids for an exact
+    * hash-matching DuckDB oracle.
     *
     * @param sampleFraction train on a deterministic md5-bucketed
     *   sample (coarse quantizers don't need every row; at 100 TB you
@@ -143,12 +148,16 @@ object Similarity {
     require(first.nonEmpty, "no vectors to train on")
     var centroids = kmeansParInit(hashed, first, k, initRounds)
     for (_ <- 1 to iters) {
+      // per-element sums quantized to 2^-20 grid LONGs: associative,
+      // hence partition-layout-independent (see Scaladoc). Headroom:
+      // |Σ| < rows · max|x| · 2^20, overflowing Long only past ~8.8e12
+      // row-units — train on a sample long before that.
       val stats = hashed
         .select(assignCells(col("_v"), centroids).as("_cell"),
           posexplode(col("_v")).as(Seq("_pos", "_x")))
         .groupBy("_cell", "_pos")
-        .agg(sum(col("_x").cast("double")).as("_s"),
-          count(lit(1)).as("_n"))
+        .agg(sum(floor(col("_x").cast("double") * lit(1048576.0)))
+          .as("_s"), count(lit(1)).as("_n"))
         .collect()
       val byCell = stats.groupBy(_.getInt(0))
       centroids = centroids.zipWithIndex.map { case (prev, c) =>
@@ -156,7 +165,8 @@ object Similarity {
           case Some(rows) =>
             val out = prev.clone()
             rows.foreach(r =>
-              out(r.getInt(1)) = (r.getDouble(2) / r.getLong(3)).toFloat)
+              out(r.getInt(1)) =
+                (r.getLong(2).toDouble / 1048576.0 / r.getLong(3)).toFloat)
             out
           case None => prev
         }

@@ -227,6 +227,15 @@ class SimilaritySpec extends SparkSpec {
       col("embedding"), k = 8, iters = 0)
     assert(a.length === 8 && b.length === 8)
     a.zip(b).foreach { case (x, y) => assert(x.toSeq === y.toSeq) }
+    // and FULL training too: Lloyd means sum 2^-20-grid longs, so
+    // iterations are as layout-independent as init — this is the
+    // property that lets ann_topk_ivf_trained export its centroids
+    // for a bit-exact DuckDB oracle
+    val ta = Similarity.trainCentroids(df.repartition(1),
+      col("embedding"), k = 8, iters = 3)
+    val tb = Similarity.trainCentroids(df.repartition(7),
+      col("embedding"), k = 8, iters = 3)
+    ta.zip(tb).foreach { case (x, y) => assert(x.toSeq === y.toSeq) }
     // oversampling really oversamples: seeds cover all 6 planted
     // directions (no two true clusters starved)
     val covered = (0 until 6).count { c =>
