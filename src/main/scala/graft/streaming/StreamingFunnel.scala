@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.functions.{col, timestamp_micros}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Streaming half of the ordered funnel (`funnel_stages`): per-user
@@ -17,27 +18,49 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * `StreamingFunnelSpec` pins the equivalence against the batch
   * operator on the same events.
   *
-  * Scale shape: state is exactly three longs per user — independent
-  * of event volume, funnel depth encoded in the transition, no event
-  * list ever buffered (the same bound the batch plan gets from its
-  * single exchange + chained Window operators). Output is Update-mode:
-  * each trigger re-emits the stage of USERS TOUCHED in that trigger
-  * only, tagged with a per-user update generation so a consumer (and
-  * the spec) can take latest-wins without ordering assumptions.
+  * Out-of-order arrival (round 11): events are BUFFERED in group state
+  * until the watermark passes their event time, then folded in
+  * event-time order — so per-user arrival order across triggers is
+  * free to scramble within the `maxDelay` horizon and the fold still
+  * sees the batch operator's order (the r10 "events must arrive in
+  * event-time order across triggers" contract is gone). Events later
+  * than the watermark follow the standard streaming discipline: the
+  * stateful operator drops them (out-of-order history beyond the
+  * horizon belongs to the batch backfill path).
   *
-  * Ordering contract: within a trigger the group's events are sorted
-  * by `tsUs` before applying the transition; ACROSS triggers events
-  * must arrive in event-time order per user (the usual
-  * watermark-paced replay discipline; out-of-order history belongs to
-  * the batch backfill path, as with the other streaming shells).
+  * Scale shape: finalized state is exactly three longs per user —
+  * independent of event volume, funnel depth encoded in the
+  * transition, no FINALIZED event ever retained. The buffer holds only
+  * events inside the watermark horizon (∝ per-user rate × `maxDelay`,
+  * not history), the same bound every watermarked stateful operator
+  * pays for out-of-order tolerance. Buffered groups flush through
+  * event-time timeouts — no data needs to arrive for a user to
+  * finalize once the watermark passes their buffered events.
+  * Output is Update-mode: each trigger re-emits the stage of USERS
+  * TOUCHED in that trigger (by data or by timeout), tagged with a
+  * per-user update generation so a consumer (and the spec) can take
+  * latest-wins without ordering assumptions; stages reflect
+  * watermark-FINALIZED events only.
   */
 object StreamingFunnel {
 
   case class FunnelEvent(userId: Long, tsUs: Long, eventType: String)
 
+  /** [[FunnelEvent]] + the TimestampType twin of `tsUs` that carries
+    * the watermark through the plan (a projected-away event-time
+    * column would leave the stateful operator nothing to filter or
+    * time out on). */
+  private[streaming] case class TimedEvent(userId: Long, tsUs: Long,
+      eventType: String, eventTime: java.sql.Timestamp)
+
   /** None-free state: Long.MaxValue = "not reached" (safe as a min
     * identity and kryo-stable). */
   case class FunnelProgress(gen: Long, s: Long, c: Long, p: Long)
+
+  /** Checkpointed per-user state: folded progress over finalized
+    * events + the not-yet-ripe buffer (ts, type). */
+  private[streaming] case class FunnelState(gen: Long, s: Long, c: Long,
+      p: Long, buf: Vector[(Long, String)])
 
   case class UserStage(userId: Long, gen: Long, stage: String)
 
@@ -63,21 +86,42 @@ object StreamingFunnel {
     else if (st.s != Unset) "1_signup"
     else "0_none"
 
-  def stages(events: Dataset[FunnelEvent]): Dataset[UserStage] = {
-    implicit val stateEnc = Encoders.kryo[FunnelProgress]
+  /** @param maxDelay watermark delay — the out-of-order horizon: how
+    *   far behind the max seen event time a straggler may arrive and
+    *   still fold in its correct event-time position */
+  def stages(events: Dataset[FunnelEvent],
+      maxDelay: String = "1 hour"): Dataset[UserStage] = {
+    implicit val timedEnc = Encoders.product[TimedEvent]
+    implicit val stateEnc = Encoders.kryo[FunnelState]
     implicit val outEnc = Encoders.product[UserStage]
-    events.groupByKey(_.userId)(Encoders.scalaLong)
+    events.toDF()
+      .withColumn("eventTime", timestamp_micros(col("tsUs")))
+      .withWatermark("eventTime", maxDelay)
+      .as[TimedEvent]
+      .groupByKey(_.userId)(Encoders.scalaLong)
       .flatMapGroupsWithState(OutputMode.Update,
-        GroupStateTimeout.NoTimeout) {
-        (user: Long, it: Iterator[FunnelEvent],
-            state: GroupState[FunnelProgress]) =>
+        GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[TimedEvent],
+            state: GroupState[FunnelState]) =>
           val prior = state.getOption
-            .getOrElse(FunnelProgress(0L, Unset, Unset, Unset))
-          val next = it.toSeq.sortBy(_.tsUs)
-            .foldLeft(prior)((st, e) => step(st, e.tsUs, e.eventType))
-            .copy(gen = prior.gen + 1)
+            .getOrElse(FunnelState(0L, Unset, Unset, Unset, Vector.empty))
+          // watermark is ms-grained; an event is ripe only when the
+          // watermark has passed its FULL microsecond timestamp
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val buf = prior.buf ++ it.map(e => (e.tsUs, e.eventType))
+          val (ripe, hold) = buf.partition(_._1 <= wmUs)
+          val folded = ripe.sortBy(_._1)
+            .foldLeft(FunnelProgress(prior.gen, prior.s, prior.c, prior.p))(
+              (st, e) => step(st, e._1, e._2))
+          val next = FunnelState(prior.gen + 1,
+            folded.s, folded.c, folded.p, hold)
           state.update(next)
-          Iterator.single(UserStage(user, next.gen, stageOf(next)))
+          // wake this group when the watermark passes its earliest
+          // buffered event (min/1000 + 1 rounds UP past the watermark's
+          // ms grain, satisfying the must-be-later-than-watermark rule)
+          if (hold.nonEmpty)
+            state.setTimeoutTimestamp(hold.map(_._1).min / 1000L + 1L)
+          Iterator.single(UserStage(user, next.gen, stageOf(folded)))
       }
   }
 }

@@ -62,12 +62,22 @@ class StreamingFunnelSpec extends SparkSpec {
     val q = StreamingFunnel.stages(src.toDS())
       .writeStream.format("memory").queryName("sfunnel_out")
       .outputMode("update").start()
+    val flushUser = 999999999L
     try {
       // three event-time-ordered chunks → state must carry across
       val chunks = ev.grouped(math.max(1, ev.length / 3 + 1)).toSeq
       chunks.foreach { c => src.addData(c.toSeq); q.processAllAvailable() }
+      // watermark-buffered events finalize only once the watermark
+      // passes them: advance it far past every real event (two rounds —
+      // the watermark updates at batch END, timeouts fire after)
+      val flushTs = ev.map(_.tsUs).max + 3 * DayUs
+      src.addData(FunnelEvent(flushUser, flushTs, "signup"))
+      q.processAllAvailable()
+      src.addData(FunnelEvent(flushUser, flushTs + DayUs, "signup"))
+      q.processAllAvailable()
 
       val streamed = spark.table("sfunnel_out")
+        .filter(col("userId") =!= flushUser)
         .groupBy("userId")
         .agg(max_by(col("stage"), col("gen")).as("stage"))
         .as[(Long, String)].collect().toMap
@@ -104,6 +114,44 @@ class StreamingFunnelSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cross-trigger OUT-OF-ORDER events fold in event-time order: a " +
+      "click arriving before its signup still qualifies (matches the " +
+      "batch windows)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 5000000L
+    val src = MemoryStream[FunnelEvent]
+    val q = StreamingFunnel.stages(src.toDS())
+      .writeStream.format("memory").queryName("sfunnel_ooo")
+      .outputMode("update").start()
+    try {
+      // arrival order scrambles the event-time order ACROSS triggers:
+      // click first, its signup one trigger LATER with an older ts,
+      // purchase last. The pre-round-11 fold (apply-at-arrival) left
+      // this user at 1_signup forever — the click had already been
+      // rejected for lack of a signup when it arrived.
+      src.addData(FunnelEvent(1L, t0 + 10, "click"))
+      q.processAllAvailable()
+      src.addData(FunnelEvent(1L, t0, "signup"))
+      q.processAllAvailable()
+      src.addData(FunnelEvent(1L, t0 + 20, "purchase"))
+      q.processAllAvailable()
+      // advance the watermark far past the events, twice (update at
+      // batch end; event-time timeouts fire after)
+      src.addData(FunnelEvent(99L, t0 + 3 * DayUs, "signup"))
+      q.processAllAvailable()
+      src.addData(FunnelEvent(99L, t0 + 4 * DayUs, "signup"))
+      q.processAllAvailable()
+      val last = spark.table("sfunnel_ooo")
+        .filter(col("userId") === 1L)
+        .groupBy("userId")
+        .agg(max_by(col("stage"), col("gen")).as("stage"))
+        .as[(Long, String)].collect().toMap
+      assert(last(1L) === "3_purchase",
+        s"out-of-order fold diverged from batch: $last")
+    } finally q.stop()
+  }
+
   test("checkpoint restart: funnel state survives a simulated JVM " +
       "restart — a post-restart purchase completes the pre-restart " +
       "signup+click") {
@@ -128,20 +176,31 @@ class StreamingFunnelSpec extends SparkSpec {
         .start()
 
     val t0 = 5000000L
+    val HourUs = 3600000000L
     val q1 = startQuery()
     try {
       input.addData(FunnelEvent(1L, t0, "signup"),
         FunnelEvent(1L, t0 + 10, "click"))
+      q1.processAllAvailable()
+      // advance the watermark just past user 1's events (flush ts −
+      // 1h default delay = t0 + 10ms) so they FOLD into the 3-long
+      // state pre-restart — this pins recovery of the folded longs,
+      // not just the buffer
+      input.addData(FunnelEvent(99L, t0 + HourUs + 10000L, "signup"))
       q1.processAllAvailable()
     } finally { q1.stop(); q1.awaitTermination() }
 
     // cold restart: only checkpointed state survives. The purchase
     // lands within 24h of the recovered click time — it can only
     // reach 3_purchase if (s, c) were RECOVERED; a fresh query would
-    // see a bare purchase and stay at 0_none.
+    // see a bare purchase and stay at 0_none. Its event time sits
+    // ABOVE the recovered watermark (t0 + 10ms), so it is not late;
+    // the second flush advances the watermark past it to finalize.
     val q2 = startQuery()
     try {
-      input.addData(FunnelEvent(1L, t0 + 20, "purchase"))
+      input.addData(FunnelEvent(1L, t0 + 20000L, "purchase"))
+      q2.processAllAvailable()
+      input.addData(FunnelEvent(99L, t0 + 3 * HourUs, "signup"))
       q2.processAllAvailable()
       val last = StreamingFunnelSpec.restartOut.asScala.toSeq
         .filter(_._1 == 1L).maxBy(_._2)
