@@ -9,14 +9,16 @@ import org.apache.spark.sql.functions._
   *
   * The decode step is a REAL pure-JVM container parse — BMP headers
   * (width / height / channels), PNG signature + IHDR (width / height /
-  * color-type channels), and WAV RIFF chunks (sample rate / channels /
-  * duration) — over fixture bytes synthesized by
-  * [[makeBmp]]/[[makeWav]]/[[makePng]] (this sandbox ships no media files or codec
-  * libraries, so the fixtures stand in for upstream media; the parse
-  * itself is byte-level and format-faithful). A production deployment
-  * swaps the parse body for a full codec (JPEG, FLAC, …) — the
-  * schemas, the partition-batched execution shape, and the
-  * fixed-shape feature output are exactly what that codec drops into.
+  * color-type channels), JPEG marker-segment walk to SOF0/SOF2
+  * (width / height / components), and WAV RIFF chunks (sample rate /
+  * channels / duration) — over fixture bytes synthesized by
+  * [[makeBmp]]/[[makeWav]]/[[makePng]]/[[makeJpeg]] (this sandbox
+  * ships no media files or codec libraries, so the fixtures stand in
+  * for upstream media; the parse itself is byte-level and
+  * format-faithful). A production deployment swaps the parse body for
+  * a full codec (pixel-level JPEG, FLAC, …) — the schemas, the
+  * partition-batched execution shape, and the fixed-shape feature
+  * output are exactly what that codec drops into.
   *
   * Scale design: decode is per-row CPU work with heavyweight per-batch
   * setup (codec contexts). `mapPartitions` + `grouped(batchSize)` gives
@@ -47,7 +49,9 @@ object Multimodal {
   private def u32(b: Array[Byte], o: Int): Long =
     (b(o) & 0xFF).toLong | ((b(o + 1) & 0xFF).toLong << 8) |
       ((b(o + 2) & 0xFF).toLong << 16) | ((b(o + 3) & 0xFF).toLong << 24)
-  // ---- big-endian reader (PNG is network byte order) ----
+  // ---- big-endian readers (PNG and JPEG are network byte order) ----
+  private def be16(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xFF) << 8) | (b(o + 1) & 0xFF)
   private def be32(b: Array[Byte], o: Int): Long =
     ((b(o) & 0xFF).toLong << 24) | ((b(o + 1) & 0xFF).toLong << 16) |
       ((b(o + 2) & 0xFF).toLong << 8) | (b(o + 3) & 0xFF).toLong
@@ -64,9 +68,9 @@ object Multimodal {
   }
 
   /** Real header parse: BMP (BITMAPINFOHEADER), PNG (signature +
-    * IHDR), or WAV (RIFF/WAVE fmt + data chunks). Byte-level and
-    * allocation-free — the per-row hot path a 100 TB decode stage
-    * actually runs. */
+    * IHDR), JPEG (marker walk to SOF0/SOF2), or WAV (RIFF/WAVE fmt +
+    * data chunks). Byte-level and allocation-free — the per-row hot
+    * path a 100 TB decode stage actually runs. */
   def decode(r: MediaRecord): MediaFeatures = {
     val b = r.payload
     if (b.length >= 54 && b(0) == 'B'.toByte && b(1) == 'M'.toByte) {
@@ -87,6 +91,41 @@ object Multimodal {
       val height = be32(b, 20).toInt
       MediaFeatures(r.id, r.media_type, b.length, Some(width),
         Some(height), pngChannels(b(25) & 0xFF), None, None)
+    } else if (b.length >= 4 && (b(0) & 0xFF) == 0xFF &&
+        (b(1) & 0xFF) == 0xD8) {
+      // JPEG: walk marker segments from SOI to the first SOF0
+      // (baseline) / SOF2 (progressive) frame header — big-endian
+      // precision(1) height(2) width(2) components(1). Standalone
+      // markers (TEM, RSTn, SOI, EOI) carry no length; the walk stops
+      // at SOS (entropy-coded data follows, headers cannot) or any
+      // malformed segment (→ all-null parsed fields, the caller's
+      // dead-letter decision as with the other containers)
+      var o = 2
+      var width = -1; var height = -1; var comps = -1
+      var done = false
+      while (!done && o + 2 <= b.length) {
+        if ((b(o) & 0xFF) != 0xFF) done = true
+        else {
+          val m = b(o + 1) & 0xFF
+          if (m == 0xFF) o += 1 // fill byte before a marker
+          else if (m == 0x01 || (m >= 0xD0 && m <= 0xD9)) o += 2
+          else if (o + 4 > b.length) done = true
+          else {
+            val segLen = be16(b, o + 2)
+            if (segLen < 2 || o + 2 + segLen > b.length) done = true
+            else if ((m == 0xC0 || m == 0xC2) && segLen >= 8) {
+              height = be16(b, o + 5); width = be16(b, o + 7)
+              comps = b(o + 9) & 0xFF
+              done = true
+            } else if (m == 0xDA) done = true
+            else o += 2 + segLen
+          }
+        }
+      }
+      MediaFeatures(r.id, r.media_type, b.length,
+        if (width > 0) Some(width) else None,
+        if (height > 0) Some(height) else None,
+        if (comps > 0) Some(comps) else None, None, None)
     } else if (b.length >= 44 && b(0) == 'R'.toByte && b(1) == 'I'.toByte
         && b(2) == 'F'.toByte && b(3) == 'F'.toByte
         && b(8) == 'W'.toByte && b(9) == 'A'.toByte
@@ -239,6 +278,50 @@ object Multimodal {
     out(24) = 8; out(25) = 2
     chunk(8, "IHDR", 13)
     chunk(33, "IEND", 0)
+    out
+  }
+
+  /** Synthesize a minimal valid JPEG: SOI, a JFIF APP0 segment, a
+    * SOF0 (baseline) or SOF2 (progressive) frame header with real
+    * per-component entries, and EOI — `32 + 3·channels` bytes. No
+    * entropy-coded scan: the fixture pins frame-header parsing (the
+    * metadata a 100 TB triage pass reads), as with [[makePng]]. */
+  def makeJpeg(width: Int, height: Int, channels: Int = 3,
+      progressive: Boolean = false): Array[Byte] = {
+    require(width > 0 && height > 0, "JPEG dims must be positive")
+    require(channels > 0 && channels <= 255, "channels must be in [1,255]")
+    val sofLen = 8 + 3 * channels
+    val out = new Array[Byte](20 + 2 + sofLen + 2)
+    def wbe16(o: Int, v: Int): Unit = {
+      out(o) = (v >> 8).toByte; out(o + 1) = v.toByte
+    }
+    out(0) = 0xFF.toByte; out(1) = 0xD8.toByte // SOI
+    out(2) = 0xFF.toByte; out(3) = 0xE0.toByte // APP0
+    wbe16(4, 16)
+    "JFIF".getBytes("US-ASCII").zipWithIndex.foreach { case (c, i) =>
+      out(6 + i) = c
+    }
+    out(10) = 0            // NUL terminator
+    out(11) = 1; out(12) = 1 // JFIF version 1.1
+    out(13) = 0            // density units: none
+    wbe16(14, 1); wbe16(16, 1) // aspect ratio 1:1
+    out(18) = 0; out(19) = 0   // no thumbnail
+    val so = 20
+    out(so) = 0xFF.toByte
+    out(so + 1) = (if (progressive) 0xC2 else 0xC0).toByte
+    wbe16(so + 2, sofLen)
+    out(so + 4) = 8 // sample precision
+    wbe16(so + 5, height); wbe16(so + 7, width)
+    out(so + 9) = channels.toByte
+    var c = 0
+    while (c < channels) {
+      out(so + 10 + 3 * c) = (c + 1).toByte // component id
+      out(so + 11 + 3 * c) = 0x11           // 1x1 sampling
+      out(so + 12 + 3 * c) = 0              // quant table 0
+      c += 1
+    }
+    out(so + 2 + sofLen) = 0xFF.toByte
+    out(so + 2 + sofLen + 1) = 0xD9.toByte // EOI
     out
   }
 

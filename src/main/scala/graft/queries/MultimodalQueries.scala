@@ -17,11 +17,13 @@ object MultimodalQueries {
 
   val all: Map[String, Q] = Map(
 
-    // Batched decode/feature-extraction over binary payloads; three
-    // REAL container classes (BMP, WAV, PNG by doc_id mod 3) so the
-    // unknown-container all-null path is pinned against positives
-    // from three distinct parsers (LE structs, RIFF chunk walk, BE
-    // chunks + CRC).
+    // Batched decode/feature-extraction over binary payloads; four
+    // REAL container classes (BMP, WAV, PNG, JPEG by doc_id mod 4) so
+    // the unknown-container all-null path is pinned against positives
+    // from four distinct parsers (LE structs, RIFF chunk walk, BE
+    // chunks + CRC, and the JPEG marker-segment walk — SOF0 and SOF2
+    // alternating by id so both baseline and progressive frame
+    // headers stay under the oracle).
     "multimodal_features" -> { (s, dir) =>
       import s.implicits._
       val media = Tables.documents(s, dir)
@@ -29,16 +31,20 @@ object MultimodalQueries {
           length(col("text")).as("tlen"))
         .as[(Long, Int)]
         .map { case (id, tlen) =>
-          if (id % 3 == 0)
+          if (id % 4 == 0)
             Multimodal.MediaRecord(id, "image",
               Multimodal.makeBmp((id % 16 + 1).toInt, (id % 8 + 1).toInt))
-          else if (id % 3 == 1)
+          else if (id % 4 == 1)
             Multimodal.MediaRecord(id, "audio",
-              Multimodal.makeWav((8000 + (id % 4) * 4000).toInt,
-                (((id - 1) / 3) % 2 + 1).toInt, tlen))
-          else
+              Multimodal.makeWav((8000 + (id / 4 % 4) * 4000).toInt,
+                (((id - 1) / 4) % 2 + 1).toInt, tlen))
+          else if (id % 4 == 2)
             Multimodal.MediaRecord(id, "image",
               Multimodal.makePng((id % 16 + 1).toInt, (id % 8 + 1).toInt))
+          else
+            Multimodal.MediaRecord(id, "image",
+              Multimodal.makeJpeg((id % 16 + 1).toInt, (id % 8 + 1).toInt,
+                progressive = (id / 4) % 2 == 1))
         }
       Multimodal.decodeFeatures(media, batchSize = 64)
         .toDF()
@@ -89,24 +95,25 @@ object MultimodalQueries {
         |  SELECT doc_id AS id, length(text) AS tlen,
         |    CAST(doc_id % 16 + 1 AS INT) AS w,
         |    CAST(doc_id % 8 + 1 AS INT) AS h,
-        |    CAST(8000 + (doc_id % 4) * 4000 AS INT) AS sr,
-        |    CAST(((doc_id - 1) // 3) % 2 + 1 AS INT) AS ch
+        |    CAST(8000 + (doc_id // 4 % 4) * 4000 AS INT) AS sr,
+        |    CAST(((doc_id - 1) // 4) % 2 + 1 AS INT) AS ch
         |  FROM documents
         |)
         |SELECT id,
-        |  CASE WHEN id % 3 = 1 THEN 'audio' ELSE 'image' END
+        |  CASE WHEN id % 4 = 1 THEN 'audio' ELSE 'image' END
         |    AS media_type,
-        |  CASE WHEN id % 3 = 0
+        |  CASE WHEN id % 4 = 0
         |    THEN CAST(54 + ((w * 3 + 3) // 4) * 4 * h AS INT)
-        |    WHEN id % 3 = 1
+        |    WHEN id % 4 = 1
         |    THEN CAST(44 + tlen - tlen % (ch * 2) AS INT)
-        |    ELSE 45
+        |    WHEN id % 4 = 2 THEN 45
+        |    ELSE 41
         |  END AS n_bytes,
-        |  CASE WHEN id % 3 <> 1 THEN w END AS width,
-        |  CASE WHEN id % 3 <> 1 THEN h END AS height,
-        |  CASE WHEN id % 3 = 1 THEN ch ELSE 3 END AS channels,
-        |  CASE WHEN id % 3 = 1 THEN sr END AS sample_rate,
-        |  CASE WHEN id % 3 = 1
+        |  CASE WHEN id % 4 <> 1 THEN w END AS width,
+        |  CASE WHEN id % 4 <> 1 THEN h END AS height,
+        |  CASE WHEN id % 4 = 1 THEN ch ELSE 3 END AS channels,
+        |  CASE WHEN id % 4 = 1 THEN sr END AS sample_rate,
+        |  CASE WHEN id % 4 = 1
         |    THEN CAST(tlen - tlen % (ch * 2) AS DOUBLE) * 1000.0
         |      / (sr * ch * 2)
         |  END AS duration_ms

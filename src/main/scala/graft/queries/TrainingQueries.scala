@@ -446,7 +446,10 @@ object TrainingQueries {
     "collocations_topk" -> { (s, dir) =>
       val d = Tables.documents(s, dir)
         .select(TextAnalysis.tokens(lower(col("text"))).as("toks"))
-      val nTotal = d.agg(sum(size(col("toks")))).head.getLong(0)
+      // corpus token total rides the plan as a broadcast 1-row
+      // crossJoin (the mixture_sample shape) — no driver .head
+      // serializing an extra job into query CONSTRUCTION
+      val total = d.agg(sum(size(col("toks"))).as("n_total"))
       val uni = d.select(explode(col("toks")).as("w"))
         .groupBy("w").agg(count(lit(1)).as("n"))
       val pairs = d.filter(size(col("toks")) >= 2)
@@ -460,8 +463,9 @@ object TrainingQueries {
       pairs
         .join(uni.select(col("w").as("w1"), col("n").as("n_a")), "w1")
         .join(uni.select(col("w").as("w2"), col("n").as("n_b")), "w2")
+        .crossJoin(broadcast(total))
         .withColumn("lift",
-          (col("n_ab").cast("double") * lit(nTotal).cast("double")) /
+          (col("n_ab").cast("double") * col("n_total").cast("double")) /
             (col("n_a").cast("double") * col("n_b")))
         .select("w1", "w2", "n_ab", "n_a", "n_b", "lift")
         .orderBy(col("lift").desc, col("w1").asc, col("w2").asc)
@@ -527,10 +531,13 @@ object TrainingQueries {
     // keeps hapax noise out of the top-20.
     "vocab_drift" -> { (s, dir) =>
       val d = Tables.documents(s, dir)
-      val half = d.agg((max("doc_id") / 2).cast("long")).head.getLong(0)
-      val counts = d
-        .select(when(col("doc_id") <= half, lit("a")).otherwise(lit("b"))
-            .as("half"),
+      // the corpus midpoint joins the plan as a broadcast 1-row
+      // crossJoin instead of a build-time driver .head (mixture_sample
+      // shape) — one declarative plan, no extra serialized job
+      val halfDf = d.agg((max("doc_id") / 2).cast("long").as("_half"))
+      val counts = d.crossJoin(broadcast(halfDf))
+        .select(when(col("doc_id") <= col("_half"), lit("a"))
+            .otherwise(lit("b")).as("half"),
           explode(TextAnalysis.tokens(lower(col("text")))).as("token"))
         .groupBy("token").agg(
           sum(when(col("half") === "a", 1L).otherwise(0L)).as("c1"),
@@ -613,6 +620,41 @@ object TrainingQueries {
             .otherwise(lit("test")).as("split"))
         .groupBy("split", "lang").agg(count(lit(1)).as("n_docs"))
         .orderBy("split", "lang")
+    },
+
+    // The write side of the pipeline under the oracle gate: survivors
+    // (exact-dedup + length gate, token counts precomputed) go through
+    // CorpusWriter.writePartitioned — lang-partitioned directories,
+    // doc_id-sorted files, salted 2-way write parallelism per lang —
+    // and the REGISTERED result is the RE-READ with a partition
+    // predicate (lang) + range predicate (doc_id). The oracle computes
+    // the same rows straight from `documents`, so a hash match proves
+    // the write→read round trip is value-preserving; CorpusWriterSpec
+    // asserts this query's scan prunes at planning time
+    // (PartitionFilters) and pushes the range (PushedFilters) — layout
+    // AND fidelity, one query.
+    "corpus_write_read" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("lang"))
+      val corpus = d.unionByName(d.select(
+        (col("doc_id") + CopyShift).as("doc_id"), col("text"),
+        col("lang")))
+      val keep = Dedup.exact(corpus, col("doc_id"),
+          TextAnalysis.fingerprint(col("text")))
+        .select(col("keep_id").as("doc_id"))
+      val survivors = corpus.join(keep, "doc_id")
+        .filter(TextAnalysis.tokenCount(col("text")) >= 10)
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      val path = corpusExportPath(dir)
+      graft.sinks.CorpusWriter.writePartitioned(survivors, path,
+        partitionCol = "lang", sortCols = Seq("doc_id"),
+        filesPerPartition = 2)
+      s.read.parquet(path)
+        .filter(col("lang") === "en" &&
+          col("doc_id").between(100L, 100000L))
+        .select("doc_id", "lang", "n_tokens")
+        .orderBy("doc_id")
     },
 
     // PII scrubbing: deterministic synthetic PII (emails/phones on
@@ -764,6 +806,14 @@ object TrainingQueries {
 
   private val normExpr =
     "regexp_replace(trim(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g')), '\\s+', ' ', 'g')"
+
+  /** corpus_write_read's partitioned snapshot lands here, SF-suffixed
+    * for the same cross-SF-clobber reason as the IVF centroid export
+    * (the oracle itself never reads this path — it recomputes from
+    * `documents` — so the suffix only keeps concurrent-SF runs from
+    * overwriting each other's layout mid-read). */
+  private def corpusExportPath(dir: String): String =
+    s"/tmp/graft_corpus_${new java.io.File(dir).getName}.parquet"
 
   private val minhashMins = (0 until 8).map { i =>
     s"min(substr(md5(s), ${4 * i + 1}, 8)) AS h$i"
@@ -1210,6 +1260,22 @@ object TrainingQueries {
         |       ELSE 'test' END AS split,
         |  lang, COUNT(*) AS n_docs
         |FROM q GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
+    "corpus_write_read" ->
+      s"""WITH ad AS (
+        |  SELECT doc_id, text, lang FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + $CopyShift AS doc_id, text, lang FROM documents
+        |), keep AS (
+        |  SELECT MIN(doc_id) AS doc_id FROM ad GROUP BY md5($normExpr)
+        |), s AS (
+        |  SELECT a.doc_id, a.lang,
+        |    len(string_split_regex(trim(a.text), '\\s+')) AS n_tokens
+        |  FROM ad a JOIN keep USING (doc_id)
+        |  WHERE len(string_split_regex(trim(a.text), '\\s+')) >= 10
+        |)
+        |SELECT doc_id, lang, n_tokens FROM s
+        |WHERE lang = 'en' AND doc_id BETWEEN 100 AND 100000
+        |ORDER BY doc_id""".stripMargin,
     "text_redact" -> {
       // the Scala pattern string's chars embed verbatim in a SQL
       // single-quoted literal (no escape processing there)

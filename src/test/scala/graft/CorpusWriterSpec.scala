@@ -58,6 +58,24 @@ class CorpusWriterSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("the REGISTERED corpus_write_read query's re-read scan prunes " +
+      "partitions at planning time and pushes the doc_id range") {
+    // the CORRECTNESS row proves the round trip is value-preserving;
+    // this pins that it is also LAYOUT-preserving — the lang predicate
+    // reaches PartitionFilters (excluded dirs never listed) and the
+    // range reaches the row-group stats, not a post-scan filter
+    val df = SparkEntry.queries("corpus_write_read")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("lang"), s"lang not in PartitionFilters:\n$plan")
+    assert(plan.contains("PushedFilters") &&
+      plan.replaceAll("(?s).*PushedFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("GreaterThanOrEqual(doc_id,100)"),
+      s"doc_id range not pushed:\n$plan")
+    assert(df.count() > 0)
+  }
+
   test("one shuffle partition per value bounds the file count; " +
       "filesPerPartition spreads it deterministically") {
     def parquetFiles(root: String): Map[String, Int] = {

@@ -123,6 +123,40 @@ class MultimodalSpec extends SparkSpec {
     assert(f3.width === None && f3.n_bytes === 20)
   }
 
+  test("JPEG marker walk: SOF0 and SOF2 frame headers parse back " +
+      "dims/components; headerless and post-SOS payloads stay null") {
+    // baseline and progressive differ only in the SOF marker — both
+    // must yield identical features
+    for (progressive <- Seq(false, true)) {
+      val jpg = Multimodal.makeJpeg(640, 480, channels = 3,
+        progressive = progressive)
+      assert(jpg.length === 32 + 9) // 32 + 3·channels
+      val f = Multimodal.decode(MediaRecord(7L, "image", jpg))
+      assert(f === MediaFeatures(7L, "image", 41, Some(640), Some(480),
+        Some(3), None, None), s"progressive=$progressive")
+    }
+    // grayscale single-component SOF
+    val gray = Multimodal.decode(MediaRecord(8L, "image",
+      Multimodal.makeJpeg(12, 34, channels = 1)))
+    assert(gray.width === Some(12) && gray.height === Some(34) &&
+      gray.channels === Some(1))
+    // dims > 255 exercise the big-endian 16-bit reads
+    val big = Multimodal.decode(MediaRecord(9L, "image",
+      Multimodal.makeJpeg(1920, 1080)))
+    assert(big.width === Some(1920) && big.height === Some(1080))
+    // SOI + EOI only: a valid JPEG shell with no frame header → nulls
+    val shell = Array(0xFF, 0xD8, 0xFF, 0xD9).map(_.toByte)
+    val s = Multimodal.decode(MediaRecord(10L, "image", shell))
+    assert(s.width.isEmpty && s.height.isEmpty && s.channels.isEmpty)
+    assert(s.n_bytes === 4)
+    // SOS before any SOF (malformed ordering): the walk must stop at
+    // the scan, not read entropy bytes as segments
+    val sos = Array(0xFF, 0xD8, 0xFF, 0xDA, 0x00, 0x04, 0x01, 0x00)
+      .map(_.toByte)
+    val m = Multimodal.decode(MediaRecord(11L, "image", sos))
+    assert(m.width.isEmpty && m.channels.isEmpty)
+  }
+
   test("decodeFeatures keeps the partition-batched shape over a " +
       "Dataset of mixed containers") {
     import spark.implicits._

@@ -97,6 +97,50 @@ class RangeJoinSpec extends SparkSpec {
     assert(got.toSet === expected)
   }
 
+  test("a hot bin is AQE-skew-splittable: an oversized binWidth that " +
+      "funnels the corpus into one bin still splits at runtime") {
+    // the binWidth knob's failure mode: width far above the data
+    // spread → every point lands in ONE bin → one shuffle partition
+    // carries the whole join. Because the operator plans as a plain
+    // equi-join, that failure degrades into exactly the shape AQE's
+    // skew-join split handles — pin it (with test-sized thresholds)
+    // so a regression to a nested-loop or non-splittable plan fails.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+      conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "32KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      // many upstream map tasks: AQE splits a skewed reduce partition
+      // at map-output granularity, so a single-partition local input
+      // would leave it one indivisible block
+      val p = (0 until 10000).map(i => (i.toLong, 5.0 + (i % 7) * 0.1))
+        .toDF("pid", "p").repartition(16)
+      val i = (0 until 20).map(j => (9000L + j, 0.0, 9.0))
+        .toDF("iid", "lo", "hi").repartition(4)
+      // width 1e6 ≫ spread: all points AND all intervals in bin 0
+      val df = RangeJoin.pointInInterval(p, col("p"), i,
+        col("lo"), col("hi"), binWidth = 1e6)
+      // collect THIS dataframe so ITS adaptive plan finalizes (a
+      // count() would plan a separate query execution)
+      assert(df.collect().length === 10000 * 20)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"hot bin not skew-split by AQE:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
   test("guards: bad binWidth, one-sided keys, overlapping or reserved " +
       "column names fail fast") {
     val p = points.toDF("pid", "pk", "p")
