@@ -34,6 +34,12 @@ object SimilarityQueries {
   private[graft] def centroidExportPath(dir: String): String =
     s"/tmp/graft_ivf_centroids_${new java.io.File(dir).getName}.parquet"
 
+  /** Where ann_topk_ivf_pruned lays the corpus out cell-partitioned
+    * (one directory per IVF cell), SF-suffixed like the centroid
+    * export. */
+  private def ivfLayoutPath(dir: String): String =
+    s"/tmp/graft_ivf_layout_${new java.io.File(dir).getName}.parquet"
+
   /** Centroids as (cell INT, cvec ARRAY<DOUBLE>) — doubles carry the
     * float values EXACTLY, so DuckDB reproduces the kernels'
     * float-to-double arithmetic bit-for-bit. */
@@ -142,6 +148,44 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     },
 
+    // IVF AT REST — the 100 TB layout behind ann_topk_ivf_trained: the
+    // assigned corpus is WRITTEN cell-partitioned (CorpusWriter: one
+    // directory per IVF cell, vec_id-sorted files) and the probe reads
+    // the at-rest table back joined on the probed cells. Spark's
+    // dynamic partition pruning turns the broadcast probe side into a
+    // runtime partition filter on the scan — each query batch physically
+    // reads ~nprobe/k of the corpus directories, which is the entire
+    // point of IVF on a data lake (PlanPinsSpec pins the
+    // dynamicpruning expression in the scan's PartitionFilters). Same
+    // centroids, same arithmetic, same oracle as ann_topk_ivf_trained:
+    // a hash match proves the write→prune→read path loses nothing.
+    "ann_topk_ivf_pruned" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      val cents = Similarity.trainCentroids(e, col("embedding"),
+        k = IvfK, iters = IvfIters, initRounds = IvfInitRounds)
+      exportCentroids(s, cents, dir)
+      val assigned = e
+        .withColumn("cell", Similarity.assignCells(col("embedding"), cents))
+        .select("vec_id", "embedding", "cell")
+      val path = ivfLayoutPath(dir)
+      graft.sinks.CorpusWriter.writePartitioned(assigned, path,
+        partitionCol = "cell", sortCols = Seq("vec_id"))
+      val atRest = s.read.parquet(path)
+        .withColumn("_vn", Similarity.norm(col("embedding")))
+      val probed = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+        .withColumn("cell",
+          explode(Similarity.probeCells(col("qvec"), cents, IvfNprobe)))
+        .withColumn("_qn", Similarity.norm(col("qvec")))
+      val scored = atRest.join(broadcast(probed), "cell")
+        .withColumn("cosine", Similarity.dot(col("embedding"), col("qvec"))
+          / (col("_vn") * col("_qn")))
+        .select("query_id", "vec_id", "cosine")
+      graft.operators.TopK.perGroupNative(scored, "query_id", "vec_id",
+          "cosine", k = 10)
+        .orderBy("query_id", "rank")
+    },
+
     // Embedding-cosine near-dup pairs, label-bucketed, over the corpus
     // plus an id-shifted copy (planted exact duplicates ⇒ cosine 1).
     "embedding_dups" -> { (s, dir) =>
@@ -207,10 +251,12 @@ object SimilarityQueries {
   private def centScoreSql(v: String): String =
     s"(${dotSql(v, "c.cvec")}) / sqrt(${dotSql("c.cvec", "c.cvec")})"
 
-  val oracle: Map[String, String] = Map(
-    "ann_topk_brute" -> bruteTopKSql,
-    "ann_topk_native" -> bruteTopKSql,
-    "ann_topk_ivf_trained" ->
+  /** Shared by ann_topk_ivf_trained (in-memory assignment) and
+    * ann_topk_ivf_pruned (cell-partitioned at-rest layout + DPP probe
+    * reads): identical centroids (training is bit-deterministic),
+    * identical arithmetic, so both must hash-match this ONE oracle —
+    * which is exactly what proves the at-rest round trip lossless. */
+  private val trainedIvfSql =
       s"""WITH cents AS (
         |  SELECT cell, cvec FROM read_parquet(
         |    '${centroidExportPath("sf0.01")}/*.parquet')
@@ -246,8 +292,10 @@ object SimilarityQueries {
         |  FROM p
         |)
         |SELECT query_id, vec_id, rank, cosine FROM r
-        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
-    "ann_topk_ivf" ->
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** ann_topk_ivf's pre-assigned-label stand-in probe. */
+  private val labelIvfSql =
       s"""WITH q AS (
         |  SELECT vec_id AS query_id, embedding AS qvec, label
         |  FROM embeddings WHERE vec_id < 5
@@ -262,7 +310,14 @@ object SimilarityQueries {
         |  FROM p
         |)
         |SELECT query_id, vec_id, rank, cosine FROM r
-        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "ann_topk_brute" -> bruteTopKSql,
+    "ann_topk_native" -> bruteTopKSql,
+    "ann_topk_ivf" -> labelIvfSql,
+    "ann_topk_ivf_trained" -> trainedIvfSql,
+    "ann_topk_ivf_pruned" -> trainedIvfSql,
     "embedding_dups" ->
       s"""WITH all_vecs AS (
         |  SELECT vec_id, embedding, label FROM embeddings

@@ -22,4 +22,23 @@ class PlanPinsSpec extends SparkSpec {
     assert("WindowGroupLimit".r.findAllIn(plan).length >= 2,
       s"expected partial+final WindowGroupLimit passes:\n$plan")
   }
+
+  test("ann_topk_ivf_pruned's at-rest scan carries a dynamic partition " +
+      "pruning filter on cell — probe reads touch ~nprobe/k of the " +
+      "corpus directories, not all of them") {
+    val df = SparkEntry.queries("ann_topk_ivf_pruned")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    // DPP shows up as a dynamicpruning expression inside the parquet
+    // scan's PartitionFilters; without it the broadcast join would
+    // still be correct but would LIST AND READ every cell directory —
+    // the difference between IVF and a full scan at 100 TB
+    assert(plan.contains("dynamicpruningexpression(cell"),
+      s"no dynamic partition pruning on the cell scan:\n$plan")
+    // and it sits in the at-rest scan's PartitionFilters, not as a
+    // post-scan data filter (the probe-side embeddings scans have
+    // empty PartitionFilters, so anchor on the pruned one)
+    assert(plan.split("PartitionFilters: \\[").exists(seg =>
+      seg.takeWhile(_ != ']').contains("dynamicpruning")),
+      s"dynamic pruning not inside PartitionFilters:\n$plan")
+  }
 }
