@@ -55,9 +55,15 @@ object TrainingQueries {
         .select((col("doc_id") + 2 * CopyShift).as("doc_id"),
           col("text")))
       .select(col("doc_id"), fp.as("fp"))
-    // doc_ids are dense 0..n-1, so the existing-set row count IS the
-    // range bound — sizes the Bloom filter without a count() scan
-    (batch, existing, existEnd)
+    // the Bloom variant sizes its sketch from the ACTUAL existing-set
+    // row count (one cheap count job at build time), NOT the id-range
+    // bound: ids can be sparse — the sf1 scale harness shifts copies
+    // by 10^7, making the range bound 1800x the key count — and since
+    // round 11 the cap-clip guard means an oversized request is
+    // honestly BUILT (real memory, real time), not silently degraded
+    // to fpp~1. Measured at sf1: range-sized sketch 69 MB / 19.6 s,
+    // count-sized 48 KB / sub-second, identical (exact) result.
+    (batch, existing, existing.count())
   }
 
   private val allDocsCte =
