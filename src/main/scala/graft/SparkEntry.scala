@@ -81,7 +81,7 @@ object SparkEntry {
       // training-data clusters
       "text_stats", "text_repetition", "text_redact", "text_normalize",
       "text_winnowing", "vocab_topk", "tfidf_topk", "collocations_topk",
-      "vocab_drift", "quality_gate", "salted_counts",
+      "vocab_drift", "doc_surprisal", "quality_gate", "salted_counts",
       "dedup_exact",
       "dedup_simhash", "dedup_simhash_pairs", "dedup_minhash_lsh",
       "dedup_ngram_jaccard", "dedup_components", "dedup_survivors",

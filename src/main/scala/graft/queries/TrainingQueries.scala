@@ -352,6 +352,36 @@ object TrainingQueries {
         .select("doc_id").orderBy("doc_id")
     },
 
+    // Zipf-surprisal quality score — the CCNet/RefinedWeb idea (rank
+    // documents by how RARE their vocabulary is under the corpus's OWN
+    // unigram distribution; high scores = jargon/noise/boilerplate-free
+    // rare text, low = stopword soup) made log-free: each token scores
+    // the base-10 magnitude gap digits(N) − digits(n_token) — an
+    // integer Zipf bucket, exact in every engine, so the oracle
+    // hash-matches where a -Σ ln p formulation would drift in the last
+    // bit (same reason tfidf/collocations use rational scores). Shape:
+    // one explode scan → vocab partial-agg (shuffle ∝ vocab); the
+    // corpus total rides a broadcast 1-row crossJoin; the token rejoin
+    // shuffles ∝ token occurrences with map-side combine on the
+    // per-doc re-agg — no corpus-squared anything.
+    "doc_surprisal" -> { (s, dir) =>
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(TextAnalysis.tokens(lower(col("text")))).as("token"))
+      val vocab = toks.groupBy("token").agg(count(lit(1)).as("n"))
+      val total = vocab.agg(sum("n").as("n_total"))
+      toks.join(vocab, "token")
+        .crossJoin(broadcast(total))
+        .withColumn("surp",
+          length(col("n_total").cast("string")) -
+            length(col("n").cast("string")))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum("surp").as("surprisal"))
+        .withColumn("mean_surprisal",
+          col("surprisal").cast("double") / col("n_tokens"))
+        .orderBy("doc_id")
+    },
+
     // Corpus report with subtotals: one ROLLUP pass produces the
     // (lang, source) cells, per-lang subtotals and the grand total —
     // Spark expands the grouping sets BEFORE the exchange, so partial
@@ -1096,6 +1126,25 @@ object TrainingQueries {
         |)
         |SELECT verdict, COUNT(*) AS n_docs
         |FROM v GROUP BY verdict ORDER BY verdict""".stripMargin,
+    "doc_surprisal" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, unnest($toksExpr) AS token FROM documents
+        |), vocab AS (
+        |  SELECT token, COUNT(*) AS n FROM toks GROUP BY token
+        |), tot AS (
+        |  SELECT SUM(n) AS n_total FROM vocab
+        |)
+        |SELECT t.doc_id,
+        |  COUNT(*) AS n_tokens,
+        |  CAST(SUM(length(CAST(tt.n_total AS VARCHAR))
+        |    - length(CAST(v.n AS VARCHAR))) AS BIGINT) AS surprisal,
+        |  CAST(SUM(length(CAST(tt.n_total AS VARCHAR))
+        |    - length(CAST(v.n AS VARCHAR))) AS DOUBLE) / COUNT(*)
+        |    AS mean_surprisal
+        |FROM toks t
+        |JOIN vocab v USING (token)
+        |CROSS JOIN tot tt
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
     "dedup_incremental" -> incrementalIngestSql,
     // Bloom variant is EXACT (the anti-join scrubs false positives;
     // Bloom has no false negatives) — same oracle by design.
