@@ -371,4 +371,38 @@ object Similarity {
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
+
+  /** Per-vector int8 scalar quantization — the storage tier of a
+    * 100 TB embedding pipeline (a float32 corpus shrinks ~4×: each
+    * element becomes one byte + two float bounds per vector; parquet
+    * bit-packs the byte column). Returns
+    * `struct(mn float, mx float, q array<tinyint>)` with
+    * `q_i = floor((x_i − mn) · 255 / (mx − mn)) − 128` computed in
+    * DOUBLE — floor (not round) so there is no half-even/half-away
+    * divergence across engines, making the quantized bytes
+    * bit-reproducible anywhere IEEE doubles are (the
+    * `embedding_quantize` oracle hash-matches them in DuckDB).
+    * Degenerate constant vectors (mx = mn) quantize to all −128.
+    * Dequantization is `mn + (q + 128) · (mx − mn) / 255` — max
+    * per-element error (mx−mn)/255, which `SimilaritySpec` pins to
+    * ≥ 0.9 recall@10 against the exact float top-k. */
+  def quantizeInt8(vec: Column): Column = {
+    val mn = array_min(vec)
+    val span = (array_max(vec).cast("double") - mn.cast("double"))
+    val q = transform(vec, x =>
+      when(span === 0.0, lit(-128).cast("byte"))
+        .otherwise((floor((x.cast("double") - mn.cast("double"))
+          * lit(255.0) / span) - lit(128L)).cast("byte")))
+    struct(mn.as("mn"), array_max(vec).as("mx"), q.as("q"))
+  }
+
+  /** Dequantized values of [[quantizeInt8]] output, as
+    * `array<double>` (the scoring-side companion — dot products over
+    * these approximate the float dot within d·span/255). */
+  def dequantizeInt8(quant: Column): Column = {
+    val mn = quant.getField("mn").cast("double")
+    val span = quant.getField("mx").cast("double") - mn
+    transform(quant.getField("q"), q =>
+      mn + (q.cast("double") + lit(128.0)) * span / lit(255.0))
+  }
 }

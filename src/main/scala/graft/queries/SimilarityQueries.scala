@@ -186,6 +186,25 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     },
 
+    // The STORAGE tier of the embedding pipeline: per-vector int8
+    // scalar quantization (float32 corpus → ~4× smaller at rest; see
+    // Similarity.quantizeInt8). floor-based bucketing in double makes
+    // the quantized bytes bit-reproducible cross-engine, so the oracle
+    // hash-matches the bytes themselves (md5 over the joined byte
+    // string — array columns don't stringify identically across
+    // engines, a digest does). Recall of the dequantized scorer vs the
+    // exact float top-k is pinned in SimilaritySpec.
+    "embedding_quantize" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      e.withColumn("_q", Similarity.quantizeInt8(col("embedding")))
+        .select(col("vec_id"),
+          col("_q.mn").cast("double").as("mn"),
+          col("_q.mx").cast("double").as("mx"),
+          md5(concat_ws(",",
+            transform(col("_q.q"), v => v.cast("string")))).as("q_md5"))
+        .orderBy("vec_id")
+    },
+
     // Embedding-cosine near-dup pairs, label-bucketed, over the corpus
     // plus an id-shifted copy (planted exact duplicates ⇒ cosine 1).
     "embedding_dups" -> { (s, dir) =>
@@ -318,6 +337,26 @@ object SimilarityQueries {
     "ann_topk_ivf" -> labelIvfSql,
     "ann_topk_ivf_trained" -> trainedIvfSql,
     "ann_topk_ivf_pruned" -> trainedIvfSql,
+    "embedding_quantize" ->
+      """WITH b AS (
+        |  SELECT vec_id,
+        |    CAST(list_min(embedding) AS DOUBLE) AS mn,
+        |    CAST(list_max(embedding) AS DOUBLE) AS mx,
+        |    embedding
+        |  FROM embeddings
+        |), q AS (
+        |  SELECT vec_id, mn, mx,
+        |    list_transform(embedding, x ->
+        |      CASE WHEN mx - mn = 0 THEN -128
+        |           ELSE CAST(floor((CAST(x AS DOUBLE) - mn) * 255.0
+        |             / (mx - mn)) - 128 AS BIGINT)
+        |      END) AS qv
+        |  FROM b
+        |)
+        |SELECT vec_id, mn, mx,
+        |  md5(array_to_string(
+        |    list_transform(qv, v -> CAST(v AS VARCHAR)), ',')) AS q_md5
+        |FROM q ORDER BY vec_id""".stripMargin,
     "embedding_dups" ->
       s"""WITH all_vecs AS (
         |  SELECT vec_id, embedding, label FROM embeddings

@@ -56,6 +56,57 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("int8 scalar quantization: constant vectors degrade gracefully, " +
+      "bytes stay in range, and dequantized top-10 recall >= 0.9 vs " +
+      "the exact float ranking on sf0.001") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+
+    // degenerate constant vector → all -128, bounds preserved
+    val const = Seq((1L, Array(2.5f, 2.5f, 2.5f)))
+      .toDF("vec_id", "embedding")
+      .select(Similarity.quantizeInt8(col("embedding")).as("q"))
+      .select(col("q.mn"), col("q.mx"), col("q.q")).head()
+    assert(const.getFloat(0) === 2.5f && const.getFloat(1) === 2.5f)
+    assert(const.getSeq[Byte](2).forall(_ == -128))
+
+    val e = graft.sources.Tables.embeddings(spark, sf0001)
+      .select("vec_id", "embedding")
+    // every quantized byte is a legal bucket (floor bound argument)
+    val qs = e.select(explode(
+      Similarity.quantizeInt8(col("embedding")).getField("q")).as("b"))
+    assert(qs.filter(col("b") < -128 || col("b") > 127).count() === 0)
+
+    // recall@10: dequantized-dot ranking vs exact float ranking
+    def dotD(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val exact = Similarity.bruteForceTopK(e, col("vec_id"),
+        col("embedding"), q, col("qid"), col("qv"), 10)
+      .select("qid", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val de = e.withColumn("dq",
+      Similarity.dequantizeInt8(Similarity.quantizeInt8(col("embedding"))))
+    val qd = q.withColumn("dqq",
+      Similarity.dequantizeInt8(Similarity.quantizeInt8(col("qv"))))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("s").desc, col("vec_id"))
+    val approx = de.crossJoin(broadcast(qd))
+      .withColumn("s", dotD(col("dq"), col("dqq")) /
+        (sqrt(dotD(col("dq"), col("dq"))) *
+          sqrt(dotD(col("dqq"), col("dqq")))))
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") <= 10)
+      .select("qid", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val recalls = exact.map { case (qid, want) =>
+      approx(qid).intersect(want).size.toDouble / want.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"dequantized recall@10 = $mean")
+  }
+
   test("trainCentroids rejects initRounds = 0 with k > 1 (would seed " +
       "k identical centroids Lloyd cannot separate)") {
     import spark.implicits._
