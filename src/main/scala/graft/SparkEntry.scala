@@ -91,7 +91,7 @@ object SparkEntry {
       "dedup_incremental_bloom",
       "ann_topk_brute", "ann_topk_native", "ann_topk_ivf",
       "ann_topk_ivf_trained", "ann_topk_ivf_pruned", "embedding_quantize",
-      "embedding_dups",
+      "ann_topk_quantized", "embedding_dups",
       "embedding_survivors",
       "multimodal_features", "corpus_pipeline", "corpus_quantiles",
       "corpus_rollup", "length_outliers",

@@ -40,6 +40,10 @@ object SimilarityQueries {
   private def ivfLayoutPath(dir: String): String =
     s"/tmp/graft_ivf_layout_${new java.io.File(dir).getName}.parquet"
 
+  /** ann_topk_quantized's int8 cell-partitioned layout. */
+  private def int8LayoutPath(dir: String): String =
+    s"/tmp/graft_int8_layout_${new java.io.File(dir).getName}.parquet"
+
   /** Centroids as (cell INT, cvec ARRAY<DOUBLE>) — doubles carry the
     * float values EXACTLY, so DuckDB reproduces the kernels'
     * float-to-double arithmetic bit-for-bit. */
@@ -186,6 +190,54 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     },
 
+    // The WHOLE production ANN path in one oracle-checked query:
+    // train the coarse quantizer → assign cells → int8-QUANTIZE the
+    // vectors → write the corpus cell-partitioned (CorpusWriter) →
+    // probe reads the at-rest table under dynamic partition pruning →
+    // score queries against the DEQUANTIZED bytes → native top-k.
+    // This is what a 100 TB deployment actually stores and scans: the
+    // float corpus never persists, only bytes + bounds + cell id
+    // (~4× smaller), and each query batch reads ~nprobe/k directories
+    // of that smaller table. Every arithmetic step (floor-bucketed
+    // quantize, dequant, left-assoc double dot) is deterministic, so
+    // the DuckDB oracle reproduces the EXACT result — approximate
+    // scoring, exactly verified. Recall vs the float ranking is the
+    // SimilaritySpec pin; this query pins the composition.
+    "ann_topk_quantized" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      val cents = Similarity.trainCentroids(e, col("embedding"),
+        k = IvfK, iters = IvfIters, initRounds = IvfInitRounds)
+      exportCentroids(s, cents, dir)
+      val assigned = e
+        .withColumn("cell", Similarity.assignCells(col("embedding"), cents))
+        .withColumn("_q", Similarity.quantizeInt8(col("embedding")))
+        .select(col("vec_id"), col("cell"), col("_q.mn").as("mn"),
+          col("_q.mx").as("mx"), col("_q.q").as("q"))
+      val path = int8LayoutPath(dir)
+      graft.sinks.CorpusWriter.writePartitioned(assigned, path,
+        partitionCol = "cell", sortCols = Seq("vec_id"))
+      def dotD(a: org.apache.spark.sql.Column,
+          b: org.apache.spark.sql.Column) =
+        aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0),
+          (acc, v) => acc + v)
+      val atRest = s.read.parquet(path)
+        .withColumn("dq", Similarity.dequantizeInt8(
+          struct(col("mn"), col("mx"), col("q"))))
+      val probed = e.filter(col("vec_id") < 5)
+        .withColumn("cell", explode(Similarity.probeCells(
+          col("embedding"), cents, IvfNprobe)))
+        .select(col("vec_id").as("query_id"),
+          col("embedding").cast("array<double>").as("qvd"), col("cell"))
+      val scored = atRest.join(broadcast(probed), "cell")
+        .withColumn("cosine", dotD(col("dq"), col("qvd")) /
+          (sqrt(dotD(col("dq"), col("dq"))) *
+            sqrt(dotD(col("qvd"), col("qvd")))))
+        .select("query_id", "vec_id", "cosine")
+      graft.operators.TopK.perGroupNative(scored, "query_id", "vec_id",
+          "cosine", k = 10)
+        .orderBy("query_id", "rank")
+    },
+
     // The STORAGE tier of the embedding pipeline: per-vector int8
     // scalar quantization (float32 corpus → ~4× smaller at rest; see
     // Similarity.quantizeInt8). floor-based bucketing in double makes
@@ -270,6 +322,10 @@ object SimilarityQueries {
   private def centScoreSql(v: String): String =
     s"(${dotSql(v, "c.cvec")}) / sqrt(${dotSql("c.cvec", "c.cvec")})"
 
+  /** Left-assoc dot over already-DOUBLE list columns (no casts). */
+  private def dotSqlD(a: String, b: String): String =
+    (1 to Dim).map(i => s"$a[$i] * $b[$i]").mkString(" + ")
+
   /** Shared by ann_topk_ivf_trained (in-memory assignment) and
     * ann_topk_ivf_pruned (cell-partitioned at-rest layout + DPP probe
     * reads): identical centroids (training is bit-deterministic),
@@ -337,6 +393,64 @@ object SimilarityQueries {
     "ann_topk_ivf" -> labelIvfSql,
     "ann_topk_ivf_trained" -> trainedIvfSql,
     "ann_topk_ivf_pruned" -> trainedIvfSql,
+    // Same cents/assign/probe stages as trainedIvfSql; the corpus side
+    // is dequantized bytes (mn + floor((x−mn)·255/span)·span/255 — the
+    // quantize∘dequant composition, floor-exact in double), queries
+    // stay float-cast-to-double. All chains left-assoc, mirroring the
+    // Spark aggregate() folds (0.0 + t1 ≡ t1 in IEEE).
+    "ann_topk_quantized" ->
+      s"""WITH cents AS (
+        |  SELECT cell, cvec FROM read_parquet(
+        |    '${centroidExportPath("sf0.01")}/*.parquet')
+        |), assign AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT e.vec_id, c.cell,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |        ORDER BY ${centScoreSql("e.embedding")} DESC, c.cell)
+        |        AS rn
+        |    FROM embeddings e CROSS JOIN cents c)
+        |  WHERE rn = 1
+        |), q AS (
+        |  SELECT vec_id AS query_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qvd,
+        |    embedding AS qvec
+        |  FROM embeddings WHERE vec_id < 5
+        |), probe AS (
+        |  SELECT query_id, cell FROM (
+        |    SELECT q.query_id, c.cell,
+        |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+        |        ORDER BY ${centScoreSql("q.qvec")} DESC, c.cell) AS rn
+        |    FROM q CROSS JOIN cents c)
+        |  WHERE rn <= $IvfNprobe
+        |), dq AS (
+        |  SELECT vec_id, cell,
+        |    list_transform(embedding, x ->
+        |      CASE WHEN span = 0 THEN mnd
+        |           ELSE mnd + floor((CAST(x AS DOUBLE) - mnd) * 255.0
+        |             / span) * span / 255.0
+        |      END) AS l
+        |  FROM (
+        |    SELECT e.vec_id, a.cell, e.embedding,
+        |      CAST(list_min(e.embedding) AS DOUBLE) AS mnd,
+        |      CAST(list_max(e.embedding) AS DOUBLE)
+        |        - CAST(list_min(e.embedding) AS DOUBLE) AS span
+        |    FROM embeddings e JOIN assign a USING (vec_id))
+        |), p AS (
+        |  SELECT q.query_id, d.vec_id,
+        |    (${dotSqlD("d.l", "q.qvd")})
+        |      / (sqrt(${dotSqlD("d.l", "d.l")})
+        |        * sqrt(${dotSqlD("q.qvd", "q.qvd")})) AS cosine
+        |  FROM dq d
+        |  JOIN probe pr ON pr.cell = d.cell
+        |  JOIN q ON q.query_id = pr.query_id
+        |), r AS (
+        |  SELECT *, CAST(ROW_NUMBER() OVER
+        |    (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INT)
+        |    AS rank
+        |  FROM p
+        |)
+        |SELECT query_id, vec_id, rank, cosine FROM r
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "embedding_quantize" ->
       """WITH b AS (
         |  SELECT vec_id,
