@@ -4,13 +4,15 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.FloatVecDot
+import graft.functions.{DoubleVecDot, FloatVecDot}
 
 /** Session extension registering this engine's custom Catalyst
   * expressions with the SQL function registry, so `spark.sql` users get
   * them too:
   *
   *  - `float_vec_dot(a, b)` — codegen'd array<float> dot product.
+  *  - `double_vec_dot(a, b)` — its array<double> twin (dequantized /
+  *    derived vectors).
   *
   * Wire up either at build time
   * (`SparkSession.builder.withExtensions(new GraftExtensions)` /
@@ -38,6 +40,13 @@ object GraftExtensions {
         require(children.length == 2,
           "float_vec_dot requires exactly 2 arguments")
         FloatVecDot(children.head, children(1))
+      }),
+    (FunctionIdentifier("double_vec_dot"),
+      new ExpressionInfo(classOf[DoubleVecDot].getName, "double_vec_dot"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "double_vec_dot requires exactly 2 arguments")
+        DoubleVecDot(children.head, children(1))
       }))
 
   /** Register on an already-built session: SQL functions AND the

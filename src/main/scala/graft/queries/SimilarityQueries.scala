@@ -216,10 +216,13 @@ object SimilarityQueries {
       val path = int8LayoutPath(dir)
       graft.sinks.CorpusWriter.writePartitioned(assigned, path,
         partitionCol = "cell", sortCols = Seq("vec_id"))
+      // codegen'd double dot (DoubleVecDot): identical fold order to
+      // the aggregate(zip_with) chain, so oracle-neutral — but the
+      // scoring loop is the hot path (Q·corpus/k·nprobe pairs at
+      // scale) and must stay inside WholeStageCodegen
       def dotD(a: org.apache.spark.sql.Column,
           b: org.apache.spark.sql.Column) =
-        aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0),
-          (acc, v) => acc + v)
+        graft.functions.DoubleVecDot(a, b)
       val atRest = s.read.parquet(path)
         .withColumn("dq", Similarity.dequantizeInt8(
           struct(col("mn"), col("mx"), col("q"))))

@@ -28,6 +28,31 @@ class FunctionsSpec extends SparkSpec {
     assert(sqlGot === expected)
   }
 
+  test("DoubleVecDot equals the aggregate(zip_with) fold bit-for-bit " +
+      "and is SQL-callable") {
+    import spark.implicits._
+    import graft.functions.DoubleVecDot
+    val rnd = new scala.util.Random(31)
+    val rows = (0 until 50).map { i =>
+      (Array.fill(64)(rnd.nextDouble() * 4 - 2),
+        Array.fill(64)(rnd.nextDouble() * 4 - 2))
+    }
+    val df = rows.toDF("a", "b")
+    // the HOF chain DoubleVecDot replaced in ann_topk_quantized: the
+    // kernel must fold in EXACTLY the same order or the oracle drifts
+    val hof = aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v)
+    val both = df.select(DoubleVecDot(col("a"), col("b")).as("k"),
+      hof.as("h")).as[(Double, Double)].collect()
+    both.foreach { case (k, h) => assert(k === h) }
+
+    GraftExtensions.register(spark)
+    val sqlGot = spark.sql(
+      "SELECT double_vec_dot(array(1.5d, -2.0d), array(2.0d, 0.5d))")
+      .as[Double].head()
+    assert(sqlGot === (1.5 * 2.0 + -2.0 * 0.5))
+  }
+
   test("KPL aggregate → deaggregate round-trip preserves order and keys") {
     val records = (0 until 50).map { i =>
       (s"pk-${i % 7}", if (i % 3 == 0) s"ehk-$i" else null,
