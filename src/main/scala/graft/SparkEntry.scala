@@ -101,7 +101,8 @@ object SparkEntry {
       "batch_key", "decode_split", "identify_config", "identify_strict",
       "seq_none", "task_master_slave", "task_subtree",
       "dead_letters", "dead_letter_parse", "dynamo_attrs",
-      "kpl_passthrough", "corpus_write_read")
+      "kpl_passthrough", "corpus_write_read",
+      "pack_sequences", "mixture_upsample", "adaptive_quality")
 
   def benchQueries: Seq[(String, (SparkSession, String) => DataFrame)] =
     benchNames.flatMap(n => queries.get(n).map(n -> _))

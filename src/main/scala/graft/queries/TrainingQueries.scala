@@ -793,6 +793,101 @@ object TrainingQueries {
           sum(col("n_chars")).as("sum_chars"),
           countDistinct(col("lang")).as("n_langs"))
         .orderBy("source")
+    },
+
+    // Sequence packing — the pretraining step that concatenates docs
+    // into fixed-token-budget training sequences (the concatenate-and-
+    // chop formulation every causal-LM data loader uses; a doc whose
+    // start offset lands in chunk k belongs to sequence k). Packing is
+    // made embarrassingly parallel by salting docs into md5 buckets:
+    // ONE hash exchange on bucket, then a partition-local running sum
+    // (UNBOUNDED PRECEDING frame streams — WindowExec never buffers
+    // the whole bucket) assigns offsets, and seq_id is integer
+    // division. At 100 TB the bucket count is the parallelism knob
+    // (set ≈ cluster cores); determinism is by construction (md5
+    // bucket + doc_id order), so re-runs and the oracle agree exactly.
+    "pack_sequences" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.documents(s, dir).select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("toks"))
+        .withColumn("bucket",
+          pmod(conv(substring(md5(concat(lit("pack:"),
+            col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long"),
+            lit(32L)))
+      val w = Window.partitionBy("bucket").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      d.withColumn("off", sum("toks").over(w) - col("toks"))
+        .withColumn("seq_id", expr("off div 256"))
+        .groupBy("bucket", "seq_id")
+        .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"))
+        .orderBy("bucket", "seq_id")
+    },
+
+    // Epoch-based upsampling — the other half of data mixing (see
+    // mixture_sample for the downsampling half): low-resource sources
+    // are repeated to approach the LARGEST source's token count, with
+    // the epoch factor capped at 4 (the empirical "repeating data
+    // beyond ~4 epochs stops helping" rule). Every doc gets
+    // floor(factor) full copies plus one more with probability
+    // frac(factor) via the same seeded-md5 uniform as train_split —
+    // deterministic and row-order independent. Plan: the factor table
+    // is source-cardinality (broadcast back), the blow-up happens
+    // per-row via explode(sequence(...)) — no shuffle grows with the
+    // upsampled volume except the final source×epoch-sized aggregate.
+    "mixture_upsample" -> { (s, dir) =>
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("toks"))
+      val bySource = d.groupBy("source").agg(sum("toks").as("tok_s"))
+      val target = bySource.agg(max("tok_s").as("target"))
+      val factors = bySource.crossJoin(broadcast(target))
+        .select(col("source"),
+          least(col("target").cast("double") / col("tok_s"), lit(4.0))
+            .as("factor"))
+      val u = conv(substring(
+          md5(concat(lit("epoch:"), col("doc_id").cast("string"))), 1, 8),
+        16, 10).cast("long") / lit(4294967296.0)
+      d.join(broadcast(factors), "source")
+        .withColumn("copies", (floor(col("factor")) +
+          when(u < col("factor") - floor(col("factor")), 1L).otherwise(0L))
+          .cast("int"))
+        .select(col("source"), col("toks"),
+          explode(sequence(lit(1), col("copies"))).as("epoch"))
+        .groupBy("source", "epoch")
+        .agg(count(lit(1)).as("n_docs"), sum("toks").as("tokens"))
+        .orderBy("source", "epoch")
+    },
+
+    // Per-language ADAPTIVE quality threshold — a single global length
+    // cutoff (length_outliers) over-filters terse languages and
+    // under-filters verbose ones, so real corpus builds (CCNet-style)
+    // set the cutoff per language. Same exact-histogram trick as
+    // corpus_quantiles, but the window is PARTITIONed by lang: the
+    // histogram is (lang × distinct-length)-sized however big the
+    // corpus, the per-lang 10th percentile comes from a running sum
+    // over it, and the cutoffs join back broadcast. The oracle mirrors
+    // the cum >= ceil(p·n) formulation literally, so the boundary
+    // convention is identical by construction.
+    "adaptive_quality" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.documents(s, dir).select(col("lang"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("tokens"))
+      val hist = d.groupBy("lang", "tokens").agg(count(lit(1)).as("cnt"))
+      val byLang = Window.partitionBy("lang")
+      val ranked = hist.select(col("lang"), col("tokens"),
+        sum("cnt").over(byLang.orderBy("tokens")).as("cum"),
+        sum("cnt").over(byLang.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)).as("n"))
+      val th = ranked.groupBy("lang").agg(
+        min(when(col("cum") >= ceil(lit(0.10) * col("n")), col("tokens")))
+          .as("cutoff"))
+      d.join(broadcast(th), "lang")
+        .groupBy("lang").agg(
+          max(col("cutoff")).as("cutoff"),
+          sum(when(col("tokens") >= col("cutoff"), 1L).otherwise(0L))
+            .as("n_kept"),
+          sum(when(col("tokens") < col("cutoff"), 1L).otherwise(0L))
+            .as("n_dropped"))
+        .orderBy("lang")
     })
 
   private val langScores = TextAnalysis.LangMarkers.map { case (l, pat) =>
@@ -1415,5 +1510,69 @@ object TrainingQueries {
         |JOIN sizes sa ON sa.doc_id = id_a
         |JOIN sizes sb ON sb.doc_id = id_b
         |WHERE inter / (sa.set_size + sb.set_size - inter) >= 0.8
-        |ORDER BY id_a, id_b""".stripMargin)
+        |ORDER BY id_a, id_b""".stripMargin,
+    "pack_sequences" ->
+      s"""WITH d AS (
+        |  SELECT doc_id, CAST(len($toksExpr) AS BIGINT) AS toks,
+        |    ('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 8))
+        |      ::BIGINT % 32 AS bucket
+        |  FROM documents
+        |), o AS (
+        |  SELECT bucket, toks,
+        |    SUM(toks) OVER (PARTITION BY bucket ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) - toks AS off
+        |  FROM d
+        |)
+        |SELECT bucket, CAST(off // 256 AS BIGINT) AS seq_id,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(toks) AS BIGINT) AS n_tokens
+        |FROM o GROUP BY 1, 2 ORDER BY bucket, seq_id""".stripMargin,
+    "mixture_upsample" ->
+      s"""WITH d AS (
+        |  SELECT doc_id, source, CAST(len($toksExpr) AS BIGINT) AS toks
+        |  FROM documents
+        |), bys AS (
+        |  SELECT source, SUM(toks) AS tok_s FROM d GROUP BY source
+        |), t AS (SELECT MAX(tok_s) AS target FROM bys),
+        |f AS (
+        |  SELECT source,
+        |    LEAST(CAST(t.target AS DOUBLE) / tok_s, 4.0) AS factor
+        |  FROM bys, t
+        |), c AS (
+        |  SELECT d.source, d.toks,
+        |    CAST(FLOOR(factor) +
+        |      CASE WHEN ('0x' || substr(md5('epoch:' ||
+        |             CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |             / 4294967296.0 < factor - FLOOR(factor)
+        |           THEN 1 ELSE 0 END AS INT) AS copies
+        |  FROM d JOIN f USING (source)
+        |)
+        |SELECT source, CAST(epoch AS INT) AS epoch, COUNT(*) AS n_docs,
+        |  CAST(SUM(toks) AS BIGINT) AS tokens
+        |FROM (SELECT source, toks, unnest(range(1, copies + 1)) AS epoch
+        |      FROM c)
+        |GROUP BY source, epoch ORDER BY source, epoch""".stripMargin,
+    "adaptive_quality" ->
+      s"""WITH d AS (
+        |  SELECT lang, CAST(len($toksExpr) AS BIGINT) AS tokens
+        |  FROM documents
+        |), hist AS (
+        |  SELECT lang, tokens, COUNT(*) AS cnt FROM d GROUP BY lang, tokens
+        |), ranked AS (
+        |  SELECT lang, tokens,
+        |    SUM(cnt) OVER (PARTITION BY lang ORDER BY tokens) AS cum,
+        |    SUM(cnt) OVER (PARTITION BY lang) AS n
+        |  FROM hist
+        |), th AS (
+        |  SELECT lang,
+        |    MIN(CASE WHEN cum >= CEIL(0.10 * n) THEN tokens END) AS cutoff
+        |  FROM ranked GROUP BY lang
+        |)
+        |SELECT d.lang, MAX(cutoff) AS cutoff,
+        |  CAST(SUM(CASE WHEN tokens >= cutoff THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  CAST(SUM(CASE WHEN tokens < cutoff THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dropped
+        |FROM d JOIN th USING (lang) GROUP BY d.lang
+        |ORDER BY lang""".stripMargin)
 }
