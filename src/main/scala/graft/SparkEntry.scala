@@ -102,7 +102,10 @@ object SparkEntry {
       "seq_none", "task_master_slave", "task_subtree",
       "dead_letters", "dead_letter_parse", "dynamo_attrs",
       "kpl_passthrough", "corpus_write_read",
-      "pack_sequences", "mixture_upsample", "adaptive_quality")
+      "pack_sequences", "mixture_upsample", "adaptive_quality",
+      // round-12 additions
+      "bpe_pair_counts", "vocab_fof", "dedup_cluster_report",
+      "dup_span_report", "dedup_source_matrix")
 
   def benchQueries: Seq[(String, (SparkSession, String) => DataFrame)] =
     benchNames.flatMap(n => queries.get(n).map(n -> _))

@@ -888,6 +888,116 @@ object TrainingQueries {
           sum(when(col("tokens") < col("cutoff"), 1L).otherwise(0L))
             .as("n_dropped"))
         .orderBy("lang")
+    },
+
+    // Tokenizer-training prep: the first BPE merge scan — adjacent
+    // character-pair frequencies over the word stream. One corpus
+    // scan exploding each word into its (len−1) 2-char windows, then
+    // a two-stage partial agg whose shuffle carries per-PAIR partials:
+    // the pair alphabet is bounded by charset² (≤ a few thousand keys
+    // for any natural-language corpus), so the exchange is constant-
+    // sized at 100 TB and the top-50 cut sorts only that tiny
+    // aggregate. (count desc, pair asc) total order makes the cut
+    // deterministic across engines.
+    "bpe_pair_counts" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(TextAnalysis.tokens(lower(col("text")))).as("w"))
+        .filter(length(col("w")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+          .as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair").asc)
+        .limit(50)
+    },
+
+    // Vocabulary frequency-of-frequencies (the Zipf/Good-Turing
+    // diagnostic tokenizer builds read before picking a vocab size):
+    // how many distinct tokens occur exactly f times. Two cascaded
+    // aggregates — corpus-token → vocab-sized, vocab → distinct-
+    // frequency-sized — so each exchange shrinks by orders of
+    // magnitude; the output is ~hundreds of rows at any corpus scale.
+    "vocab_fof" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(TextAnalysis.tokens(lower(col("text"))))
+          .as("token"))
+        .groupBy("token").agg(count(lit(1)).as("freq"))
+        .groupBy("freq").agg(count(lit(1)).as("n_tokens"))
+        .orderBy("freq")
+    },
+
+    // Near-dup CLUSTER diagnostics — the report a pipeline operator
+    // reads before committing a collapse: per-cluster member count,
+    // id span and total bytes about to be deleted. Reuses the simhash
+    // pair → connected-components path (same contract as
+    // dedup_components), then one cluster-keyed aggregate over the
+    // component table — components are pair-bounded, so every shape
+    // here is ∝ duplicates, never ∝ corpus².
+    "dedup_cluster_report" -> { (s, dir) =>
+      val docs = withCopies(s, dir)
+      val pairs = Dedup.simhashPairs(docs, col("doc_id"), col("text"),
+        maxHamming = 3)
+      val comp = Dedup.connectedComponents(pairs, col("id_a"), col("id_b"))
+      comp.join(docs.select(col("doc_id").as("id"),
+          length(col("text")).cast("long").as("chars")), "id")
+        .groupBy("canonical").agg(
+          count(lit(1)).as("size"),
+          max(col("id")).as("max_id"),
+          sum(col("chars")).as("total_chars"))
+        .orderBy("canonical")
+    },
+
+    // Per-document duplicated-span report (the ExactSubstr-style
+    // metric): for each doc, how many of its distinct word-8-gram
+    // spans also appear in another document. Corpus = documents plus
+    // a re-crawl of the modulo-selected 40% tail (doc_id % 5 ≥ 3 —
+    // SF-invariant, no size probe), so the report mixes fully-
+    // duplicated docs, clean docs and natural collisions. Spans are
+    // md5-keyed: the distinct + doc-frequency agg + join-back all
+    // shuffle on a 32-byte hash instead of a 8-word string, and every
+    // stage is linear in corpus grams (the doc-freq pattern — no
+    // pairwise expansion anywhere).
+    "dup_span_report" -> { (s, dir) =>
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val all = d.unionByName(
+        d.filter(pmod(col("doc_id"), lit(5)) >= lit(3))
+          .select((col("doc_id") + CopyShift).as("doc_id"), col("text")))
+      val grams = all
+        .select(col("doc_id"),
+          TextAnalysis.tokens(lower(col("text"))).as("toks"))
+        .filter(size(col("toks")) >= 8)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(toks) - 7)," +
+            " i -> md5(array_join(slice(toks, i, 8), ' ')))")).as("g"))
+        .distinct()
+      val freq = grams.groupBy("g").agg(count(lit(1)).as("ndocs"))
+      grams.join(freq, "g")
+        .groupBy("doc_id").agg(
+          count(lit(1)).as("n_spans"),
+          sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_dup"))
+        .orderBy("doc_id")
+    },
+
+    // Cross-source duplication matrix — which sources are re-hosting
+    // which (the "who copies whom" report that decides crawl-priority
+    // and robots handling). SimHash near-dup pairs as usual, then
+    // each endpoint's source is recovered by joining `documents` on
+    // the un-shifted id; the matrix aggregate is source²-bounded
+    // (≤ a few hundred rows) regardless of corpus size, and the two
+    // source lookups are doc-keyed equi-joins on the pair table —
+    // ∝ duplicate pairs, not corpus².
+    "dedup_source_matrix" -> { (s, dir) =>
+      val pairs = Dedup.simhashPairs(withCopies(s, dir), col("doc_id"),
+        col("text"), maxHamming = 3)
+      val src = Tables.documents(s, dir)
+        .select(col("doc_id").as("orig_id"), col("source"))
+      pairs
+        .join(src, pmod(col("id_a"), lit(CopyShift)) === col("orig_id"))
+        .select(col("id_a"), col("id_b"), col("source").as("src_a"))
+        .join(src.withColumnRenamed("source", "src_b"),
+          pmod(col("id_b"), lit(CopyShift)) === col("orig_id"))
+        .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("src_a", "src_b")
     })
 
   private val langScores = TextAnalysis.LangMarkers.map { case (l, pat) =>
@@ -1574,5 +1684,64 @@ object TrainingQueries {
         |  CAST(SUM(CASE WHEN tokens < cutoff THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_dropped
         |FROM d JOIN th USING (lang) GROUP BY d.lang
-        |ORDER BY lang""".stripMargin)
+        |ORDER BY lang""".stripMargin,
+    "bpe_pair_counts" ->
+      s"""WITH words AS (
+        |  SELECT unnest($toksExpr) AS w FROM documents
+        |), pairs AS (
+        |  SELECT unnest(list_transform(range(1, length(w)),
+        |    i -> substr(w, CAST(i AS INT), 2))) AS pair
+        |  FROM words WHERE length(w) >= 2
+        |)
+        |SELECT pair, COUNT(*) AS n FROM pairs
+        |GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 50""".stripMargin,
+    "vocab_fof" ->
+      s"""WITH tok AS (
+        |  SELECT unnest($toksExpr) AS token FROM documents
+        |), v AS (
+        |  SELECT token, COUNT(*) AS freq FROM tok GROUP BY token
+        |)
+        |SELECT freq, COUNT(*) AS n_tokens FROM v
+        |GROUP BY freq ORDER BY freq""".stripMargin,
+    "dedup_cluster_report" ->
+      s"""$componentsReachCte,
+        |comp AS (
+        |  SELECT node AS id, MIN(lbl) AS canonical
+        |  FROM reach GROUP BY node
+        |)
+        |SELECT canonical, COUNT(*) AS "size", MAX(id) AS max_id,
+        |  CAST(SUM(length(text)) AS BIGINT) AS total_chars
+        |FROM comp JOIN all_docs ON all_docs.doc_id = comp.id
+        |GROUP BY canonical ORDER BY canonical""".stripMargin,
+    "dup_span_report" ->
+      s"""WITH span_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + $CopyShift AS doc_id, text FROM documents
+        |  WHERE doc_id % 5 >= 3
+        |), t AS (
+        |  SELECT doc_id, $toksExpr AS toks FROM span_docs
+        |), g AS (
+        |  SELECT DISTINCT doc_id, g FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(toks) - 6),
+        |      i -> md5(array_to_string(toks[CAST(i AS INT):CAST(i + 7 AS INT)],
+        |        ' ')))) AS g
+        |    FROM t WHERE len(toks) >= 8
+        |  )
+        |), f AS (
+        |  SELECT g, COUNT(*) AS ndocs FROM g GROUP BY g
+        |)
+        |SELECT doc_id, COUNT(*) AS n_spans,
+        |  CAST(SUM(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup
+        |FROM g JOIN f USING (g)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "dedup_source_matrix" ->
+      s"""$componentsReachCte
+        |SELECT sa.source AS src_a, sb.source AS src_b,
+        |  COUNT(*) AS n_pairs
+        |FROM pr
+        |JOIN documents sa ON sa.doc_id = pr.id_a % $CopyShift
+        |JOIN documents sb ON sb.doc_id = pr.id_b % $CopyShift
+        |GROUP BY src_a, src_b ORDER BY src_a, src_b""".stripMargin)
 }
