@@ -978,6 +978,34 @@ object TrainingQueries {
         .orderBy("doc_id")
     },
 
+    // Corpus snapshot diff — the report an incremental crawl publishes
+    // before replacing a snapshot: which docs were added / removed /
+    // changed / unchanged between versions. Both sides reduce to
+    // (doc_id, md5) AT THE SCAN — no text crosses the exchange — and
+    // the diff is one full-outer shuffle join on doc_id, linear and
+    // AQE-eligible at any corpus size. The synthetic "new" snapshot is
+    // modulo-derived (7-removals, 11-edits, 5-additions), SF-invariant
+    // with no size probe.
+    "snapshot_diff" -> { (s, dir) =>
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val oldSnap = d.select(col("doc_id"), md5(col("text")).as("fp_old"))
+      val newSnap = d.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+        .select(col("doc_id"),
+          md5(when(pmod(col("doc_id"), lit(11)) === 0,
+            concat(col("text"), lit(" v2"))).otherwise(col("text")))
+            .as("fp_new"))
+        .unionByName(d.filter(pmod(col("doc_id"), lit(5)) === 0)
+          .select((col("doc_id") + CopyShift).as("doc_id"),
+            md5(col("text")).as("fp_new")))
+      oldSnap.join(newSnap, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          when(col("fp_old").isNull, "added")
+            .when(col("fp_new").isNull, "removed")
+            .when(col("fp_old") =!= col("fp_new"), "changed")
+            .otherwise("unchanged").as("status"))
+        .orderBy("doc_id")
+    },
+
     // Cross-source duplication matrix — which sources are re-hosting
     // which (the "who copies whom" report that decides crawl-priority
     // and robots handling). SimHash near-dup pairs as usual, then
@@ -1736,6 +1764,25 @@ object TrainingQueries {
         |    AS n_dup
         |FROM g JOIN f USING (g)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "snapshot_diff" ->
+      s"""WITH oldsnap AS (
+        |  SELECT doc_id, md5(text) AS fp_old FROM documents
+        |), newsnap AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 11 = 0 THEN text || ' v2'
+        |             ELSE text END) AS fp_new
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + $CopyShift AS doc_id, md5(text) AS fp_new
+        |  FROM documents WHERE doc_id % 5 = 0
+        |)
+        |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN fp_old <> fp_new THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM oldsnap o FULL OUTER JOIN newsnap n ON o.doc_id = n.doc_id
+        |ORDER BY doc_id""".stripMargin,
     "dedup_source_matrix" ->
       s"""$componentsReachCte
         |SELECT sa.source AS src_a, sb.source AS src_b,

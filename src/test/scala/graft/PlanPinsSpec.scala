@@ -41,4 +41,39 @@ class PlanPinsSpec extends SparkSpec {
       seg.takeWhile(_ != ']').contains("dynamicpruning")),
       s"dynamic pruning not inside PartitionFilters:\n$plan")
   }
+
+  test("bpe_pair_counts aggregates with map-side partials (the shuffle " +
+      "carries per-pair partial counts, not raw corpus pairs)") {
+    val df = SparkEntry.queries("bpe_pair_counts")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    // two HashAggregates around the exchange = partial + final; a
+    // single post-exchange aggregate would ship every exploded
+    // char-pair row through the shuffle
+    assert(plan.contains("partial_count"),
+      s"no partial aggregation before the pair exchange:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"unexpected join in a scan-aggregate query:\n$plan")
+  }
+
+  test("dedup_source_matrix's source lookups are hash equi-joins on the " +
+      "unshifted id (a nested-loop fallback would be pairs x corpus)") {
+    val df = SparkEntry.queries("dedup_source_matrix")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"source lookup fell back to a nested-loop join:\n$plan")
+  }
+
+  test("dup_span_report never expands pairwise (doc-frequency pattern: " +
+      "distinct spans, span-keyed counts, one join back)") {
+    val df = SparkEntry.queries("dup_span_report")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"span join fell back to a nested-loop shape:\n$plan")
+    // the doc-freq aggregate runs partial+final like every count here
+    assert(plan.contains("partial_count"),
+      s"no partial aggregation in the span doc-freq pass:\n$plan")
+  }
 }
