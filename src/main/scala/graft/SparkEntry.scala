@@ -105,7 +105,8 @@ object SparkEntry {
       "pack_sequences", "mixture_upsample", "adaptive_quality",
       // round-12 additions
       "bpe_pair_counts", "vocab_fof", "dedup_cluster_report",
-      "dup_span_report", "dedup_source_matrix", "snapshot_diff")
+      "dup_span_report", "dedup_source_matrix", "snapshot_diff",
+      "dedup_span_trim")
 
   def benchQueries: Seq[(String, (SparkSession, String) => DataFrame)] =
     benchNames.flatMap(n => queries.get(n).map(n -> _))

@@ -978,6 +978,56 @@ object TrainingQueries {
         .orderBy("doc_id")
     },
 
+    // The ExactSubstr-style dedup ACTION the span report only counts:
+    // REMOVE every token covered by a cross-document duplicated
+    // word-8-gram and emit the trimmed doc (verified as an md5 over
+    // the surviving tokens in position order). Pipeline: 8-gram
+    // OCCURRENCES with positions (md5-keyed) → cross-doc duplicated
+    // gram set (per-doc-distinct + doc-freq agg, the same linear
+    // pattern as dup_span_report) → semi-join occurrences back →
+    // covered positions (explode i..i+7, doc-keyed distinct) →
+    // anti-join against the (doc, position, token) stream → per-doc
+    // ordered reassembly. Every exchange keys on a hash or doc_id —
+    // linear in corpus grams; the per-doc collect is bounded by doc
+    // length (the same bound any whole-doc op carries). Docs shorter
+    // than 8 tokens and fully-duplicated docs both round-trip: the
+    // left join restores them with n_removed = 0 / = n_tokens.
+    "dedup_span_trim" -> { (s, dir) =>
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val all = d.unionByName(
+        d.filter(pmod(col("doc_id"), lit(5)) >= lit(3))
+          .select((col("doc_id") + CopyShift).as("doc_id"), col("text")))
+      val base = all.select(col("doc_id"),
+        TextAnalysis.tokens(lower(col("text"))).as("toks"))
+      val occ = base.filter(size(col("toks")) >= 8)
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(1, size(toks) - 7)," +
+            " i -> md5(array_join(slice(toks, i, 8), ' ')))")))
+        .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("g"))
+      val dupg = occ.select("doc_id", "g").distinct()
+        .groupBy("g").agg(count(lit(1)).as("ndocs"))
+        .filter(col("ndocs") >= 2).select("g")
+      val cov = occ.join(dupg, "g")
+        .select(col("doc_id"), explode(expr("sequence(i, i + 7)")).as("p"))
+        .distinct()
+      val toksPos = base
+        .select(col("doc_id"), posexplode(col("toks")))
+        .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("tok"))
+      val agg = toksPos.join(cov, Seq("doc_id", "p"), "left_anti")
+        .groupBy("doc_id").agg(
+          count(lit(1)).as("n_kept"),
+          expr("md5(array_join(transform(" +
+            "array_sort(collect_list(struct(p, tok))), x -> x.tok), ' '))")
+            .as("trimmed_fp"))
+      base.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+        .join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          (col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
+            .as("n_removed"),
+          coalesce(col("trimmed_fp"), md5(lit(""))).as("trimmed_fp"))
+        .orderBy("doc_id")
+    },
+
     // Corpus snapshot diff — the report an incremental crawl publishes
     // before replacing a snapshot: which docs were added / removed /
     // changed / unchanged between versions. Both sides reduce to
@@ -1764,6 +1814,46 @@ object TrainingQueries {
         |    AS n_dup
         |FROM g JOIN f USING (g)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "dedup_span_trim" ->
+      s"""WITH span_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + $CopyShift AS doc_id, text FROM documents
+        |  WHERE doc_id % 5 >= 3
+        |), t AS (
+        |  SELECT doc_id, $toksExpr AS toks FROM span_docs
+        |), occ AS (
+        |  SELECT doc_id,
+        |    unnest(range(1, len(toks) - 6)) AS i,
+        |    unnest(list_transform(range(1, len(toks) - 6),
+        |      i -> md5(array_to_string(toks[CAST(i AS INT):CAST(i + 7 AS INT)],
+        |        ' ')))) AS g
+        |  FROM t WHERE len(toks) >= 8
+        |), dupg AS (
+        |  SELECT g FROM (SELECT DISTINCT doc_id, g FROM occ)
+        |  GROUP BY g HAVING COUNT(*) >= 2
+        |), cov AS (
+        |  SELECT DISTINCT doc_id, p FROM (
+        |    SELECT doc_id, unnest(range(i, i + 8)) AS p
+        |    FROM occ JOIN dupg USING (g)
+        |  )
+        |), pos AS (
+        |  SELECT doc_id, unnest(range(1, len(toks) + 1)) AS p,
+        |    unnest(toks) AS tok
+        |  FROM t
+        |), kept AS (
+        |  SELECT pos.doc_id, pos.p, pos.tok FROM pos
+        |  WHERE NOT EXISTS (SELECT 1 FROM cov
+        |    WHERE cov.doc_id = pos.doc_id AND cov.p = pos.p)
+        |), agg AS (
+        |  SELECT doc_id, COUNT(*) AS n_kept,
+        |    md5(string_agg(tok, ' ' ORDER BY p)) AS trimmed_fp
+        |  FROM kept GROUP BY doc_id
+        |)
+        |SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(toks) - COALESCE(n_kept, 0) AS BIGINT) AS n_removed,
+        |  COALESCE(trimmed_fp, md5('')) AS trimmed_fp
+        |FROM t LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
     "snapshot_diff" ->
       s"""WITH oldsnap AS (
         |  SELECT doc_id, md5(text) AS fp_old FROM documents
