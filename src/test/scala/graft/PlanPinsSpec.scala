@@ -65,6 +65,15 @@ class PlanPinsSpec extends SparkSpec {
       s"source lookup fell back to a nested-loop join:\n$plan")
   }
 
+  test("dedup_span_trim keeps the doc-frequency shape end to end (no " +
+      "nested-loop join anywhere in occurrence/covered/reassembly stages)") {
+    val df = SparkEntry.queries("dedup_span_trim")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"span-trim stage fell back to a nested-loop join:\n$plan")
+  }
+
   test("dup_span_report never expands pairwise (doc-frequency pattern: " +
       "distinct spans, span-keyed counts, one join back)") {
     val df = SparkEntry.queries("dup_span_report")(spark, sf0001)
