@@ -987,6 +987,34 @@ object TrainingQueries {
         .orderBy("doc_id")
     },
 
+    // Survivor selection with a QUALITY policy — production dedup
+    // keeps the best cluster member (longest text here; in practice a
+    // quality score), not the smallest id. Same pair → components
+    // closure as dedup_survivors; the keeper is a max_by over
+    // struct(chars, -id) — a partial-aggregable shape (map-side
+    // max_by partials, one component-keyed exchange), deliberately
+    // NOT a row_number window, which would sort every component's
+    // members inside one partition. Tie on equal length breaks to the
+    // smaller id, so planted exact copies keep the original. The
+    // anti-join stays strategy-neutral like dedup_survivors.
+    "dedup_survivors_quality" -> { (s, dir) =>
+      val docs = withCopies(s, dir)
+      val pairs = Dedup.simhashPairs(docs, col("doc_id"), col("text"),
+        maxHamming = 3)
+      val comp = Dedup.connectedComponents(pairs, col("id_a"), col("id_b"))
+      val member = comp.join(
+        docs.select(col("doc_id").as("id"),
+          length(col("text")).cast("long").as("chars")), "id")
+      val best = member.groupBy("canonical")
+        .agg(expr("max_by(id, struct(chars, -id))").as("keep_id"))
+      val dropped = member.join(best, "canonical")
+        .filter(col("id") =!= col("keep_id"))
+        .select(col("id").as("doc_id"))
+      docs.select("doc_id")
+        .join(dropped, Seq("doc_id"), "left_anti")
+        .orderBy("doc_id")
+    },
+
     // The ExactSubstr-style dedup ACTION the span report only counts:
     // REMOVE every token covered by a cross-document duplicated
     // word-8-gram and emit the trimmed doc (verified as an md5 over
@@ -1823,6 +1851,23 @@ object TrainingQueries {
         |    AS n_dup
         |FROM g JOIN f USING (g)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "dedup_survivors_quality" ->
+      s"""$componentsReachCte,
+        |comp AS (
+        |  SELECT node AS id, MIN(lbl) AS canonical
+        |  FROM reach GROUP BY node
+        |), member AS (
+        |  SELECT comp.id, comp.canonical, length(text) AS chars
+        |  FROM comp JOIN all_docs ON all_docs.doc_id = comp.id
+        |), ranked AS (
+        |  SELECT id, canonical,
+        |    row_number() OVER (PARTITION BY canonical
+        |      ORDER BY chars DESC, id ASC) AS rn
+        |  FROM member
+        |)
+        |SELECT doc_id FROM all_docs
+        |WHERE doc_id NOT IN (SELECT id FROM ranked WHERE rn > 1)
+        |ORDER BY doc_id""".stripMargin,
     "dedup_span_trim" ->
       s"""WITH span_docs AS (
         |  SELECT doc_id, text FROM documents
