@@ -33,4 +33,20 @@ class TablesContractSpec extends SparkSpec {
     assert(d.getInt(0) >= 2014 && d.getInt(1) <= 2030,
       s"derived event-time years ${d.getInt(0)}..${d.getInt(1)} out of range")
   }
+
+  test("documents/embeddings columns the query families consume keep " +
+      "their types (regeneration drift fails here, not in the bench)") {
+    import org.apache.spark.sql.types._
+    val doc = Tables.documents(spark, sf0001).schema
+    assert(doc("doc_id").dataType == LongType)
+    assert(doc("text").dataType == StringType)
+    assert(doc("lang").dataType == StringType)
+    assert(doc("source").dataType == StringType)
+    assert(doc("n_chars").dataType == LongType)
+    val emb = Tables.embeddings(spark, sf0001).schema
+    assert(emb("vec_id").dataType == LongType)
+    assert(emb("embedding").dataType == ArrayType(FloatType,
+      containsNull = true))
+    assert(emb("label").dataType == IntegerType)
+  }
 }
