@@ -24,7 +24,8 @@ class StrategyNeutralSpec extends SparkSpec {
     try body finally spark.conf.set(key, prev)
   }
 
-  for (q <- Seq("dedup_survivors", "embedding_survivors")) {
+  for (q <- Seq("dedup_survivors", "embedding_survivors",
+      "dedup_survivors_quality")) {
     test(s"$q anti-join goes shuffle when broadcast is disabled") {
       withThreshold(-1L) {
         val plan = planOf(q)
