@@ -106,7 +106,8 @@ object SparkEntry {
       // round-12 additions
       "bpe_pair_counts", "vocab_fof", "dedup_cluster_report",
       "dup_span_report", "dedup_source_matrix", "snapshot_diff",
-      "dedup_span_trim", "dedup_survivors_quality")
+      "dedup_span_trim", "dedup_survivors_quality",
+      "winnow_overlap_pairs")
 
   def benchQueries: Seq[(String, (SparkSession, String) => DataFrame)] =
     benchNames.flatMap(n => queries.get(n).map(n -> _))

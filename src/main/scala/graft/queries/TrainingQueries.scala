@@ -987,6 +987,33 @@ object TrainingQueries {
         .orderBy("doc_id")
     },
 
+    // MOSS-style overlap detection: candidate pairs from shared
+    // WINNOWING fingerprints (Schleimer et al.'s positional sampling —
+    // a different recall guarantee than simhash bands or minhash
+    // bands: any shared substring of length ≥ k+w−1 chars is
+    // guaranteed to surface at least one shared fingerprint). The
+    // bucket-join rides the same doc-freq cap as dedup_ngram_jaccard
+    // (hot fingerprints — boilerplate — are excluded at 2..50 docs),
+    // so bucket expansion is cap-bounded and the pair aggregate is
+    // ∝ genuine collisions, never corpus². Pairs must share ≥ 10
+    // sampled fingerprints, which at w=8 certifies substantial
+    // verbatim overlap, not a lucky hash.
+    "winnow_overlap_pairs" -> { (s, dir) =>
+      val docs = withCopies(s, dir)
+      val fps = docs.filter(length(col("text")) >= 8)
+        .select(col("doc_id"), explode(graft.functions.TextShingles
+          .winnowedFingerprints(k = 8, w = 8)(col("text"))).as("fp"))
+      val bucketed = fps.groupBy("fp").agg(count(lit(1)).as("nd"))
+        .filter(col("nd").between(2, 50)).select("fp")
+      val cand = fps.join(bucketed, "fp")
+      cand.select(col("doc_id").as("id_a"), col("fp"))
+        .join(cand.select(col("doc_id").as("id_b"), col("fp")), "fp")
+        .filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 10)
+        .orderBy("id_a", "id_b")
+    },
+
     // Survivor selection with a QUALITY policy — production dedup
     // keeps the best cluster member (longest text here; in practice a
     // quality score), not the smallest id. Same pair → components
@@ -1851,6 +1878,31 @@ object TrainingQueries {
         |    AS n_dup
         |FROM g JOIN f USING (g)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "winnow_overlap_pairs" ->
+      s"""WITH $allDocsCte,
+        |h AS (
+        |  SELECT doc_id, $winnowHashExpr AS hs
+        |  FROM all_docs WHERE length(text) >= 8
+        |), wmin AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(hs) <= 8 THEN [list_min(hs)]
+        |         ELSE list_transform(range(1, len(hs) - 6),
+        |                i -> list_min(hs[i:i+7])) END AS mins
+        |  FROM h
+        |), fps AS (
+        |  SELECT doc_id, unnest(list_distinct(mins)) AS fp FROM wmin
+        |), bucketed AS (
+        |  SELECT fp FROM (SELECT fp, COUNT(*) AS nd FROM fps GROUP BY fp)
+        |  WHERE nd BETWEEN 2 AND 50
+        |), cand AS (
+        |  SELECT doc_id, fp FROM fps JOIN bucketed USING (fp)
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  COUNT(*) AS n_shared
+        |FROM cand a JOIN cand b
+        |  ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY id_a, id_b HAVING COUNT(*) >= 10
+        |ORDER BY id_a, id_b""".stripMargin,
     "dedup_survivors_quality" ->
       s"""$componentsReachCte,
         |comp AS (
