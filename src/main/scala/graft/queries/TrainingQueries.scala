@@ -998,6 +998,17 @@ object TrainingQueries {
     // ∝ genuine collisions, never corpus². Pairs must share ≥ 10
     // sampled fingerprints, which at w=8 certifies substantial
     // verbatim overlap, not a lucky hash.
+    //
+    // Known failure mode (documented, measured at sf1 — SCALE.md
+    // round 12): on LOW-ENTROPY text whose char-8-gram contexts are
+    // all corpus-common, every fingerprint exceeds the cap and recall
+    // drops to zero — the cap is then correctly reporting "this text
+    // is all boilerplate", which is winnowing's published behavior,
+    // and the word-shingle families (minhash/ngram-jaccard) are the
+    // right tool. The flip side, also measured: a sub-corpus's pair
+    // set is INVARIANT under 10× growth of unrelated surrounding
+    // corpus (sf1 copy 0 reproduces the sf0.1 output bit-for-bit),
+    // because foreign fingerprints never enter its buckets.
     "winnow_overlap_pairs" -> { (s, dir) =>
       val docs = withCopies(s, dir)
       val fps = docs.filter(length(col("text")) >= 8)
