@@ -242,6 +242,56 @@ object ConsumerQueries {
         .select(col("event_id"), col("userPartitionKey"),
           col("subSequenceNumber"), col("userData"))
         .orderBy("event_id")
+    },
+
+    // Stream-health diagnostic: the 20 largest inter-event arrival
+    // gaps per shard (a producer stall / shard-starvation detector —
+    // the question an on-call engineer asks a stuck consumer first).
+    // Two windows over ONE shard partitioning: lag for the gap, rank
+    // for the per-shard cut; gap ties break on (ts, event_id) so the
+    // top-20 is deterministic. The rank≤20 filter compiles to the
+    // same WindowGroupLimit shape PlanPinsSpec pins for tfidf — no
+    // shard ever materializes a full sort of its events beyond the
+    // running window.
+    "seq_gaps" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = withShard(Tables.events(s, dir))
+      val w = Window.partitionBy("shard_id")
+        .orderBy(col("ts_us"), col("event_id"))
+      val gapped = e.select(col("shard_id"), col("event_id"),
+          col("ts_us"),
+          lag("event_id", 1).over(w).as("prev_id"),
+          (col("ts_us") - lag("ts_us", 1).over(w)).as("gap_us"))
+        .filter(col("gap_us").isNotNull)
+      gapped.withColumn("rn", row_number().over(
+          Window.partitionBy("shard_id")
+            .orderBy(col("gap_us").desc, col("ts_us").asc,
+              col("event_id").asc)))
+        .filter(col("rn") <= 20)
+        .select(col("shard_id"), col("rn"), col("event_id"),
+          col("prev_id"), col("gap_us"))
+        .orderBy("shard_id", "rn")
+    },
+
+    // Partition-key health: per-(hour, shard) event counts with an
+    // integer-permille share of the hour's traffic — the skew report
+    // that decides whether a partition-key scheme needs salting
+    // (S6/§2.1 at fleet scale). One (hour, shard) partial-agg, then
+    // the hour totals ride a window over the TINY aggregate — the
+    // corpus is scanned once and nothing bigger than hours×shards is
+    // ever materialized. Integer div keeps the share bit-identical
+    // cross-engine.
+    "shard_skew_report" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = withShard(Tables.events(s, dir))
+        .withColumn("hour_bucket", expr("ts_us div 3600000000"))
+      e.groupBy("hour_bucket", "shard_id")
+        .agg(count(lit(1)).as("n_events"))
+        .withColumn("hour_total", sum("n_events").over(
+          Window.partitionBy("hour_bucket")))
+        .select(col("hour_bucket"), col("shard_id"), col("n_events"),
+          expr("n_events * 1000 div hour_total").as("permille"))
+        .orderBy("hour_bucket", "shard_id")
     })
 
   val oracle: Map[String, String] = Map(
@@ -362,5 +412,34 @@ object ConsumerQueries {
         |  CAST(user_id AS VARCHAR) AS userPartitionKey,
         |  CAST(NULL AS INT) AS subSequenceNumber,
         |  to_base64(encode(props)) AS userData
-        |FROM events ORDER BY event_id""".stripMargin)
+        |FROM events ORDER BY event_id""".stripMargin,
+    "seq_gaps" ->
+      """WITH g AS (
+        |  SELECT 'S|' || (user_id % 4) AS shard_id, event_id,
+        |    epoch_us(ts) AS ts_us,
+        |    LAG(event_id) OVER w AS prev_id,
+        |    epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS gap_us
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY 'S|' || (user_id % 4)
+        |    ORDER BY epoch_us(ts), event_id)
+        |), r AS (
+        |  SELECT shard_id, event_id, prev_id, gap_us,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY shard_id
+        |      ORDER BY gap_us DESC, ts_us ASC, event_id ASC) AS INT)
+        |      AS rn
+        |  FROM g WHERE gap_us IS NOT NULL
+        |)
+        |SELECT shard_id, rn, event_id, prev_id, gap_us FROM r
+        |WHERE rn <= 20 ORDER BY shard_id, rn""".stripMargin,
+    "shard_skew_report" ->
+      """WITH c AS (
+        |  SELECT epoch_us(ts) // 3600000000 AS hour_bucket,
+        |    'S|' || (user_id % 4) AS shard_id, COUNT(*) AS n_events
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT hour_bucket, shard_id, n_events,
+        |  CAST(n_events * 1000 //
+        |    SUM(n_events) OVER (PARTITION BY hour_bucket) AS BIGINT)
+        |    AS permille
+        |FROM c ORDER BY hour_bucket, shard_id""".stripMargin)
 }

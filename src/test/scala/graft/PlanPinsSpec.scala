@@ -42,6 +42,14 @@ class PlanPinsSpec extends SparkSpec {
       s"dynamic pruning not inside PartitionFilters:\n$plan")
   }
 
+  test("seq_gaps' rank<=20 cut compiles to WindowGroupLimit (partial " +
+      "per-shard top-k before the rank exchange)") {
+    val df = SparkEntry.queries("seq_gaps")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank<=20 no longer compiles to WindowGroupLimit:\n$plan")
+  }
+
   test("bpe_pair_counts aggregates with map-side partials (the shuffle " +
       "carries per-pair partial counts, not raw corpus pairs)") {
     val df = SparkEntry.queries("bpe_pair_counts")(spark, sf0001)
