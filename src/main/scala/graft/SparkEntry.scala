@@ -107,7 +107,8 @@ object SparkEntry {
       "bpe_pair_counts", "vocab_fof", "dedup_cluster_report",
       "dup_span_report", "dedup_source_matrix", "snapshot_diff",
       "dedup_span_trim", "dedup_survivors_quality",
-      "winnow_overlap_pairs", "seq_gaps", "shard_skew_report")
+      "winnow_overlap_pairs", "seq_gaps", "shard_skew_report",
+      "lang_margin", "bigram_surprisal")
 
   def benchQueries: Seq[(String, (SparkSession, String) => DataFrame)] =
     benchNames.flatMap(n => queries.get(n).map(n -> _))

@@ -382,6 +382,64 @@ object TrainingQueries {
         .orderBy("doc_id")
     },
 
+    // Language-ID CONFIDENCE report — the margin between the best and
+    // runner-up marker scores, per doc. A classifier's argmax is only
+    // trustworthy when the margin is wide; corpus builds threshold on
+    // it before trusting per-lang routing (docs at margin 0 are the
+    // ambiguous tail that goes to 'und' review). Pure per-row column
+    // arithmetic over the same regexp counters langId uses — no
+    // shuffle at all before the output sort; integer scores so the
+    // oracle is exact.
+    "lang_margin" -> { (s, dir) =>
+      val lowered = lower(col("text"))
+      val scores = TextAnalysis.LangMarkers.map { case (l, pat) =>
+        l -> regexp_count(lowered, lit(pat))
+      } :+ ("zh" -> regexp_count(col("text"),
+        lit(TextAnalysis.CjkPattern)))
+      val arr = sort_array(array(scores.map(_._2.cast("long")): _*),
+        asc = false)
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.langId(col("text")).as("lang"),
+          arr.getItem(0).as("best"),
+          arr.getItem(1).as("second"),
+          (arr.getItem(0) - arr.getItem(1)).as("margin"))
+        .orderBy("doc_id")
+    },
+
+    // Bigram-LM surprisal — doc_surprisal's unigram rarity score is
+    // blind to word-ORDER anomalies (shuffled text scores identically);
+    // scoring under the corpus's own bigram distribution catches
+    // gibberish with plausible vocabulary. Same log-free integer
+    // formulation (surprisal = digits(N) − digits(n), the base-10
+    // Zipf bucket — bit-identical cross-engine); same shapes as
+    // doc_surprisal: one bigram explode scan → bigram-vocab agg →
+    // 1-row broadcast total → per-doc re-agg. The bigram vocab is
+    // larger than the unigram one but still vocab²-bounded and Zipf-
+    // concentrated, so the join-back stays a vocab-sized exchange.
+    "bigram_surprisal" -> { (s, dir) =>
+      val big = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.tokens(lower(col("text"))).as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(toks) - 1)," +
+            " i -> concat(element_at(toks, i), ' '," +
+            " element_at(toks, i + 1)))")).as("bigram"))
+      val vocab = big.groupBy("bigram").agg(count(lit(1)).as("n"))
+      val total = vocab.agg(sum("n").as("n_total"))
+      big.join(vocab, "bigram")
+        .crossJoin(broadcast(total))
+        .withColumn("surp",
+          length(col("n_total").cast("string")) -
+            length(col("n").cast("string")))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum("surp").as("surprisal"))
+        .withColumn("mean_surprisal",
+          col("surprisal").cast("double") / col("n_bigrams"))
+        .orderBy("doc_id")
+    },
+
     // Corpus report with subtotals: one ROLLUP pass produces the
     // (lang, source) cells, per-lang subtotals and the grand total —
     // Spark expands the grouping sets BEFORE the exchange, so partial
@@ -1272,6 +1330,39 @@ object TrainingQueries {
       |ORDER BY doc_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "lang_margin" ->
+      s"""WITH d AS (
+        |  SELECT doc_id, text,
+        |    ${langScores.map(_._2).mkString("greatest(", ", ", ")")} AS m,
+        |    list_sort([${langScores.map(s => s"CAST(${s._2} AS BIGINT)")
+             .mkString(", ")}], 'DESC') AS ss
+        |  FROM documents
+        |)
+        |SELECT doc_id, $langCase AS lang,
+        |  ss[1] AS best, ss[2] AS second, ss[1] - ss[2] AS margin
+        |FROM d ORDER BY doc_id""".stripMargin,
+    "bigram_surprisal" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, $toksExpr AS toks FROM documents
+        |), big AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |    i -> toks[CAST(i AS INT)] || ' ' ||
+        |         toks[CAST(i + 1 AS INT)])) AS bigram
+        |  FROM t WHERE len(toks) >= 2
+        |), vocab AS (
+        |  SELECT bigram, COUNT(*) AS n FROM big GROUP BY bigram
+        |), tot AS (
+        |  SELECT SUM(n) AS n_total FROM vocab
+        |)
+        |SELECT b.doc_id,
+        |  COUNT(*) AS n_bigrams,
+        |  CAST(SUM(length(CAST(tt.n_total AS VARCHAR))
+        |    - length(CAST(v.n AS VARCHAR))) AS BIGINT) AS surprisal,
+        |  CAST(SUM(length(CAST(tt.n_total AS VARCHAR))
+        |    - length(CAST(v.n AS VARCHAR))) AS DOUBLE) / COUNT(*)
+        |    AS mean_surprisal
+        |FROM big b JOIN vocab v USING (bigram) CROSS JOIN tot tt
+        |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
     "text_stats" ->
       s"""WITH d AS (
         |  SELECT doc_id, text,
