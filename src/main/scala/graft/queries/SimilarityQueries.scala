@@ -118,6 +118,43 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     },
 
+    // ANN RECALL report — the diagnostic that tunes nprobe/cell count:
+    // per query, how many of the exact top-10 the cell-restricted IVF
+    // search actually returned. Composes the two existing contracts
+    // (brute ground truth, label-IVF candidate) and reduces to a
+    // (query, vec) equi-join of two 10-row-per-query sets — the
+    // ground-truth side is the expensive half and is exactly the
+    // ann_topk_brute plan; the report adds only a top-k-sized join.
+    // Integer hits and a permille rate keep the oracle exact.
+    "ann_recall_report" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+          col("label"))
+      val bruteScored = Similarity.scoredPairs(e, col("vec_id"),
+          col("embedding"), q.select("query_id", "qvec"),
+          col("query_id"), col("qvec"))
+        .select("query_id", "vec_id", "cosine")
+      val brute = graft.operators.TopK.perGroup(bruteScored, "query_id",
+          "vec_id", "cosine", k = 10)
+        .select("query_id", "vec_id")
+      val ivfScored = e.withColumn("_vn", Similarity.norm(col("embedding")))
+        .join(broadcast(q.withColumn("_qn", Similarity.norm(col("qvec")))),
+          "label")
+        .withColumn("cosine", Similarity.dot(col("embedding"), col("qvec"))
+          / (col("_vn") * col("_qn")))
+        .select("query_id", "vec_id", "cosine")
+      val ivf = graft.operators.TopK.perGroup(ivfScored, "query_id",
+          "vec_id", "cosine", k = 10)
+        .select("query_id", "vec_id").withColumn("hit", lit(1L))
+      brute.join(ivf, Seq("query_id", "vec_id"), "left")
+        .groupBy("query_id")
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .select(col("query_id"), col("n_hits"),
+          expr("n_hits * 1000 div 10").as("recall_permille"))
+        .orderBy("query_id")
+    },
+
     // The flagship 100 TB ANN composition END-TO-END under the hard
     // oracle signal: k-means|| training (deterministic, quantized-long
     // sums) → corpus cell assignment (CentroidBest kernel) → multi-probe
@@ -390,7 +427,40 @@ object SimilarityQueries {
         |SELECT query_id, vec_id, rank, cosine FROM r
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
+  private val recallReportSql =
+    s"""WITH q AS (
+      |  SELECT vec_id AS query_id, embedding AS qvec, label
+      |  FROM embeddings WHERE vec_id < 5
+      |), pb AS (
+      |  SELECT q.query_id, e.vec_id,
+      |    ${cosSql("e.embedding", "q.qvec")} AS cosine
+      |  FROM embeddings e, q
+      |), rb AS (
+      |  SELECT *, ROW_NUMBER() OVER
+      |    (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+      |  FROM pb
+      |), b AS (
+      |  SELECT query_id, vec_id FROM rb WHERE rank <= 10
+      |), pi AS (
+      |  SELECT q.query_id, e.vec_id,
+      |    ${cosSql("e.embedding", "q.qvec")} AS cosine
+      |  FROM embeddings e JOIN q ON e.label = q.label
+      |), ri AS (
+      |  SELECT *, ROW_NUMBER() OVER
+      |    (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+      |  FROM pi
+      |), i AS (
+      |  SELECT query_id, vec_id FROM ri WHERE rank <= 10
+      |)
+      |SELECT b.query_id,
+      |  CAST(COUNT(i.vec_id) AS BIGINT) AS n_hits,
+      |  CAST(COUNT(i.vec_id) * 1000 // 10 AS BIGINT) AS recall_permille
+      |FROM b LEFT JOIN i
+      |  ON b.query_id = i.query_id AND b.vec_id = i.vec_id
+      |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "ann_recall_report" -> recallReportSql,
     "ann_topk_brute" -> bruteTopKSql,
     "ann_topk_native" -> bruteTopKSql,
     "ann_topk_ivf" -> labelIvfSql,
