@@ -49,4 +49,17 @@ class TablesContractSpec extends SparkSpec {
       containsNull = true))
     assert(emb("label").dataType == IntegerType)
   }
+
+  test("lineitem/orders columns the TPC-H-flavor queries consume keep " +
+      "their types (q1_agg's decimal-exact casts assume double inputs)") {
+    import org.apache.spark.sql.types._
+    val li = Tables.lineitem(spark, sf0001).schema
+    for (c <- Seq("l_quantity", "l_extendedprice", "l_discount"))
+      assert(li(c).dataType == DoubleType, s"$c drifted to ${li(c).dataType}")
+    assert(li("l_orderkey").dataType == LongType)
+    assert(li("l_returnflag").dataType == StringType)
+    val ord = Tables.orders(spark, sf0001).schema
+    assert(ord("o_orderkey").dataType == LongType)
+    assert(ord("o_custkey").dataType == LongType)
+  }
 }
