@@ -108,7 +108,8 @@ object SparkEntry {
       "dup_span_report", "dedup_source_matrix", "snapshot_diff",
       "dedup_span_trim", "dedup_survivors_quality",
       "winnow_overlap_pairs", "seq_gaps", "shard_skew_report",
-      "lang_margin", "bigram_surprisal", "ann_recall_report")
+      "lang_margin", "bigram_surprisal", "ann_recall_report",
+      "ann_recall_trained")
 
   def benchQueries: Seq[(String, (SparkSession, String) => DataFrame)] =
     benchNames.flatMap(n => queries.get(n).map(n -> _))

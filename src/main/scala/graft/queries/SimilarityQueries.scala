@@ -189,6 +189,51 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     },
 
+    // Recall of the TRAINED IVF path — the flagship diagnostic: how
+    // much of the exact top-10 survives the trained quantizer's
+    // nprobe-cell restriction. Same train→assign→probe→score→top-k
+    // stages as ann_topk_ivf_trained (bit-deterministic training, the
+    // exported-centroid oracle re-derives everything), with the brute
+    // ground truth joined on (query, vec). At 100 TB this is the
+    // report that decides whether nprobe=2 at k=8 cells is enough
+    // BEFORE committing the cell-partitioned layout — run on a
+    // sampled query set, it prices recall against the ~nprobe/k scan
+    // fraction the at-rest layout buys.
+    "ann_recall_trained" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      val cents = Similarity.trainCentroids(e, col("embedding"),
+        k = IvfK, iters = IvfIters, initRounds = IvfInitRounds)
+      exportCentroids(s, cents, dir)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val assigned = e
+        .withColumn("cell", Similarity.assignCells(col("embedding"), cents))
+        .withColumn("_vn", Similarity.norm(col("embedding")))
+      val probed = q
+        .withColumn("cell",
+          explode(Similarity.probeCells(col("qvec"), cents, IvfNprobe)))
+        .withColumn("_qn", Similarity.norm(col("qvec")))
+      val ivfScored = assigned.join(broadcast(probed), "cell")
+        .withColumn("cosine", Similarity.dot(col("embedding"), col("qvec"))
+          / (col("_vn") * col("_qn")))
+        .select("query_id", "vec_id", "cosine")
+      val ivf = graft.operators.TopK.perGroupNative(ivfScored, "query_id",
+          "vec_id", "cosine", k = 10)
+        .select("query_id", "vec_id").withColumn("hit", lit(1L))
+      val bruteScored = Similarity.scoredPairs(e, col("vec_id"),
+          col("embedding"), q, col("query_id"), col("qvec"))
+        .select("query_id", "vec_id", "cosine")
+      val brute = graft.operators.TopK.perGroup(bruteScored, "query_id",
+          "vec_id", "cosine", k = 10)
+        .select("query_id", "vec_id")
+      brute.join(ivf, Seq("query_id", "vec_id"), "left")
+        .groupBy("query_id")
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .select(col("query_id"), col("n_hits"),
+          expr("n_hits * 1000 div 10").as("recall_permille"))
+        .orderBy("query_id")
+    },
+
     // IVF AT REST — the 100 TB layout behind ann_topk_ivf_trained: the
     // assigned corpus is WRITTEN cell-partitioned (CorpusWriter: one
     // directory per IVF cell, vec_id-sorted files) and the probe reads
@@ -459,8 +504,62 @@ object SimilarityQueries {
       |  ON b.query_id = i.query_id AND b.vec_id = i.vec_id
       |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin
 
+  private val recallTrainedSql =
+    s"""WITH cents AS (
+      |  SELECT cell, cvec FROM read_parquet(
+      |    '${centroidExportPath("sf0.01")}/*.parquet')
+      |), assign AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT e.vec_id, c.cell,
+      |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |        ORDER BY ${centScoreSql("e.embedding")} DESC, c.cell)
+      |        AS rn
+      |    FROM embeddings e CROSS JOIN cents c)
+      |  WHERE rn = 1
+      |), q AS (
+      |  SELECT vec_id AS query_id, embedding AS qvec
+      |  FROM embeddings WHERE vec_id < 5
+      |), probe AS (
+      |  SELECT query_id, cell FROM (
+      |    SELECT q.query_id, c.cell,
+      |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+      |        ORDER BY ${centScoreSql("q.qvec")} DESC, c.cell) AS rn
+      |    FROM q CROSS JOIN cents c)
+      |  WHERE rn <= $IvfNprobe
+      |), pi AS (
+      |  SELECT q.query_id, e.vec_id,
+      |    ${cosSql("e.embedding", "q.qvec")} AS cosine
+      |  FROM embeddings e
+      |  JOIN assign a ON a.vec_id = e.vec_id
+      |  JOIN probe pr ON pr.cell = a.cell
+      |  JOIN q ON q.query_id = pr.query_id
+      |), ri AS (
+      |  SELECT *, ROW_NUMBER() OVER
+      |    (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+      |  FROM pi
+      |), i AS (
+      |  SELECT query_id, vec_id FROM ri WHERE rank <= 10
+      |), pb AS (
+      |  SELECT q.query_id, e.vec_id,
+      |    ${cosSql("e.embedding", "q.qvec")} AS cosine
+      |  FROM embeddings e, q
+      |), rb AS (
+      |  SELECT *, ROW_NUMBER() OVER
+      |    (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+      |  FROM pb
+      |), b AS (
+      |  SELECT query_id, vec_id FROM rb WHERE rank <= 10
+      |)
+      |SELECT b.query_id,
+      |  CAST(COUNT(i.vec_id) AS BIGINT) AS n_hits,
+      |  CAST(COUNT(i.vec_id) * 1000 // 10 AS BIGINT) AS recall_permille
+      |FROM b LEFT JOIN i
+      |  ON b.query_id = i.query_id AND b.vec_id = i.vec_id
+      |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "ann_recall_report" -> recallReportSql,
+    "ann_recall_trained" -> recallTrainedSql,
     "ann_topk_brute" -> bruteTopKSql,
     "ann_topk_native" -> bruteTopKSql,
     "ann_topk_ivf" -> labelIvfSql,
