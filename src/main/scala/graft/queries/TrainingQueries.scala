@@ -1197,9 +1197,29 @@ object TrainingQueries {
     // (≤ a few hundred rows) regardless of corpus size, and the two
     // source lookups are doc-keyed equi-joins on the pair table —
     // ∝ duplicate pairs, not corpus².
+    //
+    // `id % CopyShift` recovers the base id only while every copy
+    // shift in play is an exact multiple of CopyShift AND base ids
+    // stay below it: this query's own planted copies shift by
+    // CopyShift itself, and ScaleUp-scaled corpora shift by
+    // ScaleUp.Shift — both conditions are asserted here (the max-id
+    // probe is a 1-row aggregate over the source table, same bounded
+    // driver work as incrementalIngest's size probe), so a future
+    // Shift or corpus-size change fails loudly instead of silently
+    // misattributing sources in both engine and oracle.
     "dedup_source_matrix" -> { (s, dir) =>
+      require(graft.tools.ScaleUp.Shift % CopyShift == 0,
+        s"ScaleUp.Shift (${graft.tools.ScaleUp.Shift}) must be a " +
+          s"multiple of CopyShift ($CopyShift) for modulo source recovery")
       val pairs = Dedup.simhashPairs(withCopies(s, dir), col("doc_id"),
         col("text"), maxHamming = 3)
+      val maxBase = Tables.documents(s, dir)
+        .agg(max(pmod(col("doc_id"), lit(graft.tools.ScaleUp.Shift))))
+        .head.getLong(0)
+      require(maxBase < CopyShift,
+        s"base doc_id $maxBase >= CopyShift $CopyShift: modulo source " +
+          "recovery would misattribute — re-derive sources by copy-block " +
+          "join instead")
       val src = Tables.documents(s, dir)
         .select(col("doc_id").as("orig_id"), col("source"))
       pairs

@@ -208,13 +208,16 @@ object ResumableConsumer {
     * redelivered AFTER eviction re-executes from scratch, so size the
     * knob to cover the source's maximum redelivery window (Kinesis:
     * the stream's retention / the consumer's max replay depth).
-    * Entries with any unfinalised node always survive. Note: the
-    * checkpointed state is kryo-encoded — changing [[ChainProgress]]'s
-    * shape invalidates existing checkpoints. */
+    * Entries with any unfinalised node always survive. The
+    * checkpointed state uses a product (schema-ful) encoder, so
+    * [[ChainProgress]] has a real state-store schema with an
+    * evolution path when it gains a field (the round-13 kryo→product
+    * swap itself is a breaking state-format change — checkpoints
+    * written by earlier rounds must be discarded). */
   def streamTasks(msgs: Dataset[StreamMsg], registry: Seq[TaskDef],
       maxAttempts: Int, retainTriggers: Long = 100L): Dataset[MsgState] = {
     require(registry.nonEmpty, "task registry must not be empty")
-    implicit val stateEnc = Encoders.kryo[ChainProgress]
+    implicit val stateEnc = Encoders.product[ChainProgress]
     implicit val outEnc = Encoders.product[MsgState]
     msgs.groupByKey(_.chainKey)(Encoders.STRING)
       .flatMapGroupsWithState(OutputMode.Update,

@@ -54,7 +54,7 @@ object StreamingFunnel {
       eventType: String, eventTime: java.sql.Timestamp)
 
   /** None-free state: Long.MaxValue = "not reached" (safe as a min
-    * identity and kryo-stable). */
+    * identity, and keeps the state schema a flat struct of longs). */
   case class FunnelProgress(gen: Long, s: Long, c: Long, p: Long)
 
   /** Checkpointed per-user state: folded progress over finalized
@@ -91,8 +91,12 @@ object StreamingFunnel {
     *   still fold in its correct event-time position */
   def stages(events: Dataset[FunnelEvent],
       maxDelay: String = "1 hour"): Dataset[UserStage] = {
+    // product (schema-ful) state encoder — see StreamingGaps: typed
+    // state columns keep checkpoints evolvable and on the UnsafeRow
+    // fast path (kryo→product is a breaking state-format change;
+    // pre-round-13 checkpoints must be discarded).
     implicit val timedEnc = Encoders.product[TimedEvent]
-    implicit val stateEnc = Encoders.kryo[FunnelState]
+    implicit val stateEnc = Encoders.product[FunnelState]
     implicit val outEnc = Encoders.product[UserStage]
     events.toDF()
       .withColumn("eventTime", timestamp_micros(col("tsUs")))
@@ -109,7 +113,13 @@ object StreamingFunnel {
           // watermark has passed its FULL microsecond timestamp
           val wmUs = state.getCurrentWatermarkMs() * 1000L
           val buf = prior.buf ++ it.map(e => (e.tsUs, e.eventType))
-          val (ripe, hold) = buf.partition(_._1 <= wmUs)
+          // strict <: the late-data filter admits rows AT the
+          // watermark, so an equal-timestamp boundary tie must stay
+          // buffered until the watermark strictly passes it — a tie
+          // finalized on <= could fold before an admissible
+          // equal-timestamp straggler and diverge from the batch
+          // fold order (see StreamingGaps for the full argument)
+          val (ripe, hold) = buf.partition(_._1 < wmUs)
           val folded = ripe.sortBy(_._1)
             .foldLeft(FunnelProgress(prior.gen, prior.s, prior.c, prior.p))(
               (st, e) => step(st, e._1, e._2))

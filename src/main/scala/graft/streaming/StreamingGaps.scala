@@ -51,8 +51,14 @@ object StreamingGaps {
     *   correct event-time position */
   def gaps(events: Dataset[ShardEvent], minGapUs: Long,
       maxDelay: String = "1 hour"): Dataset[GapRow] = {
+    // product (schema-ful) state encoder: the state store then holds
+    // typed columns instead of opaque kryo bytes — checkpoints keep a
+    // schema-evolution path when GapState gains a field, and state
+    // rows stay on the UnsafeRow fast path. (Swapping from the
+    // pre-round-13 kryo encoding is a breaking state-format change:
+    // existing checkpoints must be discarded.)
     implicit val timedEnc = Encoders.product[TimedShardEvent]
-    implicit val stateEnc = Encoders.kryo[GapState]
+    implicit val stateEnc = Encoders.product[GapState]
     implicit val outEnc = Encoders.product[GapRow]
     events.toDF()
       .withColumn("eventTime", timestamp_micros(col("tsUs")))
@@ -66,7 +72,16 @@ object StreamingGaps {
           val prior = state.getOption.getOrElse(GapState(None, Vector.empty))
           val wmUs = state.getCurrentWatermarkMs() * 1000L
           val buf = prior.buf ++ it.map(e => (e.tsUs, e.eventId))
-          val (ripe, hold) = buf.partition(_._1 <= wmUs)
+          // finalize strictly BELOW the watermark: Spark's late-data
+          // filter drops only rows strictly older than it, so an
+          // event at exactly the watermark can still arrive — a
+          // boundary tie finalized on `<=` could then fold a
+          // straggler against an already-finalized equal-timestamp
+          // event and emit an order diverging from the batch
+          // (ts, event_id) ordering. Strict `<` keeps ties buffered
+          // until the watermark has strictly passed them, matching
+          // the admissibility boundary exactly.
+          val (ripe, hold) = buf.partition(_._1 < wmUs)
           val ordered = ripe.sorted // (tsUs, eventId) lexicographic
           val out = Vector.newBuilder[GapRow]
           var last = prior.last

@@ -31,7 +31,12 @@ import graft.GraftSession
   */
 object ScaleUp {
 
-  private val Shift = 10_000_000L
+  /** Per-copy id shift. Queries that recover a base id by
+    * `id % CopyShift` (dedup_source_matrix) require this to stay an
+    * exact multiple of their CopyShift (1e6) — asserted at the use
+    * site, so a future Shift change fails loudly instead of silently
+    * misattributing sources. */
+  private[graft] val Shift = 10_000_000L
 
   def main(args: Array[String]): Unit = {
     val src = args(0)
