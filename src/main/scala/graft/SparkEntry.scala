@@ -109,7 +109,9 @@ object SparkEntry {
       "dedup_span_trim", "dedup_survivors_quality",
       "winnow_overlap_pairs", "seq_gaps", "shard_skew_report",
       "lang_margin", "bigram_surprisal", "ann_recall_report",
-      "ann_recall_trained")
+      "ann_recall_trained",
+      // round-13 additions
+      "ann_topk_ivf_sampled")
 
   def benchQueries: Seq[(String, (SparkSession, String) => DataFrame)] =
     benchNames.flatMap(n => queries.get(n).map(n -> _))

@@ -127,8 +127,7 @@ object Similarity {
     val pool =
       if (sampleFraction >= 1.0) df.select(vecCol.as("_v"))
       else df.select(vecCol.as("_v"))
-        .filter(conv(substring(md5(to_json(struct(vecCol))), 1, 4), 16, 10)
-          .cast("long") < (sampleFraction * 65536).toLong)
+        .filter(samplePredicate(vecCol, sampleFraction))
     // Re-partition the training pool to full parallelism BEFORE
     // caching: an embeddings table often arrives as few fat parquet
     // splits (sf0.1 is ONE 13 MB split), and every driver-paced
@@ -175,6 +174,21 @@ object Similarity {
     hashed.unpersist()
     centroids
   }
+
+  /** The deterministic training-sample predicate behind
+    * `trainCentroids(sampleFraction)` — the documented 100 TB mode
+    * (train the coarse quantizer on ~10⁻⁴ of the corpus, assign
+    * everything): a row is in the pool iff the first 4 hex chars of
+    * the md5 of its vector's JSON rendering, read as a 16-bit
+    * integer, fall below `sampleFraction · 2¹⁶`. Content-keyed and
+    * RNG-free, so the pool (hence the trained quantizer) is identical
+    * under any partitioning — and re-derivable by a spec or an
+    * external engine from the same md5 primitive. Exposed so
+    * `SimilaritySpec` can assert the draw is a strict non-empty
+    * subset at the CORRECTNESS scale. */
+  def samplePredicate(vecCol: Column, sampleFraction: Double): Column =
+    conv(substring(md5(to_json(struct(vecCol))), 1, 4), 16, 10)
+      .cast("long") < (sampleFraction * 65536).toLong
 
   /** Deterministic k-means‖ oversampling init (see [[trainCentroids]]
     * Scaladoc for the determinism argument). Returns exactly k seed

@@ -370,4 +370,20 @@ class SimilaritySpec extends SparkSpec {
       assert(k === l, s"probe order mismatch at id $id: $k vs $l")
     }
   }
+
+  test("samplePredicate draws a strict non-empty subset of the " +
+      "embeddings table (the ann_topk_ivf_sampled training pool), " +
+      "deterministically") {
+    val e = graft.sources.Tables.embeddings(spark, sf0001)
+    val total = e.count()
+    val pred = Similarity.samplePredicate(col("embedding"), 0.5)
+    val sampled = e.filter(pred).count()
+    assert(sampled > 0, "empty training pool: sampled quantizer would " +
+      "train on nothing")
+    assert(sampled < total,
+      s"sample is the whole table ($sampled of $total): the sampled " +
+        "path would be indistinguishable from full training")
+    // content-keyed draw: same predicate, same rows — no RNG anywhere
+    assert(e.filter(pred).count() === sampled)
+  }
 }
