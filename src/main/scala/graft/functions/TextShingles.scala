@@ -112,6 +112,56 @@ object TextShingles {
     c => f(c)
   }
 
+  /** WORD-shingle winnowing: the same rolling-min sampling as
+    * [[winnowedFingerprints]], but over word `shingleN`-gram hashes
+    * instead of char k-gram hashes — the variant for the regime the
+    * char version measurably saturates in (SCALE.md round 12:
+    * suffix-templated text makes every char-8-gram corpus-common, the
+    * doc-freq cap then prunes ALL fingerprints and recall drops to
+    * zero; word shingles keep the template words as context, so
+    * cross-doc sharing requires shared word SEQUENCES). Guarantee
+    * shifts accordingly: any shared run of ≥ `shingleN + w − 1` words
+    * yields at least one shared fingerprint. The hash is the first 16
+    * hex chars of the shingle's md5 — min over a fixed-width hex
+    * window ≡ numeric min (the minhash trick), and the same md5
+    * primitive lets DuckDB re-derive fingerprints exactly.
+    *
+    * Texts shorter than `shingleN` words yield no fingerprints (a
+    * sub-shingle text has no shingle identity to sample; mirrored by
+    * the oracle's length filter). Output distinct + sorted like the
+    * char version. */
+  def winnowedWordFingerprints(shingleN: Int, w: Int): Column => Column = {
+    val f = udf { (text: String) =>
+      if (text == null) null
+      else {
+        val toks = text.trim.toLowerCase.split("\\s+")
+        if (toks.length < shingleN) Array.empty[String]
+        else {
+          val hs = Array.tabulate(toks.length - shingleN + 1) { i =>
+            val sb = new StringBuilder(toks(i))
+            var j = 1
+            while (j < shingleN) {
+              sb.append(' ').append(toks(i + j)); j += 1
+            }
+            md5Hex(sb.toString).substring(0, 16)
+          }
+          val mins =
+            if (hs.length <= w) Array(hs.min)
+            else Array.tabulate(hs.length - w + 1) { i =>
+              var m = hs(i)
+              var j = 1
+              while (j < w) {
+                if (hs(i + j).compareTo(m) < 0) m = hs(i + j); j += 1
+              }
+              m
+            }
+          mins.distinct.sorted
+        }
+      }
+    }
+    c => f(c)
+  }
+
   /** 64-bit SimHash signature (Charikar, STOC'02 similarity
     * estimation): bit j is the majority vote of token-hash bit j over
     * ALL tokens (repetition weights), where a token's 64-bit hash is

@@ -1083,6 +1083,35 @@ object TrainingQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // WORD-shingle winnowing overlap — the companion for the regime
+    // the char-8-gram variant measurably saturates in (SCALE.md
+    // round 12: suffix-templated text makes every char gram
+    // corpus-common, the doc-freq cap then prunes everything and
+    // recall drops to zero — and the cap-probe showed no cap value
+    // fixes it). Word-3-shingle hashes keep whole words as context,
+    // so a fingerprint is corpus-common only when a word SEQUENCE is —
+    // the same trade the survey prices for minhash, at winnowing's
+    // positional-sampling recall guarantee (any shared run of
+    // ≥ 3+8−1 = 10 words surfaces a shared fingerprint). Same
+    // doc-freq-capped bucket join as the char variant: bucket
+    // expansion stays cap-bounded, pair aggregate ∝ collisions.
+    "winnow_overlap_words" -> { (s, dir) =>
+      val docs = withCopies(s, dir)
+      val fps = docs
+        .select(col("doc_id"), explode(graft.functions.TextShingles
+          .winnowedWordFingerprints(shingleN = 3, w = 8)(col("text")))
+          .as("fp"))
+      val bucketed = fps.groupBy("fp").agg(count(lit(1)).as("nd"))
+        .filter(col("nd").between(2, 50)).select("fp")
+      val cand = fps.join(bucketed, "fp")
+      cand.select(col("doc_id").as("id_a"), col("fp"))
+        .join(cand.select(col("doc_id").as("id_b"), col("fp")), "fp")
+        .filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 5)
+        .orderBy("id_a", "id_b")
+    },
+
     // Survivor selection with a QUALITY policy — production dedup
     // keeps the best cluster member (longest text here; in practice a
     // quality score), not the smallest id. Same pair → components
@@ -2000,6 +2029,36 @@ object TrainingQueries {
         |    AS n_dup
         |FROM g JOIN f USING (g)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "winnow_overlap_words" ->
+      s"""WITH $allDocsCte,
+        |t AS (
+        |  SELECT doc_id, $toksExpr AS toks FROM all_docs
+        |), h AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, len(toks) - 1),
+        |      i -> substr(md5(array_to_string(toks[i:i+2], ' ')), 1, 16))
+        |      AS hs
+        |  FROM t WHERE len(toks) >= 3
+        |), wmin AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(hs) <= 8 THEN [list_min(hs)]
+        |         ELSE list_transform(range(1, len(hs) - 6),
+        |                i -> list_min(hs[i:i+7])) END AS mins
+        |  FROM h
+        |), fps AS (
+        |  SELECT doc_id, unnest(list_distinct(mins)) AS fp FROM wmin
+        |), bucketed AS (
+        |  SELECT fp FROM (SELECT fp, COUNT(*) AS nd FROM fps GROUP BY fp)
+        |  WHERE nd BETWEEN 2 AND 50
+        |), cand AS (
+        |  SELECT doc_id, fp FROM fps JOIN bucketed USING (fp)
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  COUNT(*) AS n_shared
+        |FROM cand a JOIN cand b
+        |  ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY id_a, id_b HAVING COUNT(*) >= 5
+        |ORDER BY id_a, id_b""".stripMargin,
     "winnow_overlap_pairs" ->
       s"""WITH $allDocsCte,
         |h AS (
