@@ -66,6 +66,34 @@ object TrainingQueries {
     (batch, existing, existing.count())
   }
 
+  /** bpe_merges round 0: every corpus word (≥ 2 chars — shorter words
+    * can neither contribute a pair nor ever be merged) as its
+    * single-char symbol sequence. */
+  private[graft] def bpeInitialWords(
+      s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.documents(s, dir)
+      .select(explode(TextAnalysis.tokens(lower(col("text")))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(expr(
+        "transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+        .as("syms"))
+
+  /** Adjacent-symbol-pair counts over a `syms: array<string>` word
+    * stream — the per-round scan of the BPE merge loop. Pair rendering
+    * is `a || ' ' || b` (symbols never contain whitespace: they are
+    * concatenations of regex-split token chars), identically in the
+    * oracle, so the (count desc, pair asc) tie-break totals-orders the
+    * same keys in both engines. Two-stage hash aggregate: the shuffle
+    * carries per-pair partials (vocab-bounded), never raw corpus
+    * pairs — pinned in PlanPinsSpec. */
+  private[graft] def bpePairCounts(
+      words: org.apache.spark.sql.DataFrame) =
+    words
+      .select(explode(expr(
+        "transform(sequence(1, size(syms) - 1)," +
+          " i -> concat(syms[i - 1], ' ', syms[i]))")).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+
   private val allDocsCte =
     s"""all_docs AS (
        |  SELECT doc_id, text FROM documents
@@ -969,6 +997,59 @@ object TrainingQueries {
         .limit(50)
     },
 
+    // BPE tokenizer training — the actual MERGE LOOP, not just the
+    // first-scan diagnostic (bpe_pair_counts): five rounds of
+    //   count adjacent symbol pairs → pick the (count desc, pair asc)
+    //   best → greedily apply it to the whole token stream → recount.
+    // This is what a tokenizer build runs; the output is the merge
+    // table's first five entries with their selection-time counts.
+    //
+    // Scale shape per round: ONE corpus-scan pair count whose shuffle
+    // carries per-PAIR partials — the pair alphabet starts charset²-
+    // bounded and grows by exactly one symbol per round, so every
+    // exchange is vocab-bounded at any corpus size (pinned in
+    // PlanPinsSpec via bpePairCounts) — then a 1-row driver probe of
+    // that tiny aggregate picks the merge (the same bounded driver
+    // work as trainCentroids' per-round stats), and the merge applies
+    // as one compiled kernel pass (functions.Bpe). Each round's
+    // merged corpus is cached so round r+1's count reads it instead
+    // of replaying r merge passes; the previous round unpersists once
+    // its successor is materialized. At 100 TB the per-round
+    // recount-everything cost is the known cost of exact BPE — real
+    // builds batch merges per scan or count on a sample; the loop
+    // structure (and the oracle contract) is the same.
+    //
+    // The DuckDB oracle replays the identical loop as five chained
+    // CTE layers: same pair rendering ('a b'), same tie-break, and
+    // merge application via left-to-right replace over a
+    // double-space-wrapped symbol string — greedy leftmost
+    // non-overlap, exactly functions.Bpe.mergePair's semantics.
+    "bpe_merges" -> { (s, dir) =>
+      import s.implicits._
+      val NRounds = 5
+      var cur = bpeInitialWords(s, dir).cache()
+      var prev: Option[org.apache.spark.sql.DataFrame] = None
+      val merges = Seq.newBuilder[(Int, String, Long)]
+      for (r <- 1 to NRounds) {
+        val best = bpePairCounts(cur)
+          .orderBy(col("n").desc, col("pair").asc).limit(1).head
+        // cur is materialized by the count job above, so its
+        // predecessor's cache can go
+        prev.foreach(_.unpersist())
+        val (pair, n) = (best.getString(0), best.getLong(1))
+        merges += ((r, pair, n))
+        if (r < NRounds) {
+          val Array(a, b) = pair.split(" ", 2)
+          val merge = udf((syms: Seq[String]) =>
+            graft.functions.Bpe.mergePair(syms, a, b))
+          prev = Some(cur)
+          cur = cur.select(merge(col("syms")).as("syms")).cache()
+        }
+      }
+      cur.unpersist()
+      merges.result().toDF("round", "pair", "n").orderBy("round")
+    },
+
     // Vocabulary frequency-of-frequencies (the Zipf/Good-Turing
     // diagnostic tokenizer builds read before picking a vocab size):
     // how many distinct tokens occur exactly f times. Two cascaded
@@ -1377,6 +1458,50 @@ object TrainingQueries {
       |SELECT doc_id FROM kept
       |WHERE fp NOT IN (SELECT fp FROM existing)
       |ORDER BY doc_id""".stripMargin
+
+  /** The bpe_merges loop as five chained CTE layers. Each word is
+    * rendered as its symbols wrapped in exclusive separators —
+    * `' ' || join(syms, '  ') || ' '`, every symbol owning one space
+    * on each side — so a left-to-right `replace` of the wrapped pair
+    * by the wrapped merged symbol is exactly greedy leftmost
+    * non-overlapping merge application (no separator sharing between
+    * adjacent matches, and SQL `replace` resumes after the replaced
+    * region, so `[a,a,a]` under (a,a) yields `[aa,a]` — the
+    * functions.Bpe.mergePair contract). Symbols are regex-split token
+    * chars, so they never contain whitespace and the rendering is
+    * injective. Per round: recover symbols (trim + split on the
+    * double separator), count adjacent pairs, pick the
+    * (count desc, pair asc) best, rewrite. */
+  private val bpeMergesSql: String = {
+    def countsOf(w: String) =
+      s"""(SELECT pair, COUNT(*) AS n FROM (
+         |  SELECT unnest(list_transform(range(1, len(syms)),
+         |    i -> syms[i] || ' ' || syms[i+1])) AS pair
+         |  FROM (SELECT string_split(trim(s), '  ') AS syms FROM $w)
+         |) GROUP BY pair)""".stripMargin
+    val rounds = (1 to 5).map { r =>
+      s""",
+         |c$r AS ${countsOf(s"w${r - 1}")},
+         |b$r AS (SELECT pair, n FROM c$r ORDER BY n DESC, pair ASC
+         |  LIMIT 1),
+         |w$r AS (
+         |  SELECT replace(s,
+         |    ' ' || split_part(b.pair, ' ', 1) || '  ' ||
+         |      split_part(b.pair, ' ', 2) || ' ',
+         |    ' ' || replace(b.pair, ' ', '') || ' ') AS s
+         |  FROM w${r - 1} CROSS JOIN b$r b
+         |)""".stripMargin
+    }.mkString
+    s"""WITH w0 AS (
+       |  SELECT ' ' || array_to_string(string_split(w, ''), '  ') || ' '
+       |    AS s
+       |  FROM (SELECT unnest($toksExpr) AS w FROM documents)
+       |  WHERE length(w) >= 2
+       |)$rounds
+       |${(1 to 5).map(r => s"SELECT $r AS round, pair, n FROM b$r")
+          .mkString(" UNION ALL ")}
+       |ORDER BY round""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
     "lang_margin" ->
@@ -1988,6 +2113,7 @@ object TrainingQueries {
         |)
         |SELECT pair, COUNT(*) AS n FROM pairs
         |GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 50""".stripMargin,
+    "bpe_merges" -> bpeMergesSql,
     "vocab_fof" ->
       s"""WITH tok AS (
         |  SELECT unnest($toksExpr) AS token FROM documents

@@ -83,4 +83,20 @@ class FunctionsSpec extends SparkSpec {
     val subs = out.select("subSequenceNumber").as[Int].collect().sorted
     assert(subs.toSeq === Seq(0, 1, 2, 3, 4))
   }
+
+  test("Bpe.mergePair is greedy leftmost non-overlapping (the oracle's " +
+      "wrapped-replace contract)") {
+    import graft.functions.Bpe.mergePair
+    // overlapping run: leftmost wins, scan resumes after the merge
+    assert(mergePair(Seq("a", "a", "a"), "a", "a") === Seq("aa", "a"))
+    assert(mergePair(Seq("a", "a", "a", "a"), "a", "a") ===
+      Seq("aa", "aa"))
+    // every disjoint occurrence merges in one round
+    assert(mergePair(Seq("a", "b", "a", "b"), "a", "b") ===
+      Seq("ab", "ab"))
+    // a fresh merge must not cascade within the round
+    assert(mergePair(Seq("a", "b", "b"), "a", "b") === Seq("ab", "b"))
+    // no occurrence → identity
+    assert(mergePair(Seq("x", "y"), "a", "b") === Seq("x", "y"))
+  }
 }

@@ -64,6 +64,22 @@ class PlanPinsSpec extends SparkSpec {
       s"unexpected join in a scan-aggregate query:\n$plan")
   }
 
+  test("bpe_merges' per-round pair count keeps map-side partials (each " +
+      "merge round's exchange carries vocab-bounded partials, not the " +
+      "raw corpus pair stream)") {
+    // the claim in bpe_merges' comment: every round of the merge loop
+    // re-counts through this same helper, so ONE pinned plan covers
+    // all five rounds' exchanges
+    val words = graft.queries.TrainingQueries.bpeInitialWords(spark, sf0001)
+    val plan = graft.queries.TrainingQueries.bpePairCounts(words)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_count"),
+      s"no partial aggregation before the per-round pair exchange:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"unexpected join in a scan-aggregate round:\n$plan")
+  }
+
   test("dedup_source_matrix's source lookups are hash equi-joins on the " +
       "unshifted id (a nested-loop fallback would be pairs x corpus)") {
     val df = SparkEntry.queries("dedup_source_matrix")(spark, sf0001)
