@@ -111,7 +111,8 @@ object SparkEntry {
       "lang_margin", "bigram_surprisal", "ann_recall_report",
       "ann_recall_trained",
       // round-13 additions
-      "ann_topk_ivf_sampled", "winnow_overlap_words", "bpe_merges")
+      "ann_topk_ivf_sampled", "winnow_overlap_words", "bpe_merges",
+      "multimodal_dedup_pairs")
 
   def benchQueries: Seq[(String, (SparkSession, String) => DataFrame)] =
     benchNames.flatMap(n => queries.get(n).map(n -> _))

@@ -107,24 +107,37 @@ object Dedup {
     * for a 16-bit signature, where every bucket grows linearly with the
     * corpus and the in-bucket self-join goes quadratic). */
   def simhashPairs(df: DataFrame, idCol: Column, text: Column,
+      maxHamming: Int = 3): DataFrame =
+    hammingBandPairs(withSimhash(df, text, "simhash"), idCol,
+      col("simhash"), maxHamming)
+
+  /** Hamming-≤-`maxHamming` pairs over ANY 64-bit signature column via
+    * the 4×16-bit band tables — the signature-agnostic core of
+    * [[simhashPairs]], reused verbatim by image dHash dedup
+    * ([[Multimodal.dhashBmp]]): two signatures within Hamming ≤ 3
+    * must agree on a whole band (pigeonhole), so the band-equality
+    * join has EXACT recall; candidates verify with the codegen'd
+    * builtin `bit_count(a XOR b)`. One exchange on `(band, band_val)`
+    * — 4×2¹⁶ buckets, population ~n/2¹⁶ per band. Returns
+    * `(id_a < id_b, hamming)` distinct. */
+  def hammingBandPairs(df: DataFrame, idCol: Column, sigCol: Column,
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3,
       "4 bands over 64 bits guarantee recall only for Hamming <= 3")
-    val sh = withSimhash(df, text, "simhash")
-      .select(idCol.as("id"), col("simhash"))
+    val sh = df.select(idCol.as("id"), sigCol.as("_sig"))
     val bandArr = array((0 until 4).map { b =>
       struct(lit(b).as("band"),
-        shiftrightunsigned(col("simhash"), 16 * b)
+        shiftrightunsigned(col("_sig"), 16 * b)
           .bitwiseAND(lit(0xFFFFL)).as("band_val"))
     }: _*)
-    val bands = sh.select(col("id"), col("simhash"),
+    val bands = sh.select(col("id"), col("_sig"),
         explode(bandArr).as("bk"))
-      .select(col("id"), col("simhash"),
+      .select(col("id"), col("_sig"),
         col("bk.band").as("band"), col("bk.band_val").as("band_val"))
     val a = bands.select(col("band"), col("band_val"),
-      col("id").as("id_a"), col("simhash").as("sim_a"))
+      col("id").as("id_a"), col("_sig").as("sim_a"))
     val c = bands.select(col("band"), col("band_val"),
-      col("id").as("id_b"), col("simhash").as("sim_b"))
+      col("id").as("id_b"), col("_sig").as("sim_b"))
     a.join(c, Seq("band", "band_val"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("hamming",

@@ -250,6 +250,79 @@ object Multimodal {
     out
   }
 
+  /** Synthesize a 24bpp BMP whose pixel content is SEEDED — same
+    * container as [[makeBmp]], but channel c of pixel (x, y) is
+    * `(x·7 + y·31 + s0 + s1·x + s2·y + c·101) mod 256` with
+    * `(s0, s1, s2)` = the seed's three low base-256 digits. The seed
+    * enters through per-axis multipliers (not a constant offset —
+    * that would shift all pixels equally and leave every GRADIENT
+    * comparison, hence every dHash, identical), so distinct seeds
+    * below 2²⁴ produce distinct gradients while equal seeds
+    * reproduce the image bit-for-bit. Closed-form integer arithmetic
+    * throughout, so the DuckDB oracle re-derives any pixel — and
+    * anything computed from pixels — exactly. */
+  def makeBmpSeeded(width: Int, height: Int, seed: Int): Array[Byte] = {
+    require(width > 0 && height > 0, "BMP dims must be positive")
+    require(seed >= 0, "seed must be non-negative")
+    val out = makeBmp(width, height)
+    val rowSize = ((width * 3 + 3) / 4) * 4
+    val s0 = seed % 256
+    val s1 = (seed / 256) % 256
+    val s2 = (seed / 65536) % 256
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val o = 54 + y * rowSize + x * 3
+        val v0 = x * 7 + y * 31 + s0 + s1 * x + s2 * y
+        out(o) = (v0 & 0xFF).toByte
+        out(o + 1) = ((v0 + 101) & 0xFF).toByte
+        out(o + 2) = ((v0 + 202) & 0xFF).toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** 64-bit dHash (difference hash) of a 24bpp BMP — the standard
+    * image near-duplicate fingerprint: downsample to a 9×8 grid
+    * (through [[resizeBmp]], the tier's oracle-checked pixel
+    * transform), reduce each pixel to an integer gray value (the
+    * channel SUM — comparing sums is comparing means, with no
+    * division to diverge over), and emit bit `y·8 + x` = 1 iff
+    * `gray(x, y) > gray(x+1, y)`: 8 horizontal gradient signs per
+    * row × 8 rows. Gradient signs survive global brightness/contrast
+    * shifts, which is why dHash (not a byte hash) is the image dedup
+    * primitive. The 64-bit signature then rides the SAME 4×16-bit
+    * band machinery as text SimHash ([[Dedup.hammingBandPairs]]) for
+    * exact Hamming ≤ 3 pair recall.
+    *
+    * Returns None for payloads that are not valid 24bpp BMPs (the
+    * caller's dead-letter decision, mirroring [[decode]]). */
+  def dhashBmp(raw: Array[Byte]): Option[Long] = {
+    val r = resizeBmp(raw, 9, 8)
+    if (r == null) None
+    else {
+      val rowSize = ((9 * 3 + 3) / 4) * 4
+      def gray(x: Int, y: Int): Int = {
+        val o = 54 + y * rowSize + x * 3
+        (r(o) & 0xFF) + (r(o + 1) & 0xFF) + (r(o + 2) & 0xFF)
+      }
+      var sig = 0L
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          if (gray(x, y) > gray(x + 1, y)) sig |= 1L << (y * 8 + x)
+          x += 1
+        }
+        y += 1
+      }
+      Some(sig)
+    }
+  }
+
   /** Synthesize a minimal valid PNG: 8-byte signature, IHDR (8-bit
     * RGB, no interlace) with a real CRC-32, and an IEND chunk — 45
     * bytes total. No IDAT: the fixture pins header parsing, and a

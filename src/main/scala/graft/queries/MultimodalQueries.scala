@@ -15,6 +15,21 @@ import graft.sources.Tables
   * roundtrip is what's actually checked. */
 object MultimodalQueries {
 
+  private val CopyShift = 1000000L
+
+  /** The dHash gray value at resized column `tx` (a SQL expression
+    * string), in scope: `ty` (resized row), `w`/`h` (source dims),
+    * `s0`/`s1`/`s2` (seed digits) — the closed form of
+    * synthesis-formula pixel → NN resize → channel sum that
+    * `Multimodal.makeBmpSeeded` + `resizeBmp` + `dhashBmp` compute
+    * over real bytes. */
+  private def dhashGraySql(tx: String): String = {
+    val sx = s"((($tx) * w) // 9)"
+    val sy = s"((ty * h) // 8)"
+    val v0 = s"($sx * 7 + $sy * 31 + s0 + s1 * $sx + s2 * $sy)"
+    s"(($v0 % 256) + (($v0 + 101) % 256) + (($v0 + 202) % 256))"
+  }
+
   val all: Map[String, Q] = Map(
 
     // Batched decode/feature-extraction over binary payloads; four
@@ -78,6 +93,41 @@ object MultimodalQueries {
         .orderBy("id")
     },
 
+    // IMAGE near-duplicate pairs — the dedup × multimodal cell: dHash
+    // (decode → 9×8 resize through the oracle-checked pixel path →
+    // 64 gradient-sign bits) over a corpus of seeded BMPs, then the
+    // SAME 4×16-bit Hamming band join text SimHash uses
+    // (Dedup.hammingBandPairs) for exact Hamming ≤ 3 recall. The
+    // corpus plants duplicates the way dup_span_report does — a
+    // re-crawl of the modulo-selected 40% tail (doc_id % 5 ≥ 3,
+    // SF-invariant), id-shifted, with the image seeded by the
+    // UNSHIFTED id so each re-crawled image reproduces its original
+    // bit-for-bit (hamming 0, as a re-hosted image does). Source dims
+    // (seed-derived, ≥ the 9×8 target so no degenerate duplicated-
+    // column blank hashes) vary per doc, so the resize path is
+    // genuinely exercised. Everything from pixel byte to band value
+    // is deterministic integer arithmetic: the DuckDB oracle composes
+    // the synthesis formula, the NN resize mapping, the gray sum and
+    // the band decomposition in closed form — the engine reads real
+    // bytes, the oracle proves the bytes' math.
+    "multimodal_dedup_pairs" -> { (s, dir) =>
+      import s.implicits._
+      val d = Tables.documents(s, dir).select(col("doc_id"))
+      val all = d.unionByName(
+        d.filter(pmod(col("doc_id"), lit(5)) >= lit(3))
+          .select((col("doc_id") + CopyShift).as("doc_id")))
+      val hashed = all.as[Long].map { id =>
+        val seed = (id % CopyShift).toInt
+        val img = Multimodal.makeBmpSeeded(seed % 16 + 9, seed % 8 + 8,
+          seed)
+        (id, Multimodal.dhashBmp(img).getOrElse(
+          sys.error(s"fixture for doc $id is not a 24bpp BMP")))
+      }.toDF("doc_id", "dhash")
+      graft.operators.Dedup.hammingBandPairs(hashed, col("doc_id"),
+          col("dhash"), maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    },
+
     // Frame sampling before decode: 16-byte frames, every 4th kept.
     "multimodal_frames" -> { (s, dir) =>
       val frames = Multimodal.sampleFrames(col("text"), frameBytes = 16,
@@ -133,6 +183,58 @@ object MultimodalQueries {
         |  CAST(rw AS INT) AS width, CAST(rh AS INT) AS height,
         |  CAST(3 AS INT) AS channels
         |FROM r ORDER BY id""".stripMargin,
+    // Pixel → resize → gray → bit → band, all in closed form; the
+    // band join + bit_count verify mirror Dedup.hammingBandPairs
+    // (hamming as the SUM of per-band popcounts — the four bands
+    // partition the 64 bits, so it equals the full-signature popcount
+    // without materializing a 64-bit value whose top bit would
+    // overflow a signed SUM).
+    "multimodal_dedup_pairs" ->
+      s"""WITH corpus AS (
+        |  SELECT doc_id FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + $CopyShift FROM documents WHERE doc_id % 5 >= 3
+        |), g AS (
+        |  SELECT doc_id,
+        |    (doc_id % $CopyShift) % 16 + 9 AS w,
+        |    (doc_id % $CopyShift) % 8 + 8 AS h,
+        |    (doc_id % $CopyShift) % 256 AS s0,
+        |    ((doc_id % $CopyShift) // 256) % 256 AS s1,
+        |    ((doc_id % $CopyShift) // 65536) % 256 AS s2
+        |  FROM corpus
+        |), bits AS (
+        |  SELECT doc_id, ty * 8 + tx AS idx,
+        |    CASE WHEN ${dhashGraySql("tx")} > ${dhashGraySql("tx + 1")}
+        |      THEN 1 ELSE 0 END AS bit
+        |  FROM g, range(0, 8) t1(ty), range(0, 8) t2(tx)
+        |), bands AS (
+        |  SELECT doc_id, CAST(idx // 16 AS INT) AS band,
+        |    CAST(SUM(bit * (1 << (idx % 16))) AS BIGINT) AS band_val
+        |  FROM bits GROUP BY doc_id, idx // 16
+        |), v AS (
+        |  SELECT doc_id,
+        |    MAX(CASE WHEN band = 0 THEN band_val END) AS b0,
+        |    MAX(CASE WHEN band = 1 THEN band_val END) AS b1,
+        |    MAX(CASE WHEN band = 2 THEN band_val END) AS b2,
+        |    MAX(CASE WHEN band = 3 THEN band_val END) AS b3
+        |  FROM bands GROUP BY doc_id
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+        |  FROM bands a JOIN bands c
+        |    ON a.band = c.band AND a.band_val = c.band_val
+        |    AND a.doc_id < c.doc_id
+        |)
+        |SELECT id_a, id_b,
+        |  CAST(bit_count(xor(va.b0, vc.b0)) + bit_count(xor(va.b1, vc.b1))
+        |    + bit_count(xor(va.b2, vc.b2)) + bit_count(xor(va.b3, vc.b3))
+        |    AS INT) AS hamming
+        |FROM cand
+        |JOIN v va ON va.doc_id = id_a
+        |JOIN v vc ON vc.doc_id = id_b
+        |WHERE bit_count(xor(va.b0, vc.b0)) + bit_count(xor(va.b1, vc.b1))
+        |  + bit_count(xor(va.b2, vc.b2)) + bit_count(xor(va.b3, vc.b3))
+        |  <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
     "multimodal_frames" ->
       """WITH f AS (
         |  SELECT doc_id, text,

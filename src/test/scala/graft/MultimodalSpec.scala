@@ -178,4 +178,21 @@ class MultimodalSpec extends SparkSpec {
           f.width === None)
     }
   }
+
+  test("dHash: equal seeds reproduce the hash, nearby seeds diverge, " +
+      "non-BMP payloads are the caller's dead-letter") {
+    def dhashOf(seed: Int): Long = {
+      val img = Multimodal.makeBmpSeeded(seed % 16 + 9, seed % 8 + 8, seed)
+      Multimodal.dhashBmp(img).get
+    }
+    // a re-hosted image (same seed) is an exact dup: hamming 0
+    assert(dhashOf(12345) === dhashOf(12345))
+    // the seed enters through per-axis multipliers, so the gradient
+    // (not just the brightness) changes with it — seeds differing in
+    // any base-256 digit must not collapse to one hash
+    val base = dhashOf(1000)
+    assert(Seq(1001, 1000 + 256, 1000 + 65536).map(dhashOf)
+      .forall(_ !== base))
+    assert(Multimodal.dhashBmp("not a bmp".getBytes("UTF-8")).isEmpty)
+  }
 }
