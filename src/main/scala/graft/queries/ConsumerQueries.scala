@@ -273,6 +273,67 @@ object ConsumerQueries {
         .orderBy("shard_id", "rn")
     },
 
+    // The deep-backfill variant of seq_gaps: IDENTICAL output (same
+    // oracle SQL), computed without the one-task-per-shard sort
+    // ceiling. seq_gaps' lag window partitions by shard alone, so a
+    // multi-year backfill sorts each shard's whole history in one
+    // task. Here events ts-bucket into 24 h blocks first:
+    //  - adjacent gaps WITHIN each (shard, bucket) — the lag window
+    //    now partitions on both, so sort tasks ∝ shards × buckets
+    //    and each sorts one day, not one history;
+    //  - a per-bucket rank ≤ 20 prune (WindowGroupLimit, like
+    //    seq_gaps' own cut): a shard-global top-20 gap is top-20
+    //    within its bucket, so pruning to 20/bucket loses nothing;
+    //  - BOUNDARY gaps from a (shard, bucket)-keyed first/last
+    //    summary — struct-min/max lexicographic on (ts, id), exactly
+    //    the sort order — stitched by a lag over the bucket sequence:
+    //    consecutive NONEMPTY buckets pair last→first, so empty days
+    //    don't break adjacency. The summary is shards×buckets rows;
+    //    its window is trivially small.
+    // The final shard-global rank then runs over ≤ 21×buckets rows
+    // per shard instead of every gap — the only shard-partitioned
+    // window left is bounded by construction.
+    "seq_gaps_bucketed" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val bucketUs = 24L * 3600000000L
+      val e = withShard(Tables.events(s, dir))
+        .withColumn("bucket", expr(s"ts_us div $bucketUs"))
+      val wb = Window.partitionBy("shard_id", "bucket")
+        .orderBy(col("ts_us"), col("event_id"))
+      val inBucket = e.select(col("shard_id"), col("bucket"),
+          col("event_id"), col("ts_us"),
+          lag("event_id", 1).over(wb).as("prev_id"),
+          (col("ts_us") - lag("ts_us", 1).over(wb)).as("gap_us"))
+        .filter(col("gap_us").isNotNull)
+        .withColumn("brn", row_number().over(
+          Window.partitionBy("shard_id", "bucket")
+            .orderBy(col("gap_us").desc, col("ts_us").asc,
+              col("event_id").asc)))
+        .filter(col("brn") <= 20)
+        .select("shard_id", "event_id", "ts_us", "prev_id", "gap_us")
+      val summary = e.groupBy("shard_id", "bucket").agg(
+        min(struct(col("ts_us"), col("event_id"))).as("first"),
+        max(struct(col("ts_us"), col("event_id"))).as("last"))
+      val ws = Window.partitionBy("shard_id").orderBy("bucket")
+      val boundary = summary.select(col("shard_id"),
+          col("first.ts_us").as("ts_us"),
+          col("first.event_id").as("event_id"),
+          lag("last", 1).over(ws).as("prev"))
+        .filter(col("prev").isNotNull)
+        .select(col("shard_id"), col("event_id"), col("ts_us"),
+          col("prev.event_id").as("prev_id"),
+          (col("ts_us") - col("prev.ts_us")).as("gap_us"))
+      inBucket.unionByName(boundary)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("shard_id")
+            .orderBy(col("gap_us").desc, col("ts_us").asc,
+              col("event_id").asc)))
+        .filter(col("rn") <= 20)
+        .select(col("shard_id"), col("rn"), col("event_id"),
+          col("prev_id"), col("gap_us"))
+        .orderBy("shard_id", "rn")
+    },
+
     // Partition-key health: per-(hour, shard) event counts with an
     // integer-permille share of the hour's traffic — the skew report
     // that decides whether a partition-key scheme needs salting
@@ -293,6 +354,27 @@ object ConsumerQueries {
           expr("n_events * 1000 div hour_total").as("permille"))
         .orderBy("hour_bucket", "shard_id")
     })
+
+  /** Shared by seq_gaps and seq_gaps_bucketed (same contract, two
+    * execution shapes — shard-global sort vs bucketed + stitched). */
+  private val seqGapsSql =
+    """WITH g AS (
+      |  SELECT 'S|' || (user_id % 4) AS shard_id, event_id,
+      |    epoch_us(ts) AS ts_us,
+      |    LAG(event_id) OVER w AS prev_id,
+      |    epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS gap_us
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY 'S|' || (user_id % 4)
+      |    ORDER BY epoch_us(ts), event_id)
+      |), r AS (
+      |  SELECT shard_id, event_id, prev_id, gap_us,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY shard_id
+      |      ORDER BY gap_us DESC, ts_us ASC, event_id ASC) AS INT)
+      |      AS rn
+      |  FROM g WHERE gap_us IS NOT NULL
+      |)
+      |SELECT shard_id, rn, event_id, prev_id, gap_us FROM r
+      |WHERE rn <= 20 ORDER BY shard_id, rn""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q1_agg" ->
@@ -413,24 +495,11 @@ object ConsumerQueries {
         |  CAST(NULL AS INT) AS subSequenceNumber,
         |  to_base64(encode(props)) AS userData
         |FROM events ORDER BY event_id""".stripMargin,
-    "seq_gaps" ->
-      """WITH g AS (
-        |  SELECT 'S|' || (user_id % 4) AS shard_id, event_id,
-        |    epoch_us(ts) AS ts_us,
-        |    LAG(event_id) OVER w AS prev_id,
-        |    epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS gap_us
-        |  FROM events
-        |  WINDOW w AS (PARTITION BY 'S|' || (user_id % 4)
-        |    ORDER BY epoch_us(ts), event_id)
-        |), r AS (
-        |  SELECT shard_id, event_id, prev_id, gap_us,
-        |    CAST(ROW_NUMBER() OVER (PARTITION BY shard_id
-        |      ORDER BY gap_us DESC, ts_us ASC, event_id ASC) AS INT)
-        |      AS rn
-        |  FROM g WHERE gap_us IS NOT NULL
-        |)
-        |SELECT shard_id, rn, event_id, prev_id, gap_us FROM r
-        |WHERE rn <= 20 ORDER BY shard_id, rn""".stripMargin,
+    "seq_gaps" -> seqGapsSql,
+    // IDENTICAL contract to seq_gaps — one oracle pins that the
+    // bucketed decomposition (in-bucket gaps + boundary stitch +
+    // per-bucket prune) loses and invents nothing
+    "seq_gaps_bucketed" -> seqGapsSql,
     "shard_skew_report" ->
       """WITH c AS (
         |  SELECT epoch_us(ts) // 3600000000 AS hour_bucket,

@@ -64,6 +64,23 @@ class PlanPinsSpec extends SparkSpec {
       s"unexpected join in a scan-aggregate query:\n$plan")
   }
 
+  test("seq_gaps_bucketed's event sort partitions on (shard, bucket) — " +
+      "the deep-backfill variant's whole point is sort tasks " +
+      "proportional to shards x buckets, not one per shard") {
+    val df = SparkEntry.queries("seq_gaps_bucketed")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    // the lag/prune windows must carry BOTH keys in their partition
+    // spec; a shard-only windowspec would mean the bucketing silently
+    // collapsed back to the one-task-per-shard ceiling
+    assert("windowspecdefinition\\(shard_id#\\d+, bucket#\\d+".r
+      .findFirstIn(plan).isDefined,
+      s"no (shard_id, bucket)-partitioned window in the plan:\n$plan")
+    // and the per-bucket rank<=20 prune compiles to WindowGroupLimit
+    // like seq_gaps' own cut
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-bucket prune lost its WindowGroupLimit shape:\n$plan")
+  }
+
   test("bpe_merges' per-round pair count keeps map-side partials (each " +
       "merge round's exchange carries vocab-bounded partials, not the " +
       "raw corpus pair stream)") {
