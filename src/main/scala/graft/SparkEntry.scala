@@ -112,7 +112,8 @@ object SparkEntry {
       "ann_recall_trained",
       // round-13 additions
       "ann_topk_ivf_sampled", "winnow_overlap_words", "bpe_merges",
-      "multimodal_dedup_pairs", "seq_gaps_bucketed")
+      "multimodal_dedup_pairs", "seq_gaps_bucketed", "bpe_encode",
+      "hot_keys")
 
   def benchQueries: Seq[(String, (SparkSession, String) => DataFrame)] =
     benchNames.flatMap(n => queries.get(n).map(n -> _))

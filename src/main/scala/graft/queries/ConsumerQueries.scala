@@ -353,6 +353,26 @@ object ConsumerQueries {
         .select(col("hour_bucket"), col("shard_id"), col("n_events"),
           expr("n_events * 1000 div hour_total").as("permille"))
         .orderBy("hour_bucket", "shard_id")
+    },
+
+    // Hot-KEY report — the key-grained sequel to shard_skew_report:
+    // which individual partition keys own ≥ 7.5‰ of all traffic (the
+    // keys a re-salting scheme would split). Runs the two-pass exact
+    // heavy-hitter shape (operators.HeavyHitters): per-partition
+    // Misra-Gries candidate summaries whose exchange is
+    // capacity-bounded at ANY key cardinality, then an exact
+    // broadcast-recount of the ≤ capacity candidates — the oracle's
+    // full GROUP BY/HAVING is exactly what the operator avoids
+    // shuffling at 100 TB, yet the output is identical and exact
+    // (sketch error never reaches the recount). share stays integer
+    // permille like shard_skew_report.
+    "hot_keys" -> { (s, dir) =>
+      graft.operators.HeavyHitters.hotKeys(
+          Tables.events(s, dir), col("user_id"), thresholdPpm = 7500L,
+          capacity = 1024)
+        .select(col("k").as("user_id"), col("n_events"),
+          expr("n_events * 1000 div n_total").as("permille"))
+        .orderBy(col("n_events").desc, col("user_id").asc)
     })
 
   /** Shared by seq_gaps and seq_gaps_bucketed (same contract, two
@@ -510,5 +530,14 @@ object ConsumerQueries {
         |  CAST(n_events * 1000 //
         |    SUM(n_events) OVER (PARTITION BY hour_bucket) AS BIGINT)
         |    AS permille
-        |FROM c ORDER BY hour_bucket, shard_id""".stripMargin)
+        |FROM c ORDER BY hour_bucket, shard_id""".stripMargin,
+
+    "hot_keys" ->
+      """WITH tot AS (SELECT COUNT(*) AS n FROM events)
+        |SELECT user_id, COUNT(*) AS n_events,
+        |  CAST(COUNT(*) * 1000 // t.n AS BIGINT) AS permille
+        |FROM events CROSS JOIN tot t
+        |GROUP BY user_id, t.n
+        |HAVING COUNT(*) * 1000000 >= 7500 * t.n
+        |ORDER BY n_events DESC, user_id ASC""".stripMargin)
 }

@@ -31,6 +31,46 @@ object SimilarityQueries {
     * pool is still thousands of vectors). */
   private val IvfSampleFraction = 0.5
 
+  // ann_topk_pq knobs: M subspaces × K codes (Jégou et al., TPAMI'11
+  // "Product Quantization for Nearest Neighbor Search"). M·log2(K) =
+  // 12 bits per vector here; production is M=8, K=256 (64 bits) — the
+  // shapes below are M/K-generic, only the literals change.
+  private val PqM = 4
+  private val PqSub = Dim / PqM
+  private val PqK = 8
+
+  /** Process-wide PQ codebook memo (same train-once/serve-many
+    * rationale as [[centroidMemo]]): M spherical-k-means runs, one
+    * per subspace slice, each bit-deterministic — so the M·K·(d/M)
+    * floats here are a versioned artifact any query batch reuses.
+    * Export for the oracle happens once, inside the fill. */
+  private val pqMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int, Int, Int, Int), Array[Array[Array[Float]]]]()
+
+  private[graft] def pqCodebookPath(dir: String): String =
+    s"/tmp/graft_pq_codebooks_${new java.io.File(dir).getName}.parquet"
+
+  private def pqCodebooks(s: org.apache.spark.sql.SparkSession,
+      dir: String): Array[Array[Array[Float]]] =
+    pqMemo.computeIfAbsent((dir, PqM, PqK, IvfIters, IvfInitRounds), _ => {
+      val e = Tables.embeddings(s, dir)
+      val books = (0 until PqM).map { m =>
+        Similarity.trainCentroids(
+          e.select(expr(
+            s"slice(embedding, ${m * PqSub + 1}, $PqSub)").as("sub")),
+          col("sub"), k = PqK, iters = IvfIters,
+          initRounds = IvfInitRounds)
+      }.toArray
+      import s.implicits._
+      books.zipWithIndex.flatMap { case (cb, m) =>
+        cb.zipWithIndex.map { case (c, code) =>
+          (m, code, c.toSeq.map(_.toDouble))
+        }
+      }.toSeq.toDF("m", "code", "cvec")
+        .coalesce(1).write.mode("overwrite").parquet(pqCodebookPath(dir))
+      books
+    })
+
   /** Process-wide trained-quantizer memo, keyed by every knob that
     * feeds training. Training is bit-deterministic (quantized-long
     * sums end to end), so all queries sharing a key train the SAME

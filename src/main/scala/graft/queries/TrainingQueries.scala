@@ -94,6 +94,52 @@ object TrainingQueries {
           " i -> concat(syms[i - 1], ' ', syms[i]))")).as("pair"))
       .groupBy("pair").agg(count(lit(1)).as("n"))
 
+  /** Process-wide learned-merge memo, keyed by (dir, rounds). The
+    * merge loop is deterministic (exact integer counts, total-order
+    * tie-break), so every query sharing a key learns the SAME merge
+    * table; a tokenizer build is train-once / apply-many, and the
+    * memo holds `rounds` (pair, count) entries — driver-sized by
+    * construction. bpe_merges reports this table; bpe_encode applies
+    * it to the corpus. */
+  private val bpeMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int), Seq[(Int, String, Long)]]()
+
+  /** Runs the BPE merge loop: per round, ONE corpus-scan pair count
+    * (vocab-bounded exchange — pinned in PlanPinsSpec), a 1-row
+    * driver probe of that tiny aggregate to pick the (count desc,
+    * pair asc) best, and a compiled greedy merge pass
+    * (functions.Bpe.mergePair) feeding the next round. Each round's
+    * merged corpus is cached so round r+1's count reads it instead of
+    * replaying r merge passes; the previous round unpersists once its
+    * successor is materialized. The final round's pair is only
+    * reported, never applied (appliers replay the full table
+    * themselves — see bpe_encode). */
+  private[graft] def bpeLearnedMerges(s: org.apache.spark.sql.SparkSession,
+      dir: String, nRounds: Int): Seq[(Int, String, Long)] =
+    bpeMemo.computeIfAbsent((dir, nRounds), _ => {
+      var cur = bpeInitialWords(s, dir).cache()
+      var prev: Option[org.apache.spark.sql.DataFrame] = None
+      val merges = Seq.newBuilder[(Int, String, Long)]
+      for (r <- 1 to nRounds) {
+        val best = bpePairCounts(cur)
+          .orderBy(col("n").desc, col("pair").asc).limit(1).head
+        // cur is materialized by the count job above, so its
+        // predecessor's cache can go
+        prev.foreach(_.unpersist())
+        val (pair, n) = (best.getString(0), best.getLong(1))
+        merges += ((r, pair, n))
+        if (r < nRounds) {
+          val Array(a, b) = pair.split(" ", 2)
+          val merge = udf((syms: Seq[String]) =>
+            graft.functions.Bpe.mergePair(syms, a, b))
+          prev = Some(cur)
+          cur = cur.select(merge(col("syms")).as("syms")).cache()
+        }
+      }
+      cur.unpersist()
+      merges.result()
+    })
+
   private val allDocsCte =
     s"""all_docs AS (
        |  SELECT doc_id, text FROM documents
@@ -1026,28 +1072,50 @@ object TrainingQueries {
     // non-overlap, exactly functions.Bpe.mergePair's semantics.
     "bpe_merges" -> { (s, dir) =>
       import s.implicits._
-      val NRounds = 5
-      var cur = bpeInitialWords(s, dir).cache()
-      var prev: Option[org.apache.spark.sql.DataFrame] = None
-      val merges = Seq.newBuilder[(Int, String, Long)]
-      for (r <- 1 to NRounds) {
-        val best = bpePairCounts(cur)
-          .orderBy(col("n").desc, col("pair").asc).limit(1).head
-        // cur is materialized by the count job above, so its
-        // predecessor's cache can go
-        prev.foreach(_.unpersist())
-        val (pair, n) = (best.getString(0), best.getLong(1))
-        merges += ((r, pair, n))
-        if (r < NRounds) {
-          val Array(a, b) = pair.split(" ", 2)
-          val merge = udf((syms: Seq[String]) =>
-            graft.functions.Bpe.mergePair(syms, a, b))
-          prev = Some(cur)
-          cur = cur.select(merge(col("syms")).as("syms")).cache()
+      bpeLearnedMerges(s, dir, nRounds = 5)
+        .toDF("round", "pair", "n").orderBy("round")
+    },
+
+    // ENCODE with the trained tokenizer — the other half of a BPE
+    // build: apply the learned merge table to the corpus and report,
+    // per document, how many words / characters went in and how many
+    // symbols came out (the compression a tokenizer buys is THE
+    // acceptance metric for a merge table). Training is shared with
+    // bpe_merges via the process-wide memo (train-once/apply-many —
+    // the production shape); application is a single compiled kernel
+    // pass folding all five merges IN LEARNED ORDER over each word
+    // (greedy leftmost per merge, exactly the training-loop
+    // semantics), then one doc-keyed aggregate. Scale shape: encode
+    // is one narrow map over the corpus plus one partial-agg shuffle
+    // on doc_id — no joins, nothing vocab-sized shipped anywhere.
+    // The DuckDB oracle re-learns the same five merges as chained CTE
+    // layers (same tie-break, same double-space replace trick as the
+    // bpe_merges oracle) with doc_id threaded through every layer,
+    // then aggregates w5 identically.
+    "bpe_encode" -> { (s, dir) =>
+      val merges = bpeLearnedMerges(s, dir, nRounds = 5)
+        .map { case (_, pair, _) =>
+          val Array(a, b) = pair.split(" ", 2); (a, b)
         }
-      }
-      cur.unpersist()
-      merges.result().toDF("round", "pair", "n").orderBy("round")
+      val applyAll = udf((syms: Seq[String]) =>
+        merges.foldLeft(syms) { case (cur, (a, b)) =>
+          graft.functions.Bpe.mergePair(cur, a, b)
+        })
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(TextAnalysis.tokens(lower(col("text")))).as("w"))
+        .filter(length(col("w")) >= 2)
+        .select(col("doc_id"), applyAll(expr(
+          "transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
+          .as("syms"))
+        .groupBy("doc_id").agg(
+          count(lit(1)).as("n_words"),
+          sum(expr("length(concat_ws('', syms))").cast("long"))
+            .as("n_chars"),
+          sum(size(col("syms")).cast("long")).as("n_syms"))
+        .withColumn("compression",
+          col("n_syms").cast("double") / col("n_chars"))
+        .orderBy("doc_id")
     },
 
     // Vocabulary frequency-of-frequencies (the Zipf/Good-Turing
@@ -1501,6 +1569,50 @@ object TrainingQueries {
        |${(1 to 5).map(r => s"SELECT $r AS round, pair, n FROM b$r")
           .mkString(" UNION ALL ")}
        |ORDER BY round""".stripMargin
+  }
+
+  /** bpe_encode's oracle: the same five chained learn-layers as
+    * [[bpeMergesSql]] (identical counts, tie-break and double-space
+    * replace application) with doc_id threaded through every word
+    * layer, PLUS the application of round 5's pair (the learn loop
+    * only reports it), then one doc-keyed aggregate over the encoded
+    * corpus. Stripping all spaces from a layer's rendering recovers
+    * the original word, so n_chars needs no join back to w0. */
+  private val bpeEncodeSql: String = {
+    def countsOf(w: String) =
+      s"""(SELECT pair, COUNT(*) AS n FROM (
+         |  SELECT unnest(list_transform(range(1, len(syms)),
+         |    i -> syms[i] || ' ' || syms[i+1])) AS pair
+         |  FROM (SELECT string_split(trim(s), '  ') AS syms FROM $w)
+         |) GROUP BY pair)""".stripMargin
+    val rounds = (1 to 5).map { r =>
+      s""",
+         |c$r AS ${countsOf(s"w${r - 1}")},
+         |b$r AS (SELECT pair, n FROM c$r ORDER BY n DESC, pair ASC
+         |  LIMIT 1),
+         |w$r AS (
+         |  SELECT doc_id, replace(s,
+         |    ' ' || split_part(b.pair, ' ', 1) || '  ' ||
+         |      split_part(b.pair, ' ', 2) || ' ',
+         |    ' ' || replace(b.pair, ' ', '') || ' ') AS s
+         |  FROM w${r - 1} CROSS JOIN b$r b
+         |)""".stripMargin
+    }.mkString
+    s"""WITH w0 AS (
+       |  SELECT doc_id,
+       |    ' ' || array_to_string(string_split(w, ''), '  ') || ' ' AS s
+       |  FROM (SELECT doc_id, unnest($toksExpr) AS w FROM documents)
+       |  WHERE length(w) >= 2
+       |)$rounds
+       |SELECT doc_id,
+       |  COUNT(*) AS n_words,
+       |  CAST(SUM(length(replace(trim(s), ' ', ''))) AS BIGINT)
+       |    AS n_chars,
+       |  CAST(SUM(len(string_split(trim(s), '  '))) AS BIGINT)
+       |    AS n_syms,
+       |  CAST(SUM(len(string_split(trim(s), '  '))) AS DOUBLE) /
+       |    SUM(length(replace(trim(s), ' ', ''))) AS compression
+       |FROM w5 GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   val oracle: Map[String, String] = Map(
@@ -2114,6 +2226,7 @@ object TrainingQueries {
         |SELECT pair, COUNT(*) AS n FROM pairs
         |GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 50""".stripMargin,
     "bpe_merges" -> bpeMergesSql,
+    "bpe_encode" -> bpeEncodeSql,
     "vocab_fof" ->
       s"""WITH tok AS (
         |  SELECT unnest($toksExpr) AS token FROM documents

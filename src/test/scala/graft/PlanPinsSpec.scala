@@ -97,6 +97,19 @@ class PlanPinsSpec extends SparkSpec {
       s"unexpected join in a scan-aggregate round:\n$plan")
   }
 
+  test("bpe_encode's per-doc aggregate keeps map-side partials (the " +
+      "shuffle carries one partial row per doc, not the encoded word " +
+      "stream) and the encode pass joins nothing") {
+    val df = SparkEntry.queries("bpe_encode")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_count"),
+      s"no partial aggregation before the doc-keyed exchange:\n$plan")
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("BroadcastHashJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"encode is a map + aggregate; unexpected join:\n$plan")
+  }
+
   test("dedup_source_matrix's source lookups are hash equi-joins on the " +
       "unshifted id (a nested-loop fallback would be pairs x corpus)") {
     val df = SparkEntry.queries("dedup_source_matrix")(spark, sf0001)
