@@ -428,6 +428,156 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     },
 
+    // PRODUCT quantization top-k (Jégou et al., TPAMI'11): M=4
+    // spherical-k-means codebooks, one per 16-dim subspace slice
+    // (train-once/serve-many via the pq memo), each vector encoded to
+    // M small codes (12 bits here; M=8/K=256 = 64 bits in production
+    // — a 256× at-rest shrink vs float32 that IVF's int8 path can't
+    // reach). Scoring reconstructs from the codes (element_at over
+    // codebook literals — codebooks are M·K·(d/M) floats, always
+    // broadcast-sized) and runs the exact cosine kernel against the
+    // reconstruction; a production server replaces this with
+    // per-query LUTs of the same M partials, but the PLAN is
+    // identical either way: one narrow encode pass, a broadcast query
+    // join, native bounded-heap top-k — nothing pairwise, nothing
+    // vocab-sized shuffled. The oracle re-derives assignment
+    // (same argmax + smaller-code tie-break as the IVF oracles),
+    // reconstruction (list concat of the exported codebook rows) and
+    // scoring (64-term left-assoc chains) from the exported-double
+    // codebooks — hash-matching scores, not just ranks.
+    "ann_topk_pq" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      val books = pqCodebooks(s, dir)
+      val codeCols = (0 until PqM).map { m =>
+        Similarity.assignCells(expr(
+          s"slice(embedding, ${m * PqSub + 1}, $PqSub)"), books(m))
+          .as(s"code$m")
+      }
+      val coded = e.select(col("vec_id") +: codeCols: _*)
+      val bookLits = books.map(cb =>
+        typedLit(cb.toSeq.map(_.toSeq.map(_.toDouble))))
+      val recon = concat((0 until PqM).map(m =>
+        element_at(bookLits(m), col(s"code$m") + 1)): _*)
+      val qs = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"),
+          expr("transform(embedding, x -> cast(x as double))").as("qvec"))
+        .withColumn("_qn", sqrt(graft.functions.DoubleVecDot(
+          col("qvec"), col("qvec"))))
+      val scored = coded.withColumn("rvec", recon)
+        .withColumn("_rn", sqrt(graft.functions.DoubleVecDot(
+          col("rvec"), col("rvec"))))
+        .crossJoin(broadcast(qs))
+        .withColumn("score", graft.functions.DoubleVecDot(
+          col("rvec"), col("qvec")) / (col("_rn") * col("_qn")))
+        .select("query_id", "vec_id", "score")
+      graft.operators.TopK.perGroupNative(scored, "query_id", "vec_id",
+          "score", k = 10)
+        .orderBy("query_id", "rank")
+    },
+
+    // PQ recall@10 vs the exact float top-10 — the diagnostic that
+    // prices the 256×-at-rest compression: how much of the true
+    // neighborhood the 12-bit codes preserve. Brute side is the
+    // ann_topk_brute contract (the point: an exact baseline); the PQ
+    // side re-runs the code path above; the report join is
+    // top-k-sized. Integer hits + permille keep the oracle exact.
+    "ann_recall_pq" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      val books = pqCodebooks(s, dir)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val bruteScored = Similarity.scoredPairs(e, col("vec_id"),
+          col("embedding"), q, col("query_id"), col("qvec"))
+        .select("query_id", "vec_id", "cosine")
+      val brute = graft.operators.TopK.perGroup(bruteScored, "query_id",
+          "vec_id", "cosine", k = 10)
+        .select("query_id", "vec_id")
+      val codeCols = (0 until PqM).map { m =>
+        Similarity.assignCells(expr(
+          s"slice(embedding, ${m * PqSub + 1}, $PqSub)"), books(m))
+          .as(s"code$m")
+      }
+      val coded = e.select(col("vec_id") +: codeCols: _*)
+      val bookLits = books.map(cb =>
+        typedLit(cb.toSeq.map(_.toSeq.map(_.toDouble))))
+      val recon = concat((0 until PqM).map(m =>
+        element_at(bookLits(m), col(s"code$m") + 1)): _*)
+      val qd = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"),
+          expr("transform(embedding, x -> cast(x as double))").as("qvec"))
+        .withColumn("_qn", sqrt(graft.functions.DoubleVecDot(
+          col("qvec"), col("qvec"))))
+      val pqScored = coded.withColumn("rvec", recon)
+        .withColumn("_rn", sqrt(graft.functions.DoubleVecDot(
+          col("rvec"), col("rvec"))))
+        .crossJoin(broadcast(qd))
+        .withColumn("score", graft.functions.DoubleVecDot(
+          col("rvec"), col("qvec")) / (col("_rn") * col("_qn")))
+        .select("query_id", "vec_id", "score")
+      val pq = graft.operators.TopK.perGroupNative(pqScored, "query_id",
+          "vec_id", "score", k = 10)
+        .select("query_id", "vec_id").withColumn("hit", lit(1L))
+      brute.join(pq, Seq("query_id", "vec_id"), "left")
+        .groupBy("query_id")
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .select(col("query_id"), col("n_hits"),
+          expr("n_hits * 1000 div 10").as("recall_permille"))
+        .orderBy("query_id")
+    },
+
+    // PQ + RE-RANK — how product quantization is actually deployed
+    // (the ann_recall_pq numbers are the motivation: 12-bit codes
+    // alone hold ~10-40% recall@10): the code-domain scan produces a
+    // SHORTLIST (top-100 by reconstruction cosine — the cheap pass
+    // that at 100 TB runs over in-memory codes, 256× smaller than the
+    // floats), then ONLY the shortlist's original vectors are fetched
+    // and exactly re-scored for the final top-10. The expensive exact
+    // kernel touches R=100 rows per query instead of the corpus; R is
+    // the recall/IO knob. Join shape: the per-query shortlist is
+    // top-R-sized, so the fetch is a broadcast equi-join on vec_id —
+    // never a second corpus scan.
+    "ann_topk_pq_rerank" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      val books = pqCodebooks(s, dir)
+      val codeCols = (0 until PqM).map { m =>
+        Similarity.assignCells(expr(
+          s"slice(embedding, ${m * PqSub + 1}, $PqSub)"), books(m))
+          .as(s"code$m")
+      }
+      val coded = e.select(col("vec_id") +: codeCols: _*)
+      val bookLits = books.map(cb =>
+        typedLit(cb.toSeq.map(_.toSeq.map(_.toDouble))))
+      val recon = concat((0 until PqM).map(m =>
+        element_at(bookLits(m), col(s"code$m") + 1)): _*)
+      val qd = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"),
+          expr("transform(embedding, x -> cast(x as double))").as("qvec"))
+        .withColumn("_qn", sqrt(graft.functions.DoubleVecDot(
+          col("qvec"), col("qvec"))))
+      val adcScored = coded.withColumn("rvec", recon)
+        .withColumn("_rn", sqrt(graft.functions.DoubleVecDot(
+          col("rvec"), col("rvec"))))
+        .crossJoin(broadcast(qd))
+        .withColumn("score", graft.functions.DoubleVecDot(
+          col("rvec"), col("qvec")) / (col("_rn") * col("_qn")))
+        .select("query_id", "vec_id", "score")
+      val shortlist = graft.operators.TopK.perGroupNative(adcScored,
+          "query_id", "vec_id", "score", k = 100)
+        .select("query_id", "vec_id")
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+        .withColumn("_qn2", Similarity.norm(col("qvec")))
+      val exact = e.withColumn("_vn", Similarity.norm(col("embedding")))
+        .join(broadcast(shortlist), "vec_id")
+        .join(broadcast(q), "query_id")
+        .withColumn("cosine", Similarity.dot(col("embedding"), col("qvec"))
+          / (col("_vn") * col("_qn2")))
+        .select("query_id", "vec_id", "cosine")
+      graft.operators.TopK.perGroupNative(exact, "query_id", "vec_id",
+          "cosine", k = 10)
+        .orderBy("query_id", "rank")
+    },
+
     // The STORAGE tier of the embedding pipeline: per-vector int8
     // scalar quantization (float32 corpus → ~4× smaller at rest; see
     // Similarity.quantizeInt8). floor-based bucketing in double makes
@@ -612,6 +762,113 @@ object SimilarityQueries {
       |  ON b.query_id = i.query_id AND b.vec_id = i.vec_id
       |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin
 
+  /** Sub-dot of `v`'s m-th PQ slice against the codebook row alias
+    * `c` — same left-assoc chain + /centroid-norm score and
+    * smaller-code tie-break as [[centScoreSql]], per subspace. */
+  private def pqScoreSql(v: String, m: Int): String = {
+    val dot = (1 to PqSub).map(i =>
+      s"CAST($v[${m * PqSub + i}] AS DOUBLE) * CAST(c.cvec[$i] AS DOUBLE)")
+      .mkString(" + ")
+    val nrm = (1 to PqSub).map(i =>
+      s"CAST(c.cvec[$i] AS DOUBLE) * CAST(c.cvec[$i] AS DOUBLE)")
+      .mkString(" + ")
+    s"($dot) / sqrt($nrm)"
+  }
+
+  /** Shared CTE chain for the PQ oracles: codebooks → per-subspace
+    * assignment (argmax + smaller-code ties, like the IVF assign) →
+    * reconstruction by list concat → exact-cosine scoring of the
+    * reconstruction (the engine's DoubleVecDot chains) → rank. */
+  private def pqRankCtes: String = {
+    val assigns = (0 until PqM).map { m =>
+      s""",
+         |a$m AS (
+         |  SELECT vec_id, code AS code$m FROM (
+         |    SELECT e.vec_id, c.code,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${pqScoreSql("e.embedding", m)} DESC, c.code)
+         |        AS rn
+         |    FROM embeddings e
+         |      CROSS JOIN (SELECT * FROM cb WHERE m = $m) c)
+         |  WHERE rn = 1
+         |)""".stripMargin
+    }.mkString
+    val reconJoins = (0 until PqM).map(m =>
+      s"    JOIN cb cb$m ON cb$m.m = $m AND cb$m.code = a$m.code$m")
+      .mkString("\n")
+    val rdot = (1 to Dim).map(i =>
+      s"r.rvec[$i] * CAST(q.qvec[$i] AS DOUBLE)").mkString(" + ")
+    val rnrm = (1 to Dim).map(i => s"r.rvec[$i] * r.rvec[$i]")
+      .mkString(" + ")
+    val qnrm = (1 to Dim).map(i =>
+      s"CAST(q.qvec[$i] AS DOUBLE) * CAST(q.qvec[$i] AS DOUBLE)")
+      .mkString(" + ")
+    s"""cb AS (
+       |  SELECT m, code, cvec FROM read_parquet(
+       |    '${pqCodebookPath("sf0.01")}/*.parquet')
+       |)$assigns,
+       |recon AS (
+       |  SELECT a0.vec_id,
+       |    ${(0 until PqM).map(m => s"cb$m.cvec").mkString(" || ")} AS rvec
+       |  FROM a0 ${(1 until PqM).map(m => s"JOIN a$m USING (vec_id)")
+          .mkString(" ")}
+       |$reconJoins
+       |), q AS (
+       |  SELECT vec_id AS query_id, embedding AS qvec
+       |  FROM embeddings WHERE vec_id < 5
+       |), pp AS (
+       |  SELECT q.query_id, r.vec_id,
+       |    ($rdot) / (sqrt($rnrm) * sqrt($qnrm)) AS score
+       |  FROM recon r CROSS JOIN q
+       |), rk AS (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY score DESC, vec_id) AS INT) AS rank
+       |  FROM pp
+       |)""".stripMargin
+  }
+
+  private val pqTopkSql =
+    s"""WITH $pqRankCtes
+       |SELECT query_id, vec_id, rank, score FROM rk
+       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  private val pqRecallSql =
+    s"""WITH $pqRankCtes, pq AS (
+       |  SELECT query_id, vec_id FROM rk WHERE rank <= 10
+       |), pb AS (
+       |  SELECT q.query_id, e.vec_id,
+       |    ${cosSql("e.embedding", "q.qvec")} AS cosine
+       |  FROM embeddings e, q
+       |), rb AS (
+       |  SELECT *, ROW_NUMBER() OVER
+       |    (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+       |  FROM pb
+       |), b AS (
+       |  SELECT query_id, vec_id FROM rb WHERE rank <= 10
+       |)
+       |SELECT b.query_id,
+       |  CAST(COUNT(pq.vec_id) AS BIGINT) AS n_hits,
+       |  CAST(COUNT(pq.vec_id) * 1000 // 10 AS BIGINT) AS recall_permille
+       |FROM b LEFT JOIN pq
+       |  ON b.query_id = pq.query_id AND b.vec_id = pq.vec_id
+       |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin
+
+  private val pqRerankSql =
+    s"""WITH $pqRankCtes, sl AS (
+       |  SELECT query_id, vec_id FROM rk WHERE rank <= 100
+       |), px AS (
+       |  SELECT sl.query_id, e.vec_id,
+       |    ${cosSql("e.embedding", "q.qvec")} AS cosine
+       |  FROM sl JOIN embeddings e ON e.vec_id = sl.vec_id
+       |    JOIN q ON q.query_id = sl.query_id
+       |), rx AS (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, vec_id) AS INT) AS rank
+       |  FROM px
+       |)
+       |SELECT query_id, vec_id, rank, cosine FROM rx
+       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
   private val recallTrainedSql =
     s"""WITH cents AS (
       |  SELECT cell, cvec FROM read_parquet(
@@ -668,6 +925,9 @@ object SimilarityQueries {
   val oracle: Map[String, String] = Map(
     "ann_recall_report" -> recallReportSql,
     "ann_recall_trained" -> recallTrainedSql,
+    "ann_topk_pq" -> pqTopkSql,
+    "ann_recall_pq" -> pqRecallSql,
+    "ann_topk_pq_rerank" -> pqRerankSql,
     "ann_topk_brute" -> bruteTopKSql,
     "ann_topk_native" -> bruteTopKSql,
     "ann_topk_ivf" -> labelIvfSql,
