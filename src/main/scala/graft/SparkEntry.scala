@@ -113,7 +113,8 @@ object SparkEntry {
       // round-13 additions
       "ann_topk_ivf_sampled", "winnow_overlap_words", "bpe_merges",
       "multimodal_dedup_pairs", "seq_gaps_bucketed", "bpe_encode",
-      "hot_keys", "ann_topk_pq", "ann_recall_pq", "ann_topk_pq_rerank")
+      "hot_keys", "ann_topk_pq", "ann_recall_pq", "ann_topk_pq_rerank",
+      "dedup_modality_agreement")
 
   def benchQueries: Seq[(String, (SparkSession, String) => DataFrame)] =
     benchNames.flatMap(n => queries.get(n).map(n -> _))

@@ -145,7 +145,7 @@ object SimilarityQueries {
       s"CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE)")
       .mkString(" + ")
 
-  private def cosSql(a: String, b: String): String =
+  private[graft] def cosSql(a: String, b: String): String =
     s"(${dotSql(a, b)}) / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
 
   val all: Map[String, Q] = Map(

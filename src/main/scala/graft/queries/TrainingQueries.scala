@@ -244,6 +244,38 @@ object TrainingQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // MODALITY-AGREEMENT dedup report — the cross-check a pipeline
+    // runs before trusting either near-dup signal alone: text SimHash
+    // pairs (surface overlap) full-outer-joined against
+    // embedding-cosine pairs (semantic overlap) on the SAME id space,
+    // each pair tagged by which modality found it. text-only rows are
+    // template/boilerplate twins whose embeddings diverged;
+    // embedding-only rows are paraphrase-like semantic dups invisible
+    // to fingerprints — the two slices route to DIFFERENT policies
+    // (trim vs sample-cap), which is why the report exists. Both pair
+    // generators are the proven bucketed shapes (4×16-bit band join;
+    // label buckets + exact chord-bound grid refinement), and the
+    // agreement join itself keys on (id_a, id_b) — pairs-sized inputs,
+    // so every stage is ∝ duplicates, never corpus².
+    "dedup_modality_agreement" -> { (s, dir) =>
+      val textPairs = Dedup.simhashPairs(withCopies(s, dir),
+          col("doc_id"), col("text"), maxHamming = 3)
+        .select("id_a", "id_b").withColumn("in_text", lit(1L))
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"), col("label"))
+      val allVecs = e.unionByName(
+        e.select((col("vec_id") + CopyShift).as("vec_id"),
+          col("embedding"), col("label")))
+      val embPairs = graft.operators.Similarity.cosineDupPairs(allVecs,
+          col("vec_id"), col("embedding"), "label", threshold = 0.99)
+        .select("id_a", "id_b").withColumn("in_embedding", lit(1L))
+      textPairs.join(embPairs, Seq("id_a", "id_b"), "full_outer")
+        .select(col("id_a"), col("id_b"),
+          coalesce(col("in_text"), lit(0L)).as("in_text"),
+          coalesce(col("in_embedding"), lit(0L)).as("in_embedding"))
+        .orderBy("id_a", "id_b")
+    },
+
     // Dedup cluster resolution: connected components over the SimHash
     // near-dup pairs — (a,b),(b,c) collapse to one survivor via the
     // transitive closure (min-label propagation; rounds = component
@@ -1768,6 +1800,47 @@ object TrainingQueries {
         |  ON a.band = c.band AND a.band_val = c.band_val
         |  AND a.doc_id < c.doc_id
         |WHERE bit_count(xor(a.simhash, c.simhash)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_modality_agreement" ->
+      s"""WITH $allDocsCte,
+        |t AS (SELECT doc_id, $toksExpr AS toks FROM all_docs),
+        |v AS (SELECT doc_id, $simhashValsExpr AS vals FROM t),
+        |bb AS (SELECT doc_id, $simhashBitsExpr AS bits FROM v),
+        |s AS (
+        |  SELECT doc_id, $simhashSigExpr AS simhash,
+        |    ${simhashBandExpr(0)} AS b0, ${simhashBandExpr(1)} AS b1,
+        |    ${simhashBandExpr(2)} AS b2, ${simhashBandExpr(3)} AS b3
+        |  FROM bb
+        |), bands AS (
+        |  SELECT doc_id, simhash, 0 AS band, b0 AS band_val FROM s
+        |  UNION ALL SELECT doc_id, simhash, 1, b1 FROM s
+        |  UNION ALL SELECT doc_id, simhash, 2, b2 FROM s
+        |  UNION ALL SELECT doc_id, simhash, 3, b3 FROM s
+        |), tp AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+        |  FROM bands a JOIN bands c
+        |    ON a.band = c.band AND a.band_val = c.band_val
+        |    AND a.doc_id < c.doc_id
+        |  WHERE bit_count(xor(a.simhash, c.simhash)) <= 3
+        |), all_vecs AS (
+        |  SELECT vec_id, embedding, label FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + $CopyShift, embedding, label FROM embeddings
+        |), ep AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM all_vecs a JOIN all_vecs b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id
+        |  WHERE ${SimilarityQueries.cosSql("a.embedding", "b.embedding")}
+        |    >= 0.99
+        |)
+        |SELECT COALESCE(tp.id_a, ep.id_a) AS id_a,
+        |  COALESCE(tp.id_b, ep.id_b) AS id_b,
+        |  CAST(CASE WHEN tp.id_a IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+        |    AS in_text,
+        |  CAST(CASE WHEN ep.id_a IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+        |    AS in_embedding
+        |FROM tp FULL OUTER JOIN ep
+        |  ON tp.id_a = ep.id_a AND tp.id_b = ep.id_b
         |ORDER BY id_a, id_b""".stripMargin,
     "dedup_components" ->
       s"""$componentsReachCte
