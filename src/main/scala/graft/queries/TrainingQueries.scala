@@ -342,6 +342,32 @@ object TrainingQueries {
         .limit(20)
     },
 
+    // VOCAB COVERAGE — the vocab-size decision metric a tokenizer
+    // build reads next to vocab_fof: fix the candidate vocab to the
+    // frequency top-V (V=10 here; deterministic (count desc, token
+    // asc) cut like vocab_topk) and report, per document, how many
+    // token occurrences fall OUTSIDE it (the OOV mass that would
+    // fragment into bytes/unk). Shape: the vocab is a V-row aggregate
+    // broadcast back over the token stream (left join against the
+    // tiny side — never a corpus-sized shuffle), then one doc-keyed
+    // partial agg. Integer permille keeps the oracle exact.
+    "vocab_coverage" -> { (s, dir) =>
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(TextAnalysis.tokens(lower(col("text")))).as("token"))
+      val vocab = toks.groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token").asc).limit(10)
+        .select(col("token"), lit(1L).as("in_vocab"))
+      toks.join(broadcast(vocab), Seq("token"), "left")
+        .groupBy("doc_id").agg(
+          count(lit(1)).as("n_tokens"),
+          sum(when(col("in_vocab").isNull, 1L).otherwise(0L))
+            .as("n_oov"))
+        .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+          expr("n_oov * 1000 div n_tokens").as("oov_permille"))
+        .orderBy("doc_id")
+    },
+
     // Per-document keyword extraction: top-3 terms by a tf-idf-style
     // weight. Two-pass shape — (doc, token) term frequencies with
     // map-side partials, then the document-frequency aggregate reads
@@ -1869,6 +1895,22 @@ object TrainingQueries {
       s"""SELECT token, COUNT(*) AS n
         |FROM (SELECT unnest($toksExpr) AS token FROM documents)
         |GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin,
+    "vocab_coverage" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, unnest($toksExpr) AS token FROM documents
+        |), vocab AS (
+        |  SELECT token FROM (
+        |    SELECT token, COUNT(*) AS n FROM toks GROUP BY token
+        |    ORDER BY n DESC, token ASC LIMIT 10)
+        |)
+        |SELECT t.doc_id,
+        |  COUNT(*) AS n_tokens,
+        |  CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_oov,
+        |  CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) * 1000
+        |    // COUNT(*) AS BIGINT) AS oov_permille
+        |FROM toks t LEFT JOIN vocab v ON v.token = t.token
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
     "tfidf_topk" ->
       s"""WITH tok AS (
         |  SELECT doc_id, unnest($toksExpr) AS token FROM documents
