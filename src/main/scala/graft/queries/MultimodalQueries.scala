@@ -112,13 +112,32 @@ object MultimodalQueries {
     // bytes, the oracle proves the bytes' math.
     "multimodal_dedup_pairs" -> { (s, dir) =>
       import s.implicits._
-      val d = Tables.documents(s, dir).select(col("doc_id"))
-      val all = d.unionByName(
-        d.filter(pmod(col("doc_id"), lit(5)) >= lit(3))
-          .select((col("doc_id") + CopyShift).as("doc_id")))
+      // The pixel seed must be invariant under THIS query's re-crawl
+      // shift (+CopyShift, so each re-crawled image reproduces its
+      // original bit-for-bit) but must VARY across ScaleUp copies
+      // (+k·Shift) — a round-13 sf1 run with base-only seeding made
+      // all 10 ScaleUp copies byte-identical and the pair count grew
+      // 162× at 10× docs (quadratic cross-copy cliques, the exact
+      // artifact ScaleUp's token-suffixing avoids for text). Mixing
+      // the copy index into the seed keeps within-copy structure
+      // isomorphic to the source (planted re-crawl dups included:
+      // CopyShift < Shift, same copy index) while decorrelating
+      // cross-copy pixels. At the oracle's sf0.01 the copy index is
+      // always 0, so the closed-form SQL is untouched.
+      require(graft.tools.ScaleUp.Shift % CopyShift == 0,
+        "image seed recovery assumes ScaleUp.Shift is a multiple of " +
+          "CopyShift")
+      val all = {
+        val d = Tables.documents(s, dir).select(col("doc_id"))
+        d.unionByName(
+          d.filter(pmod(col("doc_id"), lit(5)) >= lit(3))
+            .select((col("doc_id") + CopyShift).as("doc_id")))
+      }
       val hashed = all.as[Long].map { id =>
-        val seed = (id % CopyShift).toInt
-        val img = Multimodal.makeBmpSeeded(seed % 16 + 9, seed % 8 + 8,
+        val base = (id % CopyShift).toInt
+        val copy = (id / graft.tools.ScaleUp.Shift).toInt
+        val seed = base + copy * 999983
+        val img = Multimodal.makeBmpSeeded(base % 16 + 9, base % 8 + 8,
           seed)
         (id, Multimodal.dhashBmp(img).getOrElse(
           sys.error(s"fixture for doc $id is not a 24bpp BMP")))
