@@ -610,6 +610,85 @@ object SimilarityQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // APPEND-ONLY serving with a FROZEN quantizer — the daily-ingest
+    // shape of a 100 TB ANN deployment: new vectors arrive (corpus +
+    // an id-shifted, orthogonally-reusable copy stands in for the
+    // append batch), get assigned by the centroids trained on the
+    // ORIGINAL corpus (memoized — no retrain on ingest, which is the
+    // entire operational point of a versioned quantizer artifact),
+    // and the same multi-probe top-k runs over old + new together.
+    // Every stage is the proven trained-IVF shape; only the corpus
+    // CTE changes — and the oracle proves the frozen-centroid
+    // assignment of never-trained-on vectors, not just the training
+    // fixed point.
+    "ann_topk_ivf_append" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"))
+      val all = e.unionByName(
+        e.select((col("vec_id") + CopyShift).as("vec_id"),
+          col("embedding")))
+      val cents = trainedCentroids(s, dir)
+      val assigned = all
+        .withColumn("cell", Similarity.assignCells(col("embedding"), cents))
+        .withColumn("_vn", Similarity.norm(col("embedding")))
+      val probed = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+        .withColumn("cell",
+          explode(Similarity.probeCells(col("qvec"), cents, IvfNprobe)))
+        .withColumn("_qn", Similarity.norm(col("qvec")))
+      val scored = assigned.join(broadcast(probed), "cell")
+        .withColumn("cosine", Similarity.dot(col("embedding"), col("qvec"))
+          / (col("_vn") * col("_qn")))
+        .select("query_id", "vec_id", "cosine")
+      graft.operators.TopK.perGroupNative(scored, "query_id", "vec_id",
+          "cosine", k = 10)
+        .orderBy("query_id", "rank")
+    },
+
+    // PQ-code BLOCKING for embedding dedup — near-dup candidates are
+    // the vectors sharing ALL M codes (the quantizer's finest grain:
+    // identical 12-bit encodings ⇒ reconstructions coincide ⇒ likely
+    // neighbors), verified by exact cosine ≥ 0.99. Versus
+    // embedding_dups' label buckets + projection grid, the blocking
+    // key here comes from the TRAINED quantizer itself — the
+    // production pattern when a PQ index already exists (candidates
+    // are index-colocated rows; zero extra infrastructure). Shape:
+    // encode (narrow map) → self-join on the M-code tuple (bucket
+    // join, cost ∝ collisions) → compiled exact verify. Recall is
+    // blocking-bounded (a pair can straddle a code boundary —
+    // documented, same trade as any LSH family); planted exact copies
+    // encode identically by determinism, so they can never be missed.
+    "embedding_code_dups" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"))
+      val all = e.unionByName(
+        e.select((col("vec_id") + CopyShift).as("vec_id"),
+          col("embedding")))
+      val books = pqCodebooks(s, dir)
+      val codeCols = (0 until PqM).map { m =>
+        Similarity.assignCells(expr(
+          s"slice(embedding, ${m * PqSub + 1}, $PqSub)"), books(m))
+          .as(s"code$m")
+      }
+      val coded = all.select(
+        col("vec_id") +: col("embedding") +: codeCols: _*)
+        .withColumn("_vn", Similarity.norm(col("embedding")))
+      val keys = (0 until PqM).map(m => s"code$m")
+      val left = coded.select(Seq(col("vec_id").as("id_a"),
+        col("embedding").as("va"), col("_vn").as("_na")) ++
+        keys.map(col): _*)
+      val right = coded.select(Seq(col("vec_id").as("id_b"),
+        col("embedding").as("vb"), col("_vn").as("_nb")) ++
+        keys.map(col): _*)
+      left.join(right, keys)
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("cosine", Similarity.dot(col("va"), col("vb"))
+          / (col("_na") * col("_nb")))
+        .filter(col("cosine") >= 0.99)
+        .select("id_a", "id_b", "cosine")
+        .orderBy("id_a", "id_b")
+    },
+
     // Cross-tier composition: the embedding-space near-dup COLLAPSE —
     // cosine pairs (Similarity tier) → transitive closure (Dedup
     // tier's connectedComponents, star-contraction fallback and all) →
@@ -779,8 +858,12 @@ object SimilarityQueries {
     * assignment (argmax + smaller-code ties, like the IVF assign) →
     * reconstruction by list concat → exact-cosine scoring of the
     * reconstruction (the engine's DoubleVecDot chains) → rank. */
-  private def pqRankCtes: String = {
-    val assigns = (0 until PqM).map { m =>
+  /** The four per-subspace assignment CTEs (a0..a3) over `from`'s
+    * (vec_id, embedding) rows — shared by the PQ top-k/recall/re-rank
+    * oracles (corpus = embeddings) and the code-blocking dedup oracle
+    * (corpus = appended all_vecs). */
+  private def pqAssignsSql(from: String): String =
+    (0 until PqM).map { m =>
       s""",
          |a$m AS (
          |  SELECT vec_id, code AS code$m FROM (
@@ -788,11 +871,14 @@ object SimilarityQueries {
          |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
          |        ORDER BY ${pqScoreSql("e.embedding", m)} DESC, c.code)
          |        AS rn
-         |    FROM embeddings e
+         |    FROM $from e
          |      CROSS JOIN (SELECT * FROM cb WHERE m = $m) c)
          |  WHERE rn = 1
          |)""".stripMargin
     }.mkString
+
+  private def pqRankCtes: String = {
+    val assigns = pqAssignsSql("embeddings")
     val reconJoins = (0 until PqM).map(m =>
       s"    JOIN cb cb$m ON cb$m.m = $m AND cb$m.code = a$m.code$m")
       .mkString("\n")
@@ -869,6 +955,75 @@ object SimilarityQueries {
        |SELECT query_id, vec_id, rank, cosine FROM rx
        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
+  private val ivfAppendSql =
+    s"""WITH cents AS (
+       |  SELECT cell, cvec FROM read_parquet(
+       |    '${centroidExportPath("sf0.01")}/*.parquet')
+       |), all_vecs AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + $CopyShift, embedding FROM embeddings
+       |), assign AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${centScoreSql("e.embedding")} DESC, c.cell)
+       |        AS rn
+       |    FROM all_vecs e CROSS JOIN cents c)
+       |  WHERE rn = 1
+       |), q AS (
+       |  SELECT vec_id AS query_id, embedding AS qvec
+       |  FROM embeddings WHERE vec_id < 5
+       |), probe AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT q.query_id, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |        ORDER BY ${centScoreSql("q.qvec")} DESC, c.cell) AS rn
+       |    FROM q CROSS JOIN cents c)
+       |  WHERE rn <= $IvfNprobe
+       |), p AS (
+       |  SELECT q.query_id, e.vec_id,
+       |    ${cosSql("e.embedding", "q.qvec")} AS cosine
+       |  FROM all_vecs e
+       |  JOIN assign a ON a.vec_id = e.vec_id
+       |  JOIN probe pr ON pr.cell = a.cell
+       |  JOIN q ON q.query_id = pr.query_id
+       |), r AS (
+       |  SELECT *, CAST(ROW_NUMBER() OVER
+       |    (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INT)
+       |    AS rank
+       |  FROM p
+       |)
+       |SELECT query_id, vec_id, rank, cosine FROM r
+       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  private val codeDupsSql =
+    s"""WITH cb AS (
+       |  SELECT m, code, cvec FROM read_parquet(
+       |    '${pqCodebookPath("sf0.01")}/*.parquet')
+       |), all_vecs AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + $CopyShift, embedding FROM embeddings
+       |)${pqAssignsSql("all_vecs")},
+       |codes AS (
+       |  SELECT a0.vec_id, ${(0 until PqM).map(m => s"a$m.code$m")
+          .mkString(", ")}
+       |  FROM a0 ${(1 until PqM).map(m => s"JOIN a$m USING (vec_id)")
+          .mkString(" ")}
+       |), pairs AS (
+       |  SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+       |    ${cosSql("ex.embedding", "ey.embedding")} AS cosine
+       |  FROM codes x JOIN codes y
+       |    ON ${(0 until PqM).map(m => s"x.code$m = y.code$m")
+          .mkString(" AND ")}
+       |    AND x.vec_id < y.vec_id
+       |  JOIN all_vecs ex ON ex.vec_id = x.vec_id
+       |  JOIN all_vecs ey ON ey.vec_id = y.vec_id
+       |)
+       |SELECT id_a, id_b, cosine FROM pairs
+       |WHERE cosine >= 0.99 ORDER BY id_a, id_b""".stripMargin
+
   private val recallTrainedSql =
     s"""WITH cents AS (
       |  SELECT cell, cvec FROM read_parquet(
@@ -928,6 +1083,8 @@ object SimilarityQueries {
     "ann_topk_pq" -> pqTopkSql,
     "ann_recall_pq" -> pqRecallSql,
     "ann_topk_pq_rerank" -> pqRerankSql,
+    "ann_topk_ivf_append" -> ivfAppendSql,
+    "embedding_code_dups" -> codeDupsSql,
     "ann_topk_brute" -> bruteTopKSql,
     "ann_topk_native" -> bruteTopKSql,
     "ann_topk_ivf" -> labelIvfSql,
