@@ -110,6 +110,26 @@ class PlanPinsSpec extends SparkSpec {
       s"encode is a map + aggregate; unexpected join:\n$plan")
   }
 
+  test("embedding_code_dups' candidate join is a hash equi-join on the " +
+      "M-code tuple (blocking must never degrade into a pairwise " +
+      "nested-loop over the corpus)") {
+    val df = SparkEntry.queries("embedding_code_dups")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"code blocking fell back to a nested-loop join:\n$plan")
+  }
+
+  test("ann_topk_ivf_append broadcasts the probe side over the appended " +
+      "corpus scan (the ingest path must not shuffle old+new vectors)") {
+    val df = SparkEntry.queries("ann_topk_ivf_append")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"probe join is not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"appended corpus shuffles before the probe join:\n$plan")
+  }
+
   test("dedup_source_matrix's source lookups are hash equi-joins on the " +
       "unshifted id (a nested-loop fallback would be pairs x corpus)") {
     val df = SparkEntry.queries("dedup_source_matrix")(spark, sf0001)
