@@ -107,4 +107,61 @@ class StreamingHotKeysSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("checkpoint restart: sketch state survives a simulated JVM " +
+      "restart — post-restart events fold onto recovered counters and " +
+      "the closed hour emits combined counts exactly once") {
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[KeyEvent]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-hotkeys-restart").toString
+    StreamingHotKeysSpec.restartOut.clear()
+    def startQuery() =
+      StreamingHotKeys.candidates(input.toDS(), buckets = 1,
+          capacity = 64)
+        .writeStream
+        .foreachBatch {
+          (df: org.apache.spark.sql.Dataset[
+              graft.streaming.StreamingHotKeys.HotKeyCandidate],
+              _: Long) =>
+            df.collect().foreach(c => StreamingHotKeysSpec.restartOut
+              .add((c.hourBucket, c.key, c.minCount)))
+        }
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .start()
+
+    val h0 = 3000000L * HourUs
+    val q1 = startQuery()
+    try {
+      // 30 occurrences of key 7 pre-restart; capacity 64 >> keys, so
+      // counters are exact — the final count can only be 50 if these
+      // 30 are RECOVERED from the checkpoint
+      input.addData((0 until 30).map(i => KeyEvent(7L, h0 + i)))
+      q1.processAllAvailable()
+    } finally { q1.stop(); q1.awaitTermination() }
+
+    val q2 = startQuery()
+    try {
+      input.addData((0 until 20).map(i => KeyEvent(7L, h0 + 100 + i)))
+      q2.processAllAvailable()
+      // close the hour (two flushes: advance watermark, then fire the
+      // event-time timeout for the closed group)
+      input.addData(KeyEvent(-1L, h0 + 5 * HourUs))
+      q2.processAllAvailable()
+      input.addData(KeyEvent(-1L, h0 + 10 * HourUs))
+      q2.processAllAvailable()
+      val rows = StreamingHotKeysSpec.restartOut.asScala.toSeq
+        .filter(r => r._1 == 3000000L && r._2 == 7L)
+      assert(rows === Seq((3000000L, 7L, 50L)),
+        s"state not recovered or re-emitted: $rows")
+    } finally q2.stop()
+  }
+}
+
+object StreamingHotKeysSpec {
+  val restartOut = new java.util.concurrent.ConcurrentLinkedQueue[
+    (Long, Long, Long)]()
 }
