@@ -427,6 +427,52 @@ object Multimodal {
     out
   }
 
+  /** Deterministic pseudo-PCM sample i for `seed` — an integer
+    * Knuth/Fibonacci-style multiplicative mix reduced to i16 range.
+    * Pure 64-bit integer arithmetic so the DuckDB oracle reproduces
+    * every sample in closed form (the audio analog of
+    * makeBmpSeeded's pixel formula). */
+  def seededSample(seed: Int, i: Int): Int =
+    (((seed.toLong * 2654435761L + i.toLong * 2246822519L) % 65536L
+      + 65536L) % 65536L - 32768L).toInt
+
+  /** A seeded 16-bit PCM WAV: [[makeWav]]'s valid header + `nSamples`
+    * per channel of [[seededSample]] little-endian data. */
+  def makeWavSeeded(sampleRate: Int, channels: Int, nSamples: Int,
+      seed: Int): Array[Byte] = {
+    val out = makeWav(sampleRate, channels, nSamples * channels * 2)
+    var i = 0
+    val total = nSamples * channels
+    while (i < total) {
+      val v = seededSample(seed, i)
+      out(44 + 2 * i) = v.toByte
+      out(44 + 2 * i + 1) = (v >> 8).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Parse a 16-bit PCM WAV's sample stream (all channels
+    * interleaved, little-endian i16) — None unless the RIFF/WAVE/fmt
+    * header says 16-bit PCM. The byte-level twin of the header-only
+    * [[decode]] path: feature queries aggregate SAMPLES, and the
+    * oracle checks the aggregate against the generator's closed-form
+    * math — so a parse that misreads endianness, sign or the data
+    * offset cannot hash-match. */
+  def wavSamples(raw: Array[Byte]): Option[Array[Int]] =
+    if (raw.length < 44 ||
+      !(raw(0) == 'R' && raw(1) == 'I' && raw(2) == 'F' && raw(3) == 'F') ||
+      !(raw(8) == 'W' && raw(9) == 'A' && raw(10) == 'V' && raw(11) == 'E') ||
+      u16(raw, 20) != 1 || u16(raw, 34) != 16) None
+    else {
+      val dataSize = math.min(u32(raw, 40), (raw.length - 44).toLong).toInt
+      val n = dataSize / 2
+      Some(Array.tabulate(n) { i =>
+        val u = u16(raw, 44 + 2 * i)
+        if (u >= 32768) u - 65536 else u
+      })
+    }
+
   /** Frame sampling as a pure column op: fixed-size frames from the
     * payload, keeping every `stride`-th frame. Runs before decode so
     * only sampled frames ever reach the codec — at 100 TB this is the

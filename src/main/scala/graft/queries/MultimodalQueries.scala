@@ -147,6 +147,36 @@ object MultimodalQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // AUDIO feature extraction over SAMPLES, not just headers: each
+    // doc's seeded 16-bit PCM WAV (valid RIFF container, pseudo-PCM
+    // from an integer mix formula) is byte-parsed back
+    // (Multimodal.wavSamples — endianness, sign, data offset all
+    // live) and aggregated per doc: sample count, zero crossings (the
+    // classic voiced/unvoiced proxy), total magnitude and peak — all
+    // exact integers. The DuckDB oracle NEVER sees the bytes: it
+    // regenerates every sample from the same closed-form formula and
+    // aggregates relationally, so a parse that misreads any byte
+    // cannot hash-match. Scale shape: one narrow typed map per doc
+    // (samples never leave their row) + the doc-keyed ORDER BY;
+    // the 100 TB variant runs the same kernel over stored payloads
+    // with sampleFrames prefiltering.
+    "audio_features" -> { (s, dir) =>
+      import s.implicits._
+      Tables.documents(s, dir).select(col("doc_id")).as[Long].map { id =>
+        val sr = 8000 + (id % 4).toInt * 4000
+        val n = 200 + (id % 7).toInt * 16
+        val wav = Multimodal.makeWavSeeded(sr, 1, n, id.toInt)
+        val samples = Multimodal.wavSamples(wav).getOrElse(
+          sys.error(s"fixture for doc $id is not 16-bit PCM"))
+        val zc = (1 until samples.length).count(i =>
+          (samples(i - 1) < 0) != (samples(i) < 0))
+        val sumAbs = samples.foldLeft(0L)((a, v) => a + math.abs(v))
+        val peak = samples.foldLeft(0)((a, v) => math.max(a, math.abs(v)))
+        (id, samples.length.toLong, zc.toLong, sumAbs, peak.toLong)
+      }.toDF("doc_id", "n_samples", "zero_crossings", "sum_abs", "peak")
+        .orderBy("doc_id")
+    },
+
     // Frame sampling before decode: 16-byte frames, every 4th kept.
     "multimodal_frames" -> { (s, dir) =>
       val frames = Multimodal.sampleFrames(col("text"), frameBytes = 16,
@@ -263,5 +293,34 @@ object MultimodalQueries {
         |)
         |SELECT doc_id, CAST(len(idx) AS INT) AS n_sampled,
         |  md5(substr(text, 1, 16)) AS frame0_md5
-        |FROM f ORDER BY doc_id""".stripMargin)
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    // Samples regenerated from the seeded-PCM formula (the bytes are
+    // never consulted — the engine's byte parse must agree with the
+    // generator's math); zero crossings via a lag window over sample
+    // index, first sample's lag NULL -> no crossing counted, exactly
+    // the engine's (1 until n) loop.
+    "audio_features" ->
+      """WITH g AS (
+        |  SELECT doc_id, 200 + (doc_id % 7) * 16 AS n FROM documents
+        |), s AS (
+        |  SELECT doc_id, unnest(range(0, n)) AS i FROM g
+        |), v AS (
+        |  SELECT doc_id, i,
+        |    ((doc_id * 2654435761 + i * 2246822519) % 65536 + 65536)
+        |      % 65536 - 32768 AS smp
+        |  FROM s
+        |), c AS (
+        |  SELECT doc_id, smp,
+        |    CASE WHEN (smp < 0) <>
+        |      (LAG(smp) OVER (PARTITION BY doc_id ORDER BY i) < 0)
+        |      THEN 1 ELSE 0 END AS zc
+        |  FROM v
+        |)
+        |SELECT doc_id,
+        |  COUNT(*) AS n_samples,
+        |  CAST(SUM(zc) AS BIGINT) AS zero_crossings,
+        |  CAST(SUM(ABS(smp)) AS BIGINT) AS sum_abs,
+        |  CAST(MAX(ABS(smp)) AS BIGINT) AS peak
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 }

@@ -195,4 +195,26 @@ class MultimodalSpec extends SparkSpec {
       .forall(_ !== base))
     assert(Multimodal.dhashBmp("not a bmp".getBytes("UTF-8")).isEmpty)
   }
+
+  test("WAV sample parse round-trips the seeded-PCM generator " +
+      "(endianness/sign/offset) and rejects non-PCM payloads") {
+    val wav = Multimodal.makeWavSeeded(16000, 1, 300, 77)
+    val parsed = Multimodal.wavSamples(wav).get
+    assert(parsed.length === 300)
+    assert(parsed.toSeq === (0 until 300).map(
+      Multimodal.seededSample(77, _)))
+    // full i16 range exercised, including negatives (a u16 misparse
+    // would clamp to [0, 65535])
+    assert(parsed.exists(_ < 0) && parsed.exists(_ > 0))
+    // stereo interleaves channels through the same sample stream
+    val stereo = Multimodal.wavSamples(
+      Multimodal.makeWavSeeded(8000, 2, 10, 5)).get
+    assert(stereo.length === 20)
+    assert(Multimodal.wavSamples("RIFFnope".getBytes("UTF-8")).isEmpty)
+    // a float-PCM header (format code 3) must be refused, not
+    // misread as ints
+    val f32 = Multimodal.makeWav(8000, 1, 8)
+    f32(20) = 3
+    assert(Multimodal.wavSamples(f32).isEmpty)
+  }
 }
