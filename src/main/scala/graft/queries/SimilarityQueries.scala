@@ -610,6 +610,52 @@ object SimilarityQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // IVF-PQ — the composition production ANN indexes actually ship
+    // (FAISS's IndexIVFPQ shape): the trained COARSE quantizer
+    // restricts the search to nprobe cells (at rest: the DPP-pruned
+    // directory layout of ann_topk_ivf_pruned), and within those
+    // cells scoring runs in the CODE domain (PQ reconstruction
+    // cosine) instead of touching the float vectors — IO ∝ nprobe/k
+    // of the corpus AND bytes/row ∝ M codes. Both quantizers are the
+    // memoized train-once artifacts; the oracle composes the two
+    // proven CTE families (centroid assign/probe + codebook
+    // assign/reconstruct) end to end, so the hash match covers the
+    // full train→assign→encode→probe→ADC→top-k chain.
+    "ann_topk_ivfpq" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      val cents = trainedCentroids(s, dir)
+      val books = pqCodebooks(s, dir)
+      val codeCols = (0 until PqM).map { m =>
+        Similarity.assignCells(expr(
+          s"slice(embedding, ${m * PqSub + 1}, $PqSub)"), books(m))
+          .as(s"code$m")
+      }
+      val bookLits = books.map(cb =>
+        typedLit(cb.toSeq.map(_.toSeq.map(_.toDouble))))
+      val recon = concat((0 until PqM).map(m =>
+        element_at(bookLits(m), col(s"code$m") + 1)): _*)
+      val coded = e.select(Seq(col("vec_id"),
+        Similarity.assignCells(col("embedding"), cents).as("cell")) ++
+        codeCols: _*)
+        .withColumn("rvec", recon)
+        .withColumn("_rn", sqrt(graft.functions.DoubleVecDot(
+          col("rvec"), col("rvec"))))
+      val probed = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"),
+          expr("transform(embedding, x -> cast(x as double))").as("qvec"),
+          explode(Similarity.probeCells(col("embedding"), cents,
+            IvfNprobe)).as("cell"))
+        .withColumn("_qn", sqrt(graft.functions.DoubleVecDot(
+          col("qvec"), col("qvec"))))
+      val scored = coded.join(broadcast(probed), "cell")
+        .withColumn("score", graft.functions.DoubleVecDot(
+          col("rvec"), col("qvec")) / (col("_rn") * col("_qn")))
+        .select("query_id", "vec_id", "score")
+      graft.operators.TopK.perGroupNative(scored, "query_id", "vec_id",
+          "score", k = 10)
+        .orderBy("query_id", "rank")
+    },
+
     // APPEND-ONLY serving with a FROZEN quantizer — the daily-ingest
     // shape of a 100 TB ANN deployment: new vectors arrive (corpus +
     // an id-shifted, orthogonally-reusable copy stands in for the
@@ -955,6 +1001,63 @@ object SimilarityQueries {
        |SELECT query_id, vec_id, rank, cosine FROM rx
        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
+  private val ivfPqSql = {
+    val rdot = (1 to Dim).map(i =>
+      s"r.rvec[$i] * CAST(q.qvec[$i] AS DOUBLE)").mkString(" + ")
+    val rnrm = (1 to Dim).map(i => s"r.rvec[$i] * r.rvec[$i]")
+      .mkString(" + ")
+    val qnrm = (1 to Dim).map(i =>
+      s"CAST(q.qvec[$i] AS DOUBLE) * CAST(q.qvec[$i] AS DOUBLE)")
+      .mkString(" + ")
+    s"""WITH cents AS (
+       |  SELECT cell, cvec FROM read_parquet(
+       |    '${centroidExportPath("sf0.01")}/*.parquet')
+       |), cb AS (
+       |  SELECT m, code, cvec FROM read_parquet(
+       |    '${pqCodebookPath("sf0.01")}/*.parquet')
+       |), cellof AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${centScoreSql("e.embedding")} DESC, c.cell)
+       |        AS rn
+       |    FROM embeddings e CROSS JOIN cents c)
+       |  WHERE rn = 1
+       |)${pqAssignsSql("embeddings")},
+       |recon AS (
+       |  SELECT a0.vec_id,
+       |    ${(0 until PqM).map(m => s"cb$m.cvec").mkString(" || ")} AS rvec
+       |  FROM a0 ${(1 until PqM).map(m => s"JOIN a$m USING (vec_id)")
+          .mkString(" ")}
+       |${(0 until PqM).map(m =>
+          s"    JOIN cb cb$m ON cb$m.m = $m AND cb$m.code = a$m.code$m")
+          .mkString("\n")}
+       |), q AS (
+       |  SELECT vec_id AS query_id, embedding AS qvec
+       |  FROM embeddings WHERE vec_id < 5
+       |), probe AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT q.query_id, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |        ORDER BY ${centScoreSql("q.qvec")} DESC, c.cell) AS rn
+       |    FROM q CROSS JOIN cents c)
+       |  WHERE rn <= $IvfNprobe
+       |), pp AS (
+       |  SELECT q.query_id, r.vec_id,
+       |    ($rdot) / (sqrt($rnrm) * sqrt($qnrm)) AS score
+       |  FROM recon r
+       |  JOIN cellof co ON co.vec_id = r.vec_id
+       |  JOIN probe pr ON pr.cell = co.cell
+       |  JOIN q ON q.query_id = pr.query_id
+       |), rk AS (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY score DESC, vec_id) AS INT) AS rank
+       |  FROM pp
+       |)
+       |SELECT query_id, vec_id, rank, score FROM rk
+       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  }
+
   private val ivfAppendSql =
     s"""WITH cents AS (
        |  SELECT cell, cvec FROM read_parquet(
@@ -1085,6 +1188,7 @@ object SimilarityQueries {
     "ann_topk_pq_rerank" -> pqRerankSql,
     "ann_topk_ivf_append" -> ivfAppendSql,
     "embedding_code_dups" -> codeDupsSql,
+    "ann_topk_ivfpq" -> ivfPqSql,
     "ann_topk_brute" -> bruteTopKSql,
     "ann_topk_native" -> bruteTopKSql,
     "ann_topk_ivf" -> labelIvfSql,

@@ -342,6 +342,30 @@ object TrainingQueries {
         .limit(20)
     },
 
+    // RAG-style CHUNKING report: fixed 64-token windows at stride 48
+    // (16-token overlap), the segmentation a retrieval corpus build
+    // applies before embedding. Per doc: token count, chunk count,
+    // the first chunk's md5 (byte-pins the window content, not just
+    // its length) and the last chunk's (possibly short) token count.
+    // Pure per-row array arithmetic — no shuffle before the final
+    // sort; GREATEST(n, 1) keeps the chunk-count formula in positive
+    // integer division, where Spark's truncating `div` and DuckDB's
+    // flooring `//` agree.
+    "chunk_report" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("toks", TextAnalysis.tokens(lower(col("text"))))
+        .withColumn("n_tokens", size(col("toks")).cast("long"))
+        .withColumn("n_chunks",
+          expr("(greatest(n_tokens, 1) - 1) div 48 + 1"))
+        .select(col("doc_id"), col("n_tokens"), col("n_chunks"),
+          md5(concat_ws(" ", slice(col("toks"), 1, 64)))
+            .as("chunk0_md5"),
+          least(lit(64L),
+            col("n_tokens") - lit(48L) * (col("n_chunks") - 1))
+            .as("last_chunk_tokens"))
+        .orderBy("doc_id")
+    },
+
     // VOCAB COVERAGE — the vocab-size decision metric a tokenizer
     // build reads next to vocab_fof: fix the candidate vocab to the
     // frequency top-V (V=10 here; deterministic (count desc, token
@@ -1895,6 +1919,21 @@ object TrainingQueries {
       s"""SELECT token, COUNT(*) AS n
         |FROM (SELECT unnest($toksExpr) AS token FROM documents)
         |GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin,
+    "chunk_report" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, $toksExpr AS toks FROM documents
+        |), c AS (
+        |  SELECT doc_id, toks,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    CAST((GREATEST(len(toks), 1) - 1) // 48 + 1 AS BIGINT)
+        |      AS n_chunks
+        |  FROM t
+        |)
+        |SELECT doc_id, n_tokens, n_chunks,
+        |  md5(array_to_string(toks[1:64], ' ')) AS chunk0_md5,
+        |  CAST(LEAST(64, n_tokens - 48 * (n_chunks - 1)) AS BIGINT)
+        |    AS last_chunk_tokens
+        |FROM c ORDER BY doc_id""".stripMargin,
     "vocab_coverage" ->
       s"""WITH toks AS (
         |  SELECT doc_id, unnest($toksExpr) AS token FROM documents
