@@ -116,7 +116,7 @@ object SparkEntry {
       "hot_keys", "ann_topk_pq", "ann_recall_pq", "ann_topk_pq_rerank",
       "dedup_modality_agreement", "vocab_coverage",
       "ann_topk_ivf_append", "embedding_code_dups", "audio_features",
-      "ann_topk_ivfpq", "chunk_report")
+      "ann_topk_ivfpq", "chunk_report", "hot_bigrams")
 
   def benchQueries: Seq[(String, (SparkSession, String) => DataFrame)] =
     benchNames.flatMap(n => queries.get(n).map(n -> _))

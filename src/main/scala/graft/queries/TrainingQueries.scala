@@ -342,6 +342,37 @@ object TrainingQueries {
         .limit(20)
     },
 
+    // STRING-KEY heavy hitters — the boilerplate-bigram detector
+    // through the documented hash path of operators/HeavyHitters:
+    // bigrams hash to xxhash64 longs for the two-pass sketch
+    // (capacity-bounded exchanges at any vocabulary size — the
+    // 100 TB regime where the bigram vocabulary outgrows memory and
+    // vocab_topk's full aggregate stops being free), then the ≤
+    // capacity hot HASHES broadcast back against the distinct
+    // (hash, bigram) labels to restore the text. A hash collision
+    // would merge two bigrams' counts and fail the plain GROUP
+    // BY/HAVING oracle loudly — 64-bit xxhash at any realistic
+    // vocabulary keeps that probability negligible, and the oracle
+    // makes it checked rather than assumed.
+    "hot_bigrams" -> { (s, dir) =>
+      val big = Tables.documents(s, dir)
+        .select(TextAnalysis.tokens(lower(col("text"))).as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(toks) - 1)," +
+            " i -> concat(element_at(toks, i), ' '," +
+            " element_at(toks, i + 1)))")).as("bigram"))
+      val hot = graft.operators.HeavyHitters.hotKeys(big,
+        xxhash64(col("bigram")), thresholdPpm = 1500L, capacity = 2048)
+      val labels = big
+        .select(xxhash64(col("bigram")).as("k"), col("bigram"))
+        .distinct()
+      labels.join(broadcast(hot), "k")
+        .select(col("bigram"), col("n_events").as("n_occurrences"),
+          expr("n_events * 1000 div n_total").as("permille"))
+        .orderBy(col("n_occurrences").desc, col("bigram").asc)
+    },
+
     // RAG-style CHUNKING report: fixed 64-token windows at stride 48
     // (16-token overlap), the segmentation a retrieval corpus build
     // applies before embedding. Per doc: token count, chunk count,
@@ -1919,6 +1950,21 @@ object TrainingQueries {
       s"""SELECT token, COUNT(*) AS n
         |FROM (SELECT unnest($toksExpr) AS token FROM documents)
         |GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin,
+    "hot_bigrams" ->
+      s"""WITH t AS (
+        |  SELECT $toksExpr AS toks FROM documents
+        |), b AS (
+        |  SELECT unnest(list_transform(range(1, len(toks)),
+        |    i -> toks[CAST(i AS INT)] || ' ' ||
+        |         toks[CAST(i + 1 AS INT)])) AS bigram
+        |  FROM t WHERE len(toks) >= 2
+        |), tot AS (SELECT COUNT(*) AS n FROM b)
+        |SELECT bigram, COUNT(*) AS n_occurrences,
+        |  CAST(COUNT(*) * 1000 // t2.n AS BIGINT) AS permille
+        |FROM b CROSS JOIN tot t2
+        |GROUP BY bigram, t2.n
+        |HAVING COUNT(*) * 1000000 >= 1500 * t2.n
+        |ORDER BY n_occurrences DESC, bigram ASC""".stripMargin,
     "chunk_report" ->
       s"""WITH t AS (
         |  SELECT doc_id, $toksExpr AS toks FROM documents
