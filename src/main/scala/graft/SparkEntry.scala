@@ -53,14 +53,16 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ConsumerQueries.all ++ BatchQueries.all ++ TrainingQueries.all ++
-      SimilarityQueries.all ++ MultimodalQueries.all ++ TemporalQueries.all
+      SimilarityQueries.all ++ MultimodalQueries.all ++
+      TemporalQueries.all ++ RetrievalQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ConsumerQueries.oracle ++ BatchQueries.oracle ++
       TrainingQueries.oracle ++ SimilarityQueries.oracle ++
-      MultimodalQueries.oracle ++ TemporalQueries.oracle
+      MultimodalQueries.oracle ++ TemporalQueries.oracle ++
+      RetrievalQueries.oracle
 
   /** Bench name list, in a fixed order. Since round 11 this covers the
     * FULL registry — every CORRECTNESS-green query also has a measured
@@ -116,7 +118,10 @@ object SparkEntry {
       "hot_keys", "ann_topk_pq", "ann_recall_pq", "ann_topk_pq_rerank",
       "dedup_modality_agreement", "vocab_coverage",
       "ann_topk_ivf_append", "embedding_code_dups", "audio_features",
-      "ann_topk_ivfpq", "chunk_report", "hot_bigrams")
+      "ann_topk_ivfpq", "chunk_report", "hot_bigrams",
+      "semantic_dedup", "ivf_balance_report", "epoch_shuffle",
+      "kn_surprisal", "quality_audit", "quantizer_drift",
+      "bm25_topk", "hybrid_retrieval")
 
   def benchQueries: Seq[(String, (SparkSession, String) => DataFrame)] =
     benchNames.flatMap(n => queries.get(n).map(n -> _))

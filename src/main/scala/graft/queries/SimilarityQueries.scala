@@ -759,6 +759,128 @@ object SimilarityQueries {
       all.select("vec_id")
         .join(dropped, Seq("vec_id"), "left_anti")
         .orderBy("vec_id")
+    },
+
+    // SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic
+    // dedup with the TRAINED coarse quantizer's cells as the blocking
+    // key: k-means cells restrict the pairwise cosine check to
+    // cluster-mates, exactly the paper's recipe (cluster, then dedup
+    // within clusters). Differs from embedding_dups (label buckets +
+    // projection grid) and embedding_code_dups (PQ code tuples) in
+    // that the blocking comes from the SAME memoized quantizer the
+    // ANN tier serves with — one trained artifact powers search AND
+    // dedup. Output is the paper's acceptance report: per cell, how
+    // many vectors, how many near-dup pairs, how many members a
+    // min-id keeper policy drops, and the keep rate. Scale shape:
+    // assignment is a narrow kernel map; the within-cell self-join is
+    // the SemDeDup cost model — Σ|cell|² work, bounded by choosing k
+    // ∝ corpus size so cells stay ~constant (the paper trains 50k
+    // cells for LAION; here k=8 at CORRECTNESS scale), and the
+    // closure/rollup stages are ∝ duplicates. Pairs cannot span
+    // cells, so components are cell-local by construction and the
+    // per-cell drop rollup needs no canonical-cell lookup.
+    "semantic_dedup" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"))
+      val all = e.unionByName(
+        e.select((col("vec_id") + CopyShift).as("vec_id"),
+          col("embedding")))
+      val cents = trainedCentroids(s, dir)
+      val assigned = all
+        .withColumn("cell", Similarity.assignCells(col("embedding"), cents))
+        .withColumn("_vn", Similarity.norm(col("embedding")))
+      val left = assigned.select(col("cell"), col("vec_id").as("id_a"),
+        col("embedding").as("va"), col("_vn").as("_na"))
+      val right = assigned.select(col("cell"), col("vec_id").as("id_b"),
+        col("embedding").as("vb"), col("_vn").as("_nb"))
+      val pairs = left.join(right, Seq("cell"))
+        .filter(col("id_a") < col("id_b"))
+        .filter(Similarity.dot(col("va"), col("vb"))
+          / (col("_na") * col("_nb")) >= 0.99)
+        .select("cell", "id_a", "id_b")
+      val comp = graft.operators.Dedup.connectedComponents(
+        pairs.select("id_a", "id_b"), col("id_a"), col("id_b"))
+      val dropped = comp.filter(col("id") =!= col("canonical"))
+        .select(col("id").as("vec_id"))
+      val perCell = assigned.groupBy("cell")
+        .agg(count(lit(1)).as("n_vecs"))
+      val pairCell = pairs.groupBy("cell")
+        .agg(count(lit(1)).as("n_pairs"))
+      val dropCell = assigned.join(dropped, Seq("vec_id"))
+        .groupBy("cell").agg(count(lit(1)).as("n_dropped"))
+      perCell
+        .join(pairCell, Seq("cell"), "left")
+        .join(dropCell, Seq("cell"), "left")
+        .select(col("cell"), col("n_vecs"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
+        .withColumn("keep_permille",
+          expr("(n_vecs - n_dropped) * 1000 div n_vecs"))
+        .orderBy("cell")
+    },
+
+    // IVF index-health report — the retrain/re-balance trigger a
+    // 100 TB ANN deployment watches: per-cell population of the
+    // trained (memoized) quantizer, each cell's share of the corpus,
+    // its load relative to a perfectly balanced k-way split (1000 =
+    // ideal; a 3000-permille cell serves 3× its share of probes and
+    // is the tail-latency driver under the DPP layout, where cell =
+    // partition directory), and a hotness rank for the on-call. One
+    // kernel-map scan + one k-row aggregate; the rank window runs
+    // over the k aggregated rows, never corpus rows, so the
+    // single-partition window is k-bounded by construction.
+    "ivf_balance_report" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.embeddings(s, dir)
+      val cents = trainedCentroids(s, dir)
+      val perCell = e
+        .withColumn("cell", Similarity.assignCells(col("embedding"), cents))
+        .groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+      val tot = perCell.agg(sum("n_vecs").as("_total"))
+      perCell.crossJoin(broadcast(tot))
+        .withColumn("share_permille", expr("n_vecs * 1000 div _total"))
+        .withColumn("load_permille",
+          expr(s"n_vecs * $IvfK * 1000 div _total"))
+        .withColumn("hot_rank", row_number().over(
+          Window.orderBy(col("n_vecs").desc, col("cell"))))
+        .select("cell", "n_vecs", "share_permille", "load_permille",
+          "hot_rank")
+        .orderBy("cell")
+    },
+
+    // Quantizer DRIFT report — the acceptance check for the sampled
+    // 100 TB training mode: for each centroid of the full-pool
+    // quantizer, its nearest sampled-pool centroid (same
+    // dot/centroid-norm argmax + smallest-cell tie-break the
+    // assignment kernel uses) and the true cosine between them. Read
+    // it before swapping a cheaply-retrained quantizer into the
+    // serving path: cosines near 1 with a bijective nearest-cell
+    // mapping mean the sampled artifact quantizes the space the same
+    // way and the cell-partitioned layout can be reused; a cell whose
+    // best match is far (or doubly-claimed) is where recall will
+    // leak. Both matrices come from the process-wide memo
+    // (train-once artifacts); the comparison itself is k×k driver-
+    // sized work expressed as a broadcast join so the SAME query
+    // shape serves k in the thousands. The oracle re-derives the
+    // argmax and the cosine from the two exported exact-double
+    // matrices.
+    "quantizer_drift" -> { (s, dir) =>
+      import s.implicits._
+      val full = trainedCentroids(s, dir)
+      val samp = trainedCentroids(s, dir,
+        sampleFraction = IvfSampleFraction)
+      val fullDf = full.toSeq.zipWithIndex
+        .map { case (c, i) => (i, c) }.toDF("cell", "fvec")
+      val sampDf = samp.toSeq.zipWithIndex
+        .map { case (c, i) => (i, c) }.toDF("nearest_cell", "svec")
+      fullDf
+        .withColumn("nearest_cell",
+          Similarity.assignCells(col("fvec"), samp))
+        .join(broadcast(sampDf), "nearest_cell")
+        .withColumn("cosine", Similarity.dot(col("fvec"), col("svec"))
+          / (Similarity.norm(col("fvec")) * Similarity.norm(col("svec"))))
+        .select("cell", "nearest_cell", "cosine")
+        .orderBy("cell")
     })
 
   /** Shared by ann_topk_brute and ann_topk_native: same contract, two
@@ -1180,7 +1302,116 @@ object SimilarityQueries {
       |  ON b.query_id = i.query_id AND b.vec_id = i.vec_id
       |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin
 
+  /** semantic_dedup's oracle: the proven exported-centroid assign CTE
+    * (over the appended corpus) + within-cell pairwise cosine + the
+    * proven recursive-CTE closure, rolled up per cell. The expensive
+    * CTEs are MATERIALIZED: `av` is referenced four times and `p`
+    * three, and DuckDB's default inlining would re-evaluate the
+    * windowed assignment and the pairwise cosine per reference —
+    * measured 19.5 s / OOM-prone inlined vs 2.0 s materialized under
+    * an 8 GB cap at sf0.01. */
+  private val semanticDedupSql =
+    s"""WITH RECURSIVE cents AS (
+      |  SELECT cell, cvec FROM read_parquet(
+      |    '${centroidExportPath("sf0.01")}/*.parquet')
+      |), all_vecs AS MATERIALIZED (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + $CopyShift, embedding FROM embeddings
+      |), assign AS MATERIALIZED (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT e.vec_id, c.cell,
+      |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |        ORDER BY ${centScoreSql("e.embedding")} DESC, c.cell) AS rn
+      |    FROM all_vecs e CROSS JOIN cents c)
+      |  WHERE rn = 1
+      |), av AS MATERIALIZED (
+      |  SELECT v.vec_id, v.embedding, a.cell
+      |  FROM all_vecs v JOIN assign a USING (vec_id)
+      |), p AS MATERIALIZED (
+      |  SELECT x.cell, x.vec_id AS id_a, y.vec_id AS id_b
+      |  FROM av x JOIN av y
+      |    ON x.cell = y.cell AND x.vec_id < y.vec_id
+      |  WHERE ${cosSql("x.embedding", "y.embedding")} >= 0.99
+      |), sym AS (
+      |  SELECT id_a AS src, id_b AS dst FROM p
+      |  UNION SELECT id_b, id_a FROM p
+      |), reach(node, lbl) AS (
+      |  SELECT src, src FROM sym
+      |  UNION
+      |  SELECT s2.dst, r.lbl FROM reach r JOIN sym s2 ON s2.src = r.node
+      |), dropped AS (
+      |  SELECT node AS vec_id FROM reach
+      |  GROUP BY node HAVING MIN(lbl) <> node
+      |), cellv AS (
+      |  SELECT cell, COUNT(*) AS n_vecs FROM av GROUP BY cell
+      |), cellp AS (
+      |  SELECT cell, COUNT(*) AS n_pairs FROM p GROUP BY cell
+      |), celld AS (
+      |  SELECT av.cell, COUNT(*) AS n_dropped
+      |  FROM av JOIN dropped d ON d.vec_id = av.vec_id
+      |  GROUP BY av.cell
+      |)
+      |SELECT cv.cell, cv.n_vecs,
+      |  COALESCE(cp.n_pairs, 0) AS n_pairs,
+      |  COALESCE(cd.n_dropped, 0) AS n_dropped,
+      |  (cv.n_vecs - COALESCE(cd.n_dropped, 0)) * 1000 // cv.n_vecs
+      |    AS keep_permille
+      |FROM cellv cv
+      |LEFT JOIN cellp cp USING (cell)
+      |LEFT JOIN celld cd USING (cell)
+      |ORDER BY cv.cell""".stripMargin
+
+  private val ivfBalanceSql =
+    s"""WITH cents AS (
+      |  SELECT cell, cvec FROM read_parquet(
+      |    '${centroidExportPath("sf0.01")}/*.parquet')
+      |), assign AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT e.vec_id, c.cell,
+      |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |        ORDER BY ${centScoreSql("e.embedding")} DESC, c.cell) AS rn
+      |    FROM embeddings e CROSS JOIN cents c)
+      |  WHERE rn = 1
+      |), cellv AS (
+      |  SELECT cell, COUNT(*) AS n_vecs FROM assign GROUP BY cell
+      |), t AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS total FROM cellv)
+      |SELECT cell, n_vecs,
+      |  n_vecs * 1000 // t.total AS share_permille,
+      |  n_vecs * $IvfK * 1000 // t.total AS load_permille,
+      |  CAST(ROW_NUMBER() OVER (ORDER BY n_vecs DESC, cell) AS INT)
+      |    AS hot_rank
+      |FROM cellv, t ORDER BY cell""".stripMargin
+
+  /** quantizer_drift's oracle: nearest sampled centroid by the
+    * kernels' own dot/centroid-norm score (ties to the smaller cell,
+    * like CentroidBest) + true cosine, from the two exported
+    * exact-double matrices. */
+  private val quantizerDriftSql =
+    s"""WITH f AS (
+      |  SELECT cell, cvec FROM read_parquet(
+      |    '${centroidExportPath("sf0.01")}/*.parquet')
+      |), sa AS (
+      |  SELECT cell AS nearest_cell, cvec AS svec FROM read_parquet(
+      |    '${centroidExportPathSampled("sf0.01")}/*.parquet')
+      |), nn AS (
+      |  SELECT f.cell, sa.nearest_cell,
+      |    (${dotSqlD("f.cvec", "sa.svec")})
+      |      / (sqrt(${dotSqlD("f.cvec", "f.cvec")})
+      |        * sqrt(${dotSqlD("sa.svec", "sa.svec")})) AS cosine,
+      |    ROW_NUMBER() OVER (PARTITION BY f.cell
+      |      ORDER BY (${dotSqlD("f.cvec", "sa.svec")})
+      |        / sqrt(${dotSqlD("sa.svec", "sa.svec")}) DESC,
+      |        sa.nearest_cell) AS rn
+      |  FROM f CROSS JOIN sa
+      |)
+      |SELECT cell, nearest_cell, cosine FROM nn
+      |WHERE rn = 1 ORDER BY cell""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "semantic_dedup" -> semanticDedupSql,
+    "ivf_balance_report" -> ivfBalanceSql,
+    "quantizer_drift" -> quantizerDriftSql,
     "ann_recall_report" -> recallReportSql,
     "ann_recall_trained" -> recallTrainedSql,
     "ann_topk_pq" -> pqTopkSql,

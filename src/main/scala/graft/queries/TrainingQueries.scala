@@ -147,7 +147,8 @@ object TrainingQueries {
        |  SELECT doc_id + $CopyShift AS doc_id, text FROM documents
        |)""".stripMargin
 
-  private val toksExpr = "string_split_regex(trim(lower(text)), '\\s+')"
+  private[queries] val toksExpr =
+    "string_split_regex(trim(lower(text)), '\\s+')"
 
   /** Word-3-shingle list in DuckDB, mirroring TextAnalysis.shingles. */
   private val shinglesExpr =
@@ -158,6 +159,74 @@ object TrainingQueries {
 
   private val stopwordList = TextAnalysis.DefaultStopwords
     .map(w => s"'$w'").mkString("(", ",", ")")
+
+  /** The composed Gopher/MassiveText-style gate verdict (first failing
+    * rule wins), shared by quality_gate (verdict histogram) and
+    * quality_audit (per-source pass rates): all per-row codegen'd
+    * expressions over one scan — length window, stopword floor,
+    * repetition ceilings, language allowlist. */
+  private def withQualityVerdict(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val t = col("text")
+    val rep = graft.functions.Repetition.stats(t)
+    val nTok = TextAnalysis.tokenCount(t)
+    val stopR = TextAnalysis.stopwordCount(t) / nTok
+    val topF = col("_rep.top_tok_count").cast("double") / nTok
+    val dupB = when(col("_rep.n_bigrams") > 0,
+      col("_rep.dup_bigram_count").cast("double") / col("_rep.n_bigrams"))
+      .otherwise(lit(0.0))
+    val lang = TextAnalysis.langId(t)
+    docs.withColumn("_rep", rep)
+      .withColumn("verdict",
+        when(nTok < 15, lit("too_short"))
+          .when(nTok > 90, lit("too_long"))
+          .when(stopR < 0.03, lit("low_stopwords"))
+          .when(topF > 0.125, lit("repetitive_token"))
+          .when(dupB > 0.1, lit("repetitive_bigrams"))
+          .when(!lang.isin("en", "de", "es", "fr"), lit("lang"))
+          .otherwise(lit("accept")))
+      .drop("_rep")
+  }
+
+  /** Wilson 95% bound (z = 1.96) on k successes out of n, floored to
+    * integer parts-per-million. ONE SQL string evaluated by BOTH
+    * engines (Spark `expr` and the DuckDB oracle share the syntax),
+    * so the IEEE operation tree — divisions and one sqrt, all
+    * correctly-rounded ops over exact integer inputs — is identical
+    * and the 1e6 floor lands on identical doubles. `sign` is "-" for
+    * the lower bound, "+" for the upper. */
+  private def wilsonPermicronSql(k: String, n: String,
+      sign: String): String = {
+    val p = s"(CAST($k AS DOUBLE) / $n)"
+    val nd = s"CAST($n AS DOUBLE)"
+    // e0 literals = DOUBLE in both engines (see knProbSql's note)
+    s"CAST(FLOOR(1e6 * ((($p + 3.8416e0 / (2e0 * $nd)) $sign " +
+      s"1.96e0 * sqrt(($p * (1e0 - $p) + 3.8416e0 / (4e0 * $nd)) / $nd)) " +
+      s"/ (1e0 + 3.8416e0 / $nd))) AS BIGINT)"
+  }
+
+  /** Interpolated Kneser-Ney bigram probability (D = 0.75) over the
+    * count columns n12 (bigram count), c1 (left-context total), n1p
+    * (distinct followers of the left context), ncont (distinct left
+    * contexts of the right word), ntypes (total distinct bigrams):
+    * max(n12−D,0)/c1 + (D·n1p/c1)·(ncont/ntypes). ONE SQL string for
+    * both engines — identical IEEE tree, hash-exact doubles. */
+  private val knProbSql =
+    // e-notation literals: `0.75` alone parses as DECIMAL in Spark
+    // (and 0.75·n1p/c1 would then round in scale-limited decimal
+    // before promoting) while DuckDB's `/` promotes decimals to
+    // double — a measured 1-ulp min_p drift; `0.75e0` is a DOUBLE
+    // literal in both engines, keeping the whole tree IEEE
+    "(greatest(CAST(n12 AS DOUBLE) - 0.75e0, 0.0e0) / c1) + " +
+      "((0.75e0 * n1p) / c1) * (CAST(ncont AS DOUBLE) / ntypes)"
+
+  /** Base-10 magnitude bucket of a KN probability — the log-free
+    * integer surprisal unit (matches doc_surprisal's digit-gap trick:
+    * order-independent integer sums instead of float-sum drift). */
+  private val knBucketSql =
+    "CASE WHEN p < 1e-5 THEN 5 WHEN p < 1e-4 THEN 4 " +
+      "WHEN p < 1e-3 THEN 3 WHEN p < 1e-2 THEN 2 " +
+      "WHEN p < 1e-1 THEN 1 ELSE 0 END"
 
   val all: Map[String, Q] = Map(
 
@@ -464,26 +533,38 @@ object TrainingQueries {
     // expressions over one scan; the gate COMPOSES the stats, lang-id
     // and repetition tiers into one plan.
     "quality_gate" -> { (s, dir) =>
-      val t = col("text")
-      val rep = graft.functions.Repetition.stats(t)
-      val nTok = TextAnalysis.tokenCount(t)
-      val stopR = TextAnalysis.stopwordCount(t) / nTok
-      val topF = col("_rep.top_tok_count").cast("double") / nTok
-      val dupB = when(col("_rep.n_bigrams") > 0,
-        col("_rep.dup_bigram_count").cast("double") / col("_rep.n_bigrams"))
-        .otherwise(lit(0.0))
-      val lang = TextAnalysis.langId(t)
-      Tables.documents(s, dir).withColumn("_rep", rep)
-        .select(col("doc_id"),
-          when(nTok < 15, lit("too_short"))
-            .when(nTok > 90, lit("too_long"))
-            .when(stopR < 0.03, lit("low_stopwords"))
-            .when(topF > 0.125, lit("repetitive_token"))
-            .when(dupB > 0.1, lit("repetitive_bigrams"))
-            .when(!lang.isin("en", "de", "es", "fr"), lit("lang"))
-            .otherwise(lit("accept")).as("verdict"))
+      withQualityVerdict(Tables.documents(s, dir))
         .groupBy("verdict").agg(count(lit(1)).as("n_docs"))
         .orderBy("verdict")
+    },
+
+    // Quality-gate AUDIT with confidence bounds — the report a corpus
+    // owner reads per SOURCE: pass rate through the composed gate plus
+    // a Wilson 95% interval, so a source with 40 docs at 60% pass is
+    // not read as equal evidence to one with 40k docs at 60% (the
+    // interval says which sources are RELIABLY below the bar and
+    // which just need more crawl before judging). Wilson (not normal
+    // approximation) because gate pass rates sit near 0 or 1 for
+    // curated sources, exactly where the normal interval collapses.
+    // Same single-scan verdict plan as quality_gate, re-aggregated by
+    // source; the interval arithmetic runs on the source-cardinality
+    // aggregate rows. The bound expressions are built from ONE shared
+    // SQL string ([[wilsonSql]]) evaluated by both engines, so the
+    // identical IEEE operation tree (divisions, one sqrt — all
+    // correctly rounded ops over integer inputs) makes the doubles
+    // hash-exact, the same trick as the cosine oracles.
+    "quality_audit" -> { (s, dir) =>
+      withQualityVerdict(Tables.documents(s, dir))
+        .groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("verdict") === "accept", 1L).otherwise(0L))
+            .as("n_pass"))
+        .withColumn("pass_permille", expr("n_pass * 1000 div n_docs"))
+        .withColumn("wilson_low_1e6",
+          expr(wilsonPermicronSql("n_pass", "n_docs", "-")))
+        .withColumn("wilson_high_1e6",
+          expr(wilsonPermicronSql("n_pass", "n_docs", "+")))
+        .orderBy("source")
     },
 
     // Incremental ingest: dedupe a NEW crawl batch against the
@@ -624,6 +705,51 @@ object TrainingQueries {
         .agg(count(lit(1)).as("n_bigrams"), sum("surp").as("surprisal"))
         .withColumn("mean_surprisal",
           col("surprisal").cast("double") / col("n_bigrams"))
+        .orderBy("doc_id")
+    },
+
+    // Kneser-Ney-smoothed bigram surprisal — the standard fix for
+    // bigram_surprisal's blind spot: a raw-count bigram LM assigns
+    // frequency-proportional probability to "francisco" after ANY
+    // word because "san francisco" is common, where KN discounts raw
+    // continuations (absolute discount D = 0.75) and backs off to the
+    // CONTINUATION count — in how many distinct left-contexts a word
+    // appears — the novel-combination signal quality filtering
+    // actually wants. All four count tables (bigram counts, left
+    // totals + follower-type counts, continuation counts, total
+    // types) are vocab-sized Zipf aggregates; the probability is one
+    // shared SQL expression both engines evaluate ([[knProbSql]] —
+    // identical IEEE tree over exact integer counts, hash-exact like
+    // the cosine oracles), and the per-doc rollup keeps the log-free
+    // discipline: an integer base-10 bucket SUM (order-independent)
+    // plus MIN(p) (order-independent), never a float sum.
+    "kn_surprisal" -> { (s, dir) =>
+      val big = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.tokens(lower(col("text"))).as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(toks) - 1)," +
+            " i -> struct(element_at(toks, i) AS w1," +
+            " element_at(toks, i + 1) AS w2))")).as("bg"))
+        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      val c12 = big.groupBy("w1", "w2").agg(count(lit(1)).as("n12"))
+      val lft = c12.groupBy("w1").agg(sum("n12").as("c1"),
+        count(lit(1)).as("n1p"))
+      val cont = c12.groupBy("w2").agg(count(lit(1)).as("ncont"))
+      val types = c12.agg(count(lit(1)).as("ntypes"))
+      big
+        .join(c12, Seq("w1", "w2"))
+        .join(lft, Seq("w1"))
+        .join(cont, Seq("w2"))
+        .crossJoin(broadcast(types))
+        .withColumn("p", expr(knProbSql))
+        .groupBy("doc_id").agg(
+          count(lit(1)).as("n_bigrams"),
+          sum(expr(knBucketSql)).as("kn_surprisal"),
+          min(col("p")).as("min_p"))
+        .withColumn("mean_surprisal",
+          col("kn_surprisal").cast("double") / col("n_bigrams"))
         .orderBy("doc_id")
     },
 
@@ -1066,6 +1192,36 @@ object TrainingQueries {
         .groupBy("bucket", "seq_id")
         .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"))
         .orderBy("bucket", "seq_id")
+    },
+
+    // Deterministic sharded EPOCH SHUFFLE — the global training-order
+    // permutation every data loader needs: a training run must visit
+    // docs in a different, reproducible random order each epoch,
+    // and at 100 TB "shuffle the corpus" cannot be a global sort.
+    // The scalable shape: hash every doc with an epoch-seeded md5
+    // ("shuf:e1|" — epoch 2 re-seeds to a fresh independent
+    // permutation, and re-running epoch 1 replays it exactly, which
+    // is what makes a crashed run resumable mid-epoch), route it to
+    // shard = hash mod N (one exchange), and order WITHIN each shard
+    // by the same hash — the loader then reads shards in index order
+    // and each shard's file in position order, and the concatenation
+    // is a uniform permutation of the corpus. Per-shard sort is
+    // corpus/N rows; in production N is set so a shard ≈ one output
+    // file (1-4 GB), so every sort is executor-sized and all N run in
+    // parallel — the same reason pack_sequences buckets first. Here
+    // N=8 at CORRECTNESS scale.
+    "epoch_shuffle" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.documents(s, dir).select(col("doc_id"))
+        .withColumn("hx",
+          md5(concat(lit("shuf:e1|"), col("doc_id").cast("string"))))
+        .withColumn("shard",
+          pmod(conv(substring(col("hx"), 1, 8), 16, 10).cast("long"),
+            lit(8L)).cast("int"))
+      d.withColumn("pos", row_number().over(
+          Window.partitionBy("shard").orderBy(col("hx"), col("doc_id"))))
+        .select("doc_id", "shard", "pos")
+        .orderBy("shard", "pos")
     },
 
     // Epoch-based upsampling — the other half of data mixing (see
@@ -1533,6 +1689,56 @@ object TrainingQueries {
     s"CASE WHEN m = 0 THEN 'und' $whens END"
   }
 
+  /** Shared CTE chain producing per-doc (source, verdict) — the SQL
+    * mirror of [[withQualityVerdict]]; quality_gate appends the
+    * verdict histogram, quality_audit the per-source Wilson rollup. */
+  private lazy val qualityVerdictCtes =
+    s"""WITH d AS (
+      |  SELECT doc_id, text, source,
+      |    ${langScores.map(_._2).mkString("greatest(", ", ", ")")} AS m
+      |  FROM documents
+      |), base AS (
+      |  SELECT doc_id, source, $langCase AS lang,
+      |    len($toksExpr) AS n_tok,
+      |    len(list_filter($toksExpr, t -> t IN $stopwordList)) AS n_stop
+      |  FROM d
+      |), tok AS (
+      |  SELECT doc_id, unnest($toksExpr) AS w FROM documents
+      |), tc AS (
+      |  SELECT doc_id, MAX(c) AS top_tok FROM (
+      |    SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY 1, 2
+      |  ) GROUP BY doc_id
+      |), bgl AS (
+      |  SELECT doc_id, $toksExpr AS toks FROM documents
+      |), bg AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+      |    i -> toks[i] || ' ' || toks[i+1])) AS g
+      |  FROM bgl
+      |), bc AS (
+      |  SELECT doc_id,
+      |    COALESCE(SUM(c) FILTER (WHERE c >= 2), 0) AS dup_bg
+      |  FROM (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY 1, 2)
+      |  GROUP BY doc_id
+      |), v AS (
+      |  SELECT b.doc_id, b.source,
+      |    CASE WHEN b.n_tok < 15 THEN 'too_short'
+      |         WHEN b.n_tok > 90 THEN 'too_long'
+      |         WHEN CAST(b.n_stop AS DOUBLE) / b.n_tok < 0.03
+      |           THEN 'low_stopwords'
+      |         WHEN CAST(tc.top_tok AS DOUBLE) / b.n_tok > 0.125
+      |           THEN 'repetitive_token'
+      |         WHEN (CASE WHEN b.n_tok - 1 > 0
+      |                THEN CAST(COALESCE(bc.dup_bg, 0) AS DOUBLE)
+      |                     / (b.n_tok - 1)
+      |                ELSE 0 END) > 0.1
+      |           THEN 'repetitive_bigrams'
+      |         WHEN b.lang NOT IN ('en', 'de', 'es', 'fr') THEN 'lang'
+      |         ELSE 'accept' END AS verdict
+      |  FROM base b
+      |  JOIN tc ON b.doc_id = tc.doc_id
+      |  LEFT JOIN bc ON b.doc_id = bc.doc_id
+      |)""".stripMargin
+
   /** 64-bit SimHash oracle pieces mirroring TextShingles.simhash64:
     * per-token value = first 16 hex chars of md5 parsed as an unsigned
     * 64-bit int (HUGEINT intermediate — DuckDB's << overflow-checks
@@ -1762,6 +1968,37 @@ object TrainingQueries {
         |    AS mean_surprisal
         |FROM big b JOIN vocab v USING (bigram) CROSS JOIN tot tt
         |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
+    "kn_surprisal" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, $toksExpr AS toks FROM documents
+        |), bge AS (
+        |  SELECT doc_id,
+        |    toks[CAST(i AS INT)] AS w1, toks[CAST(i + 1 AS INT)] AS w2
+        |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+        |        FROM t WHERE len(toks) >= 2)
+        |), c12 AS (
+        |  SELECT w1, w2, COUNT(*) AS n12 FROM bge GROUP BY w1, w2
+        |), lft AS (
+        |  SELECT w1, CAST(SUM(n12) AS BIGINT) AS c1, COUNT(*) AS n1p
+        |  FROM c12 GROUP BY w1
+        |), cont AS (
+        |  SELECT w2, COUNT(*) AS ncont FROM c12 GROUP BY w2
+        |), typ AS (
+        |  SELECT COUNT(*) AS ntypes FROM c12
+        |), sc AS (
+        |  SELECT b.doc_id, $knProbSql AS p
+        |  FROM bge b
+        |  JOIN c12 USING (w1, w2)
+        |  JOIN lft USING (w1)
+        |  JOIN cont USING (w2)
+        |  CROSS JOIN typ
+        |)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  CAST(SUM($knBucketSql) AS BIGINT) AS kn_surprisal,
+        |  MIN(p) AS min_p,
+        |  CAST(SUM($knBucketSql) AS DOUBLE) / COUNT(*)
+        |    AS mean_surprisal
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_stats" ->
       s"""WITH d AS (
         |  SELECT doc_id, text,
@@ -2014,53 +2251,23 @@ object TrainingQueries {
         |SELECT doc_id, rank, token, tf, df, score FROM scored
         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "quality_gate" ->
-      s"""WITH d AS (
-        |  SELECT doc_id, text,
-        |    ${langScores.map(_._2).mkString("greatest(", ", ", ")")} AS m
-        |  FROM documents
-        |), base AS (
-        |  SELECT doc_id, $langCase AS lang,
-        |    len($toksExpr) AS n_tok,
-        |    len(list_filter($toksExpr, t -> t IN $stopwordList)) AS n_stop
-        |  FROM d
-        |), tok AS (
-        |  SELECT doc_id, unnest($toksExpr) AS w FROM documents
-        |), tc AS (
-        |  SELECT doc_id, MAX(c) AS top_tok FROM (
-        |    SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY 1, 2
-        |  ) GROUP BY doc_id
-        |), bgl AS (
-        |  SELECT doc_id, $toksExpr AS toks FROM documents
-        |), bg AS (
-        |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
-        |    i -> toks[i] || ' ' || toks[i+1])) AS g
-        |  FROM bgl
-        |), bc AS (
-        |  SELECT doc_id,
-        |    COALESCE(SUM(c) FILTER (WHERE c >= 2), 0) AS dup_bg
-        |  FROM (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY 1, 2)
-        |  GROUP BY doc_id
-        |), v AS (
-        |  SELECT b.doc_id,
-        |    CASE WHEN b.n_tok < 15 THEN 'too_short'
-        |         WHEN b.n_tok > 90 THEN 'too_long'
-        |         WHEN CAST(b.n_stop AS DOUBLE) / b.n_tok < 0.03
-        |           THEN 'low_stopwords'
-        |         WHEN CAST(tc.top_tok AS DOUBLE) / b.n_tok > 0.125
-        |           THEN 'repetitive_token'
-        |         WHEN (CASE WHEN b.n_tok - 1 > 0
-        |                THEN CAST(COALESCE(bc.dup_bg, 0) AS DOUBLE)
-        |                     / (b.n_tok - 1)
-        |                ELSE 0 END) > 0.1
-        |           THEN 'repetitive_bigrams'
-        |         WHEN b.lang NOT IN ('en', 'de', 'es', 'fr') THEN 'lang'
-        |         ELSE 'accept' END AS verdict
-        |  FROM base b
-        |  JOIN tc ON b.doc_id = tc.doc_id
-        |  LEFT JOIN bc ON b.doc_id = bc.doc_id
-        |)
+      s"""$qualityVerdictCtes
         |SELECT verdict, COUNT(*) AS n_docs
         |FROM v GROUP BY verdict ORDER BY verdict""".stripMargin,
+    "quality_audit" ->
+      s"""$qualityVerdictCtes, agg AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(CASE WHEN verdict = 'accept' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_pass
+        |  FROM v GROUP BY source
+        |)
+        |SELECT source, n_docs, n_pass,
+        |  n_pass * 1000 // n_docs AS pass_permille,
+        |  ${wilsonPermicronSql("n_pass", "n_docs", "-")}
+        |    AS wilson_low_1e6,
+        |  ${wilsonPermicronSql("n_pass", "n_docs", "+")}
+        |    AS wilson_high_1e6
+        |FROM agg ORDER BY source""".stripMargin,
     "doc_surprisal" ->
       s"""WITH toks AS (
         |  SELECT doc_id, unnest($toksExpr) AS token FROM documents
@@ -2367,6 +2574,20 @@ object TrainingQueries {
         |  COUNT(*) AS n_docs,
         |  CAST(SUM(toks) AS BIGINT) AS n_tokens
         |FROM o GROUP BY 1, 2 ORDER BY bucket, seq_id""".stripMargin,
+    "epoch_shuffle" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    md5('shuf:e1|' || CAST(doc_id AS VARCHAR)) AS hx
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, hx,
+        |    CAST(('0x' || substr(hx, 1, 8))::BIGINT % 8 AS INT) AS shard
+        |  FROM h
+        |)
+        |SELECT doc_id, shard,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY shard
+        |    ORDER BY hx, doc_id) AS INT) AS pos
+        |FROM s ORDER BY shard, pos""".stripMargin,
     "mixture_upsample" ->
       s"""WITH d AS (
         |  SELECT doc_id, source, CAST(len($toksExpr) AS BIGINT) AS toks

@@ -148,6 +148,44 @@ class PlanPinsSpec extends SparkSpec {
       s"span-trim stage fell back to a nested-loop join:\n$plan")
   }
 
+  test("semantic_dedup's within-cell pair join is a hash equi-join on " +
+      "cell (the SemDeDup cost model is sum of |cell| squared, never " +
+      "a corpus-wide nested loop)") {
+    val df = SparkEntry.queries("semantic_dedup")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"cell pair join fell back to a nested-loop shape:\n$plan")
+    // the per-cell rollups keep map-side partials, so the exchanges
+    // carry cell-keyed partial counts, not raw pair/member rows
+    assert(plan.contains("partial_count"),
+      s"no partial aggregation in the per-cell rollups:\n$plan")
+  }
+
+  test("epoch_shuffle's per-shard position window sorts WITHIN the " +
+      "shard exchange (one hash exchange on shard, no global sort " +
+      "before the windows)") {
+    val df = SparkEntry.queries("epoch_shuffle")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    // the position window must partition by shard — a missing
+    // partitionBy would compile to a single-partition global window,
+    // the exact shape the query exists to avoid at 100 TB
+    assert(plan.contains("hashpartitioning(shard"),
+      s"no shard-keyed exchange feeding the position window:\n$plan")
+  }
+
+  test("bm25_topk's global top-10 compiles to TakeOrderedAndProject " +
+      "(per-partition bounded heaps, never a full corpus sort)") {
+    val df = SparkEntry.queries("bm25_topk")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"orderBy+limit no longer compiles to TakeOrdered:\n$plan")
+    // and the postings filter reaches the scan: the explode feeds a
+    // query-term filter, so the shuffle carries postings, not corpus
+    assert(plan.contains("partial_count"),
+      s"tf aggregate lost its map-side partials:\n$plan")
+  }
+
   test("dup_span_report never expands pairwise (doc-frequency pattern: " +
       "distinct spans, span-keyed counts, one join back)") {
     val df = SparkEntry.queries("dup_span_report")(spark, sf0001)
