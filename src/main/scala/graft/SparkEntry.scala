@@ -121,7 +121,8 @@ object SparkEntry {
       "ann_topk_ivfpq", "chunk_report", "hot_bigrams",
       "semantic_dedup", "ivf_balance_report", "epoch_shuffle",
       "kn_surprisal", "quality_audit", "quantizer_drift",
-      "bm25_topk", "hybrid_retrieval")
+      "bm25_topk", "hybrid_retrieval",
+      "asof_forward", "dedup_recall_report", "ann_topk_filtered")
 
   def benchQueries: Seq[(String, (SparkSession, String) => DataFrame)] =
     benchNames.flatMap(n => queries.get(n).map(n -> _))

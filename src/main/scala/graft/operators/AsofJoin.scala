@@ -4,7 +4,10 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Backward as-of join: for every left row, attach the latest right row
+/** As-of joins, both directions ([[AsofJoin.backward]] /
+  * [[AsofJoin.forward]]), one plan shape.
+  *
+  * Backward: for every left row, attach the latest right row
   * whose time is at-or-before the left row's time, per join key — the
   * "state at event time" lookup (prices at trade time, last config at
   * request time, last purchase at click time) that a plain equi-join
@@ -80,7 +83,38 @@ object AsofJoin {
       leftTime: Column, rightTime: Column,
       payload: Seq[(String, Column)],
       matchedTimeCol: Option[String] = None,
-      tolerance: Option[Column] = None): DataFrame = {
+      tolerance: Option[Column] = None): DataFrame =
+    join(left, right, leftKey, rightKey, leftTime, rightTime, payload,
+      matchedTimeCol, tolerance, forward = false)
+
+  /** Forward as-of join: the EARLIEST right row at-or-after each left
+    * row's time, per key — "next event" semantics (next purchase after
+    * a click, next error after a deploy, next fill after an order).
+    * The time-mirror of [[backward]]: same union-tag + one exchange +
+    * one window plan, with the frame flipped to (currentRow,
+    * unboundedFollowing) and a running `first(ignoreNulls)`; left rows
+    * sort BEFORE right rows at equal times, so the at-or-after match
+    * is inclusive like DuckDB ASOF's `<=`. `tolerance` bounds the
+    * look-AHEAD: matches with rightTime > leftTime + tolerance are
+    * discarded. */
+  def forward(
+      left: DataFrame, right: DataFrame,
+      leftKey: Column, rightKey: Column,
+      leftTime: Column, rightTime: Column,
+      payload: Seq[(String, Column)],
+      matchedTimeCol: Option[String] = None,
+      tolerance: Option[Column] = None): DataFrame =
+    join(left, right, leftKey, rightKey, leftTime, rightTime, payload,
+      matchedTimeCol, tolerance, forward = true)
+
+  private def join(
+      left: DataFrame, right: DataFrame,
+      leftKey: Column, rightKey: Column,
+      leftTime: Column, rightTime: Column,
+      payload: Seq[(String, Column)],
+      matchedTimeCol: Option[String],
+      tolerance: Option[Column],
+      forward: Boolean): DataFrame = {
     require(payload.nonEmpty, "as-of join needs at least one payload column")
     val leftCols = left.columns.toSeq
     require(!leftCols.exists(_.startsWith("_asof_")),
@@ -98,13 +132,18 @@ object AsofJoin {
       s"payload/matchedTimeCol name(s) collide with left columns: " +
         clash.mkString(", "))
 
+    // Side tags order rows at EQUAL times so the match is inclusive:
+    // backward wants right-then-left (at-or-before), forward wants
+    // left-then-right (at-or-after) under the same ascending sort.
+    val (rSide, lSide) = if (forward) (1, 0) else (0, 1)
+
     // Right side: key/time + the payload struct (matched time rides
     // inside so tolerance and matchedTimeCol need no second window).
     val rTagged = right
       .filter(rightKey.isNotNull && rightTime.isNotNull)
       .select(
         rightKey.as("_asof_k"), rightTime.as("_asof_t"),
-        lit(0).as("_asof_side"),
+        lit(rSide).as("_asof_side"),
         struct(
           (payload.map { case (n, c) => c.as(n) } :+
             rightTime.as("_asof_mt")): _*).as("_asof_pay"))
@@ -114,7 +153,7 @@ object AsofJoin {
     val lTagged = left
       .select(
         leftKey.as("_asof_k"), leftTime.as("_asof_t"),
-        lit(1).as("_asof_side"),
+        lit(lSide).as("_asof_side"),
         lit(null).cast(rTagged.schema("_asof_pay").dataType).as("_asof_pay"),
         struct(leftCols.map(col): _*).as("_asof_row"))
 
@@ -123,17 +162,33 @@ object AsofJoin {
         lit(null).cast(lTagged.schema("_asof_row").dataType))
       .unionByName(lTagged)
 
-    // Right rows (side 0) sort before left rows (side 1) at equal time:
-    // inclusive at-or-before. The running last() is the whole join.
-    val w = Window.partitionBy(col("_asof_k"))
+    // Backward: right rows sort before left rows at equal time and a
+    // running last() over the preceding frame is the whole join.
+    // Forward: left rows sort first and a running first() over the
+    // following frame is — same one sort, mirrored frame.
+    val wBase = Window.partitionBy(col("_asof_k"))
       .orderBy(col("_asof_t").asc, col("_asof_side").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val matchedRaw = last(col("_asof_pay"), ignoreNulls = true).over(w)
-    val matched = tolerance match {
-      case Some(tol) => when(
-        matchedRaw("_asof_mt") >= col("_asof_t") - tol, matchedRaw)
+    val matchedRaw =
+      if (forward)
+        first(col("_asof_pay"), ignoreNulls = true).over(
+          wBase.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+      else
+        last(col("_asof_pay"), ignoreNulls = true).over(
+          wBase.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val bounded = tolerance match {
+      case Some(tol) =>
+        if (forward) when(
+          matchedRaw("_asof_mt") <= col("_asof_t") + tol, matchedRaw)
+        else when(
+          matchedRaw("_asof_mt") >= col("_asof_t") - tol, matchedRaw)
       case None => matchedRaw
     }
+    // Null-timed left rows must match nothing in BOTH directions. They
+    // sort first under asc (nulls first), which self-enforces that for
+    // backward (no preceding rights) but NOT for forward — the
+    // following frame would hand them the key's earliest right row.
+    val matched =
+      if (forward) when(col("_asof_t").isNotNull, bounded) else bounded
 
     val outCols =
       leftCols.map(n => col(s"_asof_row.`$n`").as(n)) ++
@@ -141,7 +196,7 @@ object AsofJoin {
         matchedTimeCol.map(n => col("_asof_m._asof_mt").as(n)).toSeq
     unioned
       .withColumn("_asof_m", matched)
-      .filter(col("_asof_side") === 1)
+      .filter(col("_asof_side") === lSide)
       .select(outCols: _*)
   }
 }

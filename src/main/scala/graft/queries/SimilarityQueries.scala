@@ -881,6 +881,37 @@ object SimilarityQueries {
           / (Similarity.norm(col("fvec")) * Similarity.norm(col("svec"))))
         .select("cell", "nearest_cell", "cosine")
         .orderBy("cell")
+    },
+
+    // FILTERED vector search — the "vector search with a WHERE
+    // clause" every production deployment needs (tenant, language,
+    // license, date-range restrictions): a metadata predicate (label
+    // parity stands in) composes with the trained-IVF probe path by
+    // plain predicate pushdown — the filter lands IN the corpus scan
+    // next to the cell restriction, so a query batch reads ~nprobe/k
+    // of the corpus AND only the rows passing the filter, with top-k
+    // guaranteed filter-consistent (post-filtering a k-deep
+    // unfiltered result can return < k rows; filtering BEFORE the
+    // bounded heap cannot). Same memoized quantizer; queries stay
+    // unfiltered — restricting the corpus, not the askers.
+    "ann_topk_filtered" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      val cents = trainedCentroids(s, dir)
+      val assigned = e.filter(col("label") % 2 === 0)
+        .withColumn("cell", Similarity.assignCells(col("embedding"), cents))
+        .withColumn("_vn", Similarity.norm(col("embedding")))
+      val probed = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+        .withColumn("cell",
+          explode(Similarity.probeCells(col("qvec"), cents, IvfNprobe)))
+        .withColumn("_qn", Similarity.norm(col("qvec")))
+      val scored = assigned.join(broadcast(probed), "cell")
+        .withColumn("cosine", Similarity.dot(col("embedding"), col("qvec"))
+          / (col("_vn") * col("_qn")))
+        .select("query_id", "vec_id", "cosine")
+      graft.operators.TopK.perGroupNative(scored, "query_id", "vec_id",
+          "cosine", k = 10)
+        .orderBy("query_id", "rank")
     })
 
   /** Shared by ann_topk_brute and ann_topk_native: same contract, two
@@ -1408,10 +1439,54 @@ object SimilarityQueries {
       |SELECT cell, nearest_cell, cosine FROM nn
       |WHERE rn = 1 ORDER BY cell""".stripMargin
 
+  /** ann_topk_filtered's oracle: trainedIvfSqlFor's CTE chain with the
+    * metadata predicate restricting the corpus in both the assignment
+    * and the scoring stage (queries stay unfiltered). */
+  private val filteredIvfSql =
+    s"""WITH cents AS (
+      |  SELECT cell, cvec FROM read_parquet(
+      |    '${centroidExportPath("sf0.01")}/*.parquet')
+      |), corpus AS (
+      |  SELECT vec_id, embedding FROM embeddings WHERE label % 2 = 0
+      |), assign AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT e.vec_id, c.cell,
+      |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |        ORDER BY ${centScoreSql("e.embedding")} DESC, c.cell)
+      |        AS rn
+      |    FROM corpus e CROSS JOIN cents c)
+      |  WHERE rn = 1
+      |), q AS (
+      |  SELECT vec_id AS query_id, embedding AS qvec
+      |  FROM embeddings WHERE vec_id < 5
+      |), probe AS (
+      |  SELECT query_id, cell FROM (
+      |    SELECT q.query_id, c.cell,
+      |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+      |        ORDER BY ${centScoreSql("q.qvec")} DESC, c.cell) AS rn
+      |    FROM q CROSS JOIN cents c)
+      |  WHERE rn <= $IvfNprobe
+      |), p AS (
+      |  SELECT q.query_id, e.vec_id,
+      |    ${cosSql("e.embedding", "q.qvec")} AS cosine
+      |  FROM corpus e
+      |  JOIN assign a ON a.vec_id = e.vec_id
+      |  JOIN probe pr ON pr.cell = a.cell
+      |  JOIN q ON q.query_id = pr.query_id
+      |), r AS (
+      |  SELECT *, CAST(ROW_NUMBER() OVER
+      |    (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INT)
+      |    AS rank
+      |  FROM p
+      |)
+      |SELECT query_id, vec_id, rank, cosine FROM r
+      |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "semantic_dedup" -> semanticDedupSql,
     "ivf_balance_report" -> ivfBalanceSql,
     "quantizer_drift" -> quantizerDriftSql,
+    "ann_topk_filtered" -> filteredIvfSql,
     "ann_recall_report" -> recallReportSql,
     "ann_recall_trained" -> recallTrainedSql,
     "ann_topk_pq" -> pqTopkSql,

@@ -44,6 +44,28 @@ object TemporalQueries {
         .orderBy("event_id")
     },
 
+    // Forward as-of: for every non-purchase event, the user's NEXT
+    // purchase at-or-after it — time-to-conversion attribution, the
+    // mirror of asof_join's "state at event time". Identical plan
+    // (union-tag + ONE exchange + one window; see AsofJoin), just a
+    // flipped frame + running first(); the oracle is DuckDB's native
+    // ASOF with the `<=` inequality.
+    "asof_forward" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val left = ev.filter(col("event_type") =!= "purchase")
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("ts_us"))
+      val right = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("r_user"),
+          expr("ts div 1000").as("r_ts_us"), col("value"))
+      AsofJoin.forward(left, right,
+          left("user_id"), right("r_user"),
+          left("ts_us"), right("r_ts_us"),
+          payload = Seq("next_purchase_value" -> right("value")),
+          matchedTimeCol = Some("next_purchase_ts_us"))
+        .orderBy("event_id")
+    },
+
     // Binned range join: customers matched to same-nation suppliers
     // whose account-balance band (±200) contains the customer's
     // balance — the point-in-interval shape (band lookups, tier
@@ -198,6 +220,16 @@ object TemporalQueries {
         |  (SELECT user_id, ts, value FROM events
         |   WHERE event_type = 'purchase') r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin,
+    "asof_forward" ->
+      """SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+        |  r.value AS next_purchase_value,
+        |  epoch_us(r.ts) AS next_purchase_ts_us
+        |FROM (SELECT * FROM events WHERE event_type <> 'purchase') l
+        |ASOF LEFT JOIN
+        |  (SELECT user_id, ts, value FROM events
+        |   WHERE event_type = 'purchase') r
+        |  ON l.user_id = r.user_id AND l.ts <= r.ts
         |ORDER BY l.event_id""".stripMargin,
     "retention_cohorts" ->
       """WITH e AS (

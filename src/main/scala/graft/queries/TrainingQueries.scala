@@ -303,6 +303,39 @@ object TrainingQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // Candidate-generator EVAL — the dedup family's ann_recall_report:
+    // how much of the verified Jaccard-≥0.8 pair set (the doc-freq-
+    // capped exact path, the reference signal) does the 8-hash/4-band
+    // MinHash-LSH candidate generator recover (recall), and what
+    // fraction of its candidates verify (precision — the knob that
+    // prices the verify stage's join size)? This is the report that
+    // decides bands/hashes BEFORE an sf-scale dedup run: more bands =
+    // higher recall + more candidate-join cost, and the answer
+    // changes with corpus shingle statistics, so it must be measured
+    // on the corpus itself. Both pair sets are the proven queries'
+    // shapes; the comparison adds one pairs-sized join and three
+    // 1-row aggregates (broadcast crossJoin composition — no driver
+    // collect).
+    "dedup_recall_report" -> { (s, dir) =>
+      val docs = withCopies(s, dir)
+      val cand = Dedup.minhashCandidatePairs(docs, col("doc_id"),
+          col("text"), numHashes = 8, bands = 4, shingleN = 3)
+        .select("id_a", "id_b")
+      val truth = Dedup.ngramJaccardPairs(docs, col("doc_id"),
+          col("text"), shingleN = 3, maxDocFreq = 20, minJaccard = 0.8)
+        .select("id_a", "id_b")
+      val hit = truth.join(cand, Seq("id_a", "id_b"))
+      truth.agg(count(lit(1)).as("n_truth"))
+        .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .withColumn("recall_permille", expr(
+          "CASE WHEN n_truth = 0 THEN CAST(0 AS BIGINT) " +
+            "ELSE n_hit * 1000 div n_truth END"))
+        .withColumn("precision_permille", expr(
+          "CASE WHEN n_cand = 0 THEN CAST(0 AS BIGINT) " +
+            "ELSE n_hit * 1000 div n_cand END"))
+    },
+
     // SimHash near-dup pairing: 4×16-bit band tables over the 64-bit
     // signature (exact Hamming≤3 recall by pigeonhole), verified with
     // the codegen'd builtin bit_count(a XOR b) — planted copies land at
@@ -2558,6 +2591,54 @@ object TrainingQueries {
         |JOIN sizes sb ON sb.doc_id = id_b
         |WHERE inter / (sa.set_size + sb.set_size - inter) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+    // Composes the two proven CTE families above (minhash bands →
+    // candidate pairs; doc-freq-capped shingles → verified Jaccard
+    // pairs) and counts overlap.
+    "dedup_recall_report" ->
+      s"""WITH $allDocsCte,
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct($shinglesExpr)) AS s
+        |  FROM all_docs
+        |), sig AS (
+        |  SELECT doc_id,
+        |    $minhashMins
+        |  FROM sh GROUP BY doc_id
+        |), bands AS (
+        |  $bandRows
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.band_key = b.band_key
+        |    AND a.doc_id < b.doc_id
+        |), surviving AS (
+        |  SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 20
+        |), pruned AS (
+        |  SELECT sh.doc_id, sh.s FROM sh JOIN surviving USING (s)
+        |), sizes AS (
+        |  SELECT doc_id, COUNT(*) AS set_size FROM pruned GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        |  FROM pruned a JOIN pruned b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), truth AS (
+        |  SELECT id_a, id_b FROM inter
+        |  JOIN sizes sa ON sa.doc_id = id_a
+        |  JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE inter / (sa.set_size + sb.set_size - inter) >= 0.8
+        |), hit AS (
+        |  SELECT t.id_a FROM truth t
+        |  JOIN cand c ON t.id_a = c.id_a AND t.id_b = c.id_b
+        |), n AS (
+        |  SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
+        |    (SELECT COUNT(*) FROM cand) AS n_cand,
+        |    (SELECT COUNT(*) FROM hit) AS n_hit
+        |)
+        |SELECT n_truth, n_cand, n_hit,
+        |  CASE WHEN n_truth = 0 THEN CAST(0 AS BIGINT)
+        |       ELSE n_hit * 1000 // n_truth END AS recall_permille,
+        |  CASE WHEN n_cand = 0 THEN CAST(0 AS BIGINT)
+        |       ELSE n_hit * 1000 // n_cand END AS precision_permille
+        |FROM n""".stripMargin,
     "pack_sequences" ->
       s"""WITH d AS (
         |  SELECT doc_id, CAST(len($toksExpr) AS BIGINT) AS toks,
