@@ -122,7 +122,8 @@ object SparkEntry {
       "semantic_dedup", "ivf_balance_report", "epoch_shuffle",
       "kn_surprisal", "quality_audit", "quantizer_drift",
       "bm25_topk", "hybrid_retrieval",
-      "asof_forward", "dedup_recall_report", "ann_topk_filtered")
+      "asof_forward", "dedup_recall_report", "ann_topk_filtered",
+      "ann_topk_ivfpq_pruned", "event_transitions", "rate_anomalies")
 
   def benchQueries: Seq[(String, (SparkSession, String) => DataFrame)] =
     benchNames.flatMap(n => queries.get(n).map(n -> _))

@@ -29,6 +29,18 @@ object ConsumerQueries {
         concat(lit("S|"), pmod(col("user_id"), lit(4)).cast("string")))
       .withColumn("ts_us", expr("ts div 1000"))
 
+  /** z-score in integer micro-units over the exact integer moments
+    * (n, h, s, q) — ONE SQL string for both engines (e0 literals are
+    * DOUBLE in both; identical IEEE tree ⇒ hash-exact), with the
+    * zero-variance case caught exactly in integers (h·q = s² ⟺
+    * variance 0) before any division can produce an Infinity that
+    * ANSI-mode casting would reject. */
+  private val zScore1e6Sql =
+    "CASE WHEN h * q = s * s THEN CAST(0 AS BIGINT) " +
+      "ELSE CAST(FLOOR(1e6 * ((CAST(n AS DOUBLE) - CAST(s AS DOUBLE) / h) " +
+      "/ sqrt((CAST(q AS DOUBLE) - (CAST(s AS DOUBLE) * s) / h) / h))) " +
+      "AS BIGINT) END"
+
   /** Config for the config-driven identify/sequence queries: ids from the
     * message payload, keys and seqNos resolved through the fallback chain
     * (absent on the message ⇒ found on the record, I4). */
@@ -355,6 +367,39 @@ object ConsumerQueries {
         .orderBy("hour_bucket", "shard_id")
     },
 
+    // Rate-ANOMALY report — the alert behind every traffic dashboard:
+    // per event type, the 3 hours whose volume deviates most from
+    // that type's own hourly distribution, scored as a z-score
+    // against the exact population mean/stddev. The moments come from
+    // integer sums only (H hours, S=Σn, Q=Σn²: mean = S/H, var =
+    // (Q−S²/H)/H), so the z expression is ONE shared SQL string both
+    // engines evaluate over exact integers — hash-identical doubles,
+    // floored to integer micro-units (the Wilson-bound discipline);
+    // a zero-variance type is caught by the exact integer guard
+    // H·Q = S² before any division. Shapes: one hours×types partial
+    // aggregate, a types-cardinality stats rollup broadcast back, and
+    // a rank window over each type's hours (hours-bounded
+    // partitions). rank ≤ 3 output is non-degenerate on ANY corpus —
+    // an anomaly-free week still reports its most extreme hours.
+    "rate_anomalies" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val hourly = Tables.events(s, dir)
+        .withColumn("hour_bucket", expr("ts div 1000 div 3600000000"))
+        .groupBy("event_type", "hour_bucket")
+        .agg(count(lit(1)).as("n"))
+      val stats = hourly.groupBy("event_type").agg(
+        count(lit(1)).as("h"), sum("n").as("s"),
+        sum(expr("n * n")).as("q"))
+      hourly.join(broadcast(stats), "event_type")
+        .withColumn("z_1e6", expr(zScore1e6Sql))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("event_type")
+            .orderBy(abs(col("z_1e6")).desc, col("hour_bucket"))))
+        .filter(col("rank") <= 3)
+        .select("event_type", "rank", "hour_bucket", "n", "z_1e6")
+        .orderBy("event_type", "rank")
+    },
+
     // Hot-KEY report — the key-grained sequel to shard_skew_report:
     // which individual partition keys own ≥ 7.5‰ of all traffic (the
     // keys a re-salting scheme would split). Runs the two-pass exact
@@ -531,6 +576,27 @@ object ConsumerQueries {
         |    SUM(n_events) OVER (PARTITION BY hour_bucket) AS BIGINT)
         |    AS permille
         |FROM c ORDER BY hour_bucket, shard_id""".stripMargin,
+
+    "rate_anomalies" ->
+      s"""WITH hourly AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS hour_bucket,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), st AS (
+        |  SELECT event_type, COUNT(*) AS h,
+        |    CAST(SUM(n) AS BIGINT) AS s,
+        |    CAST(SUM(n * n) AS BIGINT) AS q
+        |  FROM hourly GROUP BY event_type
+        |), z AS (
+        |  SELECT hourly.event_type, hour_bucket, n, $zScore1e6Sql AS z_1e6
+        |  FROM hourly JOIN st USING (event_type)
+        |), r AS (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+        |    ORDER BY abs(z_1e6) DESC, hour_bucket) AS INT) AS rank
+        |  FROM z
+        |)
+        |SELECT event_type, rank, hour_bucket, n, z_1e6 FROM r
+        |WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin,
 
     "hot_keys" ->
       """WITH tot AS (SELECT COUNT(*) AS n FROM events)

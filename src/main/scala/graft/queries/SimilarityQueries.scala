@@ -126,6 +126,10 @@ object SimilarityQueries {
   private def int8LayoutPath(dir: String): String =
     s"/tmp/graft_int8_layout_${new java.io.File(dir).getName}.parquet"
 
+  /** ann_topk_ivfpq_pruned's PQ-code cell-partitioned layout. */
+  private def ivfPqLayoutPath(dir: String): String =
+    s"/tmp/graft_ivfpq_layout_${new java.io.File(dir).getName}.parquet"
+
   /** Centroids as (cell INT, cvec ARRAY<DOUBLE>) — doubles carry the
     * float values EXACTLY, so DuckDB reproduces the kernels'
     * float-to-double arithmetic bit-for-bit. */
@@ -648,6 +652,58 @@ object SimilarityQueries {
         .withColumn("_qn", sqrt(graft.functions.DoubleVecDot(
           col("qvec"), col("qvec"))))
       val scored = coded.join(broadcast(probed), "cell")
+        .withColumn("score", graft.functions.DoubleVecDot(
+          col("rvec"), col("qvec")) / (col("_rn") * col("_qn")))
+        .select("query_id", "vec_id", "score")
+      graft.operators.TopK.perGroupNative(scored, "query_id", "vec_id",
+          "score", k = 10)
+        .orderBy("query_id", "rank")
+    },
+
+    // IVF-PQ AT REST — what a 100 TB PQ deployment physically stores
+    // and scans: the corpus persists as M=4 int codes + the coarse
+    // cell id ONLY (neither floats nor reconstructions touch disk —
+    // bytes/row ∝ M, the whole point of PQ), laid out one directory
+    // per coarse cell by CorpusWriter. The probe reads the at-rest
+    // code table under dynamic partition pruning (~nprobe/k of the
+    // directories), reconstructs in-flight from the broadcast
+    // codebook literals, and scores in the code domain — so a query
+    // batch's IO is (nprobe/k) × (M codes/row) of the corpus. Same
+    // memoized quantizers and SAME oracle as the in-memory
+    // ann_topk_ivfpq: a hash match proves the write→prune→read→
+    // reconstruct round trip lossless, exactly like
+    // ann_topk_ivf_pruned vs ann_topk_ivf_trained.
+    "ann_topk_ivfpq_pruned" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      val cents = trainedCentroids(s, dir)
+      val books = pqCodebooks(s, dir)
+      val codeCols = (0 until PqM).map { m =>
+        Similarity.assignCells(expr(
+          s"slice(embedding, ${m * PqSub + 1}, $PqSub)"), books(m))
+          .as(s"code$m")
+      }
+      val coded = e.select(Seq(col("vec_id"),
+        Similarity.assignCells(col("embedding"), cents).as("cell")) ++
+        codeCols: _*)
+      val path = ivfPqLayoutPath(dir)
+      graft.sinks.CorpusWriter.writePartitioned(coded, path,
+        partitionCol = "cell", sortCols = Seq("vec_id"))
+      val bookLits = books.map(cb =>
+        typedLit(cb.toSeq.map(_.toSeq.map(_.toDouble))))
+      val recon = concat((0 until PqM).map(m =>
+        element_at(bookLits(m), col(s"code$m") + 1)): _*)
+      val atRest = s.read.parquet(path)
+        .withColumn("rvec", recon)
+        .withColumn("_rn", sqrt(graft.functions.DoubleVecDot(
+          col("rvec"), col("rvec"))))
+      val probed = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"),
+          expr("transform(embedding, x -> cast(x as double))").as("qvec"),
+          explode(Similarity.probeCells(col("embedding"), cents,
+            IvfNprobe)).as("cell"))
+        .withColumn("_qn", sqrt(graft.functions.DoubleVecDot(
+          col("qvec"), col("qvec"))))
+      val scored = atRest.join(broadcast(probed), "cell")
         .withColumn("score", graft.functions.DoubleVecDot(
           col("rvec"), col("qvec")) / (col("_rn") * col("_qn")))
         .select("query_id", "vec_id", "score")
@@ -1487,6 +1543,9 @@ object SimilarityQueries {
     "ivf_balance_report" -> ivfBalanceSql,
     "quantizer_drift" -> quantizerDriftSql,
     "ann_topk_filtered" -> filteredIvfSql,
+    // At-rest round trip is lossless by construction — same oracle as
+    // the in-memory IVF-PQ path (the ann_topk_ivf_pruned precedent).
+    "ann_topk_ivfpq_pruned" -> ivfPqSql,
     "ann_recall_report" -> recallReportSql,
     "ann_recall_trained" -> recallTrainedSql,
     "ann_topk_pq" -> pqTopkSql,

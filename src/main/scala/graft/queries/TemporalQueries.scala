@@ -66,6 +66,33 @@ object TemporalQueries {
         .orderBy("event_id")
     },
 
+    // First-order Markov transition matrix over per-user event
+    // streams — the "what do users do next" table product analytics
+    // builds funnels from: for every consecutive (event, next event)
+    // pair within a user's timeline, transition counts and the
+    // row-normalized probability in integer permille. One lead()
+    // window per user (user-bounded partitions, all parallel), one
+    // types²-bounded aggregate, and the row totals ride a
+    // types-cardinality broadcast join back — nothing scales beyond
+    // events for the window and types² afterward.
+    "event_transitions" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+          col("event_type"), col("event_id"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_us"), col("event_id"))
+      val trans = ev
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val fromTot = trans.groupBy("from_type").agg(sum("n").as("n_from"))
+      trans.join(broadcast(fromTot), "from_type")
+        .withColumn("p_permille", expr("n * 1000 div n_from"))
+        .orderBy("from_type", "to_type")
+    },
+
     // Binned range join: customers matched to same-nation suppliers
     // whose account-balance band (±200) contains the customer's
     // balance — the point-in-interval shape (band lookups, tier
@@ -231,6 +258,26 @@ object TemporalQueries {
         |   WHERE event_type = 'purchase') r
         |  ON l.user_id = r.user_id AND l.ts <= r.ts
         |ORDER BY l.event_id""".stripMargin,
+    "event_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_type, event_id
+        |  FROM events
+        |), t AS (
+        |  SELECT event_type AS from_type,
+        |    LEAD(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id) AS to_type
+        |  FROM e
+        |), c AS (
+        |  SELECT from_type, to_type, COUNT(*) AS n FROM t
+        |  WHERE to_type IS NOT NULL GROUP BY 1, 2
+        |), ft AS (
+        |  SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from
+        |  FROM c GROUP BY from_type
+        |)
+        |SELECT from_type, to_type, n, n_from,
+        |  n * 1000 // n_from AS p_permille
+        |FROM c JOIN ft USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
     "retention_cohorts" ->
       """WITH e AS (
         |  SELECT user_id, (epoch_us(ts) // 86400000000) // 7 AS week

@@ -174,6 +174,18 @@ class PlanPinsSpec extends SparkSpec {
       s"no shard-keyed exchange feeding the position window:\n$plan")
   }
 
+  test("ann_topk_ivfpq_pruned's at-rest code scan carries dynamic " +
+      "partition pruning on cell (probe IO = nprobe/k directories of " +
+      "M-code rows — the IVF-PQ storage story end-to-end)") {
+    val df = SparkEntry.queries("ann_topk_ivfpq_pruned")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruningexpression(cell"),
+      s"no dynamic partition pruning on the code scan:\n$plan")
+    assert(plan.split("PartitionFilters: \\[").exists(seg =>
+      seg.takeWhile(_ != ']').contains("dynamicpruning")),
+      s"dynamic pruning not inside PartitionFilters:\n$plan")
+  }
+
   test("bm25_topk's global top-10 compiles to TakeOrderedAndProject " +
       "(per-partition bounded heaps, never a full corpus sort)") {
     val df = SparkEntry.queries("bm25_topk")(spark, sf0001)
