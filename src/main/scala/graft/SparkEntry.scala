@@ -123,7 +123,8 @@ object SparkEntry {
       "kn_surprisal", "quality_audit", "quantizer_drift",
       "bm25_topk", "hybrid_retrieval",
       "asof_forward", "dedup_recall_report", "ann_topk_filtered",
-      "ann_topk_ivfpq_pruned", "event_transitions", "rate_anomalies")
+      "ann_topk_ivfpq_pruned", "event_transitions", "rate_anomalies",
+      "pagerank_hubs", "k_anonymity_report")
 
   def benchQueries: Seq[(String, (SparkSession, String) => DataFrame)] =
     benchNames.flatMap(n => queries.get(n).map(n -> _))

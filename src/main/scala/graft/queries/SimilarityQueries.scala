@@ -834,7 +834,11 @@ object SimilarityQueries {
     // cells for LAION; here k=8 at CORRECTNESS scale), and the
     // closure/rollup stages are ∝ duplicates. Pairs cannot span
     // cells, so components are cell-local by construction and the
-    // per-cell drop rollup needs no canonical-cell lookup.
+    // per-cell drop rollup needs no canonical-cell lookup. Measured
+    // sf0.1→sf1 at the FIXED toy k: 3.1× at 10× docs — the N²/k
+    // candidate growth the k-∝-corpus rule exists to flatten
+    // (SCALE.md round 13); the knob, not the shape, is what changes
+    // in production.
     "semantic_dedup" -> { (s, dir) =>
       val e = Tables.embeddings(s, dir)
         .select(col("vec_id"), col("embedding"))

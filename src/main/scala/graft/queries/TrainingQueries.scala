@@ -315,7 +315,13 @@ object TrainingQueries {
     // on the corpus itself. Both pair sets are the proven queries'
     // shapes; the comparison adds one pairs-sized join and three
     // 1-row aggregates (broadcast crossJoin composition — no driver
-    // collect).
+    // collect). Measured sf0.1→sf1: 4.7× at 10× docs — the eval's
+    // cost tracks its two input pair sets, which grow with the LSH
+    // family's chance band collisions (the priced regime; SCALE.md
+    // round 13). At 100 TB this is a TUNING diagnostic, run on an
+    // md5-bucketed sample slice: the rates it estimates are
+    // corpus-statistics properties, not an inventory that needs every
+    // pair.
     "dedup_recall_report" -> { (s, dir) =>
       val docs = withCopies(s, dir)
       val cand = Dedup.minhashCandidatePairs(docs, col("doc_id"),
@@ -344,6 +350,77 @@ object TrainingQueries {
       Dedup.simhashPairs(withCopies(s, dir), col("doc_id"), col("text"),
           maxHamming = 3)
         .orderBy("id_a", "id_b")
+    },
+
+    // Template-HUB centrality — PageRank (3 unrolled power iterations,
+    // damping 0.85) over the SimHash near-dup graph: high-rank docs
+    // sit at the center of large near-dup neighborhoods, i.e. the
+    // boilerplate templates whose variants flood the corpus (the doc
+    // a curator inspects FIRST — components says how big a cluster
+    // is, centrality says which member is its hub). Arithmetic is
+    // INTEGER micro-units end to end: ranks are BIGINT (start 10⁶),
+    // per-edge contribution is rank div degree (integer division
+    // BEFORE the sum, so the aggregate is an order-independent
+    // integer sum), damping is ×85 div 100 — no float appears
+    // anywhere, which is what makes 3 chained iterations
+    // bit-reproducible in both engines (a float formulation would
+    // compound order-dependent sums per round). Per iteration: one
+    // edges⋈ranks join (∝ edges, which the band family keeps
+    // ∝ duplicates) + one dst-keyed integer sum; truncation at 3
+    // rounds is the documented trade (hub ORDERING stabilizes within
+    // a few rounds on near-dup graphs — full convergence buys nothing
+    // a curator reads). Dangling mass is not redistributed (isolated
+    // docs settle at the 0.15 floor) — the standard simplified form.
+    "pagerank_hubs" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = withCopies(s, dir).select(col("doc_id"))
+      val pairs = Dedup.simhashPairs(withCopies(s, dir), col("doc_id"),
+          col("text"), maxHamming = 3)
+        .select("id_a", "id_b")
+      val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionByName(pairs.select(col("id_b").as("src"),
+          col("id_a").as("dst")))
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      var rank = docs.select(col("doc_id"), lit(1000000L).as("rank"))
+      for (_ <- 1 to 3) {
+        val r = rank.select(col("doc_id").as("rid"), col("rank"))
+        val contrib = edges
+          .join(r, col("src") === col("rid"))
+          .join(deg, "src")
+          .select(col("dst").as("doc_id"), expr("rank div deg").as("c"))
+          .groupBy("doc_id").agg(sum("c").as("s"))
+        rank = docs
+          .join(contrib, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            (lit(150000L) +
+              expr("coalesce(s, CAST(0 AS BIGINT)) * 85 div 100"))
+              .as("rank"))
+      }
+      rank.orderBy(col("rank").desc, col("doc_id")).limit(20)
+        .withColumn("hub_rank", row_number().over(
+          Window.orderBy(col("rank").desc, col("doc_id"))))
+        .select("hub_rank", "doc_id", "rank")
+        .orderBy("hub_rank")
+    },
+
+    // k-anonymity audit over the (lang, source) quasi-identifier —
+    // the privacy-release check run before publishing corpus
+    // metadata: how many identifier groups (and member docs) fall in
+    // each re-identification risk band (unique / k≤5 / k≤20 / k>20).
+    // Two cascaded shrinking aggregates, like vocab_fof.
+    "k_anonymity_report" -> { (s, dir) =>
+      val groups = Tables.documents(s, dir)
+        .groupBy("lang", "source").agg(count(lit(1)).as("k"))
+      groups.select(
+          when(col("k") === 1, "unique")
+            .when(col("k") <= 5, "high")
+            .when(col("k") <= 20, "medium")
+            .otherwise("low").as("risk_band"),
+          col("k"))
+        .groupBy("risk_band")
+        .agg(count(lit(1)).as("n_groups"), sum("k").as("n_docs"),
+          min("k").as("min_k"), max("k").as("max_k"))
+        .orderBy("risk_band")
     },
 
     // MODALITY-AGREEMENT dedup report — the cross-check a pipeline
@@ -2591,6 +2668,50 @@ object TrainingQueries {
         |JOIN sizes sb ON sb.doc_id = id_b
         |WHERE inter / (sa.set_size + sb.set_size - inter) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+    // 3 integer-unit power iterations over the simhash pair graph
+    // (componentsReachCte supplies all_docs + the symmetrized sym
+    // edge CTE; the unused reach CTE is never referenced, so DuckDB
+    // plans it away).
+    "pagerank_hubs" -> {
+      val iters = (1 to 3).map { i =>
+        s""",
+           |c$i AS (
+           |  SELECT e.dst AS doc_id,
+           |    CAST(SUM(r.rank // d.deg) AS BIGINT) AS s
+           |  FROM sym e
+           |  JOIN r${i - 1} r ON r.doc_id = e.src
+           |  JOIN deg d ON d.src = e.src
+           |  GROUP BY e.dst
+           |), r$i AS (
+           |  SELECT a.doc_id,
+           |    150000 + COALESCE(c.s, CAST(0 AS BIGINT)) * 85 // 100
+           |      AS rank
+           |  FROM all_docs a LEFT JOIN c$i c USING (doc_id)
+           |)""".stripMargin
+      }.mkString
+      s"""$componentsReachCte, deg AS (
+        |  SELECT src, COUNT(*) AS deg FROM sym GROUP BY src
+        |), r0 AS (
+        |  SELECT doc_id, CAST(1000000 AS BIGINT) AS rank FROM all_docs
+        |)$iters
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY rank DESC, doc_id)
+        |    AS INT) AS hub_rank, doc_id, rank
+        |FROM r3 ORDER BY rank DESC, doc_id LIMIT 20""".stripMargin
+    },
+    "k_anonymity_report" ->
+      """WITH g AS (
+        |  SELECT lang, source, COUNT(*) AS k FROM documents
+        |  GROUP BY lang, source
+        |), b AS (
+        |  SELECT CASE WHEN k = 1 THEN 'unique' WHEN k <= 5 THEN 'high'
+        |              WHEN k <= 20 THEN 'medium' ELSE 'low' END
+        |    AS risk_band, k
+        |  FROM g
+        |)
+        |SELECT risk_band, COUNT(*) AS n_groups,
+        |  CAST(SUM(k) AS BIGINT) AS n_docs,
+        |  MIN(k) AS min_k, MAX(k) AS max_k
+        |FROM b GROUP BY risk_band ORDER BY risk_band""".stripMargin,
     // Composes the two proven CTE families above (minhash bands →
     // candidate pairs; doc-freq-capped shingles → verified Jaccard
     // pairs) and counts overlap.
