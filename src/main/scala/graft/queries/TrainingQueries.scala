@@ -303,6 +303,71 @@ object TrainingQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // AT-REST LSH SIGNATURE INDEX + incremental probe — the ingest
+    // half of the minhash family at 100 TB: the existing corpus's
+    // band signatures are computed ONCE and persisted (deterministic
+    // md5 minhash ⇒ re-runs rewrite identical bytes — a versioned
+    // index artifact, same operational shape as the IVF centroid
+    // export), and each daily batch computes only ITS OWN signatures
+    // and equi-joins the at-rest table on (band, band_key). Without
+    // the index every ingest re-shingles and re-hashes the WHOLE
+    // corpus (corpus-scale compute per day); with it, per-ingest cost
+    // is batch signatures + a join whose exchange carries band keys,
+    // ∝ batch + collisions. Output: distinct (batch doc, existing
+    // doc) near-dup candidates — what the ingest pipeline anti-joins
+    // or routes to verify. The oracle recomputes both signature sets
+    // from the raw text: a hash match proves the persisted index
+    // byte-equivalent to recomputation.
+    "dedup_lsh_probe" -> { (s, dir) =>
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val n = d.agg(max("doc_id")).head.getLong(0) + 1
+      val sigPath = lshIndexPath(dir)
+      val corpusSig = Dedup.lshBands(
+        d.filter(col("doc_id") < n * 4 / 5), col("doc_id"), col("text"))
+        .withColumnRenamed("id", "corpus_id")
+      graft.sinks.CorpusWriter.writePartitioned(corpusSig, sigPath,
+        partitionCol = "band", sortCols = Seq("corpus_id"))
+      val atRest = s.read.parquet(sigPath)
+      val batch = d.filter(col("doc_id") >= n * 3 / 5)
+        .select((col("doc_id") + CopyShift).as("doc_id"), col("text"))
+      val batchSig = Dedup.lshBands(batch, col("doc_id"), col("text"))
+        .select(col("band"), col("band_key"), col("id").as("batch_id"))
+      atRest.join(batchSig, Seq("band", "band_key"))
+        .select("batch_id", "corpus_id").distinct()
+        .orderBy("batch_id", "corpus_id")
+    },
+
+    // TEMPERATURE-scaled source mixing (τ = 0.5) — the multilingual/
+    // multi-source sampling rule (UNIMAX-family): target share ∝
+    // share^τ, flattening the head without inverting the ordering.
+    // τ = 0.5 deliberately: share^0.5 is ONE correctly-rounded IEEE
+    // sqrt (bit-identical cross-engine), where a general pow() is
+    // libm-dependent — the same determinism rule as the log-free
+    // surprisal tier. The ONLY float op is the per-source
+    // floor(1e6·√share); everything after — the normalizer Z, target
+    // permille, upsampling factor — is exact integer arithmetic on
+    // those micro-units (order-independent sums), capped at 4× like
+    // mixture_upsample. Shapes: source-cardinality aggregates and
+    // 1-row broadcast globals only. (The factor product sq·T·1000
+    // fits BIGINT through ~10¹² corpus tokens; beyond that, divide
+    // before multiplying — documented, not needed at these SFs.)
+    "mixture_temperature" -> { (s, dir) =>
+      val d = Tables.documents(s, dir).select(col("source"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("toks"))
+      val bySource = d.groupBy("source").agg(sum("toks").as("toks"))
+      val total = bySource.agg(sum("toks").as("t"))
+      val sq = bySource.crossJoin(broadcast(total))
+        .withColumn("sq_1e6", expr(tempSqSql))
+      val z = sq.agg(sum("sq_1e6").as("z"))
+      sq.crossJoin(broadcast(z))
+        .select(col("source"), col("toks"),
+          expr("toks * 1000 div t").as("share_permille"),
+          expr("sq_1e6 * 1000 div z").as("target_permille"),
+          expr("least(sq_1e6 * t * 1000 div (z * toks), " +
+            "CAST(4000 AS BIGINT))").as("factor_1e3"))
+        .orderBy("source")
+    },
+
     // Candidate-generator EVAL — the dedup family's ann_recall_report:
     // how much of the verified Jaccard-≥0.8 pair set (the doc-freq-
     // capped exact path, the reference signal) does the 8-hash/4-band
@@ -371,6 +436,9 @@ object TrainingQueries {
     // a few rounds on near-dup graphs — full convergence buys nothing
     // a curator reads). Dangling mass is not redistributed (isolated
     // docs settle at the 0.15 floor) — the standard simplified form.
+    // Measured sf0.1→sf1 steady: 3.3× at 10× docs, under the band
+    // family's chance-collision edge growth the iterations ride on
+    // (SCALE.md round 13).
     "pagerank_hubs" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val docs = withCopies(s, dir).select(col("doc_id"))
@@ -403,14 +471,21 @@ object TrainingQueries {
         .orderBy("hub_rank")
     },
 
-    // k-anonymity audit over the (lang, source) quasi-identifier —
-    // the privacy-release check run before publishing corpus
-    // metadata: how many identifier groups (and member docs) fall in
-    // each re-identification risk band (unique / k≤5 / k≤20 / k>20).
-    // Two cascaded shrinking aggregates, like vocab_fof.
+    // k-anonymity audit over the (lang, source, length-bucket)
+    // quasi-identifier — the privacy-release check run before
+    // publishing per-doc corpus metadata: how many identifier groups
+    // (and member docs) fall in each re-identification risk band
+    // (unique / k≤5 / k≤20 / k>20). The 50-char length bucket is part
+    // of the identifier because released length metadata narrows
+    // groups exactly like a categorical column does — and it is what
+    // makes the audit bite (two-column groups are all comfortably
+    // large; adding length produces genuine singletons). Two cascaded
+    // shrinking aggregates, like vocab_fof.
     "k_anonymity_report" -> { (s, dir) =>
       val groups = Tables.documents(s, dir)
-        .groupBy("lang", "source").agg(count(lit(1)).as("k"))
+        .groupBy(col("lang"), col("source"),
+          expr("n_chars div 50").as("len_bucket"))
+        .agg(count(lit(1)).as("k"))
       groups.select(
           when(col("k") === 1, "unique")
             .when(col("k") <= 5, "high")
@@ -1891,6 +1966,16 @@ object TrainingQueries {
     * (the oracle itself never reads this path — it recomputes from
     * `documents` — so the suffix only keeps concurrent-SF runs from
     * overwriting each other's layout mid-read). */
+  /** dedup_lsh_probe's persisted band-signature index. */
+  private def lshIndexPath(dir: String): String =
+    s"/tmp/graft_lsh_index_${new java.io.File(dir).getName}.parquet"
+
+  /** mixture_temperature's one float op — √share in micro-units; ONE
+    * SQL string for both engines (sqrt is correctly rounded by IEEE,
+    * e0 literals are DOUBLE in both). */
+  private val tempSqSql =
+    "CAST(FLOOR(1e6 * sqrt(CAST(toks AS DOUBLE) / t)) AS BIGINT)"
+
   private def corpusExportPath(dir: String): String =
     s"/tmp/graft_corpus_${new java.io.File(dir).getName}.parquet"
 
@@ -1900,6 +1985,13 @@ object TrainingQueries {
 
   private val bandRows = (0 until 4).map { b =>
     s"SELECT doc_id, $b AS band, h${2 * b} || '|' || h${2 * b + 1} AS band_key FROM sig"
+  }.mkString("\n  UNION ALL ")
+
+  /** [[bandRows]] over an arbitrarily-named signature CTE — for
+    * oracles holding TWO signature tables (dedup_lsh_probe). */
+  private def bandRowsFrom(src: String) = (0 until 4).map { b =>
+    s"SELECT doc_id, $b AS band, h${2 * b} || '|' || h${2 * b + 1} " +
+      s"AS band_key FROM $src"
   }.mkString("\n  UNION ALL ")
 
   /** Shared prefix of the components/survivors oracles: SimHash band
@@ -2698,10 +2790,57 @@ object TrainingQueries {
         |    AS INT) AS hub_rank, doc_id, rank
         |FROM r3 ORDER BY rank DESC, doc_id LIMIT 20""".stripMargin
     },
+    "dedup_lsh_probe" ->
+      s"""WITH sz AS (
+        |  SELECT MAX(doc_id) + 1 AS n FROM documents
+        |), corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE doc_id < (SELECT n * 4 // 5 FROM sz)
+        |), batch AS (
+        |  SELECT doc_id + $CopyShift AS doc_id, text FROM documents
+        |  WHERE doc_id >= (SELECT n * 3 // 5 FROM sz)
+        |), shc AS (
+        |  SELECT doc_id, unnest(list_distinct($shinglesExpr)) AS s
+        |  FROM corpus
+        |), sigc AS (
+        |  SELECT doc_id, $minhashMins FROM shc GROUP BY doc_id
+        |), bandsc AS (
+        |  ${bandRowsFrom("sigc")}
+        |), shb AS (
+        |  SELECT doc_id, unnest(list_distinct($shinglesExpr)) AS s
+        |  FROM batch
+        |), sigb AS (
+        |  SELECT doc_id, $minhashMins FROM shb GROUP BY doc_id
+        |), bandsb AS (
+        |  ${bandRowsFrom("sigb")}
+        |)
+        |SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
+        |FROM bandsb b JOIN bandsc c
+        |  ON b.band = c.band AND b.band_key = c.band_key
+        |ORDER BY batch_id, corpus_id""".stripMargin,
+    "mixture_temperature" ->
+      s"""WITH d AS (
+        |  SELECT source, CAST(len($toksExpr) AS BIGINT) AS toks
+        |  FROM documents
+        |), bys AS (
+        |  SELECT source, CAST(SUM(toks) AS BIGINT) AS toks FROM d
+        |  GROUP BY source
+        |), tt AS (SELECT CAST(SUM(toks) AS BIGINT) AS t FROM bys),
+        |sq AS (
+        |  SELECT source, toks, t, $tempSqSql AS sq_1e6
+        |  FROM bys CROSS JOIN tt
+        |), zz AS (SELECT CAST(SUM(sq_1e6) AS BIGINT) AS z FROM sq)
+        |SELECT source, toks,
+        |  toks * 1000 // t AS share_permille,
+        |  sq_1e6 * 1000 // z AS target_permille,
+        |  LEAST(sq_1e6 * t * 1000 // (z * toks), CAST(4000 AS BIGINT))
+        |    AS factor_1e3
+        |FROM sq CROSS JOIN zz ORDER BY source""".stripMargin,
     "k_anonymity_report" ->
       """WITH g AS (
-        |  SELECT lang, source, COUNT(*) AS k FROM documents
-        |  GROUP BY lang, source
+        |  SELECT lang, source, n_chars // 50 AS len_bucket,
+        |    COUNT(*) AS k
+        |  FROM documents GROUP BY 1, 2, 3
         |), b AS (
         |  SELECT CASE WHEN k = 1 THEN 'unique' WHEN k <= 5 THEN 'high'
         |              WHEN k <= 20 THEN 'medium' ELSE 'low' END
