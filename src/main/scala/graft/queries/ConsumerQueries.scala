@@ -367,6 +367,26 @@ object ConsumerQueries {
         .orderBy("hour_bucket", "shard_id")
     },
 
+    // Per-hour top-3 event types — the batch half of
+    // streaming.StreamingTopK (the live traffic-composition panel):
+    // hourly per-type counts, ranked (count desc, type asc — total
+    // order), rank ≤ 3. The cut compiles to WindowGroupLimit
+    // (partial per-hour top-k before the rank exchange, like
+    // seq_gaps), and hour partitions bound every sort.
+    "window_topk" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      Tables.events(s, dir)
+        .withColumn("hour_bucket", expr("ts div 1000 div 3600000000"))
+        .groupBy("hour_bucket", "event_type")
+        .agg(count(lit(1)).as("n_events"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("hour_bucket")
+            .orderBy(col("n_events").desc, col("event_type"))))
+        .filter(col("rank") <= 3)
+        .select("hour_bucket", "rank", "event_type", "n_events")
+        .orderBy("hour_bucket", "rank")
+    },
+
     // Rate-ANOMALY report — the alert behind every traffic dashboard:
     // per event type, the 3 hours whose volume deviates most from
     // that type's own hourly distribution, scored as a z-score
@@ -576,6 +596,19 @@ object ConsumerQueries {
         |    SUM(n_events) OVER (PARTITION BY hour_bucket) AS BIGINT)
         |    AS permille
         |FROM c ORDER BY hour_bucket, shard_id""".stripMargin,
+
+    "window_topk" ->
+      """WITH hourly AS (
+        |  SELECT epoch_us(ts) // 3600000000 AS hour_bucket, event_type,
+        |    COUNT(*) AS n_events
+        |  FROM events GROUP BY 1, 2
+        |), r AS (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY hour_bucket
+        |    ORDER BY n_events DESC, event_type) AS INT) AS rank
+        |  FROM hourly
+        |)
+        |SELECT hour_bucket, rank, event_type, n_events FROM r
+        |WHERE rank <= 3 ORDER BY hour_bucket, rank""".stripMargin,
 
     "rate_anomalies" ->
       s"""WITH hourly AS (

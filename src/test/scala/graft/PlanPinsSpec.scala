@@ -174,6 +174,14 @@ class PlanPinsSpec extends SparkSpec {
       s"no shard-keyed exchange feeding the position window:\n$plan")
   }
 
+  test("window_topk's rank<=3 cut compiles to WindowGroupLimit " +
+      "(partial per-hour top-k before the rank exchange)") {
+    val df = SparkEntry.queries("window_topk")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank<=3 no longer compiles to WindowGroupLimit:\n$plan")
+  }
+
   test("ann_topk_ivfpq_pruned's at-rest code scan carries dynamic " +
       "partition pruning on cell (probe IO = nprobe/k directories of " +
       "M-code rows — the IVF-PQ storage story end-to-end)") {
