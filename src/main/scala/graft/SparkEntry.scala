@@ -125,7 +125,8 @@ object SparkEntry {
       "asof_forward", "dedup_recall_report", "ann_topk_filtered",
       "ann_topk_ivfpq_pruned", "event_transitions", "rate_anomalies",
       "pagerank_hubs", "k_anonymity_report",
-      "dedup_lsh_probe", "mixture_temperature", "window_topk")
+      "dedup_lsh_probe", "mixture_temperature", "window_topk",
+      "ann_range_search", "leakage_safe_split")
 
   def benchQueries: Seq[(String, (SparkSession, String) => DataFrame)] =
     benchNames.flatMap(n => queries.get(n).map(n -> _))

@@ -943,6 +943,37 @@ object SimilarityQueries {
         .orderBy("cell")
     },
 
+    // RADIUS (range) search through the trained-IVF path — "every
+    // vector within cosine ≥ τ of the query", the other half of the
+    // serving API next to top-k: near-dup lookup, recommendation
+    // pools and dedup-on-write all want ALL matches above a bar, not
+    // a fixed k (a k-cut silently truncates dense neighborhoods; a
+    // radius returns 0 or 400 as the data dictates). Identical
+    // probe/score plan to ann_topk_ivf_trained with the bounded-heap
+    // node replaced by a predicate — so the result-size risk moves
+    // from the plan to τ, which is the operational knob (the
+    // ann_recall family prices it). τ = 0.2 here: non-degenerate
+    // (dozens of matches across the 5 queries) without being
+    // all-pairs at CORRECTNESS scale.
+    "ann_range_search" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      val cents = trainedCentroids(s, dir)
+      val assigned = e
+        .withColumn("cell", Similarity.assignCells(col("embedding"), cents))
+        .withColumn("_vn", Similarity.norm(col("embedding")))
+      val probed = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+        .withColumn("cell",
+          explode(Similarity.probeCells(col("qvec"), cents, IvfNprobe)))
+        .withColumn("_qn", Similarity.norm(col("qvec")))
+      assigned.join(broadcast(probed), "cell")
+        .withColumn("cosine", Similarity.dot(col("embedding"), col("qvec"))
+          / (col("_vn") * col("_qn")))
+        .filter(col("cosine") >= 0.2)
+        .select("query_id", "vec_id", "cosine")
+        .orderBy("query_id", "vec_id")
+    },
+
     // FILTERED vector search — the "vector search with a WHERE
     // clause" every production deployment needs (tenant, language,
     // license, date-range restrictions): a metadata predicate (label
@@ -1547,6 +1578,37 @@ object SimilarityQueries {
     "ivf_balance_report" -> ivfBalanceSql,
     "quantizer_drift" -> quantizerDriftSql,
     "ann_topk_filtered" -> filteredIvfSql,
+    "ann_range_search" ->
+      s"""WITH cents AS (
+        |  SELECT cell, cvec FROM read_parquet(
+        |    '${centroidExportPath("sf0.01")}/*.parquet')
+        |), assign AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT e.vec_id, c.cell,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |        ORDER BY ${centScoreSql("e.embedding")} DESC, c.cell)
+        |        AS rn
+        |    FROM embeddings e CROSS JOIN cents c)
+        |  WHERE rn = 1
+        |), q AS (
+        |  SELECT vec_id AS query_id, embedding AS qvec
+        |  FROM embeddings WHERE vec_id < 5
+        |), probe AS (
+        |  SELECT query_id, cell FROM (
+        |    SELECT q.query_id, c.cell,
+        |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+        |        ORDER BY ${centScoreSql("q.qvec")} DESC, c.cell) AS rn
+        |    FROM q CROSS JOIN cents c)
+        |  WHERE rn <= $IvfNprobe
+        |)
+        |SELECT q.query_id, e.vec_id,
+        |  ${cosSql("e.embedding", "q.qvec")} AS cosine
+        |FROM embeddings e
+        |JOIN assign a ON a.vec_id = e.vec_id
+        |JOIN probe pr ON pr.cell = a.cell
+        |JOIN q ON q.query_id = pr.query_id
+        |WHERE ${cosSql("e.embedding", "q.qvec")} >= 0.2
+        |ORDER BY q.query_id, e.vec_id""".stripMargin,
     // At-rest round trip is lossless by construction — same oracle as
     // the in-memory IVF-PQ path (the ann_topk_ivf_pruned precedent).
     "ann_topk_ivfpq_pruned" -> ivfPqSql,

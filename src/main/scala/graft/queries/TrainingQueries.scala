@@ -417,6 +417,37 @@ object TrainingQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // LEAKAGE-SAFE train/val/test split — the well-known correctness
+    // fix train_split alone cannot give: if two near-duplicate docs
+    // land in train and test, the test set leaks (memorization reads
+    // as generalization). The split key must therefore be the
+    // near-dup COMPONENT, not the doc: simhash pairs → connected
+    // components → every member inherits its canonical's seeded md5
+    // bucket, so an entire duplicate cluster moves as one unit.
+    // Unpaired docs are their own canonical — for them this IS
+    // train_split (same "split:" seed, deliberately: adopting the
+    // leakage-safe split only reassigns docs that have near-dups).
+    // Shapes: the proven pair/closure path (∝ duplicates) + one
+    // left join back + the per-row bucket projection.
+    "leakage_safe_split" -> { (s, dir) =>
+      val docs = withCopies(s, dir).select(col("doc_id"))
+      val pairs = Dedup.simhashPairs(withCopies(s, dir), col("doc_id"),
+          col("text"), maxHamming = 3)
+        .select("id_a", "id_b")
+      val comp = Dedup.connectedComponents(pairs, col("id_a"), col("id_b"))
+        .withColumnRenamed("id", "doc_id")
+      val canon = docs.join(comp, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("canonical"), col("doc_id")).as("canonical"))
+      val bucket = substring(
+        md5(concat(lit("split:"), col("canonical").cast("string"))), 1, 2)
+      canon.select(col("doc_id"), col("canonical"), bucket.as("bucket"),
+          when(bucket < "cc", lit("train"))
+            .when(bucket < "e6", lit("val"))
+            .otherwise(lit("test")).as("split"))
+        .orderBy("doc_id")
+    },
+
     // Template-HUB centrality — PageRank (3 unrolled power iterations,
     // damping 0.85) over the SimHash near-dup graph: high-rank docs
     // sit at the center of large near-dup neighborhoods, i.e. the
@@ -2790,6 +2821,23 @@ object TrainingQueries {
         |    AS INT) AS hub_rank, doc_id, rank
         |FROM r3 ORDER BY rank DESC, doc_id LIMIT 20""".stripMargin
     },
+    "leakage_safe_split" ->
+      s"""$componentsReachCte, comp AS (
+        |  SELECT node AS doc_id, MIN(lbl) AS canonical FROM reach
+        |  GROUP BY node
+        |), canon AS (
+        |  SELECT a.doc_id, COALESCE(c.canonical, a.doc_id) AS canonical
+        |  FROM all_docs a LEFT JOIN comp c USING (doc_id)
+        |)
+        |SELECT doc_id, canonical,
+        |  substr(md5('split:' || CAST(canonical AS VARCHAR)), 1, 2)
+        |    AS bucket,
+        |  CASE WHEN substr(md5('split:' || CAST(canonical AS VARCHAR)),
+        |         1, 2) < 'cc' THEN 'train'
+        |       WHEN substr(md5('split:' || CAST(canonical AS VARCHAR)),
+        |         1, 2) < 'e6' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM canon ORDER BY doc_id""".stripMargin,
     "dedup_lsh_probe" ->
       s"""WITH sz AS (
         |  SELECT MAX(doc_id) + 1 AS n FROM documents
