@@ -126,7 +126,8 @@ object SparkEntry {
       "ann_topk_ivfpq_pruned", "event_transitions", "rate_anomalies",
       "pagerank_hubs", "k_anonymity_report",
       "dedup_lsh_probe", "mixture_temperature", "window_topk",
-      "ann_range_search", "leakage_safe_split")
+      "ann_range_search", "leakage_safe_split",
+      "knn_join", "decayed_counts")
 
   def benchQueries: Seq[(String, (SparkSession, String) => DataFrame)] =
     benchNames.flatMap(n => queries.get(n).map(n -> _))

@@ -367,6 +367,31 @@ object ConsumerQueries {
         .orderBy("hour_bucket", "shard_id")
     },
 
+    // Recency-DECAYED popularity — trending scores with a one-day
+    // half-life: each event contributes 2^(−age_days), so yesterday's
+    // traffic counts half and last month's nothing — the ranking
+    // signal "what is hot NOW" that raw counts (forever-memory) and
+    // windowed counts (cliff-edge forgetting) both miss. The decay
+    // weight is an integer SHIFT (10⁶ >> age_days, clamped at 62 —
+    // Java's shift wraps at 64 and the clamp makes the weight an
+    // honest 0 instead): exact halving without a single float op, so
+    // the per-type sums are order-independent integers, the same
+    // determinism discipline as the surprisal buckets. One scan, a
+    // 1-row broadcast max-ts, one partial-agg exchange.
+    "decayed_counts" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"), expr("ts div 1000").as("ts_us"))
+      val mx = ev.agg(max("ts_us").as("max_ts"))
+      ev.crossJoin(broadcast(mx))
+        .withColumn("age_days", expr(
+          "least((max_ts - ts_us) div 86400000000, CAST(62 AS BIGINT))"))
+        .withColumn("w", expr(
+          "shiftright(CAST(1000000 AS BIGINT), CAST(age_days AS INT))"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), sum("w").as("decayed_1e6"))
+        .orderBy("event_type")
+    },
+
     // Per-hour top-3 event types — the batch half of
     // streaming.StreamingTopK (the live traffic-composition panel):
     // hourly per-type counts, ranked (count desc, type asc — total
@@ -596,6 +621,20 @@ object ConsumerQueries {
         |    SUM(n_events) OVER (PARTITION BY hour_bucket) AS BIGINT)
         |    AS permille
         |FROM c ORDER BY hour_bucket, shard_id""".stripMargin,
+
+    "decayed_counts" ->
+      """WITH mx AS (
+        |  SELECT MAX(epoch_us(ts)) AS max_ts FROM events
+        |), w AS (
+        |  SELECT event_type,
+        |    CAST(1000000 AS BIGINT) >> CAST(LEAST(
+        |      (mx.max_ts - epoch_us(ts)) // 86400000000, 62) AS INT)
+        |      AS w
+        |  FROM events CROSS JOIN mx
+        |)
+        |SELECT event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(w) AS BIGINT) AS decayed_1e6
+        |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "window_topk" ->
       """WITH hourly AS (

@@ -908,6 +908,40 @@ object SimilarityQueries {
         .orderBy("cell")
     },
 
+    // kNN SELF-JOIN (k=1) — semantic pair MINING: for every corpus
+    // vector, its single nearest neighbor (excluding itself) within
+    // its coarse cell — how a pipeline mines paraphrase/duplicate
+    // pair candidates corpus-wide, the join-shaped sibling of the
+    // query-driven top-k. Blocking by the trained cells makes it the
+    // SemDeDup cost model again (Σ|cell|² scored pairs, k ∝ corpus
+    // bounds it); the per-vector top-1 runs through the SAME native
+    // bounded-heap plan node as the query path, so the shuffle
+    // carries ≤ partitions×vectors×1 candidate rows, never the
+    // scored pair set. Cell-boundary misses are the priced LSH-family
+    // trade (a vector's true NN can quantize across the line; nprobe
+    // on the query path is the mitigation — pair mining accepts it
+    // for one-pass cost).
+    "knn_join" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      val cents = trainedCentroids(s, dir)
+      val assigned = e
+        .withColumn("cell", Similarity.assignCells(col("embedding"), cents))
+        .withColumn("_vn", Similarity.norm(col("embedding")))
+      val left = assigned.select(col("cell"), col("vec_id"),
+        col("embedding").as("va"), col("_vn").as("_na"))
+      val right = assigned.select(col("cell"), col("vec_id").as("nn_id"),
+        col("embedding").as("vb"), col("_vn").as("_nb"))
+      val scored = left.join(right, Seq("cell"))
+        .filter(col("vec_id") =!= col("nn_id"))
+        .withColumn("cosine", Similarity.dot(col("va"), col("vb"))
+          / (col("_na") * col("_nb")))
+        .select("vec_id", "nn_id", "cosine")
+      graft.operators.TopK.perGroupNative(scored, "vec_id", "nn_id",
+          "cosine", k = 1)
+        .select("vec_id", "nn_id", "cosine")
+        .orderBy("vec_id")
+    },
+
     // Quantizer DRIFT report — the acceptance check for the sampled
     // 100 TB training mode: for each centroid of the full-pool
     // quantizer, its nearest sampled-pool centroid (same
@@ -1573,7 +1607,41 @@ object SimilarityQueries {
       |SELECT query_id, vec_id, rank, cosine FROM r
       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
+  /** knn_join's oracle: exported-centroid assignment + within-cell
+    * pairwise (self excluded) + per-vector rank-1 cut, mirroring the
+    * native bounded-heap node's (score desc, id asc) total order. av
+    * is MATERIALIZED — referenced twice (the semantic_dedup lesson:
+    * DuckDB inlining re-evaluates the windowed assignment per
+    * reference). */
+  private val knnJoinSql =
+    s"""WITH cents AS (
+      |  SELECT cell, cvec FROM read_parquet(
+      |    '${centroidExportPath("sf0.01")}/*.parquet')
+      |), assign AS MATERIALIZED (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT e.vec_id, c.cell,
+      |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |        ORDER BY ${centScoreSql("e.embedding")} DESC, c.cell) AS rn
+      |    FROM embeddings e CROSS JOIN cents c)
+      |  WHERE rn = 1
+      |), av AS MATERIALIZED (
+      |  SELECT e.vec_id, e.embedding, a.cell
+      |  FROM embeddings e JOIN assign a USING (vec_id)
+      |), p AS (
+      |  SELECT x.vec_id, y.vec_id AS nn_id,
+      |    ${cosSql("x.embedding", "y.embedding")} AS cosine
+      |  FROM av x JOIN av y
+      |    ON x.cell = y.cell AND x.vec_id <> y.vec_id
+      |), r AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+      |    ORDER BY cosine DESC, nn_id) AS rn
+      |  FROM p
+      |)
+      |SELECT vec_id, nn_id, cosine FROM r WHERE rn = 1
+      |ORDER BY vec_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "knn_join" -> knnJoinSql,
     "semantic_dedup" -> semanticDedupSql,
     "ivf_balance_report" -> ivfBalanceSql,
     "quantizer_drift" -> quantizerDriftSql,
