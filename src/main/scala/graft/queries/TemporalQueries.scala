@@ -17,6 +17,32 @@ import graft.sources.Tables
   */
 object TemporalQueries {
 
+  /** Shared per-user funnel frame (s_any/c_any/p_any): running-min
+    * windows gate each stage on the previous one within a day —
+    * user-bounded partitions, all parallel. Used by funnel_stages
+    * (stage histogram) and funnel_wilson (conversion confidence). */
+  private def funnelPerUser(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val DayUs = 86400000000L
+    val w = Window.partitionBy("user_id").orderBy("ts_us")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+        col("event_type"))
+    val withS = ev.withColumn("s_ts",
+      min(when(col("event_type") === "signup", col("ts_us"))).over(w))
+    val withC = withS.withColumn("c_ts",
+      min(when(col("event_type") === "click" &&
+        col("ts_us") <= col("s_ts") + DayUs, col("ts_us"))).over(w))
+    val withP = withC.withColumn("p_ts",
+      min(when(col("event_type") === "purchase" &&
+        col("ts_us") <= col("c_ts") + DayUs, col("ts_us"))).over(w))
+    withP.groupBy("user_id")
+      .agg(min(col("s_ts")).as("s_any"), min(col("c_ts")).as("c_any"),
+        min(col("p_ts")).as("p_any"))
+  }
+
   private val SessionGapUs = 6L * 3600 * 1000000 // 6 hours, micros
 
   val all: Map[String, Q] = Map(
@@ -179,30 +205,70 @@ object TemporalQueries {
     // this dataset, so "strictly after" needs no tie rule. The oracle
     // mirrors the windows in SQL.
     "funnel_stages" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val DayUs = 86400000000L
-      val w = Window.partitionBy("user_id").orderBy("ts_us")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val ev = Tables.events(s, dir)
-        .select(col("user_id"), expr("ts div 1000").as("ts_us"),
-          col("event_type"))
-      val withS = ev.withColumn("s_ts",
-        min(when(col("event_type") === "signup", col("ts_us"))).over(w))
-      val withC = withS.withColumn("c_ts",
-        min(when(col("event_type") === "click" &&
-          col("ts_us") <= col("s_ts") + DayUs, col("ts_us"))).over(w))
-      val withP = withC.withColumn("p_ts",
-        min(when(col("event_type") === "purchase" &&
-          col("ts_us") <= col("c_ts") + DayUs, col("ts_us"))).over(w))
-      withP.groupBy("user_id")
-        .agg(min(col("s_ts")).as("s_any"), min(col("c_ts")).as("c_any"),
-          min(col("p_ts")).as("p_any"))
+      funnelPerUser(s, dir)
         .select(when(col("p_any").isNotNull, lit("3_purchase"))
           .when(col("c_any").isNotNull, lit("2_click"))
           .when(col("s_any").isNotNull, lit("1_signup"))
           .otherwise(lit("0_none")).as("funnel_stage"))
         .groupBy("funnel_stage").agg(count(lit(1)).as("n_users"))
         .orderBy("funnel_stage")
+    },
+
+    // Funnel CONVERSION rates with confidence — the report a growth
+    // team actually reads: stage-over-stage conversion (click within
+    // a day of signup; purchase within a day of that click) in
+    // permille, with Wilson 95% bounds so a 5-user cohort's 60% is
+    // not read like a 5k-user cohort's (the quality_audit discipline
+    // applied to the funnel; same shared-SQL Wilson string →
+    // hash-exact doubles, zero-denominator guarded in exact
+    // integers). Same per-user window chain as funnel_stages; the
+    // two-stage frame is built by exploding a 1-row count aggregate.
+    "funnel_wilson" -> { (s, dir) =>
+      val u = funnelPerUser(s, dir)
+      val counts = u.agg(
+        sum(when(col("s_any").isNotNull, 1L).otherwise(0L)).as("ns"),
+        sum(when(col("c_any").isNotNull, 1L).otherwise(0L)).as("nc"),
+        sum(when(col("p_any").isNotNull, 1L).otherwise(0L)).as("np"))
+      def guarded(sign: String) =
+        "CASE WHEN n_prev = 0 THEN CAST(0 AS BIGINT) ELSE " +
+          TrainingQueries.wilsonPermicronSql("n_conv", "n_prev", sign) +
+          " END"
+      counts.select(explode(array(
+          struct(lit("click_given_signup").as("stage"),
+            col("ns").as("n_prev"), col("nc").as("n_conv")),
+          struct(lit("purchase_given_click").as("stage"),
+            col("nc").as("n_prev"), col("np").as("n_conv")))).as("r"))
+        .select("r.*")
+        .withColumn("conv_permille", expr(
+          "CASE WHEN n_prev = 0 THEN CAST(0 AS BIGINT) " +
+            "ELSE n_conv * 1000 div n_prev END"))
+        .withColumn("wilson_low_1e6", expr(guarded("-")))
+        .withColumn("wilson_high_1e6", expr(guarded("+")))
+        .orderBy("stage")
+    },
+
+    // Exact per-type VALUE percentiles (p50/p90/p99) — the
+    // corpus_quantiles histogram trick on the event stream's payload:
+    // aggregate a (type, value) histogram first (distinct payload
+    // values are bounded — 2-decimal money-like amounts), then the
+    // cumulative window runs on the histogram, never a corpus sort.
+    "value_quantiles" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val hist = Tables.events(s, dir)
+        .filter(col("value").isNotNull)
+        .groupBy(col("event_type"), col("value"))
+        .agg(count(lit(1)).as("cnt"))
+      val cum = sum("cnt").over(
+        Window.partitionBy("event_type").orderBy("value"))
+      val tot = sum("cnt").over(Window.partitionBy("event_type"))
+      val ranked = hist.select(col("event_type"), col("value"),
+        cum.as("cum"), tot.as("n"))
+      def qd(p: Double) =
+        min(when(col("cum") >= ceil(lit(p) * col("n")), col("value")))
+      ranked.groupBy("event_type")
+        .agg(qd(0.5).as("p50_value"), qd(0.9).as("p90_value"),
+          qd(0.99).as("p99_value"))
+        .orderBy("event_type")
     },
 
     // Gap-based sessionization through Spark's NATIVE session_window
@@ -230,6 +296,36 @@ object TemporalQueries {
           col("n_events"), col("n_types"), col("sum_value"))
         .orderBy("user_id", "session_start_us")
     })
+
+  /** Shared per-user funnel CTE chain — the SQL mirror of
+    * [[funnelPerUser]]. */
+  private val funnelUserCte =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events
+      |), w1 AS (
+      |  SELECT *, MIN(CASE WHEN event_type = 'signup' THEN ts_us END)
+      |    OVER (PARTITION BY user_id ORDER BY ts_us
+      |          ROWS UNBOUNDED PRECEDING) AS s_ts
+      |  FROM e
+      |), w2 AS (
+      |  SELECT *, MIN(CASE WHEN event_type = 'click'
+      |                      AND ts_us <= s_ts + 86400000000
+      |                     THEN ts_us END)
+      |    OVER (PARTITION BY user_id ORDER BY ts_us
+      |          ROWS UNBOUNDED PRECEDING) AS c_ts
+      |  FROM w1
+      |), w3 AS (
+      |  SELECT *, MIN(CASE WHEN event_type = 'purchase'
+      |                      AND ts_us <= c_ts + 86400000000
+      |                     THEN ts_us END)
+      |    OVER (PARTITION BY user_id ORDER BY ts_us
+      |          ROWS UNBOUNDED PRECEDING) AS p_ts
+      |  FROM w2
+      |), u AS (
+      |  SELECT user_id, MIN(s_ts) AS s_any, MIN(c_ts) AS c_any,
+      |    MIN(p_ts) AS p_any
+      |  FROM w3 GROUP BY user_id
+      |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "range_join_binned" ->
@@ -305,38 +401,47 @@ object TemporalQueries {
         |  ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY l.event_id""".stripMargin,
     "funnel_stages" ->
-      """WITH e AS (
-        |  SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events
-        |), w1 AS (
-        |  SELECT *, MIN(CASE WHEN event_type = 'signup' THEN ts_us END)
-        |    OVER (PARTITION BY user_id ORDER BY ts_us
-        |          ROWS UNBOUNDED PRECEDING) AS s_ts
-        |  FROM e
-        |), w2 AS (
-        |  SELECT *, MIN(CASE WHEN event_type = 'click'
-        |                      AND ts_us <= s_ts + 86400000000
-        |                     THEN ts_us END)
-        |    OVER (PARTITION BY user_id ORDER BY ts_us
-        |          ROWS UNBOUNDED PRECEDING) AS c_ts
-        |  FROM w1
-        |), w3 AS (
-        |  SELECT *, MIN(CASE WHEN event_type = 'purchase'
-        |                      AND ts_us <= c_ts + 86400000000
-        |                     THEN ts_us END)
-        |    OVER (PARTITION BY user_id ORDER BY ts_us
-        |          ROWS UNBOUNDED PRECEDING) AS p_ts
-        |  FROM w2
-        |), u AS (
-        |  SELECT user_id, MIN(s_ts) AS s_any, MIN(c_ts) AS c_any,
-        |    MIN(p_ts) AS p_any
-        |  FROM w3 GROUP BY user_id
-        |)
+      s"""$funnelUserCte
         |SELECT CASE WHEN p_any IS NOT NULL THEN '3_purchase'
         |            WHEN c_any IS NOT NULL THEN '2_click'
         |            WHEN s_any IS NOT NULL THEN '1_signup'
         |            ELSE '0_none' END AS funnel_stage,
         |  COUNT(*) AS n_users
         |FROM u GROUP BY 1 ORDER BY funnel_stage""".stripMargin,
+    "funnel_wilson" -> {
+      def guarded(sign: String) =
+        "CASE WHEN n_prev = 0 THEN CAST(0 AS BIGINT) ELSE " +
+          TrainingQueries.wilsonPermicronSql("n_conv", "n_prev", sign) +
+          " END"
+      s"""$funnelUserCte, n AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN s_any IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ns,
+        |    CAST(SUM(CASE WHEN c_any IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nc,
+        |    CAST(SUM(CASE WHEN p_any IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS np
+        |  FROM u
+        |), st AS (
+        |  SELECT 'click_given_signup' AS stage, ns AS n_prev,
+        |    nc AS n_conv FROM n
+        |  UNION ALL
+        |  SELECT 'purchase_given_click', nc, np FROM n
+        |)
+        |SELECT stage, n_prev, n_conv,
+        |  CASE WHEN n_prev = 0 THEN CAST(0 AS BIGINT)
+        |       ELSE n_conv * 1000 // n_prev END AS conv_permille,
+        |  ${guarded("-")} AS wilson_low_1e6,
+        |  ${guarded("+")} AS wilson_high_1e6
+        |FROM st ORDER BY stage""".stripMargin
+    },
+    "value_quantiles" ->
+      """SELECT event_type,
+        |  quantile_disc(value, 0.5) AS p50_value,
+        |  quantile_disc(value, 0.9) AS p90_value,
+        |  quantile_disc(value, 0.99) AS p99_value
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "sessionize" ->
       """WITH e AS (
         |  SELECT user_id, ts, value,

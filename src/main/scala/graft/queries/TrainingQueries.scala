@@ -195,7 +195,7 @@ object TrainingQueries {
     * correctly-rounded ops over exact integer inputs — is identical
     * and the 1e6 floor lands on identical doubles. `sign` is "-" for
     * the lower bound, "+" for the upper. */
-  private def wilsonPermicronSql(k: String, n: String,
+  private[queries] def wilsonPermicronSql(k: String, n: String,
       sign: String): String = {
     val p = s"(CAST($k AS DOUBLE) / $n)"
     val nd = s"CAST($n AS DOUBLE)"
