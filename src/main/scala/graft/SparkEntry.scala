@@ -127,7 +127,8 @@ object SparkEntry {
       "pagerank_hubs", "k_anonymity_report",
       "dedup_lsh_probe", "mixture_temperature", "window_topk",
       "ann_range_search", "leakage_safe_split",
-      "knn_join", "decayed_counts", "funnel_wilson", "value_quantiles")
+      "knn_join", "decayed_counts", "funnel_wilson", "value_quantiles",
+      "minhash_calibration", "session_stats")
 
   def benchQueries: Seq[(String, (SparkSession, String) => DataFrame)] =
     benchNames.flatMap(n => queries.get(n).map(n -> _))

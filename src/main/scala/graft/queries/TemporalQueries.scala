@@ -295,6 +295,42 @@ object TemporalQueries {
           unix_micros(col("session_end")).as("session_end_us"),
           col("n_events"), col("n_types"), col("sum_value"))
         .orderBy("user_id", "session_start_us")
+    },
+
+    // Session DISTRIBUTION report — the one-row summary a product
+    // dashboard heads with: how many sessions, and the exact
+    // p50/p90/p99 of session SIZE (events) and SPAN (first→last
+    // event µs). Sessions come from the same native session_window
+    // definition as sessionize (span = end − start − gap, recovering
+    // MAX(ts) − MIN(ts) exactly); each percentile axis runs the
+    // histogram-window trick (the cumulative window is histogram-
+    // sized — distinct session sizes/spans — never a session-count
+    // sort, same argument as length_outliers' partitionless window),
+    // and the three 1-row frames compose by broadcast crossJoin.
+    "session_stats" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val GapUs = 21600000000L
+      val ev = Tables.events(s, dir)
+        .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
+      val sess = graft.streaming.Sessions.gapSessions(
+          ev, timeCol = "event_ts", keyCol = "user_id", gap = "6 hours",
+          aggs = Seq(count(lit(1)).as("n_events")))
+        .select(col("n_events"),
+          (unix_micros(col("session_end")) -
+            unix_micros(col("session_start")) - lit(GapUs)).as("dur_us"))
+      def qhist(c: String) = {
+        val hist = sess.groupBy(c).agg(count(lit(1)).as("cnt"))
+        val ranked = hist.select(col(c),
+          sum("cnt").over(Window.orderBy(c)).as("cum"),
+          sum("cnt").over().as("n"))
+        def qd(p: Double) =
+          min(when(col("cum") >= ceil(lit(p) * col("n")), col(c)))
+        ranked.agg(qd(0.5).as(s"p50_$c"), qd(0.9).as(s"p90_$c"),
+          qd(0.99).as(s"p99_$c"))
+      }
+      sess.agg(count(lit(1)).as("n_sessions"))
+        .crossJoin(broadcast(qhist("n_events")))
+        .crossJoin(broadcast(qhist("dur_us")))
     })
 
   /** Shared per-user funnel CTE chain — the SQL mirror of
@@ -435,6 +471,32 @@ object TemporalQueries {
         |  ${guarded("+")} AS wilson_high_1e6
         |FROM st ORDER BY stage""".stripMargin
     },
+    "session_stats" ->
+      """WITH e AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |           IS NULL
+        |         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |           > INTERVAL 6 HOUR
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |), g AS (
+        |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM e
+        |), s AS (
+        |  SELECT user_id, sess, COUNT(*) AS n_events,
+        |    epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS dur_us
+        |  FROM g GROUP BY user_id, sess
+        |)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+        |  quantile_disc(n_events, 0.5) AS p50_n_events,
+        |  quantile_disc(n_events, 0.9) AS p90_n_events,
+        |  quantile_disc(n_events, 0.99) AS p99_n_events,
+        |  quantile_disc(dur_us, 0.5) AS p50_dur_us,
+        |  quantile_disc(dur_us, 0.9) AS p90_dur_us,
+        |  quantile_disc(dur_us, 0.99) AS p99_dur_us
+        |FROM s""".stripMargin,
     "value_quantiles" ->
       """SELECT event_type,
         |  quantile_disc(value, 0.5) AS p50_value,

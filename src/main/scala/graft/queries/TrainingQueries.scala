@@ -303,6 +303,51 @@ object TrainingQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // MinHash CALIBRATION curve — the estimator-quality report behind
+    // dedup_recall_report's single recall number: candidate pairs
+    // bucketed by how many of the 8 minhashes agree, against the
+    // exact capped-shingle Jaccard (floored to integer permille per
+    // pair, so the per-bucket mean/min/max are order-independent
+    // integer aggregates). Agreement/8 IS the minhash Jaccard
+    // estimate, so this table is the estimator-vs-truth calibration:
+    // a healthy configuration shows mean permille rising ~linearly
+    // with the agreement bucket; a flat curve means the shingle space
+    // is too saturated for 8 hashes to discriminate (winnowing's
+    // measured boilerplate mode) and more hashes buy nothing. Shapes:
+    // the two proven pair paths + one signature join (8 smallints per
+    // doc) + a ≤9-bucket aggregate.
+    "minhash_calibration" -> { (s, dir) =>
+      val docs = withCopies(s, dir)
+      val cand = Dedup.minhashCandidatePairs(docs, col("doc_id"),
+          col("text"), numHashes = 8, bands = 4, shingleN = 3)
+        .select("id_a", "id_b")
+      val sig = Dedup.withMinhashSignature(docs, col("text"), "sig",
+          numHashes = 8, shingleN = 3)
+        .select(col("doc_id"), col("sig"))
+      val jac = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
+          shingleN = 3, maxDocFreq = 20, minJaccard = 0.0)
+        .select(col("id_a"), col("id_b"),
+          expr("inter * 1000 div (size_a + size_b - inter)")
+            .as("jacc_permille"))
+      cand
+        .join(sig.select(col("doc_id").as("id_a"), col("sig").as("sa")),
+          "id_a")
+        .join(sig.select(col("doc_id").as("id_b"), col("sig").as("sb")),
+          "id_b")
+        .withColumn("n_agree",
+          expr("size(filter(zip_with(sa, sb, (x, y) -> x = y), v -> v))"))
+        .join(jac, Seq("id_a", "id_b"), "left")
+        .withColumn("jp", coalesce(col("jacc_permille"), lit(0L)))
+        .groupBy("n_agree")
+        .agg(count(lit(1)).as("n_pairs"), sum("jp").as("_sum_jp"),
+          min("jp").as("min_jaccard_permille"),
+          max("jp").as("max_jaccard_permille"))
+        .withColumn("mean_jaccard_permille", expr("_sum_jp div n_pairs"))
+        .select("n_agree", "n_pairs", "mean_jaccard_permille",
+          "min_jaccard_permille", "max_jaccard_permille")
+        .orderBy("n_agree")
+    },
+
     // AT-REST LSH SIGNATURE INDEX + incremental probe — the ingest
     // half of the minhash family at 100 TB: the existing corpus's
     // band signatures are computed ONCE and persisted (deterministic
@@ -397,8 +442,8 @@ object TrainingQueries {
         .select("id_a", "id_b")
       val hit = truth.join(cand, Seq("id_a", "id_b"))
       truth.agg(count(lit(1)).as("n_truth"))
-        .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
-        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand"))))
+        .crossJoin(broadcast(hit.agg(count(lit(1)).as("n_hit"))))
         .withColumn("recall_permille", expr(
           "CASE WHEN n_truth = 0 THEN CAST(0 AS BIGINT) " +
             "ELSE n_hit * 1000 div n_truth END"))
@@ -2838,6 +2883,52 @@ object TrainingQueries {
         |         1, 2) < 'e6' THEN 'val'
         |       ELSE 'test' END AS split
         |FROM canon ORDER BY doc_id""".stripMargin,
+    "minhash_calibration" -> {
+      val agree = (0 until 8).map(i =>
+        s"(CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH $allDocsCte,
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct($shinglesExpr)) AS s
+        |  FROM all_docs
+        |), sig AS (
+        |  SELECT doc_id,
+        |    $minhashMins
+        |  FROM sh GROUP BY doc_id
+        |), bands AS (
+        |  $bandRows
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.band_key = b.band_key
+        |    AND a.doc_id < b.doc_id
+        |), surviving AS (
+        |  SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 20
+        |), pruned AS (
+        |  SELECT sh.doc_id, sh.s FROM sh JOIN surviving USING (s)
+        |), sizes AS (
+        |  SELECT doc_id, COUNT(*) AS set_size FROM pruned GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        |  FROM pruned a JOIN pruned b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), jp AS (
+        |  SELECT c.id_a, c.id_b, $agree AS n_agree,
+        |    COALESCE(i.inter * 1000
+        |      // (za.set_size + zb.set_size - i.inter), 0) AS jp
+        |  FROM cand c
+        |  JOIN sig sa ON sa.doc_id = c.id_a
+        |  JOIN sig sb ON sb.doc_id = c.id_b
+        |  LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+        |  LEFT JOIN sizes za ON za.doc_id = c.id_a
+        |  LEFT JOIN sizes zb ON zb.doc_id = c.id_b
+        |)
+        |SELECT n_agree, COUNT(*) AS n_pairs,
+        |  CAST(SUM(jp) AS BIGINT) // COUNT(*) AS mean_jaccard_permille,
+        |  MIN(jp) AS min_jaccard_permille,
+        |  MAX(jp) AS max_jaccard_permille
+        |FROM jp GROUP BY n_agree ORDER BY n_agree""".stripMargin
+    },
     "dedup_lsh_probe" ->
       s"""WITH sz AS (
         |  SELECT MAX(doc_id) + 1 AS n FROM documents
