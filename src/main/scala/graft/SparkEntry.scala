@@ -128,7 +128,8 @@ object SparkEntry {
       "dedup_lsh_probe", "mixture_temperature", "window_topk",
       "ann_range_search", "leakage_safe_split",
       "knn_join", "decayed_counts", "funnel_wilson", "value_quantiles",
-      "minhash_calibration", "session_stats")
+      "minhash_calibration", "session_stats",
+      "q3_topk", "q5_local_revenue")
 
   def benchQueries: Seq[(String, (SparkSession, String) => DataFrame)] =
     benchNames.flatMap(n => queries.get(n).map(n -> _))

@@ -29,6 +29,17 @@ object ConsumerQueries {
         concat(lit("S|"), pmod(col("user_id"), lit(4)).cast("string")))
       .withColumn("ts_us", expr("ts div 1000"))
 
+  /** Exact-decimal TPC-H revenue — ONE SQL string for both engines:
+    * price and discount are 2-decimal money values, so casting each
+    * to DECIMAL(18,2) BEFORE the multiply makes the product an exact
+    * 4-decimal value and the SUM exact; the double conversion happens
+    * once, on the exact total (correctly rounded, hash-identical).
+    * A double-side product would round engine-dependently per row. */
+  private val revenueSql =
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+      "(CAST(1.00 AS DECIMAL(18,2)) - " +
+      "CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)"
+
   /** z-score in integer micro-units over the exact integer moments
     * (n, h, s, q) — ONE SQL string for both engines (e0 literals are
     * DOUBLE in both; identical IEEE tree ⇒ hash-exact), with the
@@ -238,6 +249,62 @@ object ConsumerQueries {
         .join(nat, col("c_nationkey") === col("n_nationkey"))
         .groupBy("n_name")
         .agg(decSum(col("l_extendedprice")).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    },
+
+    // TPC-H Q3 shape (shipping priority): segment-filtered customers
+    // BROADCAST into the orders⋈lineitem stream, revenue in EXACT
+    // decimal cents — the price×(1−discount) product runs in decimal
+    // (two 2-decimal factors ⇒ exact 4-decimal product; a double
+    // product would round engine-dependently before the sum), summed
+    // exactly, cast to double once at the end. Top-10 by (revenue,
+    // key) via TakeOrdered. Both date filters reach their scans as
+    // PushedFilters.
+    "q3_topk" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val cust = broadcast(Tables.customer(s, dir)
+        .filter(col("c_mktsegment") === "BUILDING"))
+      val ord = Tables.orders(s, dir)
+        .filter(expr("o_orderdate < TIMESTAMP '1998-01-01'"))
+      val li = Tables.lineitem(s, dir)
+        .filter(expr("l_shipdate > TIMESTAMP '1998-01-01'"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(expr(revenueSql).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey")).limit(10)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("revenue").desc, col("l_orderkey"))))
+        .select("rank", "l_orderkey", "o_orderdate", "o_orderpriority",
+          "revenue")
+        .orderBy("rank")
+    },
+
+    // TPC-H Q5 shape (local-supplier revenue): the 6-way star join
+    // with every dimension broadcast and the LOCAL condition
+    // (customer and supplier in the same nation) folded into the
+    // supplier join — lineitem streams through one
+    // broadcast-hash-join pipeline with no shuffle before the
+    // nation-keyed aggregate. Same exact-decimal revenue as q3_topk.
+    "q5_local_revenue" -> { (s, dir) =>
+      val reg = broadcast(Tables.region(s, dir)
+        .filter(col("r_name") === "ASIA"))
+      val nat = broadcast(Tables.nation(s, dir))
+      val cust = broadcast(Tables.customer(s, dir))
+      val sup = broadcast(Tables.supplier(s, dir))
+      val ord = Tables.orders(s, dir)
+        .filter(expr("o_orderdate >= TIMESTAMP '1996-01-01' AND " +
+          "o_orderdate < TIMESTAMP '1997-01-01'"))
+      Tables.lineitem(s, dir)
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(nat, col("s_nationkey") === col("n_nationkey"))
+        .join(reg, col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(expr(revenueSql).as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy("n_name")
     },
@@ -598,6 +665,35 @@ object ConsumerQueries {
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q3_topk" ->
+      s"""WITH a AS (
+        |  SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |    $revenueSql AS revenue
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment = 'BUILDING'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01'
+        |    AND l_shipdate > TIMESTAMP '1998-01-01'
+        |  GROUP BY 1, 2, 3
+        |)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY revenue DESC,
+        |    l_orderkey) AS INT) AS rank,
+        |  l_orderkey, o_orderdate, o_orderpriority, revenue
+        |FROM a ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_local_revenue" ->
+      s"""SELECT n_name, $revenueSql AS revenue, COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |  AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "kpl_passthrough" ->
       """SELECT event_id,

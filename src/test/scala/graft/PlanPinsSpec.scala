@@ -174,6 +174,17 @@ class PlanPinsSpec extends SparkSpec {
       s"no shard-keyed exchange feeding the position window:\n$plan")
   }
 
+  test("q5_local_revenue's 6-way star join is one broadcast-hash " +
+      "pipeline — lineitem never shuffles before the nation aggregate") {
+    val df = SparkEntry.queries("q5_local_revenue")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"dimensions not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("ShuffledHashJoin"),
+      s"a dimension join shuffled the fact stream:\n$plan")
+  }
+
   test("window_topk's rank<=3 cut compiles to WindowGroupLimit " +
       "(partial per-hour top-k before the rank exchange)") {
     val df = SparkEntry.queries("window_topk")(spark, sf0001)
