@@ -129,7 +129,7 @@ object SparkEntry {
       "ann_range_search", "leakage_safe_split",
       "knn_join", "decayed_counts", "funnel_wilson", "value_quantiles",
       "minhash_calibration", "session_stats",
-      "q3_topk", "q5_local_revenue")
+      "q3_topk", "q5_local_revenue", "ivf_purity", "cluster_labels")
 
   def benchQueries: Seq[(String, (SparkSession, String) => DataFrame)] =
     benchNames.flatMap(n => queries.get(n).map(n -> _))

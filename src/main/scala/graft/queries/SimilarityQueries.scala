@@ -908,6 +908,34 @@ object SimilarityQueries {
         .orderBy("cell")
     },
 
+    // Cell PURITY against ground-truth labels — the standard
+    // external-validity check for a trained clustering (here: the
+    // coarse quantizer vs the embeddings' label column): per cell,
+    // the majority label's share in permille, plus the majority
+    // label itself. High purity means the learned cells recover the
+    // label structure (the quantizer is semantically meaningful, not
+    // just geometrically balanced — ivf_balance_report's
+    // complementary axis). One kernel-map scan → cell×label counts →
+    // per-cell argmax via a cells-bounded rank window.
+    "ivf_purity" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.embeddings(s, dir)
+      val cents = trainedCentroids(s, dir)
+      val cl = e
+        .withColumn("cell", Similarity.assignCells(col("embedding"), cents))
+        .groupBy("cell", "label").agg(count(lit(1)).as("n"))
+      val tot = cl.groupBy("cell").agg(sum("n").as("n_vecs"))
+      cl.withColumn("rn", row_number().over(
+          Window.partitionBy("cell")
+            .orderBy(col("n").desc, col("label"))))
+        .filter(col("rn") === 1)
+        .join(broadcast(tot), "cell")
+        .select(col("cell"), col("label").as("majority_label"),
+          col("n_vecs"),
+          expr("n * 1000 div n_vecs").as("purity_permille"))
+        .orderBy("cell")
+    },
+
     // kNN SELF-JOIN (k=1) — semantic pair MINING: for every corpus
     // vector, its single nearest neighbor (excluding itself) within
     // its coarse cell — how a pipeline mines paraphrase/duplicate
@@ -1640,8 +1668,38 @@ object SimilarityQueries {
       |SELECT vec_id, nn_id, cosine FROM r WHERE rn = 1
       |ORDER BY vec_id""".stripMargin
 
+  private val ivfPuritySql =
+    s"""WITH cents AS (
+      |  SELECT cell, cvec FROM read_parquet(
+      |    '${centroidExportPath("sf0.01")}/*.parquet')
+      |), assign AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT e.vec_id, c.cell,
+      |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |        ORDER BY ${centScoreSql("e.embedding")} DESC, c.cell) AS rn
+      |    FROM embeddings e CROSS JOIN cents c)
+      |  WHERE rn = 1
+      |), cl AS (
+      |  SELECT a.cell, e.label, COUNT(*) AS n
+      |  FROM embeddings e JOIN assign a USING (vec_id)
+      |  GROUP BY 1, 2
+      |), tot AS (
+      |  SELECT cell, CAST(SUM(n) AS BIGINT) AS n_vecs FROM cl
+      |  GROUP BY cell
+      |), top AS (
+      |  SELECT cell, label AS majority_label, n FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY cell
+      |      ORDER BY n DESC, label) AS rn FROM cl)
+      |  WHERE rn = 1
+      |)
+      |SELECT t.cell, t.majority_label, tt.n_vecs,
+      |  t.n * 1000 // tt.n_vecs AS purity_permille
+      |FROM top t JOIN tot tt USING (cell)
+      |ORDER BY t.cell""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "knn_join" -> knnJoinSql,
+    "ivf_purity" -> ivfPuritySql,
     "semantic_dedup" -> semanticDedupSql,
     "ivf_balance_report" -> ivfBalanceSql,
     "quantizer_drift" -> quantizerDriftSql,

@@ -303,6 +303,36 @@ object TrainingQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // Cluster LABELING — "what IS this near-dup cluster": the top-3
+    // non-stopword tokens by in-cluster frequency for every simhash
+    // component, the string a curation UI shows next to
+    // dedup_cluster_report's size/bytes columns so a reviewer can
+    // triage template families without opening members. Pairs →
+    // closure (∝ duplicates) → one token explode over CLUSTERED docs
+    // only (the semi-join keeps unpaired docs out of the explode) →
+    // cluster-keyed tf → rank ≤ 3, which compiles to the same
+    // WindowGroupLimit partial top-k as tfidf_topk.
+    "cluster_labels" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = withCopies(s, dir)
+      val pairs = Dedup.simhashPairs(docs, col("doc_id"), col("text"),
+          maxHamming = 3)
+        .select("id_a", "id_b")
+      val comp = Dedup.connectedComponents(pairs, col("id_a"), col("id_b"))
+        .withColumnRenamed("id", "doc_id")
+      val toks = docs.join(comp, Seq("doc_id"))
+        .select(col("canonical").as("cluster"),
+          explode(TextAnalysis.tokens(lower(col("text")))).as("token"))
+        .filter(!col("token").isin(TextAnalysis.DefaultStopwords: _*))
+      toks.groupBy("cluster", "token").agg(count(lit(1)).as("tf"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("cluster")
+            .orderBy(col("tf").desc, col("token"))))
+        .filter(col("rank") <= 3)
+        .select("cluster", "rank", "token", "tf")
+        .orderBy("cluster", "rank")
+    },
+
     // MinHash CALIBRATION curve — the estimator-quality report behind
     // dedup_recall_report's single recall number: candidate pairs
     // bucketed by how many of the 8 minhashes agree, against the
@@ -2883,6 +2913,23 @@ object TrainingQueries {
         |         1, 2) < 'e6' THEN 'val'
         |       ELSE 'test' END AS split
         |FROM canon ORDER BY doc_id""".stripMargin,
+    "cluster_labels" ->
+      s"""$componentsReachCte, comp AS (
+        |  SELECT node AS doc_id, MIN(lbl) AS canonical FROM reach
+        |  GROUP BY node
+        |), tk AS (
+        |  SELECT c.canonical AS cluster, unnest($toksExpr) AS token
+        |  FROM all_docs d JOIN comp c USING (doc_id)
+        |), tf AS (
+        |  SELECT cluster, token, COUNT(*) AS tf FROM tk
+        |  WHERE token NOT IN $stopwordList GROUP BY 1, 2
+        |), r AS (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY cluster
+        |    ORDER BY tf DESC, token) AS INT) AS rank
+        |  FROM tf
+        |)
+        |SELECT cluster, rank, token, tf FROM r
+        |WHERE rank <= 3 ORDER BY cluster, rank""".stripMargin,
     "minhash_calibration" -> {
       val agree = (0 until 8).map(i =>
         s"(CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END)")
