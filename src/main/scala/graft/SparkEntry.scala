@@ -129,7 +129,8 @@ object SparkEntry {
       "ann_range_search", "leakage_safe_split",
       "knn_join", "decayed_counts", "funnel_wilson", "value_quantiles",
       "minhash_calibration", "session_stats",
-      "q3_topk", "q5_local_revenue", "ivf_purity", "cluster_labels")
+      "q3_topk", "q5_local_revenue", "ivf_purity", "cluster_labels",
+      "quality_dup_crosstab", "stickiness_report")
 
   def benchQueries: Seq[(String, (SparkSession, String) => DataFrame)] =
     benchNames.flatMap(n => queries.get(n).map(n -> _))

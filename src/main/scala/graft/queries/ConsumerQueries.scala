@@ -434,6 +434,30 @@ object ConsumerQueries {
         .orderBy("hour_bucket", "shard_id")
     },
 
+    // DAU/WAU STICKINESS — the engagement ratio every growth
+    // dashboard tracks: per calendar day, distinct daily actives over
+    // the week's distinct actives, in permille (a user base that
+    // shows up 7/7 days reads 1000; a weekly-digest audience reads
+    // ~143). Calendar weeks, not sliding windows, keep the distinct
+    // counts exact and cheap (two distinct aggregates, each one
+    // exchange); a sliding 7-day distinct would need per-day
+    // re-scans or sketches — the documented trade.
+    "stickiness_report" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"),
+          expr("ts div 1000 div 86400000000").as("day"))
+      val dau = ev.distinct()
+        .groupBy("day").agg(count(lit(1)).as("dau"))
+      val wau = ev.select(col("user_id"), expr("day div 7").as("week"))
+        .distinct()
+        .groupBy("week").agg(count(lit(1)).as("wau"))
+      dau.withColumn("week", expr("day div 7"))
+        .join(broadcast(wau), "week")
+        .withColumn("stickiness_permille", expr("dau * 1000 div wau"))
+        .select("week", "day", "dau", "wau", "stickiness_permille")
+        .orderBy("day")
+    },
+
     // Recency-DECAYED popularity — trending scores with a one-day
     // half-life: each event contributes 2^(−age_days), so yesterday's
     // traffic counts half and last month's nothing — the ranking
@@ -717,6 +741,24 @@ object ConsumerQueries {
         |    SUM(n_events) OVER (PARTITION BY hour_bucket) AS BIGINT)
         |    AS permille
         |FROM c ORDER BY hour_bucket, shard_id""".stripMargin,
+
+    "stickiness_report" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        |  FROM events
+        |), dau AS (
+        |  SELECT day, COUNT(*) AS dau FROM ud GROUP BY day
+        |), uw AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 // 7
+        |    AS week
+        |  FROM events
+        |), wau AS (
+        |  SELECT week, COUNT(*) AS wau FROM uw GROUP BY week
+        |)
+        |SELECT d.day // 7 AS week, d.day, d.dau, w.wau,
+        |  d.dau * 1000 // w.wau AS stickiness_permille
+        |FROM dau d JOIN wau w ON d.day // 7 = w.week
+        |ORDER BY d.day""".stripMargin,
 
     "decayed_counts" ->
       """WITH mx AS (

@@ -303,6 +303,33 @@ object TrainingQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // Quality × duplication CROSS-TAB — the curation question the two
+    // tiers answer only together: do near-duplicates concentrate in
+    // particular quality bands (template spam usually fails the
+    // repetition rules AND floods the dup graph; if dup_permille is
+    // flat across verdicts, dedup and quality filtering are
+    // independent cuts and their retention costs multiply). Per gate
+    // verdict: docs, docs appearing in ≥1 simhash pair, and the dup
+    // rate in permille. One verdict scan (shared withQualityVerdict
+    // chain) + the proven pair path + a distinct-endpoint semi-join.
+    "quality_dup_crosstab" -> { (s, dir) =>
+      val docs = withCopies(s, dir)
+      val pairs = Dedup.simhashPairs(docs, col("doc_id"), col("text"),
+          maxHamming = 3)
+        .select("id_a", "id_b")
+      val dup = pairs.select(col("id_a").as("doc_id"))
+        .unionByName(pairs.select(col("id_b").as("doc_id")))
+        .distinct()
+        .withColumn("is_dup", lit(1L))
+      withQualityVerdict(docs)
+        .join(dup, Seq("doc_id"), "left")
+        .groupBy("verdict")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("is_dup"), lit(0L))).as("n_dup"))
+        .withColumn("dup_permille", expr("n_dup * 1000 div n_docs"))
+        .orderBy("verdict")
+    },
+
     // Cluster LABELING — "what IS this near-dup cluster": the top-3
     // non-stopword tokens by in-cluster frequency for every simhash
     // component, the string a curation UI shows next to
@@ -1980,6 +2007,58 @@ object TrainingQueries {
     s"CASE WHEN m = 0 THEN 'und' $whens END"
   }
 
+  /** Verdict CTE chain over an arbitrary (doc_id, text) source CTE,
+    * q-prefixed so it composes with componentsReachCte (whose t/v/s
+    * names would otherwise collide) — quality_dup_crosstab appends
+    * this after the pair CTEs. Emits `, qd AS (...) ... qv AS
+    * (doc_id, verdict)`. */
+  private def qualityVerdictCtesOver(src: String): String =
+    s""", qd AS (
+      |  SELECT doc_id, text,
+      |    ${langScores.map(_._2).mkString("greatest(", ", ", ")")} AS m
+      |  FROM $src
+      |), qbase AS (
+      |  SELECT doc_id, $langCase AS lang,
+      |    len($toksExpr) AS n_tok,
+      |    len(list_filter($toksExpr, t -> t IN $stopwordList)) AS n_stop
+      |  FROM qd
+      |), qtok AS (
+      |  SELECT doc_id, unnest($toksExpr) AS w FROM $src
+      |), qtc AS (
+      |  SELECT doc_id, MAX(c) AS top_tok FROM (
+      |    SELECT doc_id, w, COUNT(*) AS c FROM qtok GROUP BY 1, 2
+      |  ) GROUP BY doc_id
+      |), qbgl AS (
+      |  SELECT doc_id, $toksExpr AS toks FROM $src
+      |), qbg AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+      |    i -> toks[i] || ' ' || toks[i+1])) AS g
+      |  FROM qbgl
+      |), qbc AS (
+      |  SELECT doc_id,
+      |    COALESCE(SUM(c) FILTER (WHERE c >= 2), 0) AS dup_bg
+      |  FROM (SELECT doc_id, g, COUNT(*) AS c FROM qbg GROUP BY 1, 2)
+      |  GROUP BY doc_id
+      |), qv AS (
+      |  SELECT b.doc_id,
+      |    CASE WHEN b.n_tok < 15 THEN 'too_short'
+      |         WHEN b.n_tok > 90 THEN 'too_long'
+      |         WHEN CAST(b.n_stop AS DOUBLE) / b.n_tok < 0.03
+      |           THEN 'low_stopwords'
+      |         WHEN CAST(qtc.top_tok AS DOUBLE) / b.n_tok > 0.125
+      |           THEN 'repetitive_token'
+      |         WHEN (CASE WHEN b.n_tok - 1 > 0
+      |                THEN CAST(COALESCE(qbc.dup_bg, 0) AS DOUBLE)
+      |                     / (b.n_tok - 1)
+      |                ELSE 0 END) > 0.1
+      |           THEN 'repetitive_bigrams'
+      |         WHEN b.lang NOT IN ('en', 'de', 'es', 'fr') THEN 'lang'
+      |         ELSE 'accept' END AS verdict
+      |  FROM qbase b
+      |  JOIN qtc ON b.doc_id = qtc.doc_id
+      |  LEFT JOIN qbc ON b.doc_id = qbc.doc_id
+      |)""".stripMargin
+
   /** Shared CTE chain producing per-doc (source, verdict) — the SQL
     * mirror of [[withQualityVerdict]]; quality_gate appends the
     * verdict histogram, quality_audit the per-source Wilson rollup. */
@@ -2913,6 +2992,19 @@ object TrainingQueries {
         |         1, 2) < 'e6' THEN 'val'
         |       ELSE 'test' END AS split
         |FROM canon ORDER BY doc_id""".stripMargin,
+    "quality_dup_crosstab" ->
+      s"""$componentsReachCte${qualityVerdictCtesOver("all_docs")}, dup AS (
+        |  SELECT DISTINCT doc_id FROM (
+        |    SELECT id_a AS doc_id FROM pr
+        |    UNION ALL SELECT id_b FROM pr)
+        |)
+        |SELECT qv.verdict, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_dup,
+        |  CAST(SUM(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) * 1000 // COUNT(*) AS dup_permille
+        |FROM qv LEFT JOIN dup USING (doc_id)
+        |GROUP BY qv.verdict ORDER BY qv.verdict""".stripMargin,
     "cluster_labels" ->
       s"""$componentsReachCte, comp AS (
         |  SELECT node AS doc_id, MIN(lbl) AS canonical FROM reach
