@@ -130,7 +130,8 @@ object SparkEntry {
       "knn_join", "decayed_counts", "funnel_wilson", "value_quantiles",
       "minhash_calibration", "session_stats",
       "q3_topk", "q5_local_revenue", "ivf_purity", "cluster_labels",
-      "quality_dup_crosstab", "stickiness_report")
+      "quality_dup_crosstab", "stickiness_report",
+      "ngram_novelty", "multimodal_dedup_survivors")
 
   def benchQueries: Seq[(String, (SparkSession, String) => DataFrame)] =
     benchNames.flatMap(n => queries.get(n).map(n -> _))

@@ -15,6 +15,42 @@ import graft.sources.Tables
   * roundtrip is what's actually checked. */
 object MultimodalQueries {
 
+  /** Shared image-dedup corpus: docs + an id-shifted re-crawl of the
+    * modulo-selected 40% tail, each doc's seeded BMP rendered and
+    * dHashed through the oracle-checked decode→resize path. The pixel
+    * seed is invariant under THIS query's re-crawl shift (+CopyShift,
+    * so a re-hosted image reproduces bit-for-bit) but VARIES across
+    * ScaleUp copies (+k·Shift) — base-only seeding measured a 162×
+    * pair blowup at sf1 from byte-identical cross-copy images
+    * (quadratic cliques); mixing the copy index into the seed keeps
+    * within-copy structure isomorphic while decorrelating cross-copy
+    * pixels. At the oracle's sf0.01 the copy index is always 0, so
+    * the closed-form SQL is untouched. Returns (corpus ids, hashed). */
+  private def imageCorpus(s: org.apache.spark.sql.SparkSession,
+      dir: String): (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame) = {
+    import s.implicits._
+    require(graft.tools.ScaleUp.Shift % CopyShift == 0,
+      "image seed recovery assumes ScaleUp.Shift is a multiple of " +
+        "CopyShift")
+    val all = {
+      val d = Tables.documents(s, dir).select(col("doc_id"))
+      d.unionByName(
+        d.filter(pmod(col("doc_id"), lit(5)) >= lit(3))
+          .select((col("doc_id") + CopyShift).as("doc_id")))
+    }
+    val hashed = all.as[Long].map { id =>
+      val base = (id % CopyShift).toInt
+      val copy = (id / graft.tools.ScaleUp.Shift).toInt
+      val seed = base + copy * 999983
+      val img = Multimodal.makeBmpSeeded(base % 16 + 9, base % 8 + 8,
+        seed)
+      (id, Multimodal.dhashBmp(img).getOrElse(
+        sys.error(s"fixture for doc $id is not a 24bpp BMP")))
+    }.toDF("doc_id", "dhash")
+    (all, hashed)
+  }
+
   private val CopyShift = 1000000L
 
   /** The dHash gray value at resized column `tx` (a SQL expression
@@ -23,6 +59,57 @@ object MultimodalQueries {
     * synthesis-formula pixel → NN resize → channel sum that
     * `Multimodal.makeBmpSeeded` + `resizeBmp` + `dhashBmp` compute
     * over real bytes. */
+  /** Shared CTE chain for the image-dedup oracles: seeded-pixel
+    * synthesis in closed form → dHash bits → 4×16-bit bands →
+    * candidate pairs → Hamming-≤3 verified `pairs`. Emitted WITHOUT
+    * the WITH keyword so the survivors oracle can prepend RECURSIVE. */
+  private lazy val imagePairCtes =
+    s"""corpus AS (
+      |  SELECT doc_id FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + $CopyShift FROM documents WHERE doc_id % 5 >= 3
+      |), g AS (
+      |  SELECT doc_id,
+      |    (doc_id % $CopyShift) % 16 + 9 AS w,
+      |    (doc_id % $CopyShift) % 8 + 8 AS h,
+      |    (doc_id % $CopyShift) % 256 AS s0,
+      |    ((doc_id % $CopyShift) // 256) % 256 AS s1,
+      |    ((doc_id % $CopyShift) // 65536) % 256 AS s2
+      |  FROM corpus
+      |), bits AS (
+      |  SELECT doc_id, ty * 8 + tx AS idx,
+      |    CASE WHEN ${dhashGraySql("tx")} > ${dhashGraySql("tx + 1")}
+      |      THEN 1 ELSE 0 END AS bit
+      |  FROM g, range(0, 8) t1(ty), range(0, 8) t2(tx)
+      |), bands AS (
+      |  SELECT doc_id, CAST(idx // 16 AS INT) AS band,
+      |    CAST(SUM(bit * (1 << (idx % 16))) AS BIGINT) AS band_val
+      |  FROM bits GROUP BY doc_id, idx // 16
+      |), v AS (
+      |  SELECT doc_id,
+      |    MAX(CASE WHEN band = 0 THEN band_val END) AS b0,
+      |    MAX(CASE WHEN band = 1 THEN band_val END) AS b1,
+      |    MAX(CASE WHEN band = 2 THEN band_val END) AS b2,
+      |    MAX(CASE WHEN band = 3 THEN band_val END) AS b3
+      |  FROM bands GROUP BY doc_id
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+      |  FROM bands a JOIN bands c
+      |    ON a.band = c.band AND a.band_val = c.band_val
+      |    AND a.doc_id < c.doc_id
+      |), pairs AS (
+      |  SELECT id_a, id_b,
+      |    CAST(bit_count(xor(va.b0, vc.b0)) + bit_count(xor(va.b1, vc.b1))
+      |      + bit_count(xor(va.b2, vc.b2)) + bit_count(xor(va.b3, vc.b3))
+      |      AS INT) AS hamming
+      |  FROM cand
+      |  JOIN v va ON va.doc_id = id_a
+      |  JOIN v vc ON vc.doc_id = id_b
+      |  WHERE bit_count(xor(va.b0, vc.b0)) + bit_count(xor(va.b1, vc.b1))
+      |    + bit_count(xor(va.b2, vc.b2)) + bit_count(xor(va.b3, vc.b3))
+      |    <= 3
+      |)""".stripMargin
+
   private def dhashGraySql(tx: String): String = {
     val sx = s"((($tx) * w) // 9)"
     val sy = s"((ty * h) // 8)"
@@ -111,40 +198,30 @@ object MultimodalQueries {
     // the band decomposition in closed form — the engine reads real
     // bytes, the oracle proves the bytes' math.
     "multimodal_dedup_pairs" -> { (s, dir) =>
-      import s.implicits._
-      // The pixel seed must be invariant under THIS query's re-crawl
-      // shift (+CopyShift, so each re-crawled image reproduces its
-      // original bit-for-bit) but must VARY across ScaleUp copies
-      // (+k·Shift) — a round-13 sf1 run with base-only seeding made
-      // all 10 ScaleUp copies byte-identical and the pair count grew
-      // 162× at 10× docs (quadratic cross-copy cliques, the exact
-      // artifact ScaleUp's token-suffixing avoids for text). Mixing
-      // the copy index into the seed keeps within-copy structure
-      // isomorphic to the source (planted re-crawl dups included:
-      // CopyShift < Shift, same copy index) while decorrelating
-      // cross-copy pixels. At the oracle's sf0.01 the copy index is
-      // always 0, so the closed-form SQL is untouched.
-      require(graft.tools.ScaleUp.Shift % CopyShift == 0,
-        "image seed recovery assumes ScaleUp.Shift is a multiple of " +
-          "CopyShift")
-      val all = {
-        val d = Tables.documents(s, dir).select(col("doc_id"))
-        d.unionByName(
-          d.filter(pmod(col("doc_id"), lit(5)) >= lit(3))
-            .select((col("doc_id") + CopyShift).as("doc_id")))
-      }
-      val hashed = all.as[Long].map { id =>
-        val base = (id % CopyShift).toInt
-        val copy = (id / graft.tools.ScaleUp.Shift).toInt
-        val seed = base + copy * 999983
-        val img = Multimodal.makeBmpSeeded(base % 16 + 9, base % 8 + 8,
-          seed)
-        (id, Multimodal.dhashBmp(img).getOrElse(
-          sys.error(s"fixture for doc $id is not a 24bpp BMP")))
-      }.toDF("doc_id", "dhash")
+      val (_, hashed) = imageCorpus(s, dir)
       graft.operators.Dedup.hammingBandPairs(hashed, col("doc_id"),
           col("dhash"), maxHamming = 3)
         .orderBy("id_a", "id_b")
+    },
+
+    // Image dedup END-TO-END — pairs → transitive closure → survivor
+    // corpus, the same cross-tier composition the text
+    // (dedup_survivors) and embedding (embedding_survivors) paths
+    // pin, now for the image modality: min-id canonicals of each
+    // dHash clique plus every unpaired image survive. Closes the
+    // dedup × multimodal cell as an actionable operation, not just a
+    // pair report.
+    "multimodal_dedup_survivors" -> { (s, dir) =>
+      val (all, hashed) = imageCorpus(s, dir)
+      val pairs = graft.operators.Dedup.hammingBandPairs(hashed,
+          col("doc_id"), col("dhash"), maxHamming = 3)
+        .select("id_a", "id_b")
+      val comp = graft.operators.Dedup.connectedComponents(
+        pairs, col("id_a"), col("id_b"))
+      val dropped = comp.filter(col("id") =!= col("canonical"))
+        .select(col("id").as("doc_id"))
+      all.join(dropped, Seq("doc_id"), "left_anti")
+        .orderBy("doc_id")
     },
 
     // AUDIO feature extraction over SAMPLES, not just headers: each
@@ -239,51 +316,24 @@ object MultimodalQueries {
     // without materializing a 64-bit value whose top bit would
     // overflow a signed SUM).
     "multimodal_dedup_pairs" ->
-      s"""WITH corpus AS (
-        |  SELECT doc_id FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + $CopyShift FROM documents WHERE doc_id % 5 >= 3
-        |), g AS (
-        |  SELECT doc_id,
-        |    (doc_id % $CopyShift) % 16 + 9 AS w,
-        |    (doc_id % $CopyShift) % 8 + 8 AS h,
-        |    (doc_id % $CopyShift) % 256 AS s0,
-        |    ((doc_id % $CopyShift) // 256) % 256 AS s1,
-        |    ((doc_id % $CopyShift) // 65536) % 256 AS s2
-        |  FROM corpus
-        |), bits AS (
-        |  SELECT doc_id, ty * 8 + tx AS idx,
-        |    CASE WHEN ${dhashGraySql("tx")} > ${dhashGraySql("tx + 1")}
-        |      THEN 1 ELSE 0 END AS bit
-        |  FROM g, range(0, 8) t1(ty), range(0, 8) t2(tx)
-        |), bands AS (
-        |  SELECT doc_id, CAST(idx // 16 AS INT) AS band,
-        |    CAST(SUM(bit * (1 << (idx % 16))) AS BIGINT) AS band_val
-        |  FROM bits GROUP BY doc_id, idx // 16
-        |), v AS (
-        |  SELECT doc_id,
-        |    MAX(CASE WHEN band = 0 THEN band_val END) AS b0,
-        |    MAX(CASE WHEN band = 1 THEN band_val END) AS b1,
-        |    MAX(CASE WHEN band = 2 THEN band_val END) AS b2,
-        |    MAX(CASE WHEN band = 3 THEN band_val END) AS b3
-        |  FROM bands GROUP BY doc_id
-        |), cand AS (
-        |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
-        |  FROM bands a JOIN bands c
-        |    ON a.band = c.band AND a.band_val = c.band_val
-        |    AND a.doc_id < c.doc_id
-        |)
-        |SELECT id_a, id_b,
-        |  CAST(bit_count(xor(va.b0, vc.b0)) + bit_count(xor(va.b1, vc.b1))
-        |    + bit_count(xor(va.b2, vc.b2)) + bit_count(xor(va.b3, vc.b3))
-        |    AS INT) AS hamming
-        |FROM cand
-        |JOIN v va ON va.doc_id = id_a
-        |JOIN v vc ON vc.doc_id = id_b
-        |WHERE bit_count(xor(va.b0, vc.b0)) + bit_count(xor(va.b1, vc.b1))
-        |  + bit_count(xor(va.b2, vc.b2)) + bit_count(xor(va.b3, vc.b3))
-        |  <= 3
+      s"""WITH $imagePairCtes
+        |SELECT id_a, id_b, hamming FROM pairs
         |ORDER BY id_a, id_b""".stripMargin,
+    "multimodal_dedup_survivors" ->
+      s"""WITH RECURSIVE $imagePairCtes, sym AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs
+        |), reach(node, lbl) AS (
+        |  SELECT src, src FROM sym
+        |  UNION
+        |  SELECT s2.dst, r.lbl FROM reach r JOIN sym s2 ON s2.src = r.node
+        |), dropped AS (
+        |  SELECT node AS doc_id FROM reach
+        |  GROUP BY node HAVING MIN(lbl) <> node
+        |)
+        |SELECT doc_id FROM corpus
+        |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+        |ORDER BY doc_id""".stripMargin,
     "multimodal_frames" ->
       """WITH f AS (
         |  SELECT doc_id, text,

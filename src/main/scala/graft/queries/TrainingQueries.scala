@@ -303,6 +303,28 @@ object TrainingQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // n-gram NOVELTY score — the inverse of boilerplate: per doc, the
+    // permille of its distinct 3-gram shingles that appear NOWHERE
+    // else in the corpus (df = 1). High novelty = genuinely new
+    // content; near-zero = assembled from corpus-common fragments —
+    // the cheap scalar a mixture builder reads next to the quality
+    // gate when up-weighting fresh material. One shingle explode →
+    // Zipf-concentrated df aggregate → join back + per-doc integer
+    // rollup (the doc_surprisal plan with shingles for tokens).
+    "ngram_novelty" -> { (s, dir) =>
+      val sh = Tables.documents(s, dir).select(col("doc_id"),
+        explode(graft.functions.TextShingles.distinctShingles(3)(
+          col("text"))).as("sh"))
+      val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      sh.join(dfreq, "sh")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+        .withColumn("novelty_permille",
+          expr("n_unique * 1000 div n_shingles"))
+        .orderBy("doc_id")
+    },
+
     // Quality × duplication CROSS-TAB — the curation question the two
     // tiers answer only together: do near-duplicates concentrate in
     // particular quality bands (template spam usually fails the
@@ -2992,6 +3014,20 @@ object TrainingQueries {
         |         1, 2) < 'e6' THEN 'val'
         |       ELSE 'test' END AS split
         |FROM canon ORDER BY doc_id""".stripMargin,
+    "ngram_novelty" ->
+      s"""WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct($shinglesExpr)) AS s
+        |  FROM documents
+        |), d AS (
+        |  SELECT s, COUNT(*) AS df FROM sh GROUP BY s
+        |)
+        |SELECT doc_id, COUNT(*) AS n_shingles,
+        |  CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_unique,
+        |  CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    * 1000 // COUNT(*) AS novelty_permille
+        |FROM sh JOIN d USING (s)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "quality_dup_crosstab" ->
       s"""$componentsReachCte${qualityVerdictCtesOver("all_docs")}, dup AS (
         |  SELECT DISTINCT doc_id FROM (
