@@ -131,7 +131,8 @@ object SparkEntry {
       "minhash_calibration", "session_stats",
       "q3_topk", "q5_local_revenue", "ivf_purity", "cluster_labels",
       "quality_dup_crosstab", "stickiness_report",
-      "ngram_novelty", "multimodal_dedup_survivors")
+      "ngram_novelty", "multimodal_dedup_survivors",
+      "ivf_probe_sweep", "bm25_batch")
 
   def benchQueries: Seq[(String, (SparkSession, String) => DataFrame)] =
     benchNames.flatMap(n => queries.get(n).map(n -> _))

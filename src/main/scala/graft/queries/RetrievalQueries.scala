@@ -27,6 +27,12 @@ object RetrievalQueries {
   /** Fixed keyword query, mirrored literally in the oracles. */
   private val QueryTerms = Seq("join", "window", "stream")
 
+  /** bm25_batch's query set — (query id, term) rows, mirrored as a
+    * VALUES list in the oracle. */
+  private val BatchTerms: Seq[(Int, String)] = Seq(
+    0 -> "join", 0 -> "window", 1 -> "stream", 1 -> "shard",
+    2 -> "sort", 2 -> "merge", 2 -> "spark")
+
   /** BM25 term score over columns tf (term freq in doc), df (doc
     * freq), dl (doc length) and the broadcast globals n_docs, avgdl —
     * ONE SQL string evaluated by BOTH engines (identical IEEE tree,
@@ -112,6 +118,48 @@ object RetrievalQueries {
           Window.orderBy(col("score").desc, col("doc_id"))))
         .select("rank", "doc_id", "score")
         .orderBy("rank")
+    },
+
+    // BATCH BM25 — the serving shape: several keyword queries scored
+    // in ONE postings pass (the query set is a broadcast frame joined
+    // on term, not a literal filter — queries are DATA in a retrieval
+    // service). Per-term scores floor to integer micro-units BEFORE
+    // the per-(query, doc) sum, so the sum is order-independent
+    // without the fixed-order pivot bm25_topk uses (which cannot
+    // scale to a data-driven term set); the per-query rank ≤ 5 cut
+    // rides WindowGroupLimit. Queries with disjoint term sets share
+    // every stage — df, globals, the postings explode — which is the
+    // amortization a one-query-at-a-time loop forfeits.
+    "bm25_batch" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val qt = broadcast(BatchTerms.toDF("qid", "term"))
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.tokens(lower(col("text"))).as("toks"))
+        .withColumn("dl", size(col("toks")).cast("long"))
+      val toks = docs
+        .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+        .join(qt, "term")
+      val tf = toks.groupBy("qid", "doc_id", "dl", "term")
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.select("term", "doc_id").distinct()
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val globals = docs
+        .agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+        .withColumn("avgdl", expr("CAST(sum_dl AS DOUBLE) / n_docs"))
+      tf.join(broadcast(dfreq), "term")
+        .crossJoin(broadcast(globals))
+        .withColumn("s_1e6",
+          expr(s"CAST(FLOOR(1e6 * ($bm25TermSql)) AS BIGINT)"))
+        .groupBy("qid", "doc_id")
+        .agg(sum("s_1e6").as("score_1e6"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("qid")
+            .orderBy(col("score_1e6").desc, col("doc_id"))))
+        .filter(col("rank") <= 5)
+        .select("qid", "rank", "doc_id", "score_1e6")
+        .orderBy("qid", "rank")
     },
 
     // Reciprocal-rank fusion of the BM25 top-20 and the embedding
@@ -211,7 +259,46 @@ object RetrievalQueries {
       |FROM fused ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
   }
 
+  private val bm25BatchSql = {
+    val values = BatchTerms
+      .map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+    s"""WITH qt(qid, term) AS (VALUES $values),
+      |d AS (
+      |  SELECT doc_id, ${TrainingQueries.toksExpr} AS toks
+      |  FROM documents
+      |), dd AS (
+      |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM d
+      |), tk AS (
+      |  SELECT doc_id, dl, unnest(toks) AS term FROM dd
+      |), tf AS (
+      |  SELECT qt.qid, tk.doc_id, tk.dl, tk.term, COUNT(*) AS tf
+      |  FROM tk JOIN qt USING (term) GROUP BY 1, 2, 3, 4
+      |), dfq AS (
+      |  SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term
+      |), g AS (
+      |  SELECT COUNT(*) AS n_docs,
+      |    CAST(SUM(CAST(len(toks) AS BIGINT)) AS BIGINT) AS sum_dl
+      |  FROM d
+      |), g2 AS (
+      |  SELECT n_docs, CAST(sum_dl AS DOUBLE) / n_docs AS avgdl FROM g
+      |), sc AS (
+      |  SELECT tf.qid, tf.doc_id,
+      |    CAST(FLOOR(1e6 * ($bm25TermSql)) AS BIGINT) AS s
+      |  FROM tf JOIN dfq USING (term) CROSS JOIN g2
+      |), pd AS (
+      |  SELECT qid, doc_id, CAST(SUM(s) AS BIGINT) AS score_1e6
+      |  FROM sc GROUP BY 1, 2
+      |), r AS (
+      |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+      |    ORDER BY score_1e6 DESC, doc_id) AS INT) AS rank
+      |  FROM pd
+      |)
+      |SELECT qid, rank, doc_id, score_1e6 FROM r
+      |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "bm25_topk" -> bm25TopkSql,
-    "hybrid_retrieval" -> hybridSql)
+    "hybrid_retrieval" -> hybridSql,
+    "bm25_batch" -> bm25BatchSql)
 }

@@ -908,6 +908,58 @@ object SimilarityQueries {
         .orderBy("cell")
     },
 
+    // nprobe SWEEP — the tuning CURVE behind ann_recall_trained's
+    // single point: recall@10 at nprobe ∈ 1..4 in one query, the
+    // table an operator actually reads to pick the probe count
+    // (recall rises with nprobe, scan cost rises ∝ nprobe/k — the
+    // sweep shows where the curve flattens and extra probes stop
+    // paying). One probed-scoring pass carries the probe RANK; the
+    // 4-way sweep is a broadcast nprobe frame joined on
+    // probe_rank ≤ nprobe, and each (nprobe, query) ranks through
+    // the native bounded-heap node on a composite group key. At
+    // 100 TB this runs on a sampled query set like the other recall
+    // reports.
+    "ivf_probe_sweep" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      val cents = trainedCentroids(s, dir)
+      val assigned = e
+        .withColumn("cell", Similarity.assignCells(col("embedding"), cents))
+        .withColumn("_vn", Similarity.norm(col("embedding")))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val probed = q
+        .select(col("query_id"), col("qvec"),
+          posexplode(Similarity.probeCells(col("qvec"), cents, 4)))
+        .select(col("query_id"), col("qvec"),
+          (col("pos") + 1).as("probe_rank"), col("col").as("cell"))
+        .withColumn("_qn", Similarity.norm(col("qvec")))
+      val np = s.range(1, 5).toDF("nprobe")
+      val scored = assigned.join(broadcast(probed), "cell")
+        .withColumn("cosine", Similarity.dot(col("embedding"), col("qvec"))
+          / (col("_vn") * col("_qn")))
+        .select("query_id", "vec_id", "cosine", "probe_rank")
+      val swept = scored.join(broadcast(np),
+          col("probe_rank") <= col("nprobe"))
+        .withColumn("grp", col("nprobe") * 1000 + col("query_id"))
+      val ivf = graft.operators.TopK.perGroupNative(swept, "grp",
+          "vec_id", "cosine", k = 10)
+        .select(expr("grp div 1000").as("nprobe"),
+          pmod(col("grp"), lit(1000)).as("query_id"), col("vec_id"))
+        .withColumn("hit", lit(1L))
+      val bruteScored = Similarity.scoredPairs(e, col("vec_id"),
+          col("embedding"), q, col("query_id"), col("qvec"))
+        .select("query_id", "vec_id", "cosine")
+      val brute = graft.operators.TopK.perGroup(bruteScored, "query_id",
+          "vec_id", "cosine", k = 10)
+        .select("query_id", "vec_id")
+      brute.crossJoin(broadcast(np))
+        .join(ivf, Seq("nprobe", "query_id", "vec_id"), "left")
+        .groupBy("nprobe")
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .withColumn("recall_permille", expr("n_hits * 1000 div 50"))
+        .orderBy("nprobe")
+    },
+
     // Cell PURITY against ground-truth labels — the standard
     // external-validity check for a trained clustering (here: the
     // coarse quantizer vs the embeddings' label column): per cell,
@@ -1697,9 +1749,67 @@ object SimilarityQueries {
       |FROM top t JOIN tot tt USING (cell)
       |ORDER BY t.cell""".stripMargin
 
+  private val probeSweepSql =
+    s"""WITH cents AS (
+      |  SELECT cell, cvec FROM read_parquet(
+      |    '${centroidExportPath("sf0.01")}/*.parquet')
+      |), assign AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT e.vec_id, c.cell,
+      |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |        ORDER BY ${centScoreSql("e.embedding")} DESC, c.cell) AS rn
+      |    FROM embeddings e CROSS JOIN cents c)
+      |  WHERE rn = 1
+      |), q AS (
+      |  SELECT vec_id AS query_id, embedding AS qvec
+      |  FROM embeddings WHERE vec_id < 5
+      |), probe AS (
+      |  SELECT query_id, cell, rn AS probe_rank FROM (
+      |    SELECT q.query_id, c.cell,
+      |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+      |        ORDER BY ${centScoreSql("q.qvec")} DESC, c.cell) AS rn
+      |    FROM q CROSS JOIN cents c)
+      |  WHERE rn <= 4
+      |), np AS (
+      |  SELECT unnest(range(1, 5)) AS nprobe
+      |), pi AS (
+      |  SELECT np.nprobe, qq.query_id, e.vec_id,
+      |    ${cosSql("e.embedding", "qq.qvec")} AS cosine
+      |  FROM embeddings e
+      |  JOIN assign a ON a.vec_id = e.vec_id
+      |  JOIN probe pr ON pr.cell = a.cell
+      |  JOIN q qq ON qq.query_id = pr.query_id
+      |  JOIN np ON pr.probe_rank <= np.nprobe
+      |), ri AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY nprobe, query_id
+      |    ORDER BY cosine DESC, vec_id) AS rank
+      |  FROM pi
+      |), i AS (
+      |  SELECT nprobe, query_id, vec_id FROM ri WHERE rank <= 10
+      |), pb AS (
+      |  SELECT q.query_id, e.vec_id,
+      |    ${cosSql("e.embedding", "q.qvec")} AS cosine
+      |  FROM embeddings e, q
+      |), rb AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY cosine DESC, vec_id) AS rank
+      |  FROM pb
+      |), b AS (
+      |  SELECT query_id, vec_id FROM rb WHERE rank <= 10
+      |), bx AS (
+      |  SELECT np.nprobe, b.query_id, b.vec_id FROM b CROSS JOIN np
+      |)
+      |SELECT bx.nprobe, CAST(COUNT(i.vec_id) AS BIGINT) AS n_hits,
+      |  CAST(COUNT(i.vec_id) AS BIGINT) * 1000 // 50 AS recall_permille
+      |FROM bx LEFT JOIN i
+      |  ON i.nprobe = bx.nprobe AND i.query_id = bx.query_id
+      |  AND i.vec_id = bx.vec_id
+      |GROUP BY bx.nprobe ORDER BY bx.nprobe""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "knn_join" -> knnJoinSql,
     "ivf_purity" -> ivfPuritySql,
+    "ivf_probe_sweep" -> probeSweepSql,
     "semantic_dedup" -> semanticDedupSql,
     "ivf_balance_report" -> ivfBalanceSql,
     "quantizer_drift" -> quantizerDriftSql,

@@ -174,6 +174,14 @@ class PlanPinsSpec extends SparkSpec {
       s"no shard-keyed exchange feeding the position window:\n$plan")
   }
 
+  test("bm25_batch's per-query rank<=5 cut compiles to " +
+      "WindowGroupLimit (partial per-query top-k before the exchange)") {
+    val df = SparkEntry.queries("bm25_batch")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank<=5 no longer compiles to WindowGroupLimit:\n$plan")
+  }
+
   test("q5_local_revenue's 6-way star join is one broadcast-hash " +
       "pipeline — lineitem never shuffles before the nation aggregate") {
     val df = SparkEntry.queries("q5_local_revenue")(spark, sf0001)
