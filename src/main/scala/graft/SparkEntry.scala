@@ -132,7 +132,7 @@ object SparkEntry {
       "q3_topk", "q5_local_revenue", "ivf_purity", "cluster_labels",
       "quality_dup_crosstab", "stickiness_report",
       "ngram_novelty", "multimodal_dedup_survivors",
-      "ivf_probe_sweep", "bm25_batch")
+      "ivf_probe_sweep", "bm25_batch", "source_manifest")
 
   def benchQueries: Seq[(String, (SparkSession, String) => DataFrame)] =
     benchNames.flatMap(n => queries.get(n).map(n -> _))

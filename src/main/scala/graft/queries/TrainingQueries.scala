@@ -303,6 +303,29 @@ object TrainingQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // Per-source ingest MANIFEST — the data-card row + reproducibility
+    // digest a corpus release ships per shard: doc/token counts, the
+    // id range, and a CONTENT digest (sum of each doc's 32-bit md5
+    // fingerprint prefix — order-independent integer arithmetic, so
+    // any engine recomputing the shard must land on the same number;
+    // a re-ingest whose digest differs changed at least one byte of
+    // at least one doc). The 32-bit-chunk sum stays inside BIGINT
+    // through ~10⁹ docs per source; past that, widen the sum to
+    // DECIMAL (documented, not needed at any test SF). One scan, one
+    // source-cardinality aggregate.
+    "source_manifest" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("toks"),
+          conv(substring(TextAnalysis.fingerprint(col("text")), 1, 8),
+            16, 10).cast("long").as("fp32"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"),
+          min("doc_id").as("min_doc_id"), max("doc_id").as("max_doc_id"),
+          sum("fp32").as("content_digest"))
+        .orderBy("source")
+    },
+
     // n-gram NOVELTY score — the inverse of boilerplate: per doc, the
     // permille of its distinct 3-gram shingles that appear NOWHERE
     // else in the corpus (df = 1). High novelty = genuinely new
@@ -3014,6 +3037,13 @@ object TrainingQueries {
         |         1, 2) < 'e6' THEN 'val'
         |       ELSE 'test' END AS split
         |FROM canon ORDER BY doc_id""".stripMargin,
+    "source_manifest" ->
+      s"""SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(len($toksExpr)) AS BIGINT) AS n_tokens,
+        |  MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id,
+        |  CAST(SUM(('0x' || substr(md5($normExpr), 1, 8))::BIGINT)
+        |    AS BIGINT) AS content_digest
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "ngram_novelty" ->
       s"""WITH sh AS (
         |  SELECT doc_id, unnest(list_distinct($shinglesExpr)) AS s
