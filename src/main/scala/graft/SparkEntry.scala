@@ -54,7 +54,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ConsumerQueries.all ++ BatchQueries.all ++ TrainingQueries.all ++
       SimilarityQueries.all ++ MultimodalQueries.all ++
-      TemporalQueries.all ++ RetrievalQueries.all
+      TemporalQueries.all ++ RetrievalQueries.all ++ OpsQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -62,7 +62,7 @@ object SparkEntry {
     ConsumerQueries.oracle ++ BatchQueries.oracle ++
       TrainingQueries.oracle ++ SimilarityQueries.oracle ++
       MultimodalQueries.oracle ++ TemporalQueries.oracle ++
-      RetrievalQueries.oracle
+      RetrievalQueries.oracle ++ OpsQueries.oracle
 
   /** Bench name list, in a fixed order. Since round 11 this covers the
     * FULL registry — every CORRECTNESS-green query also has a measured
@@ -132,7 +132,11 @@ object SparkEntry {
       "q3_topk", "q5_local_revenue", "ivf_purity", "cluster_labels",
       "quality_dup_crosstab", "stickiness_report",
       "ngram_novelty", "multimodal_dedup_survivors",
-      "ivf_probe_sweep", "bm25_batch", "source_manifest")
+      "ivf_probe_sweep", "bm25_batch", "source_manifest",
+      // governance + warehouse-ops tier
+      "erasure_sweep", "l_diversity_report", "scd2_dimension",
+      "q18_big_orders", "seasonality_profile", "salt_advisor",
+      "fuzzy_name_pairs")
 
   def benchQueries: Seq[(String, (SparkSession, String) => DataFrame)] =
     benchNames.flatMap(n => queries.get(n).map(n -> _))

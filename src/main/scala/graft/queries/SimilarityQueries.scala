@@ -1117,7 +1117,105 @@ object SimilarityQueries {
       graft.operators.TopK.perGroupNative(scored, "query_id", "vec_id",
           "cosine", k = 10)
         .orderBy("query_id", "rank")
+    },
+
+    // MATRYOSHKA two-stage retrieval (Kusupati et al., NeurIPS'22):
+    // coarse-score on the FIRST 16 dims only — an MRL-trained
+    // embedding front-loads information, so the prefix is itself a
+    // usable (4× cheaper, 4× smaller) embedding — shortlist 50 per
+    // query through the native bounded-heap top-k, then exact
+    // full-dim re-rank of the 50. The coarse pass reads a quarter of
+    // the vector bytes and does a quarter of the multiplies; the
+    // exact pass touches shortlist-sized frames only (broadcast
+    // joins). On NON-MRL embeddings (these fixtures) the prefix is
+    // just a random 16-dim projection — recall loss vs brute is the
+    // priced trade, same contract as every approximate tier here;
+    // the output itself is exact arithmetic, hash-pinned.
+    "matryoshka_topk" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val coarse = e
+        .select(col("vec_id"), slice(col("embedding"), 1, 16).as("v16"))
+        .crossJoin(broadcast(q.select(col("query_id"),
+          slice(col("qvec"), 1, 16).as("q16"))))
+        .withColumn("c16", Similarity.dot(col("v16"), col("q16"))
+          / (Similarity.norm(col("v16")) * Similarity.norm(col("q16"))))
+        .select("query_id", "vec_id", "c16")
+      val shortlist = graft.operators.TopK.perGroupNative(coarse,
+          "query_id", "vec_id", "c16", k = 50)
+        .select("query_id", "vec_id")
+      val rescored = e.join(broadcast(shortlist), "vec_id")
+        .join(broadcast(q), "query_id")
+        .withColumn("cosine", Similarity.dot(col("embedding"), col("qvec"))
+          / (Similarity.norm(col("embedding")) * Similarity.norm(col("qvec"))))
+        .select("query_id", "vec_id", "cosine")
+      graft.operators.TopK.perGroup(rescored, "query_id", "vec_id",
+          "cosine", k = 10)
+        .orderBy("query_id", "rank")
+    },
+
+    // BINARY sign-hash ANN — the cheapest sketch in the ladder: one
+    // bit per dimension (sign), 64 dims packed into two BIGINT words
+    // at the scan, so the candidate pass streams 16 BYTES per vector
+    // (16× less than float32) and scores with two xor+popcount ops —
+    // SIMD-codegen'd, no multiplies. Hamming ≤ 24 (chance distance
+    // concentrates at 32 ± 4, so 24 ≈ 2σ) shortlists ~1.5‰ of the
+    // corpus; exact cosine re-ranks the shortlist through
+    // broadcast-sized joins. The two-word split (dims 1-32 / 33-64)
+    // keeps every packed value positive — a single 64-bit word would
+    // overflow the sign bit differently per engine. Sign bits are a
+    // 1-bit LSH for angular distance (Charikar'02), the same family
+    // as the SimHash text tier.
+    "ann_topk_binary" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      val coded = e.select(col("vec_id"),
+        signCode(col("embedding"), 0).as("lo"),
+        signCode(col("embedding"), 32).as("hi"))
+      val qc = coded.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("lo").as("qlo"),
+          col("hi").as("qhi"))
+      val cand = coded.crossJoin(broadcast(qc))
+        .filter(bit_count(col("lo").bitwiseXOR(col("qlo"))) +
+          bit_count(col("hi").bitwiseXOR(col("qhi"))) <= 24)
+        .select("query_id", "vec_id")
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val rescored = e.join(broadcast(cand), "vec_id")
+        .join(broadcast(q), "query_id")
+        .withColumn("cosine", Similarity.dot(col("embedding"), col("qvec"))
+          / (Similarity.norm(col("embedding")) * Similarity.norm(col("qvec"))))
+        .select("query_id", "vec_id", "cosine")
+      graft.operators.TopK.perGroup(rescored, "query_id", "vec_id",
+          "cosine", k = 10)
+        .orderBy("query_id", "rank")
     })
+
+  /** Packs the sign bits of dims (offset+1 .. offset+32) into one
+    * positive BIGINT (bit i-1 set ⟺ dim offset+i strictly positive) —
+    * a 32-term codegen'd conditional sum, mirrored term-for-term by
+    * [[signCodeSql]]. */
+  private def signCode(vec: Column, offset: Int): Column =
+    (1 to 32).map(i =>
+      when(element_at(vec, offset + i) > lit(0f), lit(1L << (i - 1)))
+        .otherwise(lit(0L))).reduce(_ + _)
+
+  /** DuckDB mirror of [[signCode]]. */
+  private def signCodeSql(a: String, offset: Int): String =
+    (1 to 32).map(i =>
+      s"(CASE WHEN $a[${offset + i}] > 0 THEN CAST(${1L << (i - 1)} " +
+        "AS BIGINT) ELSE CAST(0 AS BIGINT) END)").mkString(" + ")
+
+  /** Prefix-k variants of the dot/cosine SQL chains (matryoshka's
+    * coarse stage scores on the first k dims only). */
+  private def dotSqlK(a: String, b: String, k: Int): String =
+    (1 to k).map(i =>
+      s"CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE)")
+      .mkString(" + ")
+
+  private def cosSqlK(a: String, b: String, k: Int): String =
+    s"(${dotSqlK(a, b, k)}) / " +
+      s"(sqrt(${dotSqlK(a, a, k)}) * sqrt(${dotSqlK(b, b, k)}))"
 
   /** Shared by ann_topk_brute and ann_topk_native: same contract, two
     * engine paths (two-phase mapPartitions vs native plan node) — both
