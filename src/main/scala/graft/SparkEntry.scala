@@ -136,7 +136,9 @@ object SparkEntry {
       // governance + warehouse-ops tier
       "erasure_sweep", "l_diversity_report", "scd2_dimension",
       "q18_big_orders", "seasonality_profile", "salt_advisor",
-      "fuzzy_name_pairs")
+      "fuzzy_name_pairs",
+      "matryoshka_topk", "ann_topk_binary",
+      "heaps_law", "token_budget_plan", "pack_efficiency_sweep")
 
   def benchQueries: Seq[(String, (SparkSession, String) => DataFrame)] =
     benchNames.flatMap(n => queries.get(n).map(n -> _))

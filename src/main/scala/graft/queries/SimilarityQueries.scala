@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 import graft.operators.Similarity
@@ -1904,7 +1905,73 @@ object SimilarityQueries {
       |  AND i.vec_id = bx.vec_id
       |GROUP BY bx.nprobe ORDER BY bx.nprobe""".stripMargin
 
+  /** Matryoshka mirror: coarse prefix-16 shortlist of 50, exact
+    * full-dim re-rank — same two stages, same tie-breaks. */
+  private val matryoshkaSql =
+    s"""WITH q AS (
+      |  SELECT vec_id AS query_id, embedding AS qvec
+      |  FROM embeddings WHERE vec_id < 5
+      |), c AS (
+      |  SELECT q.query_id, e.vec_id,
+      |    ${cosSqlK("e.embedding", "q.qvec", 16)} AS c16
+      |  FROM embeddings e, q
+      |), sl AS (
+      |  SELECT query_id, vec_id FROM (
+      |    SELECT query_id, vec_id, ROW_NUMBER() OVER
+      |      (PARTITION BY query_id ORDER BY c16 DESC, vec_id) AS rn
+      |    FROM c)
+      |  WHERE rn <= 50
+      |), f AS (
+      |  SELECT sl.query_id, sl.vec_id,
+      |    ${cosSql("e.embedding", "q.qvec")} AS cosine
+      |  FROM sl JOIN embeddings e USING (vec_id)
+      |    JOIN q USING (query_id)
+      |), r AS (
+      |  SELECT *, CAST(ROW_NUMBER() OVER
+      |    (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INT)
+      |    AS rank
+      |  FROM f
+      |)
+      |SELECT query_id, vec_id, rank, cosine FROM r
+      |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** Binary sign-hash mirror: identical packed words (term-for-term
+    * the same conditional sums), xor+bit_count Hamming ≤ 24, exact
+    * cosine re-rank. */
+  private val binaryTopKSql =
+    s"""WITH c AS (
+      |  SELECT vec_id,
+      |    ${signCodeSql("embedding", 0)} AS lo,
+      |    ${signCodeSql("embedding", 32)} AS hi
+      |  FROM embeddings
+      |), qc AS (
+      |  SELECT vec_id AS query_id, lo AS qlo, hi AS qhi FROM c
+      |  WHERE vec_id < 5
+      |), cand AS (
+      |  SELECT qc.query_id, c.vec_id
+      |  FROM c CROSS JOIN qc
+      |  WHERE bit_count(xor(c.lo, qc.qlo)) +
+      |    bit_count(xor(c.hi, qc.qhi)) <= 24
+      |), q AS (
+      |  SELECT vec_id AS query_id, embedding AS qvec
+      |  FROM embeddings WHERE vec_id < 5
+      |), f AS (
+      |  SELECT cand.query_id, cand.vec_id,
+      |    ${cosSql("e.embedding", "q.qvec")} AS cosine
+      |  FROM cand JOIN embeddings e USING (vec_id)
+      |    JOIN q USING (query_id)
+      |), r AS (
+      |  SELECT *, CAST(ROW_NUMBER() OVER
+      |    (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INT)
+      |    AS rank
+      |  FROM f
+      |)
+      |SELECT query_id, vec_id, rank, cosine FROM r
+      |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "matryoshka_topk" -> matryoshkaSql,
+    "ann_topk_binary" -> binaryTopKSql,
     "knn_join" -> knnJoinSql,
     "ivf_purity" -> ivfPuritySql,
     "ivf_probe_sweep" -> probeSweepSql,

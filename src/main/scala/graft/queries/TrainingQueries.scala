@@ -2039,6 +2039,113 @@ object TrainingQueries {
           pmod(col("id_b"), lit(CopyShift)) === col("orig_id"))
         .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_pairs"))
         .orderBy("src_a", "src_b")
+    },
+
+    // HEAPS'-LAW curve — vocabulary growth vs corpus growth, the
+    // plot that sizes a tokenizer's vocab and predicts how much new
+    // text still adds new types: cumulative distinct vocabulary and
+    // cumulative token count at 50-doc checkpoints. The scalable
+    // trick: a term's contribution to the curve is fully determined
+    // by its FIRST bucket (min aggregate — partial-aggregable,
+    // one vocab-sized exchange), so the cumulative curve is a
+    // running sum over bucket-cardinality rows — the global window
+    // runs on ~corpus/50 checkpoint rows, never on tokens
+    // (bucket width is the knob: production sets it so checkpoints
+    // stay in the thousands at any corpus size).
+    "heaps_law" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.documents(s, dir)
+        .select(expr("doc_id div 50").as("bucket"),
+          TextAnalysis.tokens(lower(col("text"))).as("toks"))
+      val tokCount = d.groupBy("bucket")
+        .agg(sum(size(col("toks")).cast("long")).as("n_tokens"))
+      val newTerms = d
+        .select(col("bucket"), explode(col("toks")).as("term"))
+        .groupBy("term").agg(min("bucket").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("new_terms"))
+      val w = Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tokCount.join(newTerms, Seq("bucket"), "left")
+        .withColumn("nt", coalesce(col("new_terms"), lit(0L)))
+        .withColumn("cum_tokens", sum("n_tokens").over(w))
+        .withColumn("cum_vocab", sum("nt").over(w))
+        .select("bucket", "cum_tokens", "cum_vocab")
+        .orderBy("bucket")
+    },
+
+    // TOKEN-BUDGET plan — the data-mixing arithmetic a training run
+    // does before it starts: given per-language token inventories and
+    // target mixture weights, how many epochs of each language fill a
+    // budget of 2× the corpus (the Hoffmann-style compute-optimal
+    // sizing pass)? epochs in exact integer milli-units; languages
+    // pushed past the ~4-epoch repetition ceiling (the same empirical
+    // rule mixture_upsample caps at) get flagged. One language-
+    // cardinality aggregate + a broadcast 1-row total — the plan is
+    // corpus-scan-bound at any scale.
+    "token_budget_plan" -> { (s, dir) =>
+      import s.implicits._
+      val weights = Seq(("en", 50L), ("de", 15L), ("fr", 15L),
+        ("es", 10L), ("zh", 10L))
+      val wdf = broadcast(weights.toDF("lang", "weight_pct"))
+      val byLang = Tables.documents(s, dir)
+        .select(col("lang"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("toks"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("toks").as("lang_tokens"))
+      val total = byLang.agg(sum("lang_tokens").as("total_tokens"))
+      byLang.join(wdf, "lang").crossJoin(broadcast(total))
+        .withColumn("target_tokens",
+          expr("total_tokens * 2 * weight_pct div 100"))
+        .withColumn("epochs_1e3",
+          expr("target_tokens * 1000 div lang_tokens"))
+        .withColumn("over_cap", col("epochs_1e3") > 4000L)
+        .select("lang", "n_docs", "lang_tokens", "weight_pct",
+          "target_tokens", "epochs_1e3", "over_cap")
+        .orderBy("lang")
+    },
+
+    // PACKING-efficiency sweep — the max_len decision priced before
+    // committing a tokenization run: for each candidate sequence
+    // length, how many training sequences the packed corpus yields,
+    // how many pad tokens the per-bucket tails waste (integer ppm of
+    // the padded volume), and how many docs get SPLIT across a
+    // sequence boundary (the attention-contamination cost of
+    // concatenate-and-chop). Reuses pack_sequences' md5-salted
+    // bucket offsets — ONE offset computation feeds all three
+    // lengths via a 3-way explode; everything downstream is
+    // bucket-cardinality or a per-doc predicate. Longer max_len ⇒
+    // fewer, fuller sequences but more split docs — this report IS
+    // that trade, measured.
+    "pack_efficiency_sweep" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.documents(s, dir).select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("toks"))
+        .withColumn("bucket",
+          pmod(conv(substring(md5(concat(lit("pack:"),
+            col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long"),
+            lit(32L)))
+      val w = Window.partitionBy("bucket").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val offs = d.withColumn("off", sum("toks").over(w) - col("toks"))
+      val lens = array(lit(128L), lit(256L), lit(512L))
+      val seqStats = offs.groupBy("bucket")
+        .agg(sum("toks").as("btoks"))
+        .withColumn("max_len", explode(lens))
+        .groupBy("max_len")
+        .agg(sum(expr("(btoks + max_len - 1) div max_len")).as("n_seqs"),
+          sum(expr("((btoks + max_len - 1) div max_len) * max_len - " +
+            "btoks")).as("pad_tokens"))
+      val splitDocs = offs.withColumn("max_len", explode(lens))
+        .groupBy("max_len")
+        .agg(sum(when(
+          expr("off div max_len != (off + toks - 1) div max_len"), 1L)
+          .otherwise(0L)).as("split_docs"))
+      seqStats.join(splitDocs, "max_len")
+        .withColumn("pad_ppm",
+          expr("pad_tokens * 1000000 div (n_seqs * max_len)"))
+        .select("max_len", "n_seqs", "pad_tokens", "pad_ppm",
+          "split_docs")
+        .orderBy("max_len")
     })
 
   private val langScores = TextAnalysis.LangMarkers.map { case (l, pat) =>
@@ -2367,6 +2474,90 @@ object TrainingQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "heaps_law" ->
+      s"""WITH d AS (
+        |  SELECT doc_id // 50 AS bucket, $toksExpr AS toks
+        |  FROM documents
+        |), tb AS (
+        |  SELECT bucket, CAST(SUM(len(toks)) AS BIGINT) AS n_tokens
+        |  FROM d GROUP BY bucket
+        |), ft AS (
+        |  SELECT term, MIN(bucket) AS bucket
+        |  FROM (SELECT bucket, unnest(toks) AS term FROM d)
+        |  GROUP BY term
+        |), nt AS (
+        |  SELECT bucket, COUNT(*) AS new_terms FROM ft GROUP BY bucket
+        |)
+        |SELECT tb.bucket,
+        |  CAST(SUM(n_tokens) OVER (ORDER BY tb.bucket
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+        |  CAST(SUM(COALESCE(new_terms, 0)) OVER (ORDER BY tb.bucket
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
+        |FROM tb LEFT JOIN nt USING (bucket)
+        |ORDER BY bucket""".stripMargin,
+
+    "token_budget_plan" ->
+      s"""WITH w(lang, weight_pct) AS (VALUES
+        |  ('en', 50), ('de', 15), ('fr', 15), ('es', 10), ('zh', 10)
+        |), d AS (
+        |  SELECT lang, CAST(len($toksExpr) AS BIGINT) AS toks
+        |  FROM documents
+        |), bl AS (
+        |  SELECT lang, COUNT(*) AS n_docs,
+        |    CAST(SUM(toks) AS BIGINT) AS lang_tokens
+        |  FROM d GROUP BY lang
+        |), t AS (
+        |  SELECT CAST(SUM(lang_tokens) AS BIGINT) AS total_tokens FROM bl
+        |), p AS (
+        |  SELECT bl.lang, n_docs, lang_tokens,
+        |    CAST(weight_pct AS BIGINT) AS weight_pct,
+        |    total_tokens * 2 * weight_pct // 100 AS target_tokens
+        |  FROM bl JOIN w USING (lang) CROSS JOIN t
+        |)
+        |SELECT lang, n_docs, lang_tokens, weight_pct,
+        |  CAST(target_tokens AS BIGINT) AS target_tokens,
+        |  CAST(target_tokens * 1000 // lang_tokens AS BIGINT)
+        |    AS epochs_1e3,
+        |  target_tokens * 1000 // lang_tokens > 4000 AS over_cap
+        |FROM p ORDER BY lang""".stripMargin,
+
+    "pack_efficiency_sweep" ->
+      s"""WITH d AS (
+        |  SELECT doc_id, CAST(len($toksExpr) AS BIGINT) AS toks,
+        |    ('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 8))
+        |      ::BIGINT % 32 AS bucket
+        |  FROM documents
+        |), o AS (
+        |  SELECT bucket, toks,
+        |    SUM(toks) OVER (PARTITION BY bucket ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) - toks AS off
+        |  FROM d
+        |), l(max_len) AS (VALUES (128), (256), (512)),
+        |b AS (
+        |  SELECT bucket, CAST(SUM(toks) AS BIGINT) AS btoks
+        |  FROM o GROUP BY bucket
+        |), sq AS (
+        |  SELECT max_len,
+        |    CAST(SUM((btoks + max_len - 1) // max_len) AS BIGINT)
+        |      AS n_seqs,
+        |    CAST(SUM(((btoks + max_len - 1) // max_len) * max_len
+        |      - btoks) AS BIGINT) AS pad_tokens
+        |  FROM b CROSS JOIN l GROUP BY max_len
+        |), sd AS (
+        |  SELECT max_len,
+        |    CAST(SUM(CASE WHEN off // max_len
+        |      != (off + toks - 1) // max_len THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS split_docs
+        |  FROM o CROSS JOIN l GROUP BY max_len
+        |)
+        |SELECT CAST(sq.max_len AS BIGINT) AS max_len, n_seqs,
+        |  pad_tokens,
+        |  CAST(pad_tokens * 1000000 // (n_seqs * sq.max_len) AS BIGINT)
+        |    AS pad_ppm,
+        |  split_docs
+        |FROM sq JOIN sd ON sq.max_len = sd.max_len
+        |ORDER BY max_len""".stripMargin,
+
     "lang_margin" ->
       s"""WITH d AS (
         |  SELECT doc_id, text,
