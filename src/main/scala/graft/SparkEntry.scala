@@ -138,7 +138,8 @@ object SparkEntry {
       "q18_big_orders", "seasonality_profile", "salt_advisor",
       "fuzzy_name_pairs",
       "matryoshka_topk", "ann_topk_binary",
-      "heaps_law", "token_budget_plan", "pack_efficiency_sweep")
+      "heaps_law", "token_budget_plan", "pack_efficiency_sweep",
+      "dedup_containment")
 
   def benchQueries: Seq[(String, (SparkSession, String) => DataFrame)] =
     benchNames.flatMap(n => queries.get(n).map(n -> _))

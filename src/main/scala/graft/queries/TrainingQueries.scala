@@ -2146,6 +2146,42 @@ object TrainingQueries {
         .select("max_len", "n_seqs", "pad_tokens", "pad_ppm",
           "split_docs")
         .orderBy("max_len")
+    },
+
+    // ASYMMETRIC containment pairs — the quote/excerpt detector
+    // symmetric Jaccard structurally misses: when doc A is a fragment
+    // embedded in doc B, containment inter/min(|A|,|B|) ≈ 1 while
+    // Jaccard ≈ |A|/|B| can be arbitrarily low — so a Jaccard-only
+    // dedup keeps both and the training set double-counts the
+    // fragment (Broder'97 distinguishes exactly these two
+    // resemblance/containment measures). The fixture synthesizes the
+    // motif the way the dedup tier builds all its fixtures: every
+    // 3rd doc also appears as its first-half-words excerpt (+1e6 id).
+    // Same doc-freq-capped shingle buckets as dedup_ngram_jaccard
+    // (minJaccard = 0 keeps the candidate set; the candidate COST is
+    // identical — only the final filter differs), both measures in
+    // exact integer permille; the report keeps high-containment
+    // pairs that are NOT near-identical (jac < 800), i.e. precisely
+    // the rows the symmetric query's ≥ 0.8 cut discards.
+    "dedup_containment" -> { (s, dir) =>
+      val base = Tables.documents(s, dir).select(col("doc_id"),
+        col("text"))
+      val excerpts = base.filter(pmod(col("doc_id"), lit(3)) === 0)
+        .withColumn("toks", TextAnalysis.tokens(lower(col("text"))))
+        .select((col("doc_id") + CopyShift).as("doc_id"),
+          array_join(expr("slice(toks, 1, " +
+            "greatest(cast(size(toks) div 2 as int), 1))"), " ")
+            .as("text"))
+      Dedup.ngramJaccardPairs(base.unionByName(excerpts), col("doc_id"),
+          col("text"), shingleN = 3, maxDocFreq = 20, minJaccard = 0.0)
+        .withColumn("cont_pm",
+          expr("inter * 1000 div least(size_a, size_b)"))
+        .withColumn("jac_pm",
+          expr("inter * 1000 div (size_a + size_b - inter)"))
+        .filter(col("cont_pm") >= 800 && col("jac_pm") < 800)
+        .select("id_a", "id_b", "inter", "size_a", "size_b",
+          "cont_pm", "jac_pm")
+        .orderBy("id_a", "id_b")
     })
 
   private val langScores = TextAnalysis.LangMarkers.map { case (l, pat) =>
@@ -2474,6 +2510,43 @@ object TrainingQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "dedup_containment" ->
+      s"""WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + $CopyShift AS doc_id,
+        |    array_to_string(
+        |      ($toksExpr)[1:greatest(len($toksExpr) // 2, 1)], ' ')
+        |      AS text
+        |  FROM documents WHERE doc_id % 3 = 0
+        |), sh AS (
+        |  SELECT doc_id, unnest(list_distinct($shinglesExpr)) AS s
+        |  FROM all_docs
+        |), surviving AS (
+        |  SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 20
+        |), pruned AS (
+        |  SELECT sh.doc_id, sh.s FROM sh JOIN surviving USING (s)
+        |), sizes AS (
+        |  SELECT doc_id, COUNT(*) AS set_size FROM pruned GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        |  FROM pruned a JOIN pruned b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), sc AS (
+        |  SELECT id_a, id_b, inter, sa.set_size AS size_a,
+        |    sb.set_size AS size_b,
+        |    CAST(inter * 1000 // least(sa.set_size, sb.set_size)
+        |      AS BIGINT) AS cont_pm,
+        |    CAST(inter * 1000 // (sa.set_size + sb.set_size - inter)
+        |      AS BIGINT) AS jac_pm
+        |  FROM inter
+        |  JOIN sizes sa ON sa.doc_id = id_a
+        |  JOIN sizes sb ON sb.doc_id = id_b
+        |)
+        |SELECT id_a, id_b, inter, size_a, size_b, cont_pm, jac_pm
+        |FROM sc WHERE cont_pm >= 800 AND jac_pm < 800
+        |ORDER BY id_a, id_b""".stripMargin,
+
     "heaps_law" ->
       s"""WITH d AS (
         |  SELECT doc_id // 50 AS bucket, $toksExpr AS toks
