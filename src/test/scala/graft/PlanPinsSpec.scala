@@ -236,4 +236,65 @@ class PlanPinsSpec extends SparkSpec {
     assert(plan.contains("partial_count"),
       s"no partial aggregation in the span doc-freq pass:\n$plan")
   }
+
+  test("q18_big_orders aggregates before joining: TakeOrdered top-20 " +
+      "from a partial+final quantity aggregate, then broadcast joins " +
+      "only — lineitem rows never shuffle with order payloads") {
+    val df = SparkEntry.queries("q18_big_orders")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-20 no longer compiles to TakeOrdered:\n$plan")
+    assert(plan.contains("partial_sum"),
+      s"quantity aggregate lost its map-side partials:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"20-row frame not broadcast into orders/customer:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"a join shuffled instead of broadcasting:\n$plan")
+  }
+
+  test("scd2_dimension runs both windows (lag + lead/row_number) over " +
+      "ONE customer exchange — gaps-and-islands must not re-shuffle " +
+      "between change detection and interval closing") {
+    val df = SparkEntry.queries("scd2_dimension")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length === 1,
+      s"expected exactly one hash exchange (shared by both windows):" +
+        s"\n$plan")
+  }
+
+  test("erasure_sweep's tombstone restriction is a broadcast semi-join " +
+      "against the fact scan, never a shuffled join") {
+    val df = SparkEntry.queries("erasure_sweep")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.contains("LeftSemi"),
+      s"tombstone semi-join not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"tombstone join shuffled the fact table:\n$plan")
+  }
+
+  test("matryoshka_topk's coarse stage runs through the native " +
+      "bounded-heap top-k node (partial+final around the exchange), " +
+      "and the re-rank joins broadcast") {
+    val df = SparkEntry.queries("matryoshka_topk")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroup(partial=true, k=50)"),
+      s"coarse shortlist lost the partial bounded heap:\n$plan")
+    assert(plan.contains("TopKPerGroup(partial=false, k=50)"),
+      s"coarse shortlist lost the final bounded heap:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"a shortlist-sized re-rank join shuffled the corpus:\n$plan")
+  }
+
+  test("heaps_law's first-bucket trick keeps partial aggregation (the " +
+      "vocab exchange carries per-term partial minima, not raw " +
+      "token occurrences) and joins nothing pairwise") {
+    val df = SparkEntry.queries("heaps_law")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_min"),
+      s"per-term min lost its map-side partials:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("SortMergeJoin"),
+      s"checkpoint join went pairwise or shuffled:\n$plan")
+  }
 }
