@@ -139,7 +139,9 @@ object SparkEntry {
       "fuzzy_name_pairs",
       "matryoshka_topk", "ann_topk_binary",
       "heaps_law", "token_budget_plan", "pack_efficiency_sweep",
-      "dedup_containment")
+      "dedup_containment",
+      "rfm_segments", "ltv_cohorts", "attribution_report",
+      "length_drift_report")
 
   def benchQueries: Seq[(String, (SparkSession, String) => DataFrame)] =
     benchNames.flatMap(n => queries.get(n).map(n -> _))

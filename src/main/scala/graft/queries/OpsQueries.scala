@@ -192,6 +192,129 @@ object OpsQueries {
         .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
         .filter(col("dist") <= 2)
         .orderBy("name_a", "name_b")
+    },
+
+    // RFM segmentation — the classic customer-value grid: per
+    // customer Recency (days since last order, vs the corpus max
+    // date), Frequency (order count) and Monetary (exact-decimal
+    // spend), each cut into exact quartiles (quartile 1 = best:
+    // most recent / most frequent / highest spend, with custkey
+    // tie-breaks so ntile is deterministic in both engines), then
+    // segment cell counts. The three ntile windows are global sorts
+    // over the CUSTOMER dimension — orders of magnitude smaller than
+    // the fact table at any scale (a 100 TB deployment that can't
+    // afford them swaps in approx-percentile cuts at a documented
+    // epsilon; exact quartiles are what the oracle can pin).
+    "rfm_segments" -> { (s, dir) =>
+      val perCust = Tables.orders(s, dir)
+        .select(col("o_custkey"),
+          // o_orderdate ships as TIMESTAMP_NTZ in current testdata;
+          // the NTZ→TIMESTAMP cast is exact under the UTC-pinned
+          // session and matches DuckDB's epoch_us on the same bytes
+          expr("unix_micros(cast(o_orderdate as timestamp)) " +
+            "div 86400000000").as("day"),
+          col("o_totalprice"))
+        .groupBy("o_custkey")
+        .agg(max("day").as("last_day"), count(lit(1)).as("frequency"),
+          decSum(col("o_totalprice")).as("monetary"))
+      val mx = perCust.agg(max("last_day").as("max_day"))
+      perCust.crossJoin(broadcast(mx))
+        .withColumn("recency_days", expr("max_day - last_day"))
+        .withColumn("r_quartile", ntile(4).over(
+          Window.orderBy(col("recency_days").asc, col("o_custkey"))))
+        .withColumn("f_quartile", ntile(4).over(
+          Window.orderBy(col("frequency").desc, col("o_custkey"))))
+        .withColumn("m_quartile", ntile(4).over(
+          Window.orderBy(col("monetary").desc, col("o_custkey"))))
+        .groupBy("r_quartile", "f_quartile", "m_quartile")
+        .agg(count(lit(1)).as("n_customers"),
+          decSum(col("monetary")).as("monetary_sum"))
+        .orderBy("r_quartile", "f_quartile", "m_quartile")
+    },
+
+    // LTV cohort curves — revenue by (signup-cohort month, months
+    // since cohort), the retention_cohorts sibling with money on it:
+    // a customer's cohort is the month of their FIRST order (window
+    // min over the customer partition — one exchange, no join), and
+    // every order lands in its month-index diagonal. Month arithmetic is
+    // integer (year·12 + month − 1) — no engine date-diff semantics
+    // involved. Exact-decimal revenue; cohorts×indices output.
+    "ltv_cohorts" -> { (s, dir) =>
+      val o = Tables.orders(s, dir)
+        .select(col("o_custkey"),
+          expr("year(o_orderdate) * 12 + month(o_orderdate) - 1")
+            .as("ym"),
+          col("o_totalprice"))
+      val withCohort = o.withColumn("cohort_ym",
+        min("ym").over(Window.partitionBy("o_custkey")))
+      withCohort
+        .withColumn("month_idx", expr("ym - cohort_ym"))
+        .groupBy("cohort_ym", "month_idx")
+        .agg(countDistinct(col("o_custkey")).as("n_customers"),
+          decSum(col("o_totalprice")).as("revenue"))
+        .orderBy("cohort_ym", "month_idx")
+    },
+
+    // Last-touch ATTRIBUTION report — "which purchases did marketing
+    // drive?": every purchase as-of-joins its user's latest prior
+    // click within a 1-hour window (the AsofJoin operator — union-tag
+    // + one exchange + last()-window, never a per-row probe), then a
+    // daily rollup splits purchase counts and exact-decimal value
+    // into attributed vs organic. The asof machinery is the proven
+    // asof_tolerance shape; this query is its business end: the
+    // report a growth team actually reads.
+    "attribution_report" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("ts_us"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("r_user"),
+          expr("ts div 1000").as("r_ts_us"),
+          col("event_id").as("click_id"))
+      val att = graft.operators.AsofJoin.backward(purchases, clicks,
+        purchases("user_id"), clicks("r_user"),
+        purchases("ts_us"), clicks("r_ts_us"),
+        payload = Seq("click_id" -> clicks("click_id")),
+        tolerance = Some(lit(3600000000L)))
+      att.withColumn("day", expr("ts_us div 86400000000"))
+        .groupBy("day")
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(when(col("click_id").isNotNull, 1L).otherwise(0L))
+            .as("n_attributed"),
+          decSum(when(col("click_id").isNotNull, col("value"))
+            .otherwise(lit(0.0))).as("attributed_value"),
+          decSum(when(col("click_id").isNull, col("value"))
+            .otherwise(lit(0.0))).as("organic_value"))
+        .orderBy("day")
+    },
+
+    // Length-DRIFT report — distribution shift between the older and
+    // newer half of the corpus (doc_id order is ingest order in these
+    // fixtures) over 50-char length buckets, in exact integer ppm:
+    // per bucket both halves' shares and their absolute gap — the
+    // per-bucket decomposition of total-variation distance, kept
+    // rational on purpose (χ²/KL need engine-dependent ln; TVD's
+    // |p−q| needs only integer arithmetic the hash gate can pin).
+    // One scan, one bucket-cardinality aggregate, broadcast totals.
+    "length_drift_report" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), expr("n_chars div 50").as("len_bucket"))
+      val mx = d.agg(max("doc_id").as("max_id"))
+      val tagged = d.crossJoin(broadcast(mx))
+        .withColumn("is_old", expr("doc_id * 2 <= max_id"))
+      val counts = tagged.groupBy("len_bucket")
+        .agg(sum(when(col("is_old"), 1L).otherwise(0L)).as("n_old"),
+          sum(when(!col("is_old"), 1L).otherwise(0L)).as("n_new"))
+      val totals = counts.agg(sum("n_old").as("tot_old"),
+        sum("n_new").as("tot_new"))
+      counts.crossJoin(broadcast(totals))
+        .withColumn("p_old_ppm", expr("n_old * 1000000 div tot_old"))
+        .withColumn("p_new_ppm", expr("n_new * 1000000 div tot_new"))
+        .withColumn("gap_ppm", abs(col("p_old_ppm") - col("p_new_ppm")))
+        .select("len_bucket", "n_old", "n_new", "p_old_ppm",
+          "p_new_ppm", "gap_ppm")
+        .orderBy("len_bucket")
     })
 
   val oracle: Map[String, String] = Map(
@@ -284,6 +407,93 @@ object OpsQueries {
         |GROUP BY user_id, t.n
         |HAVING COUNT(*) * 1000000 >= 7500 * t.n
         |ORDER BY n_events DESC, user_id ASC""".stripMargin,
+
+    "rfm_segments" ->
+      """WITH pc AS (
+        |  SELECT o_custkey,
+        |    MAX(epoch_us(o_orderdate) // 86400000000) AS last_day,
+        |    COUNT(*) AS frequency,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS monetary
+        |  FROM orders GROUP BY o_custkey
+        |), mx AS (SELECT MAX(last_day) AS max_day FROM pc),
+        |q AS (
+        |  SELECT o_custkey, monetary,
+        |    CAST(NTILE(4) OVER (ORDER BY max_day - last_day ASC,
+        |      o_custkey) AS INT) AS r_quartile,
+        |    CAST(NTILE(4) OVER (ORDER BY frequency DESC, o_custkey)
+        |      AS INT) AS f_quartile,
+        |    CAST(NTILE(4) OVER (ORDER BY monetary DESC, o_custkey)
+        |      AS INT) AS m_quartile
+        |  FROM pc CROSS JOIN mx
+        |)
+        |SELECT r_quartile, f_quartile, m_quartile,
+        |  COUNT(*) AS n_customers,
+        |  CAST(SUM(CAST(monetary AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS monetary_sum
+        |FROM q GROUP BY 1, 2, 3
+        |ORDER BY r_quartile, f_quartile, m_quartile""".stripMargin,
+
+    "ltv_cohorts" ->
+      """WITH o AS (
+        |  SELECT o_custkey,
+        |    year(o_orderdate) * 12 + month(o_orderdate) - 1 AS ym,
+        |    o_totalprice,
+        |    MIN(year(o_orderdate) * 12 + month(o_orderdate) - 1)
+        |      OVER (PARTITION BY o_custkey) AS cohort_ym
+        |  FROM orders
+        |)
+        |SELECT cohort_ym, ym - cohort_ym AS month_idx,
+        |  COUNT(DISTINCT o_custkey) AS n_customers,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue
+        |FROM o GROUP BY 1, 2 ORDER BY cohort_ym, month_idx""".stripMargin,
+
+    "attribution_report" ->
+      """WITH att AS (
+        |  SELECT l.event_id, epoch_us(l.ts) AS ts_us, l.value,
+        |    CASE WHEN epoch_us(l.ts) - epoch_us(r.ts) <= 3600000000
+        |      THEN r.event_id END AS click_id
+        |  FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+        |  ASOF LEFT JOIN
+        |    (SELECT user_id, ts, event_id FROM events
+        |     WHERE event_type = 'click') r
+        |    ON l.user_id = r.user_id AND l.ts >= r.ts
+        |)
+        |SELECT ts_us // 86400000000 AS day,
+        |  COUNT(*) AS n_purchases,
+        |  CAST(SUM(CASE WHEN click_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_attributed,
+        |  CAST(SUM(CAST(CASE WHEN click_id IS NOT NULL THEN value
+        |    ELSE 0.0 END AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS attributed_value,
+        |  CAST(SUM(CAST(CASE WHEN click_id IS NULL THEN value
+        |    ELSE 0.0 END AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS organic_value
+        |FROM att GROUP BY 1 ORDER BY day""".stripMargin,
+
+    "length_drift_report" ->
+      """WITH d AS (
+        |  SELECT doc_id, n_chars // 50 AS len_bucket FROM documents
+        |), mx AS (SELECT MAX(doc_id) AS max_id FROM d),
+        |c AS (
+        |  SELECT len_bucket,
+        |    CAST(SUM(CASE WHEN doc_id * 2 <= max_id THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_old,
+        |    CAST(SUM(CASE WHEN doc_id * 2 <= max_id THEN 0 ELSE 1 END)
+        |      AS BIGINT) AS n_new
+        |  FROM d CROSS JOIN mx GROUP BY len_bucket
+        |), t AS (
+        |  SELECT CAST(SUM(n_old) AS BIGINT) AS tot_old,
+        |    CAST(SUM(n_new) AS BIGINT) AS tot_new
+        |  FROM c
+        |)
+        |SELECT len_bucket, n_old, n_new,
+        |  CAST(n_old * 1000000 // tot_old AS BIGINT) AS p_old_ppm,
+        |  CAST(n_new * 1000000 // tot_new AS BIGINT) AS p_new_ppm,
+        |  CAST(abs(n_old * 1000000 // tot_old -
+        |    n_new * 1000000 // tot_new) AS BIGINT) AS gap_ppm
+        |FROM c CROSS JOIN t ORDER BY len_bucket""".stripMargin,
 
     "fuzzy_name_pairs" ->
       """WITH n AS (SELECT DISTINCT p_name AS name FROM part),
