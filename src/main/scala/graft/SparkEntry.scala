@@ -141,7 +141,9 @@ object SparkEntry {
       "heaps_law", "token_budget_plan", "pack_efficiency_sweep",
       "dedup_containment",
       "rfm_segments", "ltv_cohorts", "attribution_report",
-      "length_drift_report")
+      "length_drift_report",
+      "session_path_topk", "media_format_report",
+      "simhash_calibration")
 
   def benchQueries: Seq[(String, (SparkSession, String) => DataFrame)] =
     benchNames.flatMap(n => queries.get(n).map(n -> _))

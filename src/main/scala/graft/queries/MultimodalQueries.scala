@@ -119,6 +119,27 @@ object MultimodalQueries {
 
   val all: Map[String, Q] = Map(
 
+    // Media INVENTORY rollup — the storage-ops view of the corpus'
+    // binary columns: per container format, how many assets, total
+    // bytes, max dimensions, distinct sample rates. Runs the REAL
+    // parser path (the same decode as multimodal_features — this
+    // query is its fleet-level aggregation, the report an ingest
+    // dashboard heads with) then one format-cardinality partial agg;
+    // at 100 TB the parse is the scan cost and the rollup is free.
+    "media_format_report" -> { (s, dir) =>
+      all("multimodal_features")(s, dir)
+        .withColumn("format", expr(
+          "CASE WHEN id % 4 = 0 THEN 'bmp' " +
+            "WHEN id % 4 = 1 THEN 'wav' " +
+            "WHEN id % 4 = 2 THEN 'png' ELSE 'jpeg' END"))
+        .groupBy("format")
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_bytes").cast("long")).as("total_bytes"),
+          max("width").as("max_width"), max("height").as("max_height"),
+          countDistinct(col("sample_rate")).as("n_sample_rates"))
+        .orderBy("format")
+    },
+
     // Batched decode/feature-extraction over binary payloads; four
     // REAL container classes (BMP, WAV, PNG, JPEG by doc_id mod 4) so
     // the unknown-container all-null path is pinned against positives
@@ -265,35 +286,55 @@ object MultimodalQueries {
         .orderBy("doc_id")
     })
 
+  /** Features oracle — re-derives every parsed header fact from the
+    * synthesis formulas; shared by multimodal_features and the
+    * media_format_report rollup (a forward reference into the oracle
+    * map itself would evaluate during map construction). */
+  private val featuresSql =
+    """WITH f AS (
+      |  SELECT doc_id AS id, length(text) AS tlen,
+      |    CAST(doc_id % 16 + 1 AS INT) AS w,
+      |    CAST(doc_id % 8 + 1 AS INT) AS h,
+      |    CAST(8000 + (doc_id // 4 % 4) * 4000 AS INT) AS sr,
+      |    CAST(((doc_id - 1) // 4) % 2 + 1 AS INT) AS ch
+      |  FROM documents
+      |)
+      |SELECT id,
+      |  CASE WHEN id % 4 = 1 THEN 'audio' ELSE 'image' END
+      |    AS media_type,
+      |  CASE WHEN id % 4 = 0
+      |    THEN CAST(54 + ((w * 3 + 3) // 4) * 4 * h AS INT)
+      |    WHEN id % 4 = 1
+      |    THEN CAST(44 + tlen - tlen % (ch * 2) AS INT)
+      |    WHEN id % 4 = 2 THEN 45
+      |    ELSE 41
+      |  END AS n_bytes,
+      |  CASE WHEN id % 4 <> 1 THEN w END AS width,
+      |  CASE WHEN id % 4 <> 1 THEN h END AS height,
+      |  CASE WHEN id % 4 = 1 THEN ch ELSE 3 END AS channels,
+      |  CASE WHEN id % 4 = 1 THEN sr END AS sample_rate,
+      |  CASE WHEN id % 4 = 1
+      |    THEN CAST(tlen - tlen % (ch * 2) AS DOUBLE) * 1000.0
+      |      / (sr * ch * 2)
+      |  END AS duration_ms
+      |FROM f ORDER BY id""".stripMargin
+
   val oracle: Map[String, String] = Map(
-    "multimodal_features" ->
-      """WITH f AS (
-        |  SELECT doc_id AS id, length(text) AS tlen,
-        |    CAST(doc_id % 16 + 1 AS INT) AS w,
-        |    CAST(doc_id % 8 + 1 AS INT) AS h,
-        |    CAST(8000 + (doc_id // 4 % 4) * 4000 AS INT) AS sr,
-        |    CAST(((doc_id - 1) // 4) % 2 + 1 AS INT) AS ch
-        |  FROM documents
+    "multimodal_features" -> featuresSql,
+
+    "media_format_report" ->
+      s"""WITH feat AS (
+        |$featuresSql
         |)
-        |SELECT id,
-        |  CASE WHEN id % 4 = 1 THEN 'audio' ELSE 'image' END
-        |    AS media_type,
-        |  CASE WHEN id % 4 = 0
-        |    THEN CAST(54 + ((w * 3 + 3) // 4) * 4 * h AS INT)
-        |    WHEN id % 4 = 1
-        |    THEN CAST(44 + tlen - tlen % (ch * 2) AS INT)
-        |    WHEN id % 4 = 2 THEN 45
-        |    ELSE 41
-        |  END AS n_bytes,
-        |  CASE WHEN id % 4 <> 1 THEN w END AS width,
-        |  CASE WHEN id % 4 <> 1 THEN h END AS height,
-        |  CASE WHEN id % 4 = 1 THEN ch ELSE 3 END AS channels,
-        |  CASE WHEN id % 4 = 1 THEN sr END AS sample_rate,
-        |  CASE WHEN id % 4 = 1
-        |    THEN CAST(tlen - tlen % (ch * 2) AS DOUBLE) * 1000.0
-        |      / (sr * ch * 2)
-        |  END AS duration_ms
-        |FROM f ORDER BY id""".stripMargin,
+        |SELECT CASE WHEN id % 4 = 0 THEN 'bmp'
+        |            WHEN id % 4 = 1 THEN 'wav'
+        |            WHEN id % 4 = 2 THEN 'png'
+        |            ELSE 'jpeg' END AS format,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+        |  MAX(width) AS max_width, MAX(height) AS max_height,
+        |  COUNT(DISTINCT sample_rate) AS n_sample_rates
+        |FROM feat GROUP BY 1 ORDER BY format""".stripMargin,
     "multimodal_resize" ->
       """WITH f AS (
         |  SELECT doc_id AS id,

@@ -282,6 +282,37 @@ object TemporalQueries {
     // The oracle re-derives sessions relationally (lag → break flag at
     // diff > gap → running sum → group), a genuinely different
     // algorithm.
+    // Top user JOURNEYS — the most common session paths (first 5
+    // event types in event order, '>'-joined): the product question
+    // behind every funnel ("what do sessions actually look like?").
+    // Sessions come from the native session_window operator (same
+    // 6-hour gap as sessionize — map-side window merging, per-session
+    // partials on the exchange); the in-session order is recovered
+    // deterministically by array_sort over (ts_us, event_id, type)
+    // structs since collect_list has no order guarantee. Path
+    // cardinality is types^5-bounded, the count aggregate shrinks to
+    // it, and the top-10 is a TakeOrdered. The 5-event prefix cap is
+    // what keeps path cardinality bounded at any corpus size.
+    "session_path_topk" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir)
+        .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
+      val sessions = graft.streaming.Sessions.gapSessions(
+        ev, timeCol = "event_ts", keyCol = "user_id", gap = "6 hours",
+        aggs = Seq(collect_list(struct(
+          expr("ts div 1000").as("ts_us"), col("event_id"),
+          col("event_type"))).as("evs")))
+      sessions
+        .withColumn("path", expr("array_join(transform(" +
+          "slice(array_sort(evs), 1, 5), x -> x.event_type), '>')"))
+        .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("n_sessions").desc, col("path")).limit(10)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("n_sessions").desc, col("path"))))
+        .select("rank", "path", "n_sessions")
+        .orderBy("rank")
+    },
+
     "sessionize" -> { (s, dir) =>
       val ev = Tables.events(s, dir)
         .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
@@ -364,6 +395,34 @@ object TemporalQueries {
       |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // Sessions re-derived relationally (lag → break → running sum),
+    // the genuinely-different algorithm the sessionize oracle uses;
+    // path order pinned by (ts, event_id).
+    "session_path_topk" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR ts - lag(ts) OVER w > INTERVAL 6 HOUR
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), g AS (
+        |  SELECT *, SUM(brk) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM e
+        |), p AS (
+        |  SELECT user_id, sess,
+        |    array_to_string(
+        |      (array_agg(event_type ORDER BY ts, event_id))[1:5], '>')
+        |      AS path
+        |  FROM g GROUP BY user_id, sess
+        |), c AS (
+        |  SELECT path, COUNT(*) AS n_sessions FROM p GROUP BY path
+        |)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_sessions DESC, path)
+        |    AS INT) AS rank,
+        |  path, n_sessions
+        |FROM c ORDER BY n_sessions DESC, path LIMIT 10""".stripMargin,
     "range_join_binned" ->
       """SELECT c.c_custkey, s.s_suppkey, c.c_acctbal, s.s_acctbal
         |FROM customer c JOIN supplier s

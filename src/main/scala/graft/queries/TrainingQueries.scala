@@ -2182,6 +2182,36 @@ object TrainingQueries {
         .select("id_a", "id_b", "inter", "size_a", "size_b",
           "cont_pm", "jac_pm")
         .orderBy("id_a", "id_b")
+    },
+
+    // SimHash THRESHOLD calibration — minhash_calibration's sibling
+    // for the Hamming knob: for each distance 0..3, how many pairs
+    // the band join surfaces and what fraction verify as real
+    // near-dups (word-shingle Jaccard ≥ 0.5 over the same corpus, in
+    // integer permille) — the measured precision curve an operator
+    // reads before picking maxHamming. Both pair generators are the
+    // proven bucketed shapes; the verification is a LEFT join of two
+    // pairs-sized tables (a simhash pair whose docs share no
+    // surviving shingle verifies as false), and the rollup is
+    // 4 rows. Expect monotone decay: Hamming 0 is exact copies
+    // (precision 1000), 3 admits progressively more template noise.
+    "simhash_calibration" -> { (s, dir) =>
+      val pairs = Dedup.simhashPairs(withCopies(s, dir), col("doc_id"),
+        col("text"), maxHamming = 3)
+      val jac = Dedup.ngramJaccardPairs(withCopies(s, dir),
+          col("doc_id"), col("text"),
+          shingleN = 3, maxDocFreq = 20, minJaccard = 0.0)
+        .select(col("id_a"), col("id_b"),
+          expr("inter * 1000 div (size_a + size_b - inter)")
+            .as("jac_pm"))
+      pairs.join(jac, Seq("id_a", "id_b"), "left")
+        .groupBy("hamming")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("jac_pm") >= 500, 1L).otherwise(0L))
+            .as("n_verified"))
+        .withColumn("precision_pm",
+          expr("n_verified * 1000 div n_pairs"))
+        .orderBy("hamming")
     })
 
   private val langScores = TextAnalysis.LangMarkers.map { case (l, pat) =>
@@ -2510,6 +2540,58 @@ object TrainingQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "simhash_calibration" ->
+      s"""WITH $allDocsCte,
+        |t AS (SELECT doc_id, $toksExpr AS toks FROM all_docs),
+        |v AS (SELECT doc_id, $simhashValsExpr AS vals FROM t),
+        |bb AS (SELECT doc_id, $simhashBitsExpr AS bits FROM v),
+        |sig AS (
+        |  SELECT doc_id, $simhashSigExpr AS simhash,
+        |    ${simhashBandExpr(0)} AS b0, ${simhashBandExpr(1)} AS b1,
+        |    ${simhashBandExpr(2)} AS b2, ${simhashBandExpr(3)} AS b3
+        |  FROM bb
+        |), bands AS (
+        |  SELECT doc_id, simhash, 0 AS band, b0 AS band_val FROM sig
+        |  UNION ALL SELECT doc_id, simhash, 1, b1 FROM sig
+        |  UNION ALL SELECT doc_id, simhash, 2, b2 FROM sig
+        |  UNION ALL SELECT doc_id, simhash, 3, b3 FROM sig
+        |), sp AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+        |    CAST(bit_count(xor(a.simhash, c.simhash)) AS INT)
+        |      AS hamming
+        |  FROM bands a JOIN bands c
+        |    ON a.band = c.band AND a.band_val = c.band_val
+        |    AND a.doc_id < c.doc_id
+        |  WHERE bit_count(xor(a.simhash, c.simhash)) <= 3
+        |), sh AS (
+        |  SELECT doc_id, unnest(list_distinct($shinglesExpr)) AS s
+        |  FROM all_docs
+        |), surviving AS (
+        |  SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 20
+        |), pruned AS (
+        |  SELECT sh.doc_id, sh.s FROM sh JOIN surviving USING (s)
+        |), sizes AS (
+        |  SELECT doc_id, COUNT(*) AS set_size FROM pruned GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        |  FROM pruned a JOIN pruned b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), jp AS (
+        |  SELECT id_a, id_b,
+        |    CAST(inter * 1000 // (sa.set_size + sb.set_size - inter)
+        |      AS BIGINT) AS jac_pm
+        |  FROM inter
+        |  JOIN sizes sa ON sa.doc_id = id_a
+        |  JOIN sizes sb ON sb.doc_id = id_b
+        |)
+        |SELECT hamming, COUNT(*) AS n_pairs,
+        |  CAST(SUM(CASE WHEN jac_pm >= 500 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_verified,
+        |  CAST(SUM(CASE WHEN jac_pm >= 500 THEN 1 ELSE 0 END) * 1000
+        |    // COUNT(*) AS BIGINT) AS precision_pm
+        |FROM sp LEFT JOIN jp USING (id_a, id_b)
+        |GROUP BY hamming ORDER BY hamming""".stripMargin,
+
     "dedup_containment" ->
       s"""WITH all_docs AS (
         |  SELECT doc_id, text FROM documents
