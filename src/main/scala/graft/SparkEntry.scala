@@ -143,7 +143,9 @@ object SparkEntry {
       "rfm_segments", "ltv_cohorts", "attribution_report",
       "length_drift_report",
       "session_path_topk", "media_format_report",
-      "simhash_calibration")
+      "simhash_calibration",
+      "containment_survivors", "ingest_changepoint",
+      "dup_triangle_count")
 
   def benchQueries: Seq[(String, (SparkSession, String) => DataFrame)] =
     benchNames.flatMap(n => queries.get(n).map(n -> _))

@@ -2212,6 +2212,108 @@ object TrainingQueries {
         .withColumn("precision_pm",
           expr("n_verified * 1000 div n_pairs"))
         .orderBy("hamming")
+    },
+
+    // Containment-policy SURVIVORS — the action tier for
+    // dedup_containment, the way dedup_survivors actions the Jaccard
+    // pairs: in every high-containment pair the FRAGMENT (smaller
+    // surviving-shingle set; ties drop the larger id,
+    // deterministically) is removed, the superset document kept —
+    // the policy that stops a corpus double-counting quotes without
+    // touching the quoted original. Reported per (source, kind) so
+    // the fixture's planted excerpts visibly drain while base docs
+    // survive. Fragment set ∝ containment pairs; the removal is the
+    // strategy-neutral broadcast anti-join shape.
+    "containment_survivors" -> { (s, dir) =>
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("source"),
+          lit("base").as("kind"))
+      val toksL = TextAnalysis.tokens(lower(col("text")))
+      val excerpts = Tables.documents(s, dir)
+        .filter(pmod(col("doc_id"), lit(3)) === 0)
+        .withColumn("toks", toksL)
+        .select((col("doc_id") + CopyShift).as("doc_id"),
+          array_join(expr("slice(toks, 1, " +
+            "greatest(cast(size(toks) div 2 as int), 1))"), " ")
+            .as("text"),
+          col("source"), lit("excerpt").as("kind"))
+      val corpus = base.unionByName(excerpts)
+      val frags = Dedup.ngramJaccardPairs(corpus, col("doc_id"),
+          col("text"), shingleN = 3, maxDocFreq = 20, minJaccard = 0.0)
+        .filter(expr("inter * 1000 div least(size_a, size_b) >= 800"))
+        .select(when(col("size_a") < col("size_b"), col("id_a"))
+          .when(col("size_b") < col("size_a"), col("id_b"))
+          .otherwise(greatest(col("id_a"), col("id_b"))).as("doc_id"))
+        .distinct()
+      corpus
+        .join(broadcast(frags.withColumn("dropped", lit(1L))),
+          Seq("doc_id"), "left")
+        .groupBy("source", "kind")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("dropped"), lit(0L))).as("n_dropped"))
+        .withColumn("n_survivors", expr("n_docs - n_dropped"))
+        .orderBy("source", "kind")
+    },
+
+    // Ingest CHANGEPOINT (CUSUM) — "did the corpus change character
+    // mid-ingest?": cumulative deviation of per-50-doc-bucket char
+    // volume from the uniform expectation, fully in exact integers
+    // (S_b = cum_chars·B − total_chars·rank — the cross-multiplied
+    // CUSUM, no division ever), peak-flagged where |S| maxes: the
+    // bucket where the distribution shift concentrates. The window
+    // runs over bucket-cardinality rows (the heaps_law checkpoint
+    // discipline); totals are a broadcast 1-row frame.
+    "ingest_changepoint" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val b = Tables.documents(s, dir)
+        .groupBy(expr("doc_id div 50").as("bucket"))
+        .agg(sum(col("n_chars")).as("chars"))
+      val t = b.agg(sum("chars").as("total_chars"),
+        count(lit(1)).as("n_buckets"))
+      val w = Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cusum = b.crossJoin(broadcast(t))
+        .withColumn("rank", row_number().over(Window.orderBy("bucket")))
+        .withColumn("cum_chars", sum("chars").over(w))
+        .withColumn("cusum",
+          expr("cum_chars * n_buckets - total_chars * rank"))
+      val peak = cusum.agg(max(abs(col("cusum"))).as("peak"))
+      cusum.crossJoin(broadcast(peak))
+        .withColumn("is_peak", abs(col("cusum")) === col("peak"))
+        .select("bucket", "chars", "cusum", "is_peak")
+        .orderBy("bucket")
+    },
+
+    // Near-dup graph TRIANGLE census — transitivity tells a dedup
+    // operator whether pairs form tight cliques (template families —
+    // safe to collapse) or long chains (drift — collapsing merges
+    // distinct content): wedges from the degree sequence, triangles
+    // by the ordered two-hop join (a<b<c once each, closing edge via
+    // a pairs-sized semi-join), transitivity = 3·triangles/wedges in
+    // integer permille. Every frame is ∝ duplicates, the dedup
+    // tier's invariant; this is the graph-quality metric next to
+    // components (size) and pagerank (centrality).
+    "dup_triangle_count" -> { (s, dir) =>
+      val e = Dedup.simhashPairs(withCopies(s, dir), col("doc_id"),
+          col("text"), maxHamming = 3)
+        .select("id_a", "id_b")
+      val deg = e.select(explode(array(col("id_a"), col("id_b")))
+          .as("id"))
+        .groupBy("id").agg(count(lit(1)).as("d"))
+      val wedges = deg.agg(count(lit(1)).as("n_nodes"),
+        sum(expr("d * (d - 1) div 2")).as("n_wedges"))
+      val tri = e.as("x")
+        .join(e.as("y"), col("x.id_b") === col("y.id_a"))
+        .select(col("x.id_a").as("id_a"), col("y.id_b").as("id_b"))
+        .join(e, Seq("id_a", "id_b"), "left_semi")
+        .agg(count(lit(1)).as("n_triangles"))
+      val edges = e.agg(count(lit(1)).as("n_edges"))
+      wedges.crossJoin(broadcast(edges)).crossJoin(broadcast(tri))
+        .withColumn("transitivity_pm",
+          expr("CASE WHEN n_wedges = 0 THEN CAST(0 AS BIGINT) " +
+            "ELSE n_triangles * 3 * 1000 div n_wedges END"))
+        .select("n_nodes", "n_edges", "n_wedges", "n_triangles",
+          "transitivity_pm")
     })
 
   private val langScores = TextAnalysis.LangMarkers.map { case (l, pat) =>
@@ -2540,6 +2642,113 @@ object TrainingQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "containment_survivors" ->
+      s"""WITH all_docs AS (
+        |  SELECT doc_id, text, source, 'base' AS kind FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + $CopyShift AS doc_id,
+        |    array_to_string(
+        |      ($toksExpr)[1:greatest(len($toksExpr) // 2, 1)], ' ')
+        |      AS text,
+        |    source, 'excerpt' AS kind
+        |  FROM documents WHERE doc_id % 3 = 0
+        |), sh AS (
+        |  SELECT doc_id, unnest(list_distinct($shinglesExpr)) AS s
+        |  FROM all_docs
+        |), surviving AS (
+        |  SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 20
+        |), pruned AS (
+        |  SELECT sh.doc_id, sh.s FROM sh JOIN surviving USING (s)
+        |), sizes AS (
+        |  SELECT doc_id, COUNT(*) AS set_size FROM pruned GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        |  FROM pruned a JOIN pruned b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), frags AS (
+        |  SELECT DISTINCT CASE
+        |      WHEN sa.set_size < sb.set_size THEN id_a
+        |      WHEN sb.set_size < sa.set_size THEN id_b
+        |      ELSE greatest(id_a, id_b) END AS doc_id
+        |  FROM inter
+        |  JOIN sizes sa ON sa.doc_id = id_a
+        |  JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE inter * 1000 // least(sa.set_size, sb.set_size) >= 800
+        |)
+        |SELECT source, kind, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_dropped,
+        |  CAST(COUNT(*) - SUM(CASE WHEN f.doc_id IS NOT NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors
+        |FROM all_docs d LEFT JOIN frags f USING (doc_id)
+        |GROUP BY source, kind ORDER BY source, kind""".stripMargin,
+
+    "ingest_changepoint" ->
+      """WITH b AS (
+        |  SELECT doc_id // 50 AS bucket,
+        |    CAST(SUM(n_chars) AS BIGINT) AS chars
+        |  FROM documents GROUP BY 1
+        |), t AS (
+        |  SELECT CAST(SUM(chars) AS BIGINT) AS total_chars,
+        |    COUNT(*) AS n_buckets
+        |  FROM b
+        |), c AS (
+        |  SELECT bucket, chars,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY bucket) AS BIGINT)
+        |      AS rank,
+        |    CAST(SUM(chars) OVER (ORDER BY bucket
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_chars,
+        |    total_chars, n_buckets
+        |  FROM b CROSS JOIN t
+        |), s AS (
+        |  SELECT bucket, chars,
+        |    cum_chars * n_buckets - total_chars * rank AS cusum
+        |  FROM c
+        |), p AS (SELECT MAX(abs(cusum)) AS peak FROM s)
+        |SELECT bucket, chars, CAST(cusum AS BIGINT) AS cusum,
+        |  abs(cusum) = peak AS is_peak
+        |FROM s CROSS JOIN p ORDER BY bucket""".stripMargin,
+
+    "dup_triangle_count" ->
+      s"""WITH $allDocsCte,
+        |t AS (SELECT doc_id, $toksExpr AS toks FROM all_docs),
+        |v AS (SELECT doc_id, $simhashValsExpr AS vals FROM t),
+        |bb AS (SELECT doc_id, $simhashBitsExpr AS bits FROM v),
+        |sig AS (
+        |  SELECT doc_id, $simhashSigExpr AS simhash,
+        |    ${simhashBandExpr(0)} AS b0, ${simhashBandExpr(1)} AS b1,
+        |    ${simhashBandExpr(2)} AS b2, ${simhashBandExpr(3)} AS b3
+        |  FROM bb
+        |), bands AS (
+        |  SELECT doc_id, simhash, 0 AS band, b0 AS band_val FROM sig
+        |  UNION ALL SELECT doc_id, simhash, 1, b1 FROM sig
+        |  UNION ALL SELECT doc_id, simhash, 2, b2 FROM sig
+        |  UNION ALL SELECT doc_id, simhash, 3, b3 FROM sig
+        |), e AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+        |  FROM bands a JOIN bands c
+        |    ON a.band = c.band AND a.band_val = c.band_val
+        |    AND a.doc_id < c.doc_id
+        |  WHERE bit_count(xor(a.simhash, c.simhash)) <= 3
+        |), deg AS (
+        |  SELECT id, COUNT(*) AS d FROM (
+        |    SELECT id_a AS id FROM e UNION ALL SELECT id_b FROM e)
+        |  GROUP BY id
+        |), wd AS (
+        |  SELECT COUNT(*) AS n_nodes,
+        |    CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+        |  FROM deg
+        |), tr AS (
+        |  SELECT COUNT(*) AS n_triangles FROM (
+        |    SELECT x.id_a, y.id_b FROM e x JOIN e y ON x.id_b = y.id_a)
+        |    w JOIN e ON w.id_a = e.id_a AND w.id_b = e.id_b
+        |), ed AS (SELECT COUNT(*) AS n_edges FROM e)
+        |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+        |  CASE WHEN n_wedges = 0 THEN CAST(0 AS BIGINT)
+        |    ELSE CAST(n_triangles * 3 * 1000 // n_wedges AS BIGINT)
+        |    END AS transitivity_pm
+        |FROM wd CROSS JOIN ed CROSS JOIN tr""".stripMargin,
+
     "simhash_calibration" ->
       s"""WITH $allDocsCte,
         |t AS (SELECT doc_id, $toksExpr AS toks FROM all_docs),
