@@ -1190,7 +1190,72 @@ object SimilarityQueries {
       graft.operators.TopK.perGroup(rescored, "query_id", "vec_id",
           "cosine", k = 10)
         .orderBy("query_id", "rank")
+    },
+
+    // NDCG@10 of the trained-IVF serving path vs the exact top-10 —
+    // the rank-POSITION-aware eval next to the recall reports (recall
+    // counts hits; NDCG also prices WHERE a miss happened — losing
+    // the true #1 costs 6× losing the true #10). Relevance grades
+    // the exact list 10..1; discounts are pre-floored integer
+    // micro-weights (see ndcgWeights), so per-query DCG is an exact
+    // integer sum and NDCG an exact integer permille — no float
+    // accumulates anywhere. Same memoized quantizer; marginal cost
+    // over ann_recall_trained is a CASE and a multiply.
+    "ann_ndcg_report" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      val cents = trainedCentroids(s, dir)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val assigned = e
+        .withColumn("cell", Similarity.assignCells(col("embedding"), cents))
+        .withColumn("_vn", Similarity.norm(col("embedding")))
+      val probed = q
+        .withColumn("cell",
+          explode(Similarity.probeCells(col("qvec"), cents, IvfNprobe)))
+        .withColumn("_qn", Similarity.norm(col("qvec")))
+      val ivfScored = assigned.join(broadcast(probed), "cell")
+        .withColumn("cosine", Similarity.dot(col("embedding"), col("qvec"))
+          / (col("_vn") * col("_qn")))
+        .select("query_id", "vec_id", "cosine")
+      val ivf = graft.operators.TopK.perGroupNative(ivfScored, "query_id",
+          "vec_id", "cosine", k = 10)
+        .select("query_id", "vec_id", "rank")
+      val bruteScored = Similarity.scoredPairs(e, col("vec_id"),
+          col("embedding"), q, col("query_id"), col("qvec"))
+        .select("query_id", "vec_id", "cosine")
+      val brute = graft.operators.TopK.perGroup(bruteScored, "query_id",
+          "vec_id", "cosine", k = 10)
+        .select(col("query_id"), col("vec_id"),
+          col("rank").as("brute_rank"))
+      ivf.join(brute, Seq("query_id", "vec_id"), "left")
+        .withColumn("rel", coalesce(lit(11) - col("brute_rank"), lit(0)))
+        .withColumn("w", expr(ndcgCaseW))
+        .groupBy("query_id")
+        .agg(sum(expr("CAST(rel AS BIGINT) * w")).as("dcg_micro"))
+        .withColumn("ndcg_pm",
+          expr(s"dcg_micro * 1000 div CAST($ndcgIdcg AS BIGINT)"))
+        .select("query_id", "dcg_micro", "ndcg_pm")
+        .orderBy("query_id")
     })
+
+  /** NDCG@10 discount weights floor(1e6/log2(i+1)) and the ideal DCG,
+    * computed ONCE here and embedded as LITERALS in both engines'
+    * texts — the ln-determinism rule satisfied by construction (the
+    * single math.log call can be 1-ulp platform-dependent, but both
+    * engines consume the same already-floored integers). Relevance is
+    * graded 10..1 down the exact top-10, so IDCG = Σ(10−i)·w. */
+  private val ndcgWeights: Seq[Long] =
+    (1 to 10).map(i =>
+      math.floor(1e6 / (math.log(i + 1.0) / math.log(2.0))).toLong)
+
+  private val ndcgIdcg: Long =
+    ndcgWeights.zipWithIndex.map { case (w, i) => (10L - i) * w }.sum
+
+  /** Shared CASE mapping a candidate's rank to its discount weight. */
+  private val ndcgCaseW: String =
+    "CASE rank " +
+      (1 to 10).map(i => s"WHEN $i THEN ${ndcgWeights(i - 1)}")
+        .mkString(" ") + " ELSE 0 END"
 
   /** Packs the sign bits of dims (offset+1 .. offset+32) into one
     * positive BIGINT (bit i-1 set ⟺ dim offset+i strictly positive) —
@@ -1969,7 +2034,75 @@ object SimilarityQueries {
       |SELECT query_id, vec_id, rank, cosine FROM r
       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
+  /** NDCG mirror: trained-IVF candidate ranks (the trainedIvfSqlFor
+    * CTE chain) left-joined to exact brute ranks, the same pre-floored
+    * literal weights, integer DCG and permille NDCG. */
+  private lazy val ndcgSql = {
+    val centPath = centroidExportPath("sf0.01")
+    s"""WITH cents AS (
+      |  SELECT cell, cvec FROM read_parquet(
+      |    '$centPath/*.parquet')
+      |), assign AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT e.vec_id, c.cell,
+      |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |        ORDER BY ${centScoreSql("e.embedding")} DESC, c.cell)
+      |        AS rn
+      |    FROM embeddings e CROSS JOIN cents c)
+      |  WHERE rn = 1
+      |), q AS (
+      |  SELECT vec_id AS query_id, embedding AS qvec
+      |  FROM embeddings WHERE vec_id < 5
+      |), probe AS (
+      |  SELECT query_id, cell FROM (
+      |    SELECT q.query_id, c.cell,
+      |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+      |        ORDER BY ${centScoreSql("q.qvec")} DESC, c.cell) AS rn
+      |    FROM q CROSS JOIN cents c)
+      |  WHERE rn <= $IvfNprobe
+      |), p AS (
+      |  SELECT q.query_id, e.vec_id,
+      |    ${cosSql("e.embedding", "q.qvec")} AS cosine
+      |  FROM embeddings e
+      |  JOIN assign a ON a.vec_id = e.vec_id
+      |  JOIN probe pr ON pr.cell = a.cell
+      |  JOIN q ON q.query_id = pr.query_id
+      |), r AS (
+      |  SELECT *, CAST(ROW_NUMBER() OVER
+      |    (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INT)
+      |    AS rank
+      |  FROM p
+      |), ivf AS (
+      |  SELECT query_id, vec_id, rank FROM r WHERE rank <= 10
+      |), bp AS (
+      |  SELECT q.query_id, e.vec_id,
+      |    ${cosSql("e.embedding", "q.qvec")} AS cosine
+      |  FROM embeddings e, q
+      |), br AS (
+      |  SELECT query_id, vec_id, CAST(ROW_NUMBER() OVER
+      |    (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INT)
+      |    AS brute_rank
+      |  FROM bp
+      |), brute AS (
+      |  SELECT query_id, vec_id, brute_rank FROM br
+      |  WHERE brute_rank <= 10
+      |), j AS (
+      |  SELECT ivf.query_id, ivf.rank,
+      |    COALESCE(11 - b.brute_rank, 0) AS rel
+      |  FROM ivf LEFT JOIN brute b USING (query_id, vec_id)
+      |), d AS (
+      |  SELECT query_id,
+      |    CAST(SUM(CAST(rel AS BIGINT) * ($ndcgCaseW)) AS BIGINT)
+      |      AS dcg_micro
+      |  FROM j GROUP BY query_id
+      |)
+      |SELECT query_id, dcg_micro,
+      |  CAST(dcg_micro * 1000 // $ndcgIdcg AS BIGINT) AS ndcg_pm
+      |FROM d ORDER BY query_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "ann_ndcg_report" -> ndcgSql,
     "matryoshka_topk" -> matryoshkaSql,
     "ann_topk_binary" -> binaryTopKSql,
     "knn_join" -> knnJoinSql,
