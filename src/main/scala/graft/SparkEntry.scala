@@ -145,7 +145,8 @@ object SparkEntry {
       "session_path_topk", "media_format_report",
       "simhash_calibration",
       "containment_survivors", "ingest_changepoint",
-      "dup_triangle_count", "ann_ndcg_report")
+      "dup_triangle_count", "ann_ndcg_report",
+      "q10_returns", "rolling_revenue")
 
   def benchQueries: Seq[(String, (SparkSession, String) => DataFrame)] =
     benchNames.flatMap(n => queries.get(n).map(n -> _))

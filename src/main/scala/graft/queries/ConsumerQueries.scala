@@ -35,7 +35,7 @@ object ConsumerQueries {
     * 4-decimal value and the SUM exact; the double conversion happens
     * once, on the exact total (correctly rounded, hash-identical).
     * A double-side product would round engine-dependently per row. */
-  private val revenueSql =
+  private[queries] val revenueSql =
     "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
       "(CAST(1.00 AS DECIMAL(18,2)) - " +
       "CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)"

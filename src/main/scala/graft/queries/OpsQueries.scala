@@ -289,6 +289,55 @@ object OpsQueries {
         .orderBy("day")
     },
 
+    // TPC-H Q10 shape (returned-item losers): revenue lost to
+    // returned lineitems per customer — returnflag filter pushed to
+    // the lineitem scan, exact-decimal revenue aggregated to the
+    // customer grain FIRST, TakeOrdered top-20, and only then the
+    // 20-row frame joined (broadcast) to customer ⋈ nation for the
+    // display columns — the same agg-before-join discipline as
+    // q18_big_orders.
+    "q10_returns" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_returnflag") === "R")
+      val ord = Tables.orders(s, dir)
+      val top = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(expr(ConsumerQueries.revenueSql).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("o_custkey")).limit(20)
+      top
+        .join(broadcast(Tables.customer(s, dir)),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("revenue").desc, col("o_custkey"))))
+        .select("rank", "c_custkey", "c_name", "n_name", "revenue",
+          "n_items")
+        .orderBy("rank")
+    },
+
+    // Rolling 7-day revenue — the RANGE-frame window the time-series
+    // tier was missing: daily exact-decimal order revenue plus its
+    // trailing-7-day total, summed in DECIMAL inside the frame (a
+    // double frame-sum would be accumulation-order-dependent; the
+    // decimal sum is exact under any order) and cast once. The window
+    // runs over day-cardinality rows — bounded by the calendar, never
+    // by order volume.
+    "rolling_revenue" -> { (s, dir) =>
+      val daily = Tables.orders(s, dir)
+        .groupBy(expr("unix_micros(cast(o_orderdate as timestamp)) " +
+          "div 86400000000").as("day"))
+        .agg(count(lit(1)).as("n_orders"),
+          decSum(col("o_totalprice")).as("day_revenue"))
+      val w = Window.orderBy("day").rangeBetween(-6, 0)
+      daily
+        .withColumn("rev_7d",
+          sum(dec(col("day_revenue"))).over(w).cast("double"))
+        .select("day", "n_orders", "day_revenue", "rev_7d")
+        .orderBy("day")
+    },
+
     // Length-DRIFT report — distribution shift between the older and
     // newer half of the corpus (doc_id order is ingest order in these
     // fixtures) over 50-char length buckets, in exact integer ppm:
@@ -471,6 +520,36 @@ object OpsQueries {
         |    ELSE 0.0 END AS DECIMAL(18,2))) AS DOUBLE)
         |    AS organic_value
         |FROM att GROUP BY 1 ORDER BY day""".stripMargin,
+
+    "q10_returns" ->
+      s"""WITH t AS (
+        |  SELECT o_custkey, ${ConsumerQueries.revenueSql} AS revenue,
+        |    COUNT(*) AS n_items
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_returnflag = 'R'
+        |  GROUP BY o_custkey
+        |  ORDER BY revenue DESC, o_custkey LIMIT 20
+        |)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY revenue DESC, o_custkey)
+        |    AS INT) AS rank,
+        |  c_custkey, c_name, n_name, revenue, n_items
+        |FROM t JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY rank""".stripMargin,
+
+    "rolling_revenue" ->
+      """WITH d AS (
+        |  SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+        |    COUNT(*) AS n_orders,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS day_revenue
+        |  FROM orders GROUP BY 1
+        |)
+        |SELECT day, n_orders, day_revenue,
+        |  CAST(SUM(CAST(day_revenue AS DECIMAL(18,2))) OVER (
+        |    ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |    AS DOUBLE) AS rev_7d
+        |FROM d ORDER BY day""".stripMargin,
 
     "length_drift_report" ->
       """WITH d AS (
