@@ -146,7 +146,7 @@ object SparkEntry {
       "simhash_calibration",
       "containment_survivors", "ingest_changepoint",
       "dup_triangle_count", "ann_ndcg_report",
-      "q10_returns", "rolling_revenue")
+      "q10_returns", "rolling_revenue", "cdc_merge")
 
   def benchQueries: Seq[(String, (SparkSession, String) => DataFrame)] =
     benchNames.flatMap(n => queries.get(n).map(n -> _))

@@ -338,6 +338,54 @@ object OpsQueries {
         .orderBy("day")
     },
 
+    // CDC MERGE — the warehouse MERGE INTO semantics (Delta/Iceberg's
+    // headline op) as one full-outer join: a change batch of deletes
+    // (every 13th doc), updates (every 7th surviving doc, re-versioned
+    // fingerprint) and inserts (every 11th doc as a new +1e6 id) is
+    // applied to the fingerprinted snapshot; each row resolves to
+    // deleted/updated/inserted/unchanged and the audit report carries
+    // per-action counts plus an order-independent content digest (sum
+    // of 32-bit fingerprint prefixes — source_manifest's trick; for
+    // deletes the digest records what was REMOVED). The join keys on
+    // doc_id only — one exchange each side, AQE-eligible — and the
+    // summary is 4 rows at any scale. At 100 TB the change batch is
+    // ingest-sized, so its side broadcasts.
+    "cdc_merge" -> { (s, dir) =>
+      // local copy of the dedup tier's CopyShift: insert ids live in
+      // the +1e6 block, disjoint from base ids by the same invariant
+      // dedup_source_matrix asserts (ids < 1e6, ScaleUp shifts by 1e7)
+      val InsertShift = 1000000L
+      val docs = Tables.documents(s, dir)
+      val base = docs.select(col("doc_id"), md5(col("text")).as("fp"))
+      val nullFp = lit(null).cast("string")
+      val dels = docs.filter(pmod(col("doc_id"), lit(13)) === 0)
+        .select(col("doc_id"), lit("D").as("op"), nullFp.as("new_fp"))
+      val upds = docs.filter(pmod(col("doc_id"), lit(13)) =!= 0 &&
+          pmod(col("doc_id"), lit(7)) === 0)
+        .select(col("doc_id"), lit("U").as("op"),
+          md5(concat(lit("v2:"), col("text"))).as("new_fp"))
+      val ins = docs.filter(pmod(col("doc_id"), lit(11)) === 0)
+        .select((col("doc_id") + InsertShift).as("doc_id"),
+          lit("I").as("op"),
+          md5(concat(lit("new:"), col("text"))).as("new_fp"))
+      val cdc = dels.unionByName(upds).unionByName(ins)
+      base.join(cdc, Seq("doc_id"), "full_outer")
+        .withColumn("action",
+          when(col("op") === "D", "deleted")
+            .when(col("op") === "U", "updated")
+            .when(col("op") === "I", "inserted")
+            .otherwise("unchanged"))
+        .withColumn("final_fp",
+          when(col("op") === "D", col("fp"))
+            .when(col("op").isNotNull, col("new_fp"))
+            .otherwise(col("fp")))
+        .groupBy("action")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(conv(substring(col("final_fp"), 1, 8), 16, 10)
+            .cast("long")).as("digest"))
+        .orderBy("action")
+    },
+
     // Length-DRIFT report — distribution shift between the older and
     // newer half of the corpus (doc_id order is ingest order in these
     // fixtures) over 50-char length buckets, in exact integer ppm:
@@ -550,6 +598,34 @@ object OpsQueries {
         |    ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
         |    AS DOUBLE) AS rev_7d
         |FROM d ORDER BY day""".stripMargin,
+
+    "cdc_merge" ->
+      """WITH base AS (
+        |  SELECT doc_id, md5(text) AS fp FROM documents
+        |), cdc AS (
+        |  SELECT doc_id, 'D' AS op, CAST(NULL AS VARCHAR) AS new_fp
+        |  FROM documents WHERE doc_id % 13 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 'U', md5('v2:' || text)
+        |  FROM documents WHERE doc_id % 13 <> 0 AND doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, 'I', md5('new:' || text)
+        |  FROM documents WHERE doc_id % 11 = 0
+        |), m AS (
+        |  SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
+        |    CASE WHEN c.op = 'D' THEN 'deleted'
+        |         WHEN c.op = 'U' THEN 'updated'
+        |         WHEN c.op = 'I' THEN 'inserted'
+        |         ELSE 'unchanged' END AS action,
+        |    CASE WHEN c.op = 'D' THEN b.fp
+        |         WHEN c.op IS NOT NULL THEN c.new_fp
+        |         ELSE b.fp END AS final_fp
+        |  FROM base b FULL OUTER JOIN cdc c ON b.doc_id = c.doc_id
+        |)
+        |SELECT action, COUNT(*) AS n_rows,
+        |  CAST(SUM(('0x' || substr(final_fp, 1, 8))::BIGINT) AS BIGINT)
+        |    AS digest
+        |FROM m GROUP BY action ORDER BY action""".stripMargin,
 
     "length_drift_report" ->
       """WITH d AS (
