@@ -146,7 +146,8 @@ object SparkEntry {
       "simhash_calibration",
       "containment_survivors", "ingest_changepoint",
       "dup_triangle_count", "ann_ndcg_report",
-      "q10_returns", "rolling_revenue", "cdc_merge")
+      "q10_returns", "rolling_revenue", "cdc_merge",
+      "q17_small_qty", "bpe_fertility")
 
   def benchQueries: Seq[(String, (SparkSession, String) => DataFrame)] =
     benchNames.flatMap(n => queries.get(n).map(n -> _))

@@ -338,6 +338,29 @@ object OpsQueries {
         .orderBy("day")
     },
 
+    // TPC-H Q17 shape (small-quantity revenue): the classic
+    // CORRELATED-subquery query ("lineitems below 20% of their part's
+    // average quantity") rewritten as the window form Catalyst would
+    // produce — per-part decimal moments via two window aggregates
+    // over ONE partkey partitioning, the 0.2·avg threshold as one
+    // shared SQL string (exact-decimal sum / exact count, the only
+    // division in double, IEEE-identical in both engines). The brand
+    // filter broadcasts into the lineitem scan; the per-part windows
+    // are bounded by a part's lineitem count.
+    "q17_small_qty" -> { (s, dir) =>
+      val p = Tables.part(s, dir)
+        .filter(col("p_brand") === "Brand#2").select(col("p_partkey"))
+      val w = Window.partitionBy("l_partkey")
+      Tables.lineitem(s, dir)
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .withColumn("sq", sum(dec(col("l_quantity"))).over(w))
+        .withColumn("cnt", count(lit(1)).over(w))
+        .filter(expr("l_quantity < 0.2e0 * (CAST(sq AS DOUBLE) / cnt)"))
+        .agg(count(lit(1)).as("n_small"),
+          expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) " +
+            "AS DOUBLE) / 7.0e0").as("avg_yearly"))
+    },
+
     // CDC MERGE — the warehouse MERGE INTO semantics (Delta/Iceberg's
     // headline op) as one full-outer join: a change batch of deletes
     // (every 13th doc), updates (every 7th surviving doc, re-versioned
@@ -598,6 +621,21 @@ object OpsQueries {
         |    ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
         |    AS DOUBLE) AS rev_7d
         |FROM d ORDER BY day""".stripMargin,
+
+    "q17_small_qty" ->
+      """WITH li AS (
+        |  SELECT l.l_quantity, l.l_extendedprice,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2)))
+        |      OVER (PARTITION BY l_partkey) AS sq,
+        |    COUNT(*) OVER (PARTITION BY l_partkey) AS cnt
+        |  FROM lineitem l JOIN part p ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#2'
+        |)
+        |SELECT COUNT(*) AS n_small,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    / 7.0e0 AS avg_yearly
+        |FROM li
+        |WHERE l_quantity < 0.2e0 * (CAST(sq AS DOUBLE) / cnt)""".stripMargin,
 
     "cdc_merge" ->
       """WITH base AS (

@@ -1750,6 +1750,42 @@ object TrainingQueries {
         .orderBy("doc_id")
     },
 
+    // Tokenizer FERTILITY by language — the tokenizer-equity metric
+    // (symbols per word, milli-units): a merge table learned on the
+    // whole (en-dominated) corpus compresses high-resource languages
+    // better, and this report is where that inequity becomes a
+    // number a mixture designer reacts to. Same memoized learned
+    // merges as bpe_encode (train once, apply many), rolled up per
+    // language in exact integers — language-cardinality output from
+    // one encode scan.
+    "bpe_fertility" -> { (s, dir) =>
+      val merges = bpeLearnedMerges(s, dir, nRounds = 5)
+        .map { case (_, pair, _) =>
+          val Array(a, b) = pair.split(" ", 2); (a, b)
+        }
+      val applyAll = udf((syms: Seq[String]) =>
+        merges.foldLeft(syms) { case (cur, (a, b)) =>
+          graft.functions.Bpe.mergePair(cur, a, b)
+        })
+      Tables.documents(s, dir)
+        .select(col("lang"),
+          explode(TextAnalysis.tokens(lower(col("text")))).as("w"))
+        .filter(length(col("w")) >= 2)
+        .select(col("lang"), applyAll(expr(
+          "transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
+          .as("syms"))
+        .groupBy("lang").agg(
+          count(lit(1)).as("n_words"),
+          sum(expr("length(concat_ws('', syms))").cast("long"))
+            .as("n_chars"),
+          sum(size(col("syms")).cast("long")).as("n_syms"))
+        .withColumn("fertility_1e3",
+          expr("n_syms * 1000 div n_words"))
+        .withColumn("compression_1e3",
+          expr("n_syms * 1000 div n_chars"))
+        .orderBy("lang")
+    },
+
     // Vocabulary frequency-of-frequencies (the Zipf/Good-Turing
     // diagnostic tokenizer builds read before picking a vocab size):
     // how many distinct tokens occur exactly f times. Two cascaded
@@ -2604,26 +2640,35 @@ object TrainingQueries {
     * only reports it), then one doc-keyed aggregate over the encoded
     * corpus. Stripping all spaces from a layer's rendering recovers
     * the original word, so n_chars needs no join back to w0. */
-  private val bpeEncodeSql: String = {
+  /** The 5 chained BPE learn-and-apply CTE layers, parametrized by
+    * the columns carried alongside the symbol string (`doc_id` for
+    * bpe_encode, `lang` for bpe_fertility — the learned merges are
+    * identical either way because the counts see the same word
+    * instances). */
+  private def bpeRoundsSql(carry: String): String = {
     def countsOf(w: String) =
       s"""(SELECT pair, COUNT(*) AS n FROM (
          |  SELECT unnest(list_transform(range(1, len(syms)),
          |    i -> syms[i] || ' ' || syms[i+1])) AS pair
          |  FROM (SELECT string_split(trim(s), '  ') AS syms FROM $w)
          |) GROUP BY pair)""".stripMargin
-    val rounds = (1 to 5).map { r =>
+    (1 to 5).map { r =>
       s""",
          |c$r AS ${countsOf(s"w${r - 1}")},
          |b$r AS (SELECT pair, n FROM c$r ORDER BY n DESC, pair ASC
          |  LIMIT 1),
          |w$r AS (
-         |  SELECT doc_id, replace(s,
+         |  SELECT $carry, replace(s,
          |    ' ' || split_part(b.pair, ' ', 1) || '  ' ||
          |      split_part(b.pair, ' ', 2) || ' ',
          |    ' ' || replace(b.pair, ' ', '') || ' ') AS s
          |  FROM w${r - 1} CROSS JOIN b$r b
          |)""".stripMargin
     }.mkString
+  }
+
+  private val bpeEncodeSql: String = {
+    val rounds = bpeRoundsSql("doc_id")
     s"""WITH w0 AS (
        |  SELECT doc_id,
        |    ' ' || array_to_string(string_split(w, ''), '  ') || ' ' AS s
@@ -2639,6 +2684,29 @@ object TrainingQueries {
        |  CAST(SUM(len(string_split(trim(s), '  '))) AS DOUBLE) /
        |    SUM(length(replace(trim(s), ' ', ''))) AS compression
        |FROM w5 GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /** Same learned merges, rolled up per language in exact integers. */
+  private val bpeFertilitySql: String = {
+    val rounds = bpeRoundsSql("lang")
+    s"""WITH w0 AS (
+       |  SELECT lang,
+       |    ' ' || array_to_string(string_split(w, ''), '  ') || ' ' AS s
+       |  FROM (SELECT lang, unnest($toksExpr) AS w FROM documents)
+       |  WHERE length(w) >= 2
+       |)$rounds
+       |SELECT lang,
+       |  COUNT(*) AS n_words,
+       |  CAST(SUM(length(replace(trim(s), ' ', ''))) AS BIGINT)
+       |    AS n_chars,
+       |  CAST(SUM(len(string_split(trim(s), '  '))) AS BIGINT)
+       |    AS n_syms,
+       |  CAST(SUM(len(string_split(trim(s), '  '))) * 1000 //
+       |    COUNT(*) AS BIGINT) AS fertility_1e3,
+       |  CAST(SUM(len(string_split(trim(s), '  '))) * 1000 //
+       |    SUM(length(replace(trim(s), ' ', ''))) AS BIGINT)
+       |    AS compression_1e3
+       |FROM w5 GROUP BY lang ORDER BY lang""".stripMargin
   }
 
   val oracle: Map[String, String] = Map(
@@ -3888,6 +3956,7 @@ object TrainingQueries {
         |GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 50""".stripMargin,
     "bpe_merges" -> bpeMergesSql,
     "bpe_encode" -> bpeEncodeSql,
+    "bpe_fertility" -> bpeFertilitySql,
     "vocab_fof" ->
       s"""WITH tok AS (
         |  SELECT unnest($toksExpr) AS token FROM documents
