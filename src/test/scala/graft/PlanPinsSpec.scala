@@ -297,4 +297,50 @@ class PlanPinsSpec extends SparkSpec {
       !plan.contains("SortMergeJoin"),
       s"checkpoint join went pairwise or shuffled:\n$plan")
   }
+
+  test("q10_returns: TakeOrdered top-20 then broadcast display joins " +
+      "(customer and nation never shuffle against the 20-row frame)") {
+    val df = SparkEntry.queries("q10_returns")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-20 no longer compiles to TakeOrdered:\n$plan")
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 2,
+      s"display joins not broadcast:\n$plan")
+  }
+
+  test("q17_small_qty: the correlated rewrite runs both window " +
+      "moments over ONE partkey exchange, with the brand filter " +
+      "broadcast into the lineitem scan") {
+    val df = SparkEntry.queries("q17_small_qty")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length === 1,
+      s"expected exactly one hash exchange for the window pair:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"brand dimension not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"part join shuffled the fact table:\n$plan")
+  }
+
+  test("cdc_merge's full-outer merge never degrades to a nested-loop " +
+      "shape (the one-join MERGE INTO claim)") {
+    val df = SparkEntry.queries("cdc_merge")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("FullOuter"),
+      s"merge lost its full-outer join:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"merge degraded to a nested loop:\n$plan")
+  }
+
+  test("bpe_fertility applies the memoized merge table with no join " +
+      "at all — the learned merges are driver-side literals, so the " +
+      "encode pass is one scan plus shrinking aggregates") {
+    val df = SparkEntry.queries("bpe_fertility")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"),
+      s"encode pass acquired a join — the merge table should be " +
+        s"driver-memoized literals:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"language rollup lost its map-side partials:\n$plan")
+  }
 }
