@@ -147,7 +147,7 @@ object SparkEntry {
       "containment_survivors", "ingest_changepoint",
       "dup_triangle_count", "ann_ndcg_report",
       "q10_returns", "rolling_revenue", "cdc_merge",
-      "q17_small_qty", "bpe_fertility")
+      "q17_small_qty", "bpe_fertility", "image_search_topk")
 
   def benchQueries: Seq[(String, (SparkSession, String) => DataFrame)] =
     benchNames.flatMap(n => queries.get(n).map(n -> _))

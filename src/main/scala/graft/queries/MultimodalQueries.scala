@@ -59,11 +59,11 @@ object MultimodalQueries {
     * synthesis-formula pixel → NN resize → channel sum that
     * `Multimodal.makeBmpSeeded` + `resizeBmp` + `dhashBmp` compute
     * over real bytes. */
-  /** Shared CTE chain for the image-dedup oracles: seeded-pixel
-    * synthesis in closed form → dHash bits → 4×16-bit bands →
-    * candidate pairs → Hamming-≤3 verified `pairs`. Emitted WITHOUT
-    * the WITH keyword so the survivors oracle can prepend RECURSIVE. */
-  private lazy val imagePairCtes =
+  /** Closed-form code chain (seeded-pixel synthesis → dHash bits →
+    * 4×16-bit bands → per-image band words `v`) — shared by the
+    * dedup oracles below AND the image-search oracle, which consumes
+    * `v` directly without the pair tail. */
+  private lazy val imageCodeCtes =
     s"""corpus AS (
       |  SELECT doc_id FROM documents
       |  UNION ALL
@@ -92,7 +92,14 @@ object MultimodalQueries {
       |    MAX(CASE WHEN band = 2 THEN band_val END) AS b2,
       |    MAX(CASE WHEN band = 3 THEN band_val END) AS b3
       |  FROM bands GROUP BY doc_id
-      |), cand AS (
+      |)""".stripMargin
+
+  /** Shared CTE chain for the image-dedup oracles: the code chain
+    * plus candidate pairs → Hamming-≤3 verified `pairs`. Emitted
+    * WITHOUT the WITH keyword so the survivors oracle can prepend
+    * RECURSIVE. */
+  private lazy val imagePairCtes =
+    s"""$imageCodeCtes, cand AS (
       |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
       |  FROM bands a JOIN bands c
       |    ON a.band = c.band AND a.band_val = c.band_val
@@ -223,6 +230,34 @@ object MultimodalQueries {
       graft.operators.Dedup.hammingBandPairs(hashed, col("doc_id"),
           col("dhash"), maxHamming = 3)
         .orderBy("id_a", "id_b")
+    },
+
+    // Image SIMILARITY SEARCH — "find images like this one": top-5
+    // nearest neighbors per query image by dHash Hamming distance
+    // (self excluded), through the native bounded-heap top-k. The
+    // candidate pass scans 8-BYTE codes, not pixels — the binary-
+    // sketch economics of ann_topk_binary applied to the image
+    // modality (the real decode→resize→dHash path computed the codes
+    // once; search touches only them). Distance ties break on
+    // doc_id via the heap's (score, id) ordering; the two planted
+    // exact-copy queries surface their duplicates at Hamming 0.
+    "image_search_topk" -> { (s, dir) =>
+      val (_, hashed) = imageCorpus(s, dir)
+      val q = hashed.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"), col("dhash").as("qhash"))
+      val scored = hashed.crossJoin(broadcast(q))
+        .filter(col("doc_id") =!= col("query_id"))
+        .withColumn("hamming",
+          bit_count(col("dhash").bitwiseXOR(col("qhash"))).cast("int"))
+        .withColumn("score", -col("hamming").cast("double"))
+        .select("query_id", "doc_id", "hamming", "score")
+      graft.operators.TopK.perGroupNative(scored
+          .select("query_id", "doc_id", "score"),
+          "query_id", "doc_id", "score", k = 5)
+        .join(scored.select("query_id", "doc_id", "hamming"),
+          Seq("query_id", "doc_id"))
+        .select("query_id", "rank", "doc_id", "hamming")
+        .orderBy("query_id", "rank")
     },
 
     // Image dedup END-TO-END — pairs → transitive closure → survivor
@@ -360,6 +395,26 @@ object MultimodalQueries {
       s"""WITH $imagePairCtes
         |SELECT id_a, id_b, hamming FROM pairs
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "image_search_topk" ->
+      s"""WITH $imageCodeCtes, q AS (
+        |  SELECT doc_id AS query_id, b0 AS qb0, b1 AS qb1,
+        |    b2 AS qb2, b3 AS qb3
+        |  FROM v WHERE doc_id < 5
+        |), h AS (
+        |  SELECT q.query_id, v.doc_id,
+        |    CAST(bit_count(xor(v.b0, qb0)) + bit_count(xor(v.b1, qb1))
+        |      + bit_count(xor(v.b2, qb2)) + bit_count(xor(v.b3, qb3))
+        |      AS INT) AS hamming
+        |  FROM v CROSS JOIN q
+        |  WHERE v.doc_id <> q.query_id
+        |), r AS (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY hamming ASC, doc_id ASC) AS INT) AS rank
+        |  FROM h
+        |)
+        |SELECT query_id, rank, doc_id, hamming FROM r
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "multimodal_dedup_survivors" ->
       s"""WITH RECURSIVE $imagePairCtes, sym AS (
         |  SELECT id_a AS src, id_b AS dst FROM pairs
