@@ -42,7 +42,11 @@ object OpsQueries {
     // event scan — one pass over the fact table, partial-aggregable
     // rollup, no shuffle bigger than the tombstoned slice. At 100 TB
     // the same plan holds: the scan dominates, and the manifest is
-    // requests-sized.
+    // requests-sized. NOTE: the md5 stand-in above selects ~9% of ALL
+    // users — broadcast-safe at test scales only, and deliberately
+    // dense so the sf0.001 fixture keeps rows; a production manifest
+    // is an absolute-sized request table, which is what the forced
+    // broadcast models.
     "erasure_sweep" -> { (s, dir) =>
       val e = Tables.events(s, dir)
       e.join(broadcast(tombstones(e)), Seq("user_id"), "left_semi")
@@ -170,23 +174,47 @@ object OpsQueries {
     },
 
     // Blocked FUZZY match — entity resolution's workhorse: candidate
-    // pairs from cheap blocking keys (first and last word of the
-    // name), then exact Levenshtein ≤ 2 verification on the
-    // candidates only. The block join is an equi-join on word keys —
-    // never all-pairs — and the distinct name set it runs on is the
-    // dictionary (tiny vs the fact table), the standard shape when
-    // deduplicating catalog/vendor name columns at scale. Both
-    // engines implement unit-cost Levenshtein, so the verified
+    // pairs from COMPOUND blocking keys, then exact Levenshtein ≤ 2
+    // verification on the candidates only. The r13 verdict showed the
+    // word-only block is a 100× ceiling (TPC-H draws first/last words
+    // from ~92 colors, so block SIZE grows with the dictionary and
+    // candidates grow QUADRATICALLY); the fix is the house's own
+    // dedup discipline, twice over:
+    //   1. COMPOUND key (word, length-bucket): lev ≤ 2 implies a
+    //      length delta ≤ 2, so with bucket width 3 a qualifying pair
+    //      sits in the same or adjacent buckets — each side emits
+    //      both `len div 3` and `len div 3 + 1`, making same-or-
+    //      adjacent an EQUI-join (pairs reachable via two keys are
+    //      absorbed by the existing distinct). Measured effect on the
+    //      testdata dictionary: max block 8 (was unbounded growth).
+    //   2. A doc-freq CAP on compound keys mirroring
+    //      Dedup.ngramJaccardPairs(maxDocFreq): any block that still
+    //      exceeds 200 members is dropped outright, bounding
+    //      per-block candidates at 200²/2 at ANY dictionary size.
+    //      The cap is mirrored in the oracle so outputs stay
+    //      engine-identical (no fixture pair is anywhere near it).
+    // Both engines implement unit-cost Levenshtein, so the verified
     // distance is engine-exact.
     "fuzzy_name_pairs" -> { (s, dir) =>
+      val MaxBlock = 200L
       val names = Tables.part(s, dir)
         .select(col("p_name").as("name")).distinct()
       val keyed = names.select(col("name"),
           explode(array(substring_index(col("name"), " ", 1),
-            substring_index(col("name"), " ", -1))).as("blk"))
+            substring_index(col("name"), " ", -1))).as("word"))
         .distinct()
-      keyed.as("x").join(keyed.as("y"),
-          col("x.blk") === col("y.blk") && col("x.name") < col("y.name"))
+        .select(col("name"), col("word"),
+          explode(array(expr("length(name) div 3"),
+            expr("length(name) div 3 + 1"))).as("lb"))
+      // strategy-neutral like the survivor anti-joins: the kept-key
+      // frame is block-key-cardinality, stats/AQE pick the join side
+      val kept = keyed.groupBy("word", "lb")
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") <= MaxBlock).select("word", "lb")
+      val capped = keyed.join(kept, Seq("word", "lb"), "left_semi")
+      capped.as("x").join(capped.as("y"),
+          col("x.word") === col("y.word") && col("x.lb") === col("y.lb") &&
+          col("x.name") < col("y.name"))
         .select(col("x.name").as("name_a"), col("y.name").as("name_b"))
         .distinct()
         .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
@@ -690,13 +718,23 @@ object OpsQueries {
 
     "fuzzy_name_pairs" ->
       """WITH n AS (SELECT DISTINCT p_name AS name FROM part),
-        |k AS (
+        |k0 AS (
         |  SELECT DISTINCT name, unnest([
         |    string_split(name, ' ')[1], string_split(name, ' ')[-1]
-        |  ]) AS blk FROM n
+        |  ]) AS word FROM n
+        |), k AS (
+        |  SELECT name, word,
+        |    unnest([length(name) // 3, length(name) // 3 + 1]) AS lb
+        |  FROM k0
+        |), df AS (
+        |  SELECT word, lb FROM k GROUP BY word, lb
+        |  HAVING COUNT(*) <= 200
+        |), kc AS (
+        |  SELECT k.name, k.word, k.lb FROM k JOIN df USING (word, lb)
         |), p AS (
         |  SELECT DISTINCT x.name AS name_a, y.name AS name_b
-        |  FROM k x JOIN k y ON x.blk = y.blk AND x.name < y.name
+        |  FROM kc x JOIN kc y
+        |  ON x.word = y.word AND x.lb = y.lb AND x.name < y.name
         |)
         |SELECT name_a, name_b,
         |  CAST(levenshtein(name_a, name_b) AS INT) AS dist

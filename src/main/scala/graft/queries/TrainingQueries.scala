@@ -2292,17 +2292,29 @@ object TrainingQueries {
     },
 
     // Ingest CHANGEPOINT (CUSUM) — "did the corpus change character
-    // mid-ingest?": cumulative deviation of per-50-doc-bucket char
-    // volume from the uniform expectation, fully in exact integers
+    // mid-ingest?": cumulative deviation of per-bucket char volume
+    // from the uniform expectation, fully in exact integers
     // (S_b = cum_chars·B − total_chars·rank — the cross-multiplied
     // CUSUM, no division ever), peak-flagged where |S| maxes: the
-    // bucket where the distribution shift concentrates. The window
-    // runs over bucket-cardinality rows (the heaps_law checkpoint
-    // discipline); totals are a broadcast 1-row frame.
+    // bucket where the distribution shift concentrates. The r13
+    // verdict flagged the old `doc_id div 50` axis — bucket COUNT
+    // grew linearly with the corpus, so the ordering window was an
+    // unpartitioned corpus-proportional sort. Now the
+    // length_outliers histogram discipline: a FIXED count of 200
+    // equal-width buckets over the [min, max] doc_id range from a
+    // broadcast 1-row extent frame — `(doc_id−lo)·200 div (hi−lo+1)`
+    // lands in 0..199 by construction, so the CUSUM windows run over
+    // ≤200 rows at ANY corpus size. Overflow-safe: cum_chars·200 and
+    // total_chars·rank stay < 2·10¹⁶ even at 10¹⁴ total chars.
     "ingest_changepoint" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val b = Tables.documents(s, dir)
-        .groupBy(expr("doc_id div 50").as("bucket"))
+      val NB = 200
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("n_chars"))
+      val ext = docs.agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+      val b = docs.crossJoin(broadcast(ext))
+        .groupBy(expr(s"(doc_id - lo) * $NB div (hi - lo + 1)")
+          .as("bucket"))
         .agg(sum(col("n_chars")).as("chars"))
       val t = b.agg(sum("chars").as("total_chars"),
         count(lit(1)).as("n_buckets"))
@@ -2752,10 +2764,12 @@ object TrainingQueries {
         |GROUP BY source, kind ORDER BY source, kind""".stripMargin,
 
     "ingest_changepoint" ->
-      """WITH b AS (
-        |  SELECT doc_id // 50 AS bucket,
+      """WITH mm AS (
+        |  SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM documents
+        |), b AS (
+        |  SELECT (doc_id - lo) * 200 // (hi - lo + 1) AS bucket,
         |    CAST(SUM(n_chars) AS BIGINT) AS chars
-        |  FROM documents GROUP BY 1
+        |  FROM documents CROSS JOIN mm GROUP BY 1
         |), t AS (
         |  SELECT CAST(SUM(chars) AS BIGINT) AS total_chars,
         |    COUNT(*) AS n_buckets

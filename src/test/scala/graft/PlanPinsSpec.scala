@@ -343,4 +343,43 @@ class PlanPinsSpec extends SparkSpec {
     assert(plan.contains("partial_count"),
       s"language rollup lost its map-side partials:\n$plan")
   }
+
+  test("fuzzy_name_pairs blocks on the COMPOUND (word, length-bucket) " +
+      "key with the doc-freq cap applied before the pair join (the " +
+      "r13 quadratic-block fix)") {
+    val df = SparkEntry.queries("fuzzy_name_pairs")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    // the pair join must carry BOTH block columns as equi-keys — a
+    // word-only key would mean the length bucketing silently fell out
+    // and block candidates are quadratic in the dictionary again
+    assert("\\[word#\\d+, lb#\\d+L?\\]".r.findFirstIn(plan).isDefined,
+      s"pair join no longer keyed on (word, lb):\n$plan")
+    // the cap is a semi-join against the df<=200 key set, upstream of
+    // the pair join; its aggregate keeps map-side partials
+    assert(plan.contains("LeftSemi"),
+      s"doc-freq cap semi-join missing:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"block doc-freq aggregate lost map-side partials:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"blocking degraded to a nested loop:\n$plan")
+  }
+
+  test("ingest_changepoint's CUSUM windows run over the FIXED 200-" +
+      "bucket histogram (broadcast extent, no corpus-proportional " +
+      "single-partition sort)") {
+    val df = SparkEntry.queries("ingest_changepoint")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    // the extent frame joins in as a broadcast nested loop over ONE
+    // row (the house's documented 1-row-global shape) and the bucket
+    // projection divides by the broadcast extent — assert the fixed
+    // bucket arithmetic reached the plan
+    assert(plan.contains("* 200"),
+      s"fixed 200-bucket projection missing from the plan:\n$plan")
+    // the ordering windows must sit above the bucket AGGREGATE (≤200
+    // rows), not above the raw doc scan: the aggregate's partial pass
+    // proves per-bucket char sums combine map-side first
+    assert(plan.contains("partial_sum"),
+      s"bucket char-sum aggregate lost map-side partials:\n$plan")
+  }
 }
