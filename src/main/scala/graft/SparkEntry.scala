@@ -54,7 +54,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ConsumerQueries.all ++ BatchQueries.all ++ TrainingQueries.all ++
       SimilarityQueries.all ++ MultimodalQueries.all ++
-      TemporalQueries.all ++ RetrievalQueries.all ++ OpsQueries.all
+      TemporalQueries.all ++ RetrievalQueries.all ++ OpsQueries.all ++
+      WebQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -62,7 +63,8 @@ object SparkEntry {
     ConsumerQueries.oracle ++ BatchQueries.oracle ++
       TrainingQueries.oracle ++ SimilarityQueries.oracle ++
       MultimodalQueries.oracle ++ TemporalQueries.oracle ++
-      RetrievalQueries.oracle ++ OpsQueries.oracle
+      RetrievalQueries.oracle ++ OpsQueries.oracle ++
+      WebQueries.oracle
 
   /** Bench name list, in a fixed order. Since round 11 this covers the
     * FULL registry — every CORRECTNESS-green query also has a measured
@@ -147,7 +149,10 @@ object SparkEntry {
       "containment_survivors", "ingest_changepoint",
       "dup_triangle_count", "ann_ndcg_report",
       "q10_returns", "rolling_revenue", "cdc_merge",
-      "q17_small_qty", "bpe_fertility", "image_search_topk")
+      "q17_small_qty", "bpe_fertility", "image_search_topk",
+      // round-14 additions: crawl front-end (HTML + URL governance)
+      "html_extract", "boilerplate_report", "domain_rollup",
+      "domain_cap")
 
   def benchQueries: Seq[(String, (SparkSession, String) => DataFrame)] =
     benchNames.flatMap(n => queries.get(n).map(n -> _))

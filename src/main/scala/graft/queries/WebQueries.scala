@@ -1,0 +1,347 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Crawl-front-end tier: HTML→text extraction with boilerplate
+  * removal, and URL/domain governance (canonicalize → registered-
+  * domain rollup → per-domain caps + blocklist).
+  *
+  * These are the first two passes of every crawl-derived pretraining
+  * pipeline — the stage BEFORE the text tier (quality gates, dedup,
+  * tokenization) that the rest of this repo implements. The container
+  * has no crawl corpus, so both tiers synthesize their raw inputs
+  * deterministically around the `documents` fixture (the multimodal
+  * tier's discipline: byte-exact synthetic wrappers, real plumbing):
+  *
+  *  - HTML: each doc gets a newline-delimited block wrapper — head
+  *    title, a nav link bar, the document text as a content paragraph
+  *    (every 3rd doc with one inline citation link), every 7th doc a
+  *    link-farm paragraph, and a footer. Extraction is pure per-row
+  *    string kernels (regexp tag strip + anchor-subtraction link
+  *    density) — no joins, no shuffle beyond the final rollup, so the
+  *    pass is embarrassingly parallel at any corpus size.
+  *  - Boilerplate: the jusText idea (Pomikálek 2011) reduced to
+  *    integer thresholds — a block survives iff its stripped text is
+  *    ≥15 chars AND its link density is <300‰. Both thresholds are
+  *    integer arithmetic on char counts, so Spark and DuckDB agree
+  *    bit-for-bit.
+  *  - URLs: scheme/host/path synthesized from doc_id residues with
+  *    the classic canonicalization hazards baked in (uppercase hosts
+  *    every 11th doc, an explicit :443 default port every 13th, a
+  *    #fragment on every even doc, www./cdn. subdomain variants).
+  *    Canonicalization lowercases the host, strips the default port
+  *    and the fragment; the registered domain drops the subdomain.
+  *
+  * All four queries are oracle-checked end-to-end; the synthesis is
+  * mirrored in the DuckDB CTEs so outputs are engine-identical.
+  */
+object WebQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Deterministic HTML wrapper around each document (see object
+    * Scaladoc). Blocks are newline-delimited so the boilerplate pass
+    * can segment with one split — a real pipeline segments on block
+    * tags; the newline stands in for that boundary set. */
+  private def withHtml(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val id = col("doc_id").cast("string")
+    d.select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+      concat(
+        lit("<html><head><title>Doc "), id,
+        lit("</title></head><body>\n"),
+        lit("<nav><a href=\"/\">home</a><a href=\"/a\">about</a>" +
+          "<a href=\"/c\">contact</a></nav>\n"),
+        lit("<p>"), col("text"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit(" <a href=\"/ref\">source "), id, lit("</a>")))
+          .otherwise(lit("")),
+        lit("</p>\n"),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(lit("<p><a href=\"/x"), id,
+            lit("\">more</a><a href=\"/y\">links</a></p>\n")))
+          .otherwise(lit("")),
+        lit("<footer><a href=\"/p\">privacy</a>(c) example.com" +
+          "</footer>\n"),
+        lit("</body></html>")).as("html"))
+  }
+
+  /** Strip all markup; drop the block-boundary newlines too so char
+    * counts measure text, not structure. */
+  private def stripTags(c: Column): Column =
+    regexp_replace(regexp_replace(c, "<[^>]*>", ""), "\n", "")
+
+  /** Synthetic URL per document with canonicalization applied — raw
+    * URL, canonical host/path, registered domain (see object
+    * Scaladoc for the hazard matrix). */
+  private def withUrls(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val id = col("doc_id")
+    val host0 = concat(
+      when(pmod(id, lit(5)) === 0, lit("www."))
+        .when(pmod(id, lit(5)) === 1, lit("cdn."))
+        .otherwise(lit("")),
+      lit("site"), pmod(id, lit(37)).cast("string"),
+      when(pmod(id, lit(3)) === 0, lit(".com"))
+        .when(pmod(id, lit(3)) === 1, lit(".org"))
+        .otherwise(lit(".net")))
+    val slug = when(pmod(id, lit(17)) === 0, lit("index"))
+      .otherwise(id.cast("string"))
+    val url = concat(lit("https://"),
+      when(pmod(id, lit(11)) === 0, upper(host0)).otherwise(host0),
+      when(pmod(id, lit(13)) === 0, lit(":443")).otherwise(lit("")),
+      lit("/docs/"), slug, lit(".html"),
+      when(pmod(id, lit(2)) === 0,
+        concat(lit("#sec"), pmod(id, lit(4)).cast("string")))
+        .otherwise(lit("")))
+    d.withColumn("url", url)
+      .withColumn("raw_hostport",
+        regexp_extract(col("url"), "^https://([^/#]+)/", 1))
+      // canonicalize: lowercase host, strip the scheme-default port
+      .withColumn("host", expr("lower(replace(raw_hostport, ':443', ''))"))
+      // path without the fragment — fragments never reach the server
+      .withColumn("path",
+        regexp_extract(col("url"), "^https://[^/#]+(/[^#]*)", 1))
+      .withColumn("domain",
+        regexp_replace(col("host"), "^(www|cdn)\\.", ""))
+      .withColumn("canonical_url",
+        concat(lit("https://"), col("host"), col("path")))
+  }
+
+  val all: Map[String, Q] = Map(
+
+    // HTML→text EXTRACTION inventory — per document: the <title>,
+    // raw vs extracted char counts, anchor count (replace-delta
+    // counting, no regex list materialization), and the markup
+    // overhead in integer permille. One scan, per-row kernels only —
+    // the plan is a projection over the parquet scan, which is
+    // exactly what a 100 TB extraction pass must be.
+    "html_extract" -> { (s, dir) =>
+      withHtml(s, dir)
+        .withColumn("title",
+          regexp_extract(col("html"), "<title>([^<]*)</title>", 1))
+        .withColumn("n_raw_chars", length(col("html")).cast("long"))
+        .withColumn("text_chars", length(stripTags(col("html")))
+          .cast("long"))
+        .withColumn("n_links",
+          expr("CAST((length(html) - length(replace(html, '<a href', ''" +
+            "))) div 7 AS BIGINT)"))
+        .withColumn("markup_pm",
+          expr("(n_raw_chars - text_chars) * 1000 div n_raw_chars"))
+        .select("doc_id", "title", "n_raw_chars", "text_chars",
+          "n_links", "markup_pm")
+        .orderBy("doc_id")
+    },
+
+    // BOILERPLATE filter report — the jusText-style block audit per
+    // source: segment each document into blocks, score each block's
+    // stripped length and link density (anchor-subtraction: strip
+    // tags with and without whole <a> elements and diff the
+    // lengths), keep blocks ≥15 chars under 300‰ density, and roll
+    // up kept/dropped counts and char volumes. The explode is
+    // per-doc bounded (≤6 blocks), the rollup is source-cardinality —
+    // map-side combinable, one exchange.
+    "boilerplate_report" -> { (s, dir) =>
+      val blocks = withHtml(s, dir)
+        .select(col("source"),
+          explode(split(col("html"), "\n")).as("block"))
+        .filter(col("block") =!= "")
+      val textLen = length(stripTags(col("block")))
+      val noLinkLen = length(stripTags(
+        regexp_replace(col("block"), "<a[^>]*>[^<]*</a>", "")))
+      blocks
+        .select(col("source"), textLen.as("text_len"),
+          (textLen - noLinkLen).as("link_len"))
+        .withColumn("kept", expr(
+          "text_len >= 15 AND link_len * 1000 div greatest(text_len, 1)" +
+            " < 300"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_blocks"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("kept"), 0L).otherwise(1L)).as("n_dropped"),
+          sum(when(col("kept"), col("text_len")).otherwise(0))
+            .cast("long").as("kept_chars"),
+          sum(when(col("kept"), lit(0)).otherwise(col("text_len")))
+            .cast("long").as("dropped_chars"))
+        .withColumn("drop_pm", expr("n_dropped * 1000 div n_blocks"))
+        .orderBy("source")
+    },
+
+    // Registered-DOMAIN rollup — source_cap's governance one level
+    // finer: canonicalize every URL, roll up to the registered
+    // domain, and report URL/host/canonical cardinalities plus char
+    // volume. n_raw_hosts > n_hosts is the canonicalization win made
+    // visible (case + port variants collapse). Domain cardinality is
+    // web-bounded (~10⁸ registered domains at full crawl scale), so
+    // the rollup aggregate is always exchange-safe.
+    "domain_rollup" -> { (s, dir) =>
+      withUrls(s, dir)
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_urls"),
+          countDistinct(col("raw_hostport")).as("n_raw_hosts"),
+          countDistinct(col("host")).as("n_hosts"),
+          countDistinct(col("canonical_url")).as("n_canonical"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy("domain")
+    },
+
+    // Per-domain CAP + blocklist — the crawl-curation action: drop
+    // blocklisted registered domains (broadcast anti-join — the
+    // blocklist is policy-sized), then keep the top-3 docs per
+    // surviving domain by char count through the NATIVE bounded-heap
+    // top-k node (source_cap's plan: partial heaps before the
+    // exchange, never a full per-domain sort).
+    "domain_cap" -> { (s, dir) =>
+      val canon = withUrls(s, dir)
+      val blocklist = canon.select("domain").distinct()
+        .filter(expr(
+          "CAST(regexp_extract(domain, '^site(\\\\d+)\\\\.', 1) AS " +
+            "BIGINT) % 10 = 7"))
+      val allowed = canon
+        .join(broadcast(blocklist), Seq("domain"), "left_anti")
+        .select("domain", "doc_id", "n_chars")
+      graft.operators.TopK.perGroupNative(
+          allowed, "domain", "doc_id", "n_chars", k = 3)
+        .select(col("domain"), col("doc_id"), col("n_chars"),
+          col("rank"))
+        .orderBy("domain", "rank")
+    })
+
+  /** Shared DuckDB CTE mirroring [[withHtml]] byte-for-byte. */
+  private val htmlCte =
+    """h AS (
+      |  SELECT doc_id, source, lang, n_chars,
+      |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+      |      '</title></head><body>' || chr(10) ||
+      |    '<nav><a href="/">home</a><a href="/a">about</a>' ||
+      |      '<a href="/c">contact</a></nav>' || chr(10) ||
+      |    '<p>' || text ||
+      |      CASE WHEN doc_id % 3 = 0 THEN ' <a href="/ref">source ' ||
+      |        CAST(doc_id AS VARCHAR) || '</a>' ELSE '' END ||
+      |      '</p>' || chr(10) ||
+      |    CASE WHEN doc_id % 7 = 0 THEN '<p><a href="/x' ||
+      |      CAST(doc_id AS VARCHAR) ||
+      |      '">more</a><a href="/y">links</a></p>' || chr(10)
+      |      ELSE '' END ||
+      |    '<footer><a href="/p">privacy</a>(c) example.com' ||
+      |      '</footer>' || chr(10) ||
+      |    '</body></html>' AS html
+      |  FROM documents
+      |)""".stripMargin
+
+  /** Shared DuckDB CTE mirroring [[withUrls]]. */
+  private val urlCte =
+    """u AS (
+      |  SELECT doc_id, source, n_chars,
+      |    CASE WHEN doc_id % 5 = 0 THEN 'www.'
+      |      WHEN doc_id % 5 = 1 THEN 'cdn.' ELSE '' END ||
+      |      'site' || CAST(doc_id % 37 AS VARCHAR) ||
+      |      CASE WHEN doc_id % 3 = 0 THEN '.com'
+      |        WHEN doc_id % 3 = 1 THEN '.org' ELSE '.net' END AS host0,
+      |    CASE WHEN doc_id % 17 = 0 THEN 'index'
+      |      ELSE CAST(doc_id AS VARCHAR) END AS slug
+      |  FROM documents
+      |), r AS (
+      |  SELECT doc_id, source, n_chars,
+      |    'https://' ||
+      |      CASE WHEN doc_id % 11 = 0 THEN upper(host0) ELSE host0 END ||
+      |      CASE WHEN doc_id % 13 = 0 THEN ':443' ELSE '' END ||
+      |      '/docs/' || slug || '.html' ||
+      |      CASE WHEN doc_id % 2 = 0 THEN '#sec' ||
+      |        CAST(doc_id % 4 AS VARCHAR) ELSE '' END AS url
+      |  FROM u
+      |), c AS (
+      |  SELECT doc_id, source, n_chars, url,
+      |    regexp_extract(url, '^https://([^/#]+)/', 1) AS raw_hostport,
+      |    lower(replace(regexp_extract(url, '^https://([^/#]+)/', 1),
+      |      ':443', '')) AS host,
+      |    regexp_extract(url, '^https://[^/#]+(/[^#]*)', 1) AS path
+      |  FROM r
+      |), canon AS (
+      |  SELECT doc_id, source, n_chars, url, raw_hostport, host,
+      |    regexp_replace(host, '^(www|cdn)\.', '') AS domain,
+      |    'https://' || host || path AS canonical_url
+      |  FROM c
+      |)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+
+    "html_extract" ->
+      s"""WITH $htmlCte
+        |SELECT doc_id,
+        |  regexp_extract(html, '<title>([^<]*)</title>', 1) AS title,
+        |  CAST(length(html) AS BIGINT) AS n_raw_chars,
+        |  CAST(length(replace(regexp_replace(html, '<[^>]*>', '', 'g'),
+        |    chr(10), '')) AS BIGINT) AS text_chars,
+        |  CAST((length(html) - length(replace(html, '<a href', '')))
+        |    // 7 AS BIGINT) AS n_links,
+        |  CAST((length(html) -
+        |      length(replace(regexp_replace(html, '<[^>]*>', '', 'g'),
+        |        chr(10), ''))) * 1000 // length(html) AS BIGINT)
+        |    AS markup_pm
+        |FROM h ORDER BY doc_id""".stripMargin,
+
+    "boilerplate_report" ->
+      s"""WITH $htmlCte,
+        |b AS (
+        |  SELECT doc_id, source,
+        |    unnest(string_split(html, chr(10))) AS block
+        |  FROM h
+        |), m AS (
+        |  SELECT source,
+        |    length(regexp_replace(block, '<[^>]*>', '', 'g'))
+        |      AS text_len,
+        |    length(regexp_replace(block, '<[^>]*>', '', 'g')) -
+        |      length(regexp_replace(regexp_replace(block,
+        |        '<a[^>]*>[^<]*</a>', '', 'g'), '<[^>]*>', '', 'g'))
+        |      AS link_len
+        |  FROM b WHERE block <> ''
+        |), f AS (
+        |  SELECT source, text_len,
+        |    (text_len >= 15 AND
+        |      link_len * 1000 // greatest(text_len, 1) < 300) AS kept
+        |  FROM m
+        |)
+        |SELECT source,
+        |  CAST(COUNT(*) AS BIGINT) AS n_blocks,
+        |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS n_dropped,
+        |  CAST(SUM(CASE WHEN kept THEN text_len ELSE 0 END) AS BIGINT)
+        |    AS kept_chars,
+        |  CAST(SUM(CASE WHEN kept THEN 0 ELSE text_len END) AS BIGINT)
+        |    AS dropped_chars,
+        |  CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) * 1000 // COUNT(*)
+        |    AS BIGINT) AS drop_pm
+        |FROM f GROUP BY source ORDER BY source""".stripMargin,
+
+    "domain_rollup" ->
+      s"""WITH $urlCte
+        |SELECT domain,
+        |  CAST(COUNT(*) AS BIGINT) AS n_urls,
+        |  CAST(COUNT(DISTINCT raw_hostport) AS BIGINT) AS n_raw_hosts,
+        |  CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts,
+        |  CAST(COUNT(DISTINCT canonical_url) AS BIGINT) AS n_canonical,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM canon GROUP BY domain ORDER BY domain""".stripMargin,
+
+    "domain_cap" ->
+      s"""WITH $urlCte,
+        |blk AS (
+        |  SELECT DISTINCT domain FROM canon
+        |  WHERE CAST(regexp_extract(domain, '^site(\\d+)\\.', 1)
+        |    AS BIGINT) % 10 = 7
+        |), ranked AS (
+        |  SELECT domain, doc_id, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY domain
+        |      ORDER BY n_chars DESC, doc_id) AS rnk
+        |  FROM canon WHERE domain NOT IN (SELECT domain FROM blk)
+        |)
+        |SELECT domain, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |  CAST(rnk AS INT) AS rank
+        |FROM ranked WHERE rnk <= 3 ORDER BY domain, rank""".stripMargin)
+}
