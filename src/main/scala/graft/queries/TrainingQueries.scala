@@ -89,6 +89,12 @@ object TrainingQueries {
   private[graft] def bpePairCounts(
       words: org.apache.spark.sql.DataFrame) =
     words
+      // deep merge runs collapse whole words to ONE symbol; they
+      // contribute no pairs, and must be filtered BEFORE the pair
+      // projection because Spark's sequence(1, 0) DESCENDS ([1, 0])
+      // and would index past the array under ANSI mode (DuckDB's
+      // range(1, 1) is empty, so the oracle needs no twin filter)
+      .filter(size(col("syms")) >= 2)
       .select(explode(expr(
         "transform(sequence(1, size(syms) - 1)," +
           " i -> concat(syms[i - 1], ' ', syms[i]))")).as("pair"))
@@ -1708,6 +1714,28 @@ object TrainingQueries {
         .toDF("round", "pair", "n").orderBy("round")
     },
 
+    // BPE to a VOCAB TARGET — the same deterministic merge loop run
+    // to a 50-merge budget (r13's "demonstrator → trainer" step): a
+    // real tokenizer build runs until the vocab hits a target size,
+    // and this is that loop with the merge table as the memoized
+    // train-once artifact bpe_encode / bpe_fertility apply. Scale
+    // shape is per-round IDENTICAL to bpe_merges (one vocab-bounded
+    // pair-count exchange + a 1-row driver probe + one compiled merge
+    // pass; the alphabet grows by exactly one symbol per round, so
+    // round 50's exchange is still charset²+50-bounded); the memo
+    // shares the table across all three queries, so a process trains
+    // once. The DuckDB oracle independently replays ALL 50 rounds as
+    // materialized chained CTE layers — every selection (pair AND its
+    // selection-time count) is pinned, not just the first five.
+    // BpeVocabSpec additionally pins prefix-stability (the 50-round
+    // table's first 5 rows equal the independent 5-round run) and the
+    // one-new-symbol-per-round vocab-growth law.
+    "bpe_merges50" -> { (s, dir) =>
+      import s.implicits._
+      bpeLearnedMerges(s, dir, nRounds = BpeVocabRounds)
+        .toDF("round", "pair", "n").orderBy("round")
+    },
+
     // ENCODE with the trained tokenizer — the other half of a BPE
     // build: apply the learned merge table to the corpus and report,
     // per document, how many words / characters went in and how many
@@ -1715,17 +1743,17 @@ object TrainingQueries {
     // acceptance metric for a merge table). Training is shared with
     // bpe_merges via the process-wide memo (train-once/apply-many —
     // the production shape); application is a single compiled kernel
-    // pass folding all five merges IN LEARNED ORDER over each word
+    // pass folding all 50 learned merges IN LEARNED ORDER over each word
     // (greedy leftmost per merge, exactly the training-loop
     // semantics), then one doc-keyed aggregate. Scale shape: encode
     // is one narrow map over the corpus plus one partial-agg shuffle
     // on doc_id — no joins, nothing vocab-sized shipped anywhere.
-    // The DuckDB oracle re-learns the same five merges as chained CTE
+    // The DuckDB oracle re-learns the same 50 merges as chained CTE
     // layers (same tie-break, same double-space replace trick as the
     // bpe_merges oracle) with doc_id threaded through every layer,
-    // then aggregates w5 identically.
+    // then aggregates w50 identically.
     "bpe_encode" -> { (s, dir) =>
-      val merges = bpeLearnedMerges(s, dir, nRounds = 5)
+      val merges = bpeLearnedMerges(s, dir, nRounds = BpeVocabRounds)
         .map { case (_, pair, _) =>
           val Array(a, b) = pair.split(" ", 2); (a, b)
         }
@@ -1759,7 +1787,7 @@ object TrainingQueries {
     // language in exact integers — language-cardinality output from
     // one encode scan.
     "bpe_fertility" -> { (s, dir) =>
-      val merges = bpeLearnedMerges(s, dir, nRounds = 5)
+      val merges = bpeLearnedMerges(s, dir, nRounds = BpeVocabRounds)
         .map { case (_, pair, _) =>
           val Array(a, b) = pair.split(" ", 2); (a, b)
         }
@@ -2601,7 +2629,7 @@ object TrainingQueries {
       |WHERE fp NOT IN (SELECT fp FROM existing)
       |ORDER BY doc_id""".stripMargin
 
-  /** The bpe_merges loop as five chained CTE layers. Each word is
+  /** The bpe_merges loop as `n` chained CTE layers. Each word is
     * rendered as its symbols wrapped in exclusive separators —
     * `' ' || join(syms, '  ') || ' '`, every symbol owning one space
     * on each side — so a left-to-right `replace` of the wrapped pair
@@ -2613,20 +2641,28 @@ object TrainingQueries {
     * chars, so they never contain whitespace and the rendering is
     * injective. Per round: recover symbols (trim + split on the
     * double separator), count adjacent pairs, pick the
-    * (count desc, pair asc) best, rewrite. */
-  private val bpeMergesSql: String = {
+    * (count desc, pair asc) best, rewrite.
+    *
+    * Word layers carry a MATERIALIZED hint: each `w_r` is referenced
+    * twice (its round's count and its successor), and without the
+    * hint DuckDB's inlining re-expands the whole prefix per
+    * reference — at 5 rounds that is tolerable, at 50 it exhausts
+    * file handles re-opening the corpus parquet exponentially many
+    * times. Materialized, the 50-round learn replays in ~2.6 s at
+    * sf0.01. */
+  private def bpeMergesSqlFor(n: Int): String = {
     def countsOf(w: String) =
       s"""(SELECT pair, COUNT(*) AS n FROM (
          |  SELECT unnest(list_transform(range(1, len(syms)),
          |    i -> syms[i] || ' ' || syms[i+1])) AS pair
          |  FROM (SELECT string_split(trim(s), '  ') AS syms FROM $w)
          |) GROUP BY pair)""".stripMargin
-    val rounds = (1 to 5).map { r =>
+    val rounds = (1 to n).map { r =>
       s""",
          |c$r AS ${countsOf(s"w${r - 1}")},
          |b$r AS (SELECT pair, n FROM c$r ORDER BY n DESC, pair ASC
          |  LIMIT 1),
-         |w$r AS (
+         |w$r AS MATERIALIZED (
          |  SELECT replace(s,
          |    ' ' || split_part(b.pair, ' ', 1) || '  ' ||
          |      split_part(b.pair, ' ', 2) || ' ',
@@ -2634,16 +2670,18 @@ object TrainingQueries {
          |  FROM w${r - 1} CROSS JOIN b$r b
          |)""".stripMargin
     }.mkString
-    s"""WITH w0 AS (
+    s"""WITH w0 AS MATERIALIZED (
        |  SELECT ' ' || array_to_string(string_split(w, ''), '  ') || ' '
        |    AS s
        |  FROM (SELECT unnest($toksExpr) AS w FROM documents)
        |  WHERE length(w) >= 2
        |)$rounds
-       |${(1 to 5).map(r => s"SELECT $r AS round, pair, n FROM b$r")
+       |${(1 to n).map(r => s"SELECT $r AS round, pair, n FROM b$r")
           .mkString(" UNION ALL ")}
        |ORDER BY round""".stripMargin
   }
+
+  private val bpeMergesSql: String = bpeMergesSqlFor(5)
 
   /** bpe_encode's oracle: the same five chained learn-layers as
     * [[bpeMergesSql]] (identical counts, tie-break and double-space
@@ -2652,24 +2690,25 @@ object TrainingQueries {
     * only reports it), then one doc-keyed aggregate over the encoded
     * corpus. Stripping all spaces from a layer's rendering recovers
     * the original word, so n_chars needs no join back to w0. */
-  /** The 5 chained BPE learn-and-apply CTE layers, parametrized by
+  /** The `n` chained BPE learn-and-apply CTE layers, parametrized by
     * the columns carried alongside the symbol string (`doc_id` for
     * bpe_encode, `lang` for bpe_fertility — the learned merges are
     * identical either way because the counts see the same word
-    * instances). */
-  private def bpeRoundsSql(carry: String): String = {
+    * instances). MATERIALIZED for the same reason as
+    * [[bpeMergesSqlFor]]. */
+  private def bpeRoundsSql(carry: String, n: Int): String = {
     def countsOf(w: String) =
       s"""(SELECT pair, COUNT(*) AS n FROM (
          |  SELECT unnest(list_transform(range(1, len(syms)),
          |    i -> syms[i] || ' ' || syms[i+1])) AS pair
          |  FROM (SELECT string_split(trim(s), '  ') AS syms FROM $w)
          |) GROUP BY pair)""".stripMargin
-    (1 to 5).map { r =>
+    (1 to n).map { r =>
       s""",
          |c$r AS ${countsOf(s"w${r - 1}")},
          |b$r AS (SELECT pair, n FROM c$r ORDER BY n DESC, pair ASC
          |  LIMIT 1),
-         |w$r AS (
+         |w$r AS MATERIALIZED (
          |  SELECT $carry, replace(s,
          |    ' ' || split_part(b.pair, ' ', 1) || '  ' ||
          |      split_part(b.pair, ' ', 2) || ' ',
@@ -2679,9 +2718,16 @@ object TrainingQueries {
     }.mkString
   }
 
+  /** Number of merge rounds the ENCODE-side queries train and apply —
+    * the vocab-target build (r13's ask: a real tokenizer runs to a
+    * merge budget, not a 5-round demo). The full 50-round learn is
+    * replayed independently by the DuckDB oracle, so every one of the
+    * 50 selections AND the encoded corpus are oracle-pinned. */
+  private[graft] val BpeVocabRounds = 50
+
   private val bpeEncodeSql: String = {
-    val rounds = bpeRoundsSql("doc_id")
-    s"""WITH w0 AS (
+    val rounds = bpeRoundsSql("doc_id", BpeVocabRounds)
+    s"""WITH w0 AS MATERIALIZED (
        |  SELECT doc_id,
        |    ' ' || array_to_string(string_split(w, ''), '  ') || ' ' AS s
        |  FROM (SELECT doc_id, unnest($toksExpr) AS w FROM documents)
@@ -2695,13 +2741,13 @@ object TrainingQueries {
        |    AS n_syms,
        |  CAST(SUM(len(string_split(trim(s), '  '))) AS DOUBLE) /
        |    SUM(length(replace(trim(s), ' ', ''))) AS compression
-       |FROM w5 GROUP BY doc_id ORDER BY doc_id""".stripMargin
+       |FROM w$BpeVocabRounds GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   /** Same learned merges, rolled up per language in exact integers. */
   private val bpeFertilitySql: String = {
-    val rounds = bpeRoundsSql("lang")
-    s"""WITH w0 AS (
+    val rounds = bpeRoundsSql("lang", BpeVocabRounds)
+    s"""WITH w0 AS MATERIALIZED (
        |  SELECT lang,
        |    ' ' || array_to_string(string_split(w, ''), '  ') || ' ' AS s
        |  FROM (SELECT lang, unnest($toksExpr) AS w FROM documents)
@@ -2718,7 +2764,7 @@ object TrainingQueries {
        |  CAST(SUM(len(string_split(trim(s), '  '))) * 1000 //
        |    SUM(length(replace(trim(s), ' ', ''))) AS BIGINT)
        |    AS compression_1e3
-       |FROM w5 GROUP BY lang ORDER BY lang""".stripMargin
+       |FROM w$BpeVocabRounds GROUP BY lang ORDER BY lang""".stripMargin
   }
 
   val oracle: Map[String, String] = Map(
@@ -3969,6 +4015,7 @@ object TrainingQueries {
         |SELECT pair, COUNT(*) AS n FROM pairs
         |GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 50""".stripMargin,
     "bpe_merges" -> bpeMergesSql,
+    "bpe_merges50" -> bpeMergesSqlFor(BpeVocabRounds),
     "bpe_encode" -> bpeEncodeSql,
     "bpe_fertility" -> bpeFertilitySql,
     "vocab_fof" ->

@@ -1,0 +1,54 @@
+package graft
+
+import graft.queries.TrainingQueries
+
+/** Pins the vocab-target BPE build (bpe_merges50) beyond what the
+  * oracle already replays: the loop is DETERMINISTIC and COMPOSABLE —
+  * a longer run is an extension of a shorter one, never a different
+  * tokenizer — and the vocabulary obeys the one-new-symbol-per-round
+  * growth law that keeps every per-round exchange vocab-bounded. */
+class BpeVocabSpec extends SparkSpec {
+
+  test("the 50-round merge table is prefix-stable over the 5-round " +
+      "run: rounds never look ahead, so a vocab-target build extends " +
+      "the demo build instead of diverging from it") {
+    // two INDEPENDENT memo keys → two independent runs of the loop;
+    // agreement on the shared prefix is determinism made observable
+    val five = TrainingQueries.bpeLearnedMerges(spark, sf0001, 5)
+    val fifty = TrainingQueries.bpeLearnedMerges(spark, sf0001,
+      TrainingQueries.BpeVocabRounds)
+    assert(fifty.size === TrainingQueries.BpeVocabRounds)
+    assert(fifty.take(5) === five,
+      "50-round run diverged from the 5-round run on rounds 1-5")
+  }
+
+  test("vocab growth law: every merged pair is new, each side is a " +
+      "known symbol (single char or earlier merge), so round r's " +
+      "pair alphabet is charset^2 + r bounded — the per-round " +
+      "exchange bound the 100 TB story depends on") {
+    val fifty = TrainingQueries.bpeLearnedMerges(spark, sf0001,
+      TrainingQueries.BpeVocabRounds)
+    assert(fifty.map(_._1) === (1 to TrainingQueries.BpeVocabRounds),
+      "rounds not contiguous")
+    // greedy leftmost application removes every adjacency of the
+    // merged pair, so a selected pair can never be selected again
+    assert(fifty.map(_._2).distinct.size === fifty.size,
+      "a merge pair recurred — application missed adjacencies")
+    val known = scala.collection.mutable.Set[String]()
+    fifty.foreach { case (r, pair, n) =>
+      val Array(a, b) = pair.split(" ", 2)
+      assert(a.length == 1 || known.contains(a),
+        s"round $r merged unknown left symbol '$a'")
+      assert(b.length == 1 || known.contains(b),
+        s"round $r merged unknown right symbol '$b'")
+      assert(n > 0, s"round $r selected a zero-count pair")
+      known += (a + b)
+    }
+    // selection-time counts of the SAME pair shape can only shrink
+    // or hold as merges consume adjacencies; strictly-increasing
+    // counts round over round would mean the recount is reading a
+    // stale corpus. (Counts are NOT globally monotone — a merge can
+    // create new popular pairs — so pin only the sanity floor.)
+    assert(fifty.forall(_._3 >= 1))
+  }
+}
