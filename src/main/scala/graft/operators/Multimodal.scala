@@ -323,6 +323,96 @@ object Multimodal {
     }
   }
 
+  /** Fixed-point DCT-II basis for [[phashBmp]]:
+    * `C(u)(x) = floor(cos(π·(2x+1)·u/64) · 2¹⁴)`, computed once with
+    * StrictMath (fdlibm — bit-identical on every JVM) and used as
+    * INTEGER constants from then on. The oracle embeds these exact
+    * values as SQL literals (generated from this array), so both
+    * engines run pure integer matmuls over the same table — the
+    * pre-floored-host-literal discipline the NDCG discounts use,
+    * applied to a transform basis. */
+  private[graft] val DctBasis: Array[Array[Long]] =
+    Array.tabulate(8, 32)((u, x) =>
+      math.floor(StrictMath.cos(
+        math.Pi * (2 * x + 1) * u / 64.0) * 16384.0).toLong)
+
+  /** 64-bit pHash (perceptual DCT hash) of a 24bpp BMP — the
+    * robustness step past [[dhashBmp]]: downsample to 32×32 (through
+    * [[resizeBmp]], the tier's oracle-checked pixel transform), gray
+    * = channel sum (the dHash discipline — no division), then a
+    * SEPARABLE integer DCT-II via [[DctBasis]] and the classic
+    * median-sign bits over the top-left 8×8 low-frequency block with
+    * DC excluded: bit `u·8+v` = 1 iff `D(u,v) > median` of the 63 AC
+    * coefficients (lower median = 32nd smallest, exact — no
+    * averaging), bit 0 always 0. Low-frequency signs survive
+    * re-encode, resize AND mild crops/blurs that flip dHash's
+    * per-pixel gradients — the recall trade documented next to
+    * SCALE.md's image rows.
+    *
+    * Overflow audit: gray ≤ 765, |C| ≤ 2¹⁴, so |T| ≤ 765·2¹⁴·32 ≈
+    * 4·10⁸ and |D| ≤ 4·10⁸·2¹⁴·32 ≈ 2.1·10¹⁴ — Long-safe with four
+    * orders of headroom. Returns None for non-24bpp-BMP payloads. */
+  def phashBmp(raw: Array[Byte]): Option[Long] = {
+    val r = resizeBmp(raw, 32, 32)
+    if (r == null) None
+    else {
+      val rowSize = ((32 * 3 + 3) / 4) * 4
+      def gray(x: Int, y: Int): Long = {
+        val o = 54 + y * rowSize + x * 3
+        ((r(o) & 0xFF) + (r(o + 1) & 0xFF) + (r(o + 2) & 0xFF)).toLong
+      }
+      // row pass: T(u)(y) = Σ_x gray(x,y)·C(u)(x)
+      val t = Array.ofDim[Long](8, 32)
+      var u = 0
+      while (u < 8) {
+        var y = 0
+        while (y < 32) {
+          var acc = 0L; var x = 0
+          while (x < 32) { acc += gray(x, y) * DctBasis(u)(x); x += 1 }
+          t(u)(y) = acc; y += 1
+        }
+        u += 1
+      }
+      // column pass: D(u)(v) = Σ_y T(u)(y)·C(v)(y)
+      val coeffs = Array.ofDim[Long](8, 8)
+      u = 0
+      while (u < 8) {
+        var v = 0
+        while (v < 8) {
+          var acc = 0L; var y = 0
+          while (y < 32) { acc += t(u)(y) * DctBasis(v)(y); y += 1 }
+          coeffs(u)(v) = acc; v += 1
+        }
+        u += 1
+      }
+      val ac = new Array[Long](63)
+      var i = 0
+      u = 0
+      while (u < 8) {
+        var v = 0
+        while (v < 8) {
+          if (u != 0 || v != 0) { ac(i) = coeffs(u)(v); i += 1 }
+          v += 1
+        }
+        u += 1
+      }
+      java.util.Arrays.sort(ac)
+      val med = ac(31)
+      var sig = 0L
+      u = 0
+      while (u < 8) {
+        var v = 0
+        while (v < 8) {
+          if ((u != 0 || v != 0) && coeffs(u)(v) > med)
+            sig |= 1L << (u * 8 + v)
+          v += 1
+        }
+        u += 1
+      }
+      Some(sig)
+    }
+  }
+
   /** Synthesize a minimal valid PNG: 8-byte signature, IHDR (8-bit
     * RGB, no interlace) with a real CRC-32, and an IEND chunk — 45
     * bytes total. No IDAT: the fixture pins header parsing, and a

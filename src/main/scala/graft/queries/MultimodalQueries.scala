@@ -51,6 +51,23 @@ object MultimodalQueries {
     (all, hashed)
   }
 
+  /** [[imageCorpus]]'s twin with the DCT pHash code — same corpus,
+    * same seeds, only the fingerprint kernel differs. */
+  private def phashCorpus(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val (all, _) = imageCorpus(s, dir)
+    all.as[Long].map { id =>
+      val base = (id % CopyShift).toInt
+      val copy = (id / graft.tools.ScaleUp.Shift).toInt
+      val seed = base + copy * 999983
+      val img = Multimodal.makeBmpSeeded(base % 16 + 9, base % 8 + 8,
+        seed)
+      (id, Multimodal.phashBmp(img).getOrElse(
+        sys.error(s"fixture for doc $id is not a 24bpp BMP")))
+    }.toDF("doc_id", "phash")
+  }
+
   private val CopyShift = 1000000L
 
   /** The dHash gray value at resized column `tx` (a SQL expression
@@ -123,6 +140,94 @@ object MultimodalQueries {
     val v0 = s"($sx * 7 + $sy * 31 + s0 + s1 * $sx + s2 * $sy)"
     s"(($v0 % 256) + (($v0 + 101) % 256) + (($v0 + 202) % 256))"
   }
+
+  /** pHash gray at 32×32-resized (tx, ty) — same closed pixel form as
+    * [[dhashGraySql]] with the NN mapping retargeted to 32. */
+  private val phashGraySql: String = {
+    val sx = "((tx * w) // 32)"
+    val sy = "((ty * h) // 32)"
+    val v0 = s"($sx * 7 + $sy * 31 + s0 + s1 * $sx + s2 * $sy)"
+    s"(($v0 % 256) + (($v0 + 101) % 256) + (($v0 + 202) % 256))"
+  }
+
+  /** The [[Multimodal.DctBasis]] fixed-point table as SQL VALUES rows
+    * `(u, x, cv)` — the SAME 256 integers the engine multiplies by,
+    * emitted from the same array. */
+  private lazy val dctBasisValuesSql: String =
+    (for (u <- 0 until 8; x <- 0 until 32)
+      yield s"($u,$x,${Multimodal.DctBasis(u)(x)})").mkString(", ")
+
+  /** Closed-form pHash code chain: synthesis pixels → 32×32 NN gray →
+    * separable integer DCT (two join+sum passes against the embedded
+    * basis literals) → exact lower-median AC sign bits → the same
+    * 4×16-bit bands as the dHash chain. */
+  private lazy val phashPairCtes =
+    s"""corpus AS (
+      |  SELECT doc_id FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + $CopyShift FROM documents WHERE doc_id % 5 >= 3
+      |), g AS (
+      |  SELECT doc_id,
+      |    (doc_id % $CopyShift) % 16 + 9 AS w,
+      |    (doc_id % $CopyShift) % 8 + 8 AS h,
+      |    (doc_id % $CopyShift) % 256 AS s0,
+      |    ((doc_id % $CopyShift) // 256) % 256 AS s1,
+      |    ((doc_id % $CopyShift) // 65536) % 256 AS s2
+      |  FROM corpus
+      |), gray AS MATERIALIZED (
+      |  SELECT doc_id, tx, ty, $phashGraySql AS gv
+      |  FROM g, range(0, 32) t1(ty), range(0, 32) t2(tx)
+      |), ct AS (
+      |  SELECT * FROM (VALUES $dctBasisValuesSql) b(u, x, cv)
+      |), rowp AS (
+      |  SELECT doc_id, ct.u AS fu, gray.ty,
+      |    CAST(SUM(gv * cv) AS BIGINT) AS tv
+      |  FROM gray JOIN ct ON ct.x = gray.tx
+      |  GROUP BY doc_id, ct.u, gray.ty
+      |), d AS MATERIALIZED (
+      |  SELECT doc_id, fu, ct.u AS fv,
+      |    CAST(SUM(tv * cv) AS BIGINT) AS coeff
+      |  FROM rowp JOIN ct ON ct.x = rowp.ty
+      |  GROUP BY doc_id, fu, ct.u
+      |), med AS (
+      |  SELECT doc_id, coeff AS med FROM (
+      |    SELECT doc_id, coeff, ROW_NUMBER() OVER (PARTITION BY doc_id
+      |      ORDER BY coeff, fu, fv) AS rn
+      |    FROM d WHERE NOT (fu = 0 AND fv = 0))
+      |  WHERE rn = 32
+      |), bits AS (
+      |  SELECT d.doc_id, fu * 8 + fv AS idx,
+      |    CASE WHEN coeff > med THEN 1 ELSE 0 END AS bit
+      |  FROM d JOIN med ON med.doc_id = d.doc_id
+      |  WHERE NOT (fu = 0 AND fv = 0)
+      |), bands AS (
+      |  SELECT doc_id, CAST(idx // 16 AS INT) AS band,
+      |    CAST(SUM(bit * (1 << (idx % 16))) AS BIGINT) AS band_val
+      |  FROM bits GROUP BY doc_id, idx // 16
+      |), v AS (
+      |  SELECT doc_id,
+      |    MAX(CASE WHEN band = 0 THEN band_val END) AS b0,
+      |    MAX(CASE WHEN band = 1 THEN band_val END) AS b1,
+      |    MAX(CASE WHEN band = 2 THEN band_val END) AS b2,
+      |    MAX(CASE WHEN band = 3 THEN band_val END) AS b3
+      |  FROM bands GROUP BY doc_id
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+      |  FROM bands a JOIN bands c
+      |    ON a.band = c.band AND a.band_val = c.band_val
+      |    AND a.doc_id < c.doc_id
+      |), pairs AS (
+      |  SELECT id_a, id_b,
+      |    CAST(bit_count(xor(va.b0, vc.b0)) + bit_count(xor(va.b1, vc.b1))
+      |      + bit_count(xor(va.b2, vc.b2)) + bit_count(xor(va.b3, vc.b3))
+      |      AS INT) AS hamming
+      |  FROM cand
+      |  JOIN v va ON va.doc_id = id_a
+      |  JOIN v vc ON vc.doc_id = id_b
+      |  WHERE bit_count(xor(va.b0, vc.b0)) + bit_count(xor(va.b1, vc.b1))
+      |    + bit_count(xor(va.b2, vc.b2)) + bit_count(xor(va.b3, vc.b3))
+      |    <= 3
+      |)""".stripMargin
 
   val all: Map[String, Q] = Map(
 
@@ -229,6 +334,28 @@ object MultimodalQueries {
       val (_, hashed) = imageCorpus(s, dir)
       graft.operators.Dedup.hammingBandPairs(hashed, col("doc_id"),
           col("dhash"), maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    },
+
+    // DCT pHash near-duplicate pairs — dHash's robustness upgrade
+    // (r13's ask): the same decode → resize pixel path, but the
+    // fingerprint is the median-sign of the 32×32 gray's top-left
+    // 8×8 DCT block (Multimodal.phashBmp — fixed-point integer
+    // DCT-II, StrictMath-floored basis shared verbatim with the
+    // oracle's VALUES literals). Low-FREQUENCY signs survive
+    // re-encode/resize like dHash's gradients AND mild crops/blurs
+    // that flip per-pixel comparisons — the recall trade is
+    // documented in SCALE.md's image rows. Downstream is byte-for-
+    // byte the dHash economics: 8-byte codes through the SAME
+    // 4×16-bit Hamming band join; only the per-image kernel (a
+    // 2×(8·32·32)-multiply integer transform) is heavier, and that
+    // cost is the decode-stage scan cost, embarrassingly parallel.
+    // The DuckDB oracle replays pixels → separable DCT (two
+    // join+sum passes against the embedded basis) → exact lower
+    // median → bands in closed form.
+    "image_phash_pairs" -> { (s, dir) =>
+      graft.operators.Dedup.hammingBandPairs(phashCorpus(s, dir),
+          col("doc_id"), col("phash"), maxHamming = 3)
         .orderBy("id_a", "id_b")
     },
 
@@ -393,6 +520,11 @@ object MultimodalQueries {
     // overflow a signed SUM).
     "multimodal_dedup_pairs" ->
       s"""WITH $imagePairCtes
+        |SELECT id_a, id_b, hamming FROM pairs
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "image_phash_pairs" ->
+      s"""WITH $phashPairCtes
         |SELECT id_a, id_b, hamming FROM pairs
         |ORDER BY id_a, id_b""".stripMargin,
 

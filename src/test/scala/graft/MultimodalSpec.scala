@@ -217,4 +217,31 @@ class MultimodalSpec extends SparkSpec {
     f32(20) = 3
     assert(Multimodal.wavSamples(f32).isEmpty)
   }
+
+  test("pHash: deterministic, seed-sensitive, DC bit clear, and the " +
+      "63-AC lower-median split bounds the popcount at 31") {
+    def phashOf(seed: Int): Long = Multimodal.phashBmp(
+      Multimodal.makeBmpSeeded(seed % 16 + 9, seed % 8 + 8, seed)).get
+    // same bytes -> same hash; distinct gradients -> distinct hashes
+    assert(phashOf(1000) === phashOf(1000))
+    val base = phashOf(1000)
+    assert(Seq(1001, 1000 + 256, 1000 + 65536).map(phashOf)
+      .forall(_ !== base))
+    (0 until 50).foreach { s =>
+      val sig = phashOf(s)
+      assert((sig & 1L) === 0L, s"seed $s set the excluded DC bit")
+      // strictly-above-lower-median of 63 values: at most 31 bits
+      // (exactly 31 when the AC coefficients are distinct)
+      val pop = java.lang.Long.bitCount(sig)
+      assert(pop >= 1 && pop <= 31, s"seed $s popcount $pop")
+    }
+    assert(Multimodal.phashBmp("not a bmp".getBytes("UTF-8")).isEmpty)
+    // basis sanity: DC row is the constant 2^14, every AC row sums
+    // to ~0 (|Σ| small) — a mis-scaled or mis-phased table would fail
+    assert(Multimodal.DctBasis(0).forall(_ === 16384L))
+    (1 until 8).foreach { u =>
+      assert(math.abs(Multimodal.DctBasis(u).sum) <= 32L,
+        s"AC row $u not balanced")
+    }
+  }
 }
