@@ -1,0 +1,108 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Live DECAYED per-type activity — the streaming half of the batch
+  * `decayed_counts` query (the "hot now" panel r13 flagged as the
+  * missing live variant): per event type, at every closed DAY, the
+  * shift-decayed activity score
+  * `Σ_day count(day) · (10⁶ >> (closeDay − day))` — the same exact
+  * integer half-life-per-day weighting as the batch query, evaluated
+  * at each day close instead of once at corpus max-ts. A dashboard
+  * ranks the per-day rows (type-cardinality — trivially small)
+  * to get the decayed top-k; the heavy lifting, exactly-once final
+  * scores per (type, day), is this operator's job.
+  *
+  * State discipline ([[StreamingTopK]]'s, with history): group key =
+  * event type, state = per-day counts over the retained horizon plus
+  * the last emitted day. Day `d` is FINAL once the watermark reaches
+  * `(d+1)·DayUs` — any event of day d would then be below the
+  * watermark and dropped upstream (the strict-below-watermark
+  * finalize of StreamingGaps) — so each invocation (data or
+  * event-time timeout) emits every newly-final day exactly once,
+  * including trailing days after a type's traffic stops (scores
+  * decay toward 0 on the panel, exactly what "hot now" means).
+  *
+  * Scale shape: state is (types) × (≤63 retained day counts) longs —
+  * volume-independent; days older than the 62-day cap can never
+  * contribute to a future close (the batch query's `least(age, 62)`
+  * clamp — ages ≥ 20 already shift 10⁶ to 0) and are pruned. A type
+  * whose horizon empties drops its state entirely; a later
+  * reappearance cannot double-emit because admissible events are
+  * always above the watermark, hence after every previously closed
+  * day. NOTE: `nEvents` counts the retained horizon (= all events on
+  * fixtures shorter than 63 days), not all-time.
+  */
+object StreamingDecayedCounts {
+
+  case class TypedEvent(eventType: String, tsUs: Long)
+
+  private[streaming] case class TimedTypedEvent(eventType: String,
+      tsUs: Long, eventTime: java.sql.Timestamp, dayBucket: Long)
+
+  case class DecayedRow(dayBucket: Long, eventType: String,
+      nEvents: Long, decayed1e6: Long)
+
+  /** Checkpointed per-type state (product-encoded — schema-ful,
+    * evolvable; see StreamingGaps). `lastEmittedDay` is
+    * Long.MinValue until the first emission. */
+  private[streaming] case class DecayedState(
+      dayCounts: Map[Long, Long], lastEmittedDay: Long)
+
+  val DayUs: Long = 86400000000L
+
+  /** Max decay age, mirroring the batch query's shift clamp. */
+  val HorizonDays: Long = 62L
+
+  def report(events: Dataset[TypedEvent],
+      maxDelay: String = "1 day"): Dataset[DecayedRow] = {
+    implicit val timedEnc = Encoders.product[TimedTypedEvent]
+    implicit val stateEnc = Encoders.product[DecayedState]
+    implicit val outEnc = Encoders.product[DecayedRow]
+    events.toDF()
+      .withColumn("eventTime", timestamp_micros(col("tsUs")))
+      .withWatermark("eventTime", maxDelay)
+      .withColumn("dayBucket", expr(s"tsUs div $DayUs"))
+      .as[TimedTypedEvent]
+      .groupByKey(_.eventType)(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.EventTimeTimeout) {
+        (tpe: String, it: Iterator[TimedTypedEvent],
+            state: GroupState[DecayedState]) =>
+          val prior = state.getOption
+            .getOrElse(DecayedState(Map.empty, Long.MinValue))
+          val counts = it.foldLeft(prior.dayCounts)((m, e) =>
+            m.updated(e.dayBucket, m.getOrElse(e.dayBucket, 0L) + 1L))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          // day d is final iff wm >= (d+1)·DayUs
+          val closedMax = wmUs / DayUs - 1L
+          val from =
+            if (prior.lastEmittedDay != Long.MinValue)
+              prior.lastEmittedDay + 1L
+            else if (counts.nonEmpty) counts.keys.min
+            else Long.MaxValue
+          val out =
+            if (from > closedMax) Vector.empty
+            else (from to closedMax).iterator.flatMap { d =>
+              val horizon = counts.filter { case (day, _) =>
+                day <= d && day >= d - HorizonDays }
+              if (horizon.isEmpty) None
+              else Some(DecayedRow(d, tpe, horizon.values.sum,
+                horizon.iterator.map { case (day, c) =>
+                  c * (1000000L >> (d - day).toInt) }.sum))
+            }.toVector
+          // retain only days a FUTURE close (>= closedMax+1) can read
+          val pruned = counts.filter { case (day, _) =>
+            day >= closedMax + 1L - HorizonDays }
+          if (pruned.isEmpty) state.remove()
+          else {
+            state.update(DecayedState(pruned,
+              math.max(prior.lastEmittedDay, closedMax)))
+            state.setTimeoutTimestamp(((closedMax + 2L) * DayUs) / 1000L)
+          }
+          out.iterator
+      }
+  }
+}
