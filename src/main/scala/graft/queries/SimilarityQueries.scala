@@ -49,7 +49,7 @@ object SimilarityQueries {
     (String, Int, Int, Int, Int), Array[Array[Array[Float]]]]()
 
   private[graft] def pqCodebookPath(dir: String): String =
-    s"/tmp/graft_pq_codebooks_${new java.io.File(dir).getName}.parquet"
+    s"$artifactRoot/pq_codebooks_${new java.io.File(dir).getName}.parquet"
 
   private def pqCodebooks(s: org.apache.spark.sql.SparkSession,
       dir: String): Array[Array[Array[Float]]] =
@@ -108,28 +108,28 @@ object SimilarityQueries {
     * bit-deterministic (quantized-long sums end to end), so re-runs at
     * the same SF rewrite identical values. */
   private[graft] def centroidExportPath(dir: String): String =
-    s"/tmp/graft_ivf_centroids_${new java.io.File(dir).getName}.parquet"
+    s"$artifactRoot/ivf_centroids_${new java.io.File(dir).getName}.parquet"
 
   /** The sampled-training quantizer's export path — separate from
     * [[centroidExportPath]] because a 0.5-pool quantizer is a
     * DIFFERENT (equally deterministic) centroid matrix. */
   private[graft] def centroidExportPathSampled(dir: String): String =
-    s"/tmp/graft_ivf_centroids_sampled_${new java.io.File(dir).getName}" +
+    s"$artifactRoot/ivf_centroids_sampled_${new java.io.File(dir).getName}" +
       ".parquet"
 
   /** Where ann_topk_ivf_pruned lays the corpus out cell-partitioned
     * (one directory per IVF cell), SF-suffixed like the centroid
     * export. */
   private def ivfLayoutPath(dir: String): String =
-    s"/tmp/graft_ivf_layout_${new java.io.File(dir).getName}.parquet"
+    s"$artifactRoot/ivf_layout_${new java.io.File(dir).getName}.parquet"
 
   /** ann_topk_quantized's int8 cell-partitioned layout. */
   private def int8LayoutPath(dir: String): String =
-    s"/tmp/graft_int8_layout_${new java.io.File(dir).getName}.parquet"
+    s"$artifactRoot/int8_layout_${new java.io.File(dir).getName}.parquet"
 
   /** ann_topk_ivfpq_pruned's PQ-code cell-partitioned layout. */
   private def ivfPqLayoutPath(dir: String): String =
-    s"/tmp/graft_ivfpq_layout_${new java.io.File(dir).getName}.parquet"
+    s"$artifactRoot/ivfpq_layout_${new java.io.File(dir).getName}.parquet"
 
   /** Centroids as (cell INT, cvec ARRAY<DOUBLE>) — doubles carry the
     * float values EXACTLY, so DuckDB reproduces the kernels'

@@ -2549,7 +2549,7 @@ object TrainingQueries {
     * overwriting each other's layout mid-read). */
   /** dedup_lsh_probe's persisted band-signature index. */
   private def lshIndexPath(dir: String): String =
-    s"/tmp/graft_lsh_index_${new java.io.File(dir).getName}.parquet"
+    s"$artifactRoot/lsh_index_${new java.io.File(dir).getName}.parquet"
 
   /** mixture_temperature's one float op — √share in micro-units; ONE
     * SQL string for both engines (sqrt is correctly rounded by IEEE,
@@ -2558,7 +2558,7 @@ object TrainingQueries {
     "CAST(FLOOR(1e6 * sqrt(CAST(toks AS DOUBLE) / t)) AS BIGINT)"
 
   private def corpusExportPath(dir: String): String =
-    s"/tmp/graft_corpus_${new java.io.File(dir).getName}.parquet"
+    s"$artifactRoot/corpus_${new java.io.File(dir).getName}.parquet"
 
   private val minhashMins = (0 until 8).map { i =>
     s"min(substr(md5(s), ${4 * i + 1}, 8)) AS h$i"

@@ -19,4 +19,17 @@ package object queries {
   /** Exact average: decimal sum / count, evaluated in double at the end. */
   def decAvg(c: Column): Column =
     (sum(dec(c)).cast("double") / count(c)).cast("double")
+
+  /** PROCESS-SCOPED artifact root for query-side at-rest layouts
+    * (IVF/PQ exports, LSH index, corpus write-read). r13 flagged the
+    * old bare `/tmp/graft_*_<sf>` names: deterministic rewrites make
+    * them safe single-process, but two concurrent processes at the
+    * same SF would race each other's overwrites. Scoping by pid
+    * removes the foot-gun; `GRAFT_TMP_ROOT` overrides for a shared
+    * cache when the operator wants one. The generated ORACLE SQL
+    * embeds these paths at dump time from the same process that wrote
+    * the artifacts, so reader and writer always agree. */
+  lazy val artifactRoot: String =
+    sys.env.getOrElse("GRAFT_TMP_ROOT",
+      s"/tmp/graft_${java.lang.ProcessHandle.current().pid()}")
 }
