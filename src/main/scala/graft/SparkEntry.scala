@@ -152,7 +152,8 @@ object SparkEntry {
       "q17_small_qty", "bpe_fertility", "image_search_topk",
       // round-14 additions: crawl front-end (HTML + URL governance)
       "html_extract", "boilerplate_report", "domain_rollup",
-      "domain_cap", "bpe_merges50", "image_phash_pairs")
+      "domain_cap", "bpe_merges50", "image_phash_pairs",
+      "rfm_segments_approx")
 
   def benchQueries: Seq[(String, (SparkSession, String) => DataFrame)] =
     benchNames.flatMap(n => queries.get(n).map(n -> _))

@@ -260,6 +260,64 @@ object OpsQueries {
         .orderBy("r_quartile", "f_quartile", "m_quartile")
     },
 
+    // RFM, the 100 TB PATH — rfm_segments' documented alternative
+    // landed as code (r13's ask): the three global ntile sorts are
+    // replaced by HISTOGRAM-CUT quartiles. Each metric maps to an
+    // integer bucket axis (recency: days — calendar-bounded;
+    // frequency: negated count — order-count-bounded; monetary:
+    // negated exact-cent $1000 buckets — spend-bounded), the
+    // per-bucket counts cumulate in a histogram-sized window (the
+    // length_outliers discipline — never a customer-sized sort), and
+    // quartile breakpoints are the smallest buckets whose cumulative
+    // count crosses k·n/4 (exact integer cross-multiplication).
+    // Customers then classify by three broadcast 1-row comparisons.
+    // Semantics vs the exact query: boundary TIES land in one
+    // quartile together (bucket granularity) instead of being split
+    // by the custkey tie-break — the standard approx-quantile trade,
+    // here fully DETERMINISTIC and oracle-mirrored, so the 100 TB
+    // plan is itself hash-pinned. The exact ntile query stays as the
+    // oracle anchor for quartile semantics.
+    "rfm_segments_approx" -> { (s, dir) =>
+      val perCust = Tables.orders(s, dir)
+        .select(col("o_custkey"),
+          expr("unix_micros(cast(o_orderdate as timestamp)) " +
+            "div 86400000000").as("day"),
+          col("o_totalprice"))
+        .groupBy("o_custkey")
+        .agg(max("day").as("last_day"), count(lit(1)).as("frequency"),
+          sum(dec(col("o_totalprice"))).as("monetary_dec"))
+      val mx = perCust.agg(max("last_day").as("max_day"))
+      val cust = perCust.crossJoin(broadcast(mx))
+        .withColumn("r_bucket", expr("max_day - last_day"))
+        .withColumn("f_bucket", expr("-frequency"))
+        .withColumn("m_bucket",
+          expr("-(CAST(monetary_dec * 100 AS BIGINT) div 100000)"))
+      def cuts(bucketCol: String, p: String) = {
+        val h = cust.groupBy(col(bucketCol).as("b"))
+          .agg(count(lit(1)).as("c"))
+        val w = Window.orderBy("b")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        h.withColumn("cum", sum("c").over(w))
+          .crossJoin(broadcast(cust.agg(count(lit(1)).as("n"))))
+          .agg(min(when(expr("cum * 4 >= n"), col("b"))).as(s"${p}1"),
+            min(when(expr("cum * 2 >= n"), col("b"))).as(s"${p}2"),
+            min(when(expr("cum * 4 >= 3 * n"), col("b"))).as(s"${p}3"))
+      }
+      def quart(b: String, p: String) =
+        s"1 + CAST($b > ${p}1 AS INT) + CAST($b > ${p}2 AS INT) + " +
+          s"CAST($b > ${p}3 AS INT)"
+      cust.crossJoin(broadcast(cuts("r_bucket", "rb")))
+        .crossJoin(broadcast(cuts("f_bucket", "fb")))
+        .crossJoin(broadcast(cuts("m_bucket", "mb")))
+        .withColumn("r_quartile", expr(quart("r_bucket", "rb")))
+        .withColumn("f_quartile", expr(quart("f_bucket", "fb")))
+        .withColumn("m_quartile", expr(quart("m_bucket", "mb")))
+        .groupBy("r_quartile", "f_quartile", "m_quartile")
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("monetary_dec")).cast("double").as("monetary_sum"))
+        .orderBy("r_quartile", "f_quartile", "m_quartile")
+    },
+
     // LTV cohort curves — revenue by (signup-cohort month, months
     // since cohort), the retention_cohorts sibling with money on it:
     // a customer's cohort is the month of their FIRST order (window
@@ -580,6 +638,58 @@ object OpsQueries {
         |  CAST(SUM(CAST(monetary AS DECIMAL(18,2))) AS DOUBLE)
         |    AS monetary_sum
         |FROM q GROUP BY 1, 2, 3
+        |ORDER BY r_quartile, f_quartile, m_quartile""".stripMargin,
+
+    "rfm_segments_approx" ->
+      """WITH pc AS (
+        |  SELECT o_custkey,
+        |    MAX(epoch_us(o_orderdate) // 86400000000) AS last_day,
+        |    COUNT(*) AS frequency,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary_dec
+        |  FROM orders GROUP BY o_custkey
+        |), mx AS (SELECT MAX(last_day) AS max_day FROM pc),
+        |cust AS (
+        |  SELECT o_custkey, monetary_dec,
+        |    max_day - last_day AS r_bucket,
+        |    -frequency AS f_bucket,
+        |    -(CAST(monetary_dec * 100 AS BIGINT) // 100000) AS m_bucket
+        |  FROM pc CROSS JOIN mx
+        |), nn AS (SELECT COUNT(*) AS n FROM cust),
+        |rh AS (SELECT r_bucket AS b, COUNT(*) AS c FROM cust GROUP BY 1),
+        |rc AS (SELECT b, SUM(c) OVER (ORDER BY b
+        |  ROWS UNBOUNDED PRECEDING) AS cum FROM rh),
+        |rq AS (SELECT MIN(CASE WHEN cum * 4 >= n THEN b END) AS rb1,
+        |  MIN(CASE WHEN cum * 2 >= n THEN b END) AS rb2,
+        |  MIN(CASE WHEN cum * 4 >= 3 * n THEN b END) AS rb3
+        |  FROM rc CROSS JOIN nn),
+        |fh AS (SELECT f_bucket AS b, COUNT(*) AS c FROM cust GROUP BY 1),
+        |fc AS (SELECT b, SUM(c) OVER (ORDER BY b
+        |  ROWS UNBOUNDED PRECEDING) AS cum FROM fh),
+        |fq AS (SELECT MIN(CASE WHEN cum * 4 >= n THEN b END) AS fb1,
+        |  MIN(CASE WHEN cum * 2 >= n THEN b END) AS fb2,
+        |  MIN(CASE WHEN cum * 4 >= 3 * n THEN b END) AS fb3
+        |  FROM fc CROSS JOIN nn),
+        |mh AS (SELECT m_bucket AS b, COUNT(*) AS c FROM cust GROUP BY 1),
+        |mc AS (SELECT b, SUM(c) OVER (ORDER BY b
+        |  ROWS UNBOUNDED PRECEDING) AS cum FROM mh),
+        |mq AS (SELECT MIN(CASE WHEN cum * 4 >= n THEN b END) AS mb1,
+        |  MIN(CASE WHEN cum * 2 >= n THEN b END) AS mb2,
+        |  MIN(CASE WHEN cum * 4 >= 3 * n THEN b END) AS mb3
+        |  FROM mc CROSS JOIN nn),
+        |g AS (
+        |  SELECT monetary_dec,
+        |    1 + CAST(r_bucket > rb1 AS INT) + CAST(r_bucket > rb2 AS INT)
+        |      + CAST(r_bucket > rb3 AS INT) AS r_quartile,
+        |    1 + CAST(f_bucket > fb1 AS INT) + CAST(f_bucket > fb2 AS INT)
+        |      + CAST(f_bucket > fb3 AS INT) AS f_quartile,
+        |    1 + CAST(m_bucket > mb1 AS INT) + CAST(m_bucket > mb2 AS INT)
+        |      + CAST(m_bucket > mb3 AS INT) AS m_quartile
+        |  FROM cust CROSS JOIN rq CROSS JOIN fq CROSS JOIN mq
+        |)
+        |SELECT r_quartile, f_quartile, m_quartile,
+        |  COUNT(*) AS n_customers,
+        |  CAST(SUM(monetary_dec) AS DOUBLE) AS monetary_sum
+        |FROM g GROUP BY 1, 2, 3
         |ORDER BY r_quartile, f_quartile, m_quartile""".stripMargin,
 
     "ltv_cohorts" ->

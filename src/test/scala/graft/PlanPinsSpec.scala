@@ -365,6 +365,23 @@ class PlanPinsSpec extends SparkSpec {
       s"blocking degraded to a nested loop:\n$plan")
   }
 
+  test("rfm_segments_approx classifies with histogram cuts — no " +
+      "ntile, no customer-dimension global sort; the only ordering " +
+      "windows are bucket-histogram cumulations above aggregates") {
+    val df = SparkEntry.queries("rfm_segments_approx")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("ntile"),
+      s"approx RFM reacquired a global ntile sort:\n$plan")
+    // the breakpoint frames join in as 1-row broadcasts, and the
+    // histogram aggregates keep map-side partials (the shuffle
+    // carries per-bucket partial counts, never customers)
+    assert(plan.contains("partial_count"),
+      s"histogram aggregates lost map-side partials:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"breakpoint frames are not broadcast:\n$plan")
+  }
+
   test("ingest_changepoint's CUSUM windows run over the FIXED 200-" +
       "bucket histogram (broadcast extent, no corpus-proportional " +
       "single-partition sort)") {
