@@ -1736,6 +1736,47 @@ object TrainingQueries {
         .toDF("round", "pair", "n").orderBy("round")
     },
 
+    // BPE COMPRESSION CURVE — the diagnostic that PICKS the vocab
+    // target: corpus-level symbols-per-char at merge-count
+    // checkpoints 5/10/25/50 (what a tokenizer designer plots before
+    // committing to a vocab size — returns diminish as the merge
+    // table grows). One memoized 50-round learn feeds all four
+    // checkpoints; each applies its PREFIX of the merge table in one
+    // compiled pass (prefix-stability is exactly BpeVocabSpec's
+    // pinned law), then a 1-row corpus aggregate per checkpoint,
+    // unioned. The DuckDB oracle reads the SAME materialized layer
+    // chain the bpe_merges50 oracle builds — w5/w10/w25/w50 are
+    // intermediate CTEs there, so the curve costs the oracle nothing
+    // new.
+    "bpe_compression_curve" -> { (s, dir) =>
+      val learned = bpeLearnedMerges(s, dir, nRounds = BpeVocabRounds)
+        .map { case (_, pair, _) =>
+          val Array(a, b) = pair.split(" ", 2); (a, b)
+        }
+      val checkpoints = Seq(5, 10, 25, 50)
+      val words = Tables.documents(s, dir)
+        .select(explode(TextAnalysis.tokens(lower(col("text")))).as("w"))
+        .filter(length(col("w")) >= 2)
+        .select(expr(
+          "transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+          .as("syms"))
+      checkpoints.map { k =>
+        val prefix = learned.take(k)
+        val applyK = udf((syms: Seq[String]) =>
+          prefix.foldLeft(syms) { case (cur, (a, b)) =>
+            graft.functions.Bpe.mergePair(cur, a, b)
+          })
+        words.select(applyK(col("syms")).as("syms"))
+          .agg(lit(k).as("merges"),
+            count(lit(1)).as("n_words"),
+            sum(expr("length(concat_ws('', syms))").cast("long"))
+              .as("n_chars"),
+            sum(size(col("syms")).cast("long")).as("n_syms"))
+          .withColumn("compression_1e3",
+            expr("n_syms * 1000 div n_chars"))
+      }.reduce(_ unionByName _).orderBy("merges")
+    },
+
     // ENCODE with the trained tokenizer — the other half of a BPE
     // build: apply the learned merge table to the corpus and report,
     // per document, how many words / characters went in and how many
@@ -2650,7 +2691,11 @@ object TrainingQueries {
     * file handles re-opening the corpus parquet exponentially many
     * times. Materialized, the 50-round learn replays in ~2.6 s at
     * sf0.01. */
-  private def bpeMergesSqlFor(n: Int): String = {
+  /** Just the learn LAYERS (`w0` through `w$n` with their count/best
+    * CTEs), so different final selects can ride one chain — the
+    * merge-table report reads the `b_r`s, the compression curve
+    * aggregates checkpoint `w_r`s. */
+  private def bpeLearnLayersSql(n: Int): String = {
     def countsOf(w: String) =
       s"""(SELECT pair, COUNT(*) AS n FROM (
          |  SELECT unnest(list_transform(range(1, len(syms)),
@@ -2670,15 +2715,37 @@ object TrainingQueries {
          |  FROM w${r - 1} CROSS JOIN b$r b
          |)""".stripMargin
     }.mkString
-    s"""WITH w0 AS MATERIALIZED (
+    s"""w0 AS MATERIALIZED (
        |  SELECT ' ' || array_to_string(string_split(w, ''), '  ') || ' '
        |    AS s
        |  FROM (SELECT unnest($toksExpr) AS w FROM documents)
        |  WHERE length(w) >= 2
-       |)$rounds
+       |)$rounds""".stripMargin
+  }
+
+  private def bpeMergesSqlFor(n: Int): String =
+    s"""WITH ${bpeLearnLayersSql(n)}
        |${(1 to n).map(r => s"SELECT $r AS round, pair, n FROM b$r")
           .mkString(" UNION ALL ")}
        |ORDER BY round""".stripMargin
+
+  /** Corpus compression at merge-count checkpoints, read off the
+    * intermediate layers of the SAME 50-round chain. */
+  private def bpeCurveSqlFor(checkpoints: Seq[Int]): String = {
+    val selects = checkpoints.map { k =>
+      s"""SELECT $k AS merges, COUNT(*) AS n_words,
+         |  CAST(SUM(length(replace(trim(s), ' ', ''))) AS BIGINT)
+         |    AS n_chars,
+         |  CAST(SUM(len(string_split(trim(s), '  '))) AS BIGINT)
+         |    AS n_syms,
+         |  CAST(SUM(len(string_split(trim(s), '  '))) * 1000 //
+         |    SUM(length(replace(trim(s), ' ', ''))) AS BIGINT)
+         |    AS compression_1e3
+         |FROM w$k""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${bpeLearnLayersSql(checkpoints.max)}
+       |$selects
+       |ORDER BY merges""".stripMargin
   }
 
   private val bpeMergesSql: String = bpeMergesSqlFor(5)
@@ -4016,6 +4083,7 @@ object TrainingQueries {
         |GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 50""".stripMargin,
     "bpe_merges" -> bpeMergesSql,
     "bpe_merges50" -> bpeMergesSqlFor(BpeVocabRounds),
+    "bpe_compression_curve" -> bpeCurveSqlFor(Seq(5, 10, 25, 50)),
     "bpe_encode" -> bpeEncodeSql,
     "bpe_fertility" -> bpeFertilitySql,
     "vocab_fof" ->

@@ -188,6 +188,42 @@ object WebQueries {
         .orderBy("domain")
     },
 
+    // Canonical-URL DEDUP — the crawl pipeline's very first dedup
+    // (before any content hashing): re-crawls of one page differ only
+    // in host case, an explicit default port, or a fragment; folding
+    // those and grouping by the canonical URL collapses each variant
+    // family to one survivor. The fixture plants 7-doc variant
+    // families (URL parts keyed by doc_id div 7, variant hazards by
+    // doc_id residues), and the query canonicalizes the RAW url with
+    // the same regexp chain the rollup tier uses — one projection +
+    // one canonical-keyed exchange, linear at any crawl size.
+    "url_dedup" -> { (s, dir) =>
+      val d = Tables.documents(s, dir).select(col("doc_id"))
+      val id = col("doc_id")
+      val grp = expr("doc_id div 7")
+      val host = concat(lit("site"), pmod(grp, lit(23)).cast("string"),
+        when(pmod(grp, lit(3)) === 0, lit(".com"))
+          .when(pmod(grp, lit(3)) === 1, lit(".org"))
+          .otherwise(lit(".net")))
+      val path = concat(lit("/page/"), grp.cast("string"), lit(".html"))
+      val raw = concat(lit("https://"),
+        when(pmod(id, lit(2)) === 0, upper(host)).otherwise(host),
+        when(pmod(id, lit(3)) === 0, lit(":443")).otherwise(lit("")),
+        path,
+        when(pmod(id, lit(5)) === 0, lit("#top")).otherwise(lit("")))
+      d.withColumn("raw_url", raw)
+        .withColumn("hostport",
+          regexp_extract(col("raw_url"), "^https://([^/#]+)/", 1))
+        .withColumn("canonical_url", concat(lit("https://"),
+          expr("lower(replace(hostport, ':443', ''))"),
+          regexp_extract(col("raw_url"), "^https://[^/#]+(/[^#]*)", 1)))
+        .groupBy("canonical_url")
+        .agg(count(lit(1)).as("n_urls"),
+          countDistinct(col("raw_url")).as("n_raw_variants"),
+          min(col("doc_id")).as("survivor_id"))
+        .orderBy("canonical_url")
+    },
+
     // Per-domain CAP + blocklist — the crawl-curation action: drop
     // blocklisted registered domains (broadcast anti-join — the
     // blocklist is policy-sized), then keep the top-3 docs per
@@ -328,6 +364,40 @@ object WebQueries {
         |  CAST(COUNT(DISTINCT canonical_url) AS BIGINT) AS n_canonical,
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM canon GROUP BY domain ORDER BY domain""".stripMargin,
+
+    "url_dedup" ->
+      """WITH u AS (
+        |  SELECT doc_id, doc_id // 7 AS grp FROM documents
+        |), h AS (
+        |  SELECT doc_id,
+        |    'site' || CAST(grp % 23 AS VARCHAR) ||
+        |      CASE WHEN grp % 3 = 0 THEN '.com'
+        |        WHEN grp % 3 = 1 THEN '.org' ELSE '.net' END AS host,
+        |    '/page/' || CAST(grp AS VARCHAR) || '.html' AS path
+        |  FROM u
+        |), r AS (
+        |  SELECT doc_id,
+        |    'https://' ||
+        |      CASE WHEN doc_id % 2 = 0 THEN upper(host) ELSE host END ||
+        |      CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END ||
+        |      path ||
+        |      CASE WHEN doc_id % 5 = 0 THEN '#top' ELSE '' END AS raw_url
+        |  FROM h
+        |), c AS (
+        |  SELECT doc_id, raw_url,
+        |    'https://' ||
+        |      lower(replace(regexp_extract(raw_url,
+        |        '^https://([^/#]+)/', 1), ':443', '')) ||
+        |      regexp_extract(raw_url, '^https://[^/#]+(/[^#]*)', 1)
+        |      AS canonical_url
+        |  FROM r
+        |)
+        |SELECT canonical_url,
+        |  CAST(COUNT(*) AS BIGINT) AS n_urls,
+        |  CAST(COUNT(DISTINCT raw_url) AS BIGINT) AS n_raw_variants,
+        |  CAST(MIN(doc_id) AS BIGINT) AS survivor_id
+        |FROM c GROUP BY canonical_url
+        |ORDER BY canonical_url""".stripMargin,
 
     "domain_cap" ->
       s"""WITH $urlCte,
