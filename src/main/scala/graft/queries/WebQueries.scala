@@ -224,6 +224,46 @@ object WebQueries {
         .orderBy("canonical_url")
     },
 
+    // Cross-DOMAIN duplication matrix — dedup_source_matrix one
+    // level finer (the r13 report works on the coarse `source`
+    // column; real curation decisions happen per registered domain):
+    // exact-fingerprint duplicate pairs across a planted re-crawl
+    // (modulo-selected 40% tail, id-shifted by 1e6 — the dedup
+    // tier's CopyShift invariant: base ids < 1e6, ScaleUp shifts by
+    // 1e7), each side resolved to its registered domain (the SAME
+    // doc_id-residue formula as domain_rollup, so the two reports
+    // name the same entities), rolled up to (domain_a, domain_b)
+    // pair counts. Fingerprint groups are doc-freq-capped (2..100 —
+    // the ngramJaccardPairs discipline) so a pathological mirror
+    // farm bounds the pair blowup; every join is a hash equi-join on
+    // md5 or doc_id, and the matrix is domain²-bounded.
+    "domain_dup_matrix" -> { (s, dir) =>
+      val DupShift = 1000000L
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val corpus = d.unionByName(
+        d.filter(pmod(col("doc_id"), lit(5)) >= 3)
+          .select((col("doc_id") + DupShift).as("doc_id"), col("text")))
+      val fp = corpus.select(col("doc_id"), md5(col("text")).as("f"))
+      val capped = fp.groupBy("f").agg(count(lit(1)).as("c"))
+        .filter(col("c").between(2, 100)).select("f")
+      val pairs = fp.join(capped, "f").as("a")
+        .join(fp.as("b"), col("a.f") === col("b.f") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      val dom = corpus.select(col("doc_id"),
+        concat(lit("site"), pmod(col("doc_id"), lit(37)).cast("string"),
+          when(pmod(col("doc_id"), lit(3)) === 0, lit(".com"))
+            .when(pmod(col("doc_id"), lit(3)) === 1, lit(".org"))
+            .otherwise(lit(".net"))).as("domain"))
+      pairs
+        .join(dom.as("da"), col("id_a") === col("da.doc_id"))
+        .join(dom.as("db"), col("id_b") === col("db.doc_id"))
+        .groupBy(col("da.domain").as("domain_a"),
+          col("db.domain").as("domain_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("domain_a", "domain_b")
+    },
+
     // Per-domain CAP + blocklist — the crawl-curation action: drop
     // blocklisted registered domains (broadcast anti-join — the
     // blocklist is policy-sized), then keep the top-3 docs per
@@ -398,6 +438,34 @@ object WebQueries {
         |  CAST(MIN(doc_id) AS BIGINT) AS survivor_id
         |FROM c GROUP BY canonical_url
         |ORDER BY canonical_url""".stripMargin,
+
+    "domain_dup_matrix" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents
+        |  WHERE doc_id % 5 >= 3
+        |), fp AS (
+        |  SELECT doc_id, md5(text) AS f FROM corpus
+        |), capped AS (
+        |  SELECT f FROM fp GROUP BY f HAVING COUNT(*) BETWEEN 2 AND 100
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM fp a JOIN capped USING (f) JOIN fp b USING (f)
+        |  WHERE a.doc_id < b.doc_id
+        |), dom AS (
+        |  SELECT doc_id,
+        |    'site' || CAST(doc_id % 37 AS VARCHAR) ||
+        |      CASE WHEN doc_id % 3 = 0 THEN '.com'
+        |        WHEN doc_id % 3 = 1 THEN '.org' ELSE '.net' END AS domain
+        |  FROM corpus
+        |)
+        |SELECT da.domain AS domain_a, db.domain AS domain_b,
+        |  CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |FROM pairs
+        |JOIN dom da ON da.doc_id = id_a
+        |JOIN dom db ON db.doc_id = id_b
+        |GROUP BY 1, 2 ORDER BY domain_a, domain_b""".stripMargin,
 
     "domain_cap" ->
       s"""WITH $urlCte,
