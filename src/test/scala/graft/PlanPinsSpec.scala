@@ -365,6 +365,36 @@ class PlanPinsSpec extends SparkSpec {
       s"blocking degraded to a nested loop:\n$plan")
   }
 
+  test("domain_cap runs the blocklist as a broadcast anti-join and " +
+      "the per-domain cap through the native bounded-heap top-k " +
+      "(partial+final around the exchange — never a per-domain sort)") {
+    val df = SparkEntry.queries("domain_cap")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroup(partial=true"),
+      s"cap lost its partial bounded-heap pass:\n$plan")
+    assert(plan.contains("TopKPerGroup(partial=false"),
+      s"cap lost its final bounded-heap pass:\n$plan")
+    // toString renders join type after the key lists —
+    // "BroadcastHashJoin [...], [...], LeftAnti, BuildRight"
+    assert(plan.contains("LeftAnti") &&
+      plan.contains("BroadcastHashJoin"),
+      s"blocklist not a broadcast anti-join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"blocklist anti-join shuffled:\n$plan")
+  }
+
+  test("domain_dup_matrix stays hash-equi-join end to end (fingerprint " +
+      "and doc_id keys — a nested-loop fallback would be pairs x " +
+      "corpus)") {
+    val df = SparkEntry.queries("domain_dup_matrix")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"dup matrix degraded to a nested loop:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"fingerprint doc-freq cap lost map-side partials:\n$plan")
+  }
+
   test("rfm_segments_approx classifies with histogram cuts — no " +
       "ntile, no customer-dimension global sort; the only ordering " +
       "windows are bucket-histogram cumulations above aggregates") {
