@@ -83,4 +83,60 @@ object RangeJoin {
           pointCol >= loCol && pointCol <= hiCol)
       .select((pCols ++ iCols).map(col): _*)
   }
+
+  /** Interval-OVERLAP join that plans as an equi-join — the genomics
+    * / temporal-analytics sibling of [[pointInInterval]]: all pairs
+    * with `[loA, hiA] ∩ [loB, hiB] ≠ ∅` (inclusive bounds,
+    * `loA <= hiB && loB <= hiA`). The naive ON-clause falls into the
+    * same BroadcastNestedLoopJoin trap as BETWEEN.
+    *
+    * Both sides explode to their touched bins; overlapping pairs meet
+    * in every SHARED bin, so a claim rule dedups by construction: the
+    * pair is emitted only in the bin containing `max(loA, loB)` — the
+    * later start. Overlap means that start is ≤ both his, i.e. it
+    * lies INSIDE both intervals, so its bin is in both explode ranges
+    * (no misses), and one number has one home bin (no duplicates) —
+    * the same exactly-once-by-construction argument as the point
+    * side, without a distinct.
+    *
+    * Scale shape and the `binWidth` knob are [[pointInInterval]]'s,
+    * paid on BOTH sides (each row explodes to ≈ width/w + 1 bins).
+    * Degenerate inputs (null bounds, hi < lo) match nothing. */
+  def intervalOverlap(
+      left: DataFrame, loA: Column, hiA: Column,
+      right: DataFrame, loB: Column, hiB: Column,
+      binWidth: Double,
+      leftKey: Option[Column] = None,
+      rightKey: Option[Column] = None): DataFrame = {
+    require(binWidth > 0 && java.lang.Double.isFinite(binWidth),
+      s"binWidth must be a positive finite number, got $binWidth")
+    require(leftKey.isDefined == rightKey.isDefined,
+      "leftKey and rightKey must be supplied together")
+    val lCols = left.columns.toSeq
+    val rCols = right.columns.toSeq
+    val overlap = lCols.intersect(rCols)
+    require(overlap.isEmpty,
+      s"column name(s) on both sides: ${overlap.mkString(", ")}")
+    val reserved = (lCols ++ rCols).filter(_.startsWith("_rj_"))
+    require(reserved.isEmpty,
+      s"columns may not start with the reserved prefix _rj_: " +
+        reserved.mkString(", "))
+
+    def bin(c: Column): Column = floor(c / lit(binWidth)).cast("long")
+    val l = left
+      .filter(loA.isNotNull && hiA.isNotNull && loA <= hiA)
+      .withColumn("_rj_bin", explode(sequence(bin(loA), bin(hiA))))
+    val r = right
+      .filter(loB.isNotNull && hiB.isNotNull && loB <= hiB)
+      .withColumn("_rj_bin", explode(sequence(bin(loB), bin(hiB))))
+    val keyCond = (leftKey, rightKey) match {
+      case (Some(lk), Some(rk)) => lk === rk
+      case _ => lit(true)
+    }
+    l.join(r,
+        l("_rj_bin") === r("_rj_bin") && keyCond &&
+          loA <= hiB && loB <= hiA &&
+          l("_rj_bin") === bin(greatest(loA, loB)))
+      .select((lCols ++ rCols).map(col): _*)
+  }
 }
