@@ -153,7 +153,10 @@ object SparkEntry {
       // round-14 additions: crawl front-end (HTML + URL governance)
       "html_extract", "boilerplate_report", "domain_rollup",
       "domain_cap", "bpe_merges50", "image_phash_pairs",
-      "rfm_segments_approx", "bpe_compression_curve", "url_dedup", "domain_dup_matrix")
+      "rfm_segments_approx", "bpe_compression_curve", "url_dedup",
+      "domain_dup_matrix",
+      // round-15 additions
+      "interval_overlap", "t_closeness_report")
 
   def benchQueries: Seq[(String, (SparkSession, String) => DataFrame)] =
     benchNames.flatMap(n => queries.get(n).map(n -> _))

@@ -78,6 +78,42 @@ object OpsQueries {
         .orderBy("l")
     },
 
+    // t-CLOSENESS audit — the third member of the privacy trio (Li,
+    // Li & Venkatasubramanian, ICDE'07) next to k_anonymity_report and
+    // l_diversity_report: a group can be k-large AND l-diverse yet
+    // still leak if its sensitive-value DISTRIBUTION differs sharply
+    // from the corpus (skewness attack). Per quasi-identifier group
+    // (source, 50-char length bucket — the l_diversity axes), the
+    // total-variation distance between the group's lang distribution
+    // and the corpus lang distribution, in integer permille
+    // (TVD = Σ|p−q| div 2 over ALL langs, absent langs contributing
+    // their corpus share) — integer arithmetic for engine parity, the
+    // length_drift_report discipline applied per group. Shape: one doc
+    // scan, group- and lang-cardinality aggregates, the lang frame
+    // (web-bounded: languages, not documents) broadcast-crossed into
+    // groups, one group×lang left join — nothing scales beyond
+    // groups×langs at any corpus size.
+    "t_closeness_report" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+        .select(col("source"), expr("n_chars div 50").as("len_bucket"),
+          col("lang"))
+      val gl = d.groupBy("source", "len_bucket", "lang")
+        .agg(count(lit(1)).as("n"))
+      val g = gl.groupBy("source", "len_bucket").agg(sum("n").as("k"))
+      val tot = d.agg(count(lit(1)).as("n_total"))
+      val qd = d.groupBy("lang").agg(count(lit(1)).as("q_n"))
+        .crossJoin(broadcast(tot))
+        .select(col("lang"), expr("q_n * 1000 div n_total")
+          .as("q_permille"))
+      g.crossJoin(broadcast(qd))
+        .join(gl, Seq("source", "len_bucket", "lang"), "left")
+        .withColumn("p_permille", expr("coalesce(n, 0) * 1000 div k"))
+        .groupBy("source", "len_bucket", "k")
+        .agg(expr("sum(abs(p_permille - q_permille)) div 2")
+          .as("tvd_permille"))
+        .orderBy("source", "len_bucket")
+    },
+
     // SCD TYPE-2 dimension build — the warehouse pattern for "what
     // was this customer's priority WHEN the order shipped":
     // gaps-and-islands over each customer's order history collapses
@@ -548,6 +584,33 @@ object OpsQueries {
         |SELECT l, COUNT(*) AS n_groups, CAST(SUM(k) AS BIGINT) AS n_docs,
         |  MIN(k) AS min_k, MAX(k) AS max_k
         |FROM g GROUP BY l ORDER BY l""".stripMargin,
+
+    "t_closeness_report" ->
+      """WITH d AS (
+        |  SELECT source, n_chars // 50 AS len_bucket, lang FROM documents
+        |), gl AS (
+        |  SELECT source, len_bucket, lang, COUNT(*) AS n
+        |  FROM d GROUP BY 1, 2, 3
+        |), g AS (
+        |  SELECT source, len_bucket, CAST(SUM(n) AS BIGINT) AS k
+        |  FROM gl GROUP BY 1, 2
+        |), t AS (SELECT COUNT(*) AS n_total FROM d),
+        |q AS (
+        |  SELECT lang, CAST(COUNT(*) * 1000 // t.n_total AS BIGINT)
+        |    AS q_permille
+        |  FROM d CROSS JOIN t GROUP BY lang, t.n_total
+        |), j AS (
+        |  SELECT g.source, g.len_bucket, g.k, q.q_permille,
+        |    COALESCE(gl.n, 0) * 1000 // g.k AS p_permille
+        |  FROM g CROSS JOIN q
+        |  LEFT JOIN gl ON gl.source = g.source
+        |    AND gl.len_bucket = g.len_bucket AND gl.lang = q.lang
+        |)
+        |SELECT source, len_bucket, k,
+        |  CAST(SUM(abs(p_permille - q_permille)) // 2 AS BIGINT)
+        |    AS tvd_permille
+        |FROM j GROUP BY 1, 2, 3
+        |ORDER BY source, len_bucket""".stripMargin,
 
     "scd2_dimension" ->
       """WITH o AS (

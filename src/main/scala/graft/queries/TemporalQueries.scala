@@ -145,6 +145,37 @@ object TemporalQueries {
         .orderBy("c_custkey", "s_suppkey")
     },
 
+    // Interval-OVERLAP join — pointInInterval's two-sided sibling
+    // (RangeJoin.intervalOverlap): customer balance bands (±100) vs
+    // same-nation supplier balance bands (±200), all pairs whose bands
+    // intersect — the interval×interval shape (validity windows,
+    // genomic ranges, session×promo overlap) that naive Spark plans as
+    // a BroadcastNestedLoopJoin. Both sides explode to 400-wide bins
+    // (≤2 bins for the 200-band, ≤3 for the 400-band) and the pair is
+    // claimed ONLY in the bin of max(lo_a, lo_b) — exactly-once by
+    // construction, no distinct (RangeJoinSpec pins brute-force
+    // equality + the claim rule; PlanPinsSpec pins the no-BNLJ plan).
+    // Band arithmetic is IEEE double add on both engines — identical
+    // bytes — and output columns are the raw acctbals.
+    "interval_overlap" -> { (s, dir) =>
+      val c = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+          (col("c_acctbal") - 100).as("c_lo"),
+          (col("c_acctbal") + 100).as("c_hi"))
+      val sup = Tables.supplier(s, dir)
+        .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"),
+          (col("s_acctbal") - 200).as("s_lo"),
+          (col("s_acctbal") + 200).as("s_hi"))
+      graft.operators.RangeJoin.intervalOverlap(
+          c, col("c_lo"), col("c_hi"), sup, col("s_lo"), col("s_hi"),
+          binWidth = 400.0,
+          leftKey = Some(col("c_nationkey")),
+          rightKey = Some(col("s_nationkey")))
+        .select(col("c_custkey"), col("s_suppkey"),
+          col("c_acctbal"), col("s_acctbal"))
+        .orderBy("c_custkey", "s_suppkey")
+    },
+
     // Retention cohorts: users grouped by the week of their FIRST
     // event; for each (cohort, weeks-since) cell, how many of that
     // cohort were active — the classic retention triangle. The cohort
@@ -423,6 +454,13 @@ object TemporalQueries {
         |    AS INT) AS rank,
         |  path, n_sessions
         |FROM c ORDER BY n_sessions DESC, path LIMIT 10""".stripMargin,
+    "interval_overlap" ->
+      """SELECT c.c_custkey, s.s_suppkey, c.c_acctbal, s.s_acctbal
+        |FROM customer c JOIN supplier s
+        |  ON c.c_nationkey = s.s_nationkey
+        | AND c.c_acctbal - 100 <= s.s_acctbal + 200
+        | AND s.s_acctbal - 200 <= c.c_acctbal + 100
+        |ORDER BY c.c_custkey, s.s_suppkey""".stripMargin,
     "range_join_binned" ->
       """SELECT c.c_custkey, s.s_suppkey, c.c_acctbal, s.s_acctbal
         |FROM customer c JOIN supplier s

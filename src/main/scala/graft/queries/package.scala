@@ -28,8 +28,38 @@ package object queries {
     * removes the foot-gun; `GRAFT_TMP_ROOT` overrides for a shared
     * cache when the operator wants one. The generated ORACLE SQL
     * embeds these paths at dump time from the same process that wrote
-    * the artifacts, so reader and writer always agree. */
+    * the artifacts, so reader and writer always agree.
+    *
+    * Cleanup (r14 ADVICE): pid-scoping would otherwise accumulate one
+    * dead tree per bench/verify run. A shutdown hook can NOT delete
+    * our own root — the driver replays the dumped oracle SQL in DuckDB
+    * AFTER this JVM exits, reading these very paths — so instead, on
+    * first use each process sweeps `/tmp/graft_<pid>` trees whose
+    * owning pid is no longer alive (best-effort; at most one dead tree
+    * survives until the next run initializes). */
   lazy val artifactRoot: String =
-    sys.env.getOrElse("GRAFT_TMP_ROOT",
-      s"/tmp/graft_${java.lang.ProcessHandle.current().pid()}")
+    sys.env.getOrElse("GRAFT_TMP_ROOT", {
+      sweepDeadArtifactRoots()
+      s"/tmp/graft_${java.lang.ProcessHandle.current().pid()}"
+    })
+
+  private def sweepDeadArtifactRoots(): Unit = {
+    val self = java.lang.ProcessHandle.current().pid()
+    val re = "graft_(\\d+)".r
+    val kids = new java.io.File("/tmp").listFiles()
+    if (kids != null) kids.foreach { f =>
+      f.getName match {
+        case re(p) if p.toLong != self &&
+            !java.lang.ProcessHandle.of(p.toLong).isPresent =>
+          deleteRecursively(f)
+        case _ => ()
+      }
+    }
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val cs = f.listFiles()
+    if (cs != null) cs.foreach(deleteRecursively)
+    f.delete(); ()
+  }
 }

@@ -10,7 +10,18 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * shift-decayed activity score
   * `Σ_day count(day) · (10⁶ >> (closeDay − day))` — the same exact
   * integer half-life-per-day weighting as the batch query, evaluated
-  * at each day close instead of once at corpus max-ts. A dashboard
+  * at each day close instead of once at corpus max-ts.
+  *
+  * PARITY NOTE (r14 ADVICE): the aging AXIS is coarser here. Batch
+  * `decayed_counts` ages each EVENT by `(max_ts − ts_us) div DayUs`
+  * (a µs-anchored sliding day), while this operator buckets events
+  * into calendar days first and ages whole buckets by
+  * `closeDay − day`. At the same evaluation instant the two can
+  * therefore disagree for the same data (an event 1.5 days old is
+  * age-1 on the batch axis but may be age-2 by buckets) — the halves
+  * of the "hot now" panel share the decay FORMULA, not one number.
+  * StreamingDecayedCountsSpec pins this operator against the
+  * day-bucket formula evaluated at every close. A dashboard
   * ranks the per-day rows (type-cardinality — trivially small)
   * to get the decayed top-k; the heavy lifting, exactly-once final
   * scores per (type, day), is this operator's job.

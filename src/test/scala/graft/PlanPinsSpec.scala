@@ -412,6 +412,20 @@ class PlanPinsSpec extends SparkSpec {
       s"breakpoint frames are not broadcast:\n$plan")
   }
 
+  test("interval_overlap plans as a hash equi-join on (nation, bin) — " +
+      "never the BroadcastNestedLoopJoin the naive two-sided interval " +
+      "ON-clause produces") {
+    val df = SparkEntry.queries("interval_overlap")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"interval overlap degraded to a nested-loop join:\n$plan")
+    assert(plan.contains("SortMergeJoin") ||
+      plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"no hash/merge equi-join node in the overlap plan:\n$plan")
+  }
+
   test("ingest_changepoint's CUSUM windows run over the FIXED 200-" +
       "bucket histogram (broadcast extent, no corpus-proportional " +
       "single-partition sort)") {

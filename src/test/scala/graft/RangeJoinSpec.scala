@@ -162,6 +162,127 @@ class RangeJoinSpec extends SparkSpec {
     }
   }
 
+  // ── intervalOverlap ────────────────────────────────────────────────
+  // Fixture: two interval sets with different typical widths (≤60 vs
+  // ≤90), dedicated Random so test order can't perturb the data.
+  private val rndO = new Random(21)
+  private val ivA = (0 until 150).map { i =>
+    val lo = rndO.nextDouble() * 1000
+    (3000L + i, rndO.nextInt(5).toLong, lo, lo + rndO.nextDouble() * 60)
+  }
+  private val ivB = (0 until 110).map { i =>
+    val lo = rndO.nextDouble() * 1000
+    (4000L + i, rndO.nextInt(5).toLong, lo, lo + rndO.nextDouble() * 90)
+  }
+
+  private def bruteOverlap(keyed: Boolean): Set[(Long, Long)] =
+    (for {
+      (aid, ak, aLo, aHi) <- ivA
+      (bid, bk, bLo, bHi) <- ivB
+      if (!keyed || ak == bk) && aLo <= bHi && bLo <= aHi
+    } yield (aid, bid)).toSet
+
+  private def overlapped(width: Double): Seq[(Long, Long)] = {
+    val a = ivA.toDF("aid", "ak", "a_lo", "a_hi")
+    val b = ivB.toDF("bid", "bk", "b_lo", "b_hi")
+    RangeJoin.intervalOverlap(a, col("a_lo"), col("a_hi"),
+        b, col("b_lo"), col("b_hi"), binWidth = width,
+        leftKey = Some(col("ak")), rightKey = Some(col("bk")))
+      .select("aid", "bid").as[(Long, Long)].collect().toSeq
+  }
+
+  test("intervalOverlap matches the brute-force overlap join exactly, " +
+      "once per pair (claim-bin dedup, no distinct), for bin widths " +
+      "below / near / above the interval widths") {
+    val expected = bruteOverlap(keyed = true)
+    assert(expected.nonEmpty, "degenerate fixture: no overlaps")
+    for (w <- Seq(9.0, 75.0, 3000.0)) {
+      val got = overlapped(w)
+      assert(got.length === got.distinct.length,
+        s"claim-bin rule emitted a duplicate pair at binWidth=$w")
+      assert(got.toSet === expected, s"binWidth=$w diverged")
+    }
+  }
+
+  test("intervalOverlap: null bounds and hi < lo intervals on EITHER " +
+      "side match nothing") {
+    val a = Seq(
+      (1L, Some(0.0), Some(10.0)),   // valid
+      (2L, None, Some(10.0)),        // null lo
+      (3L, Some(0.0), None),         // null hi
+      (4L, Some(9.0), Some(1.0)))    // inverted
+      .toDF("aid", "a_lo", "a_hi")
+    val b = Seq(
+      (10L, Some(5.0), Some(15.0)),  // overlaps interval 1
+      (11L, Some(11.0), Some(20.0)), // disjoint from interval 1
+      (12L, None, None),             // null bounds
+      (13L, Some(8.0), Some(2.0)))   // inverted (would overlap 1 if valid)
+      .toDF("bid", "b_lo", "b_hi")
+    val got = RangeJoin.intervalOverlap(a, col("a_lo"), col("a_hi"),
+        b, col("b_lo"), col("b_hi"), binWidth = 4.0)
+      .select("aid", "bid").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 10L)))
+  }
+
+  test("intervalOverlap: touching endpoints overlap (inclusive bounds) " +
+      "across a bin boundary — the claim bin is max(lo) even when the " +
+      "shared region is a single point in another interval's last bin") {
+    // [0,8] and [8,16] share exactly the point 8; with binWidth 4 the
+    // claim bin is bin(8)=2, inside both explode ranges
+    val a = Seq((1L, 0.0, 8.0)).toDF("aid", "a_lo", "a_hi")
+    val b = Seq((10L, 8.0, 16.0), (11L, 8.000001, 16.0))
+      .toDF("bid", "b_lo", "b_hi")
+    val got = RangeJoin.intervalOverlap(a, col("a_lo"), col("a_hi"),
+        b, col("b_lo"), col("b_hi"), binWidth = 4.0)
+      .select("aid", "bid").as[(Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 10L)))
+  }
+
+  test("intervalOverlap plans as an equi-join even keyless (where the " +
+      "naive ON-clause nested-loops), and the keyless result is exact") {
+    val a = ivA.toDF("aid", "ak", "a_lo", "a_hi").drop("ak")
+    val b = ivB.toDF("bid", "bk", "b_lo", "b_hi").drop("bk")
+    val df = RangeJoin.intervalOverlap(a, col("a_lo"), col("a_hi"),
+      b, col("b_lo"), col("b_hi"), binWidth = 75.0)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+           !plan.contains("CartesianProduct"),
+      s"overlap join fell back to a nested-loop plan:\n$plan")
+    val naive = a.join(b,
+      col("a_lo") <= col("b_hi") && col("b_lo") <= col("a_hi"))
+    val naivePlan = naive.queryExecution.executedPlan.toString
+    assert(naivePlan.contains("BroadcastNestedLoopJoin") ||
+           naivePlan.contains("CartesianProduct"),
+      s"baseline unexpectedly planned an equi-join:\n$naivePlan")
+    val got = df.select("aid", "bid").as[(Long, Long)].collect()
+    assert(got.length === got.distinct.length,
+      "keyless claim-bin rule emitted a duplicate pair")
+    assert(got.toSet === bruteOverlap(keyed = false))
+  }
+
+  test("intervalOverlap guards: bad binWidth, one-sided keys, " +
+      "overlapping or reserved column names fail fast") {
+    val a = ivA.toDF("aid", "ak", "a_lo", "a_hi")
+    val b = ivB.toDF("bid", "bk", "b_lo", "b_hi")
+    intercept[IllegalArgumentException] {
+      RangeJoin.intervalOverlap(a, col("a_lo"), col("a_hi"),
+        b, col("b_lo"), col("b_hi"), 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      RangeJoin.intervalOverlap(a, col("a_lo"), col("a_hi"),
+        b, col("b_lo"), col("b_hi"), 10.0,
+        leftKey = Some(col("ak")), rightKey = None)
+    }
+    intercept[IllegalArgumentException] {
+      RangeJoin.intervalOverlap(a, col("a_lo"), col("a_hi"),
+        b.withColumnRenamed("bid", "aid"), col("b_lo"), col("b_hi"), 10.0)
+    }
+    intercept[IllegalArgumentException] {
+      RangeJoin.intervalOverlap(a.withColumn("_rj_x", lit(1)),
+        col("a_lo"), col("a_hi"), b, col("b_lo"), col("b_hi"), 10.0)
+    }
+  }
+
   test("negative coordinates bin correctly (floor, not truncation, " +
       "at the zero boundary)") {
     // points straddle zero; truncating division would alias bins -1
