@@ -156,7 +156,7 @@ object SparkEntry {
       "rfm_segments_approx", "bpe_compression_curve", "url_dedup",
       "domain_dup_matrix",
       // round-15 additions
-      "interval_overlap", "t_closeness_report")
+      "interval_overlap", "t_closeness_report", "cross_doc_span_trim")
 
   def benchQueries: Seq[(String, (SparkSession, String) => DataFrame)] =
     benchNames.flatMap(n => queries.get(n).map(n -> _))

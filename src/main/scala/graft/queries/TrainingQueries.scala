@@ -2076,6 +2076,64 @@ object TrainingQueries {
         .orderBy("doc_id")
     },
 
+    // Cross-document span EXTENTS trimmed from the LOWER-QUALITY
+    // member — the "Deduplicating Training Data Makes Language Models
+    // Better" (Lee et al., 2021) ExactSubstr shape, completing the
+    // span family: dup_span_report COUNTS duplicated grams,
+    // dedup_span_trim removes them from EVERY carrier; this query
+    // keeps each duplicated span's single BEST home intact and emits
+    // the maximal removed extents everywhere else. Per duplicated
+    // word-8-gram the OWNER is the highest-quality containing doc
+    // (most tokens, tie → smaller id — so planted re-crawl copies
+    // always lose to their originals); covered positions in non-owner
+    // docs merge into maximal extents by gaps-and-islands (p − rn —
+    // overlapping grams coalesce, every extent is ≥ 8 tokens by
+    // construction). Shape: occurrences and the owner aggregate are
+    // linear in corpus grams (md5-keyed exchanges, max_by partials —
+    // no pairwise text comparison anywhere), and the islands window
+    // partitions per doc — bounded by doc length, all parallel.
+    "cross_doc_span_trim" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val all = d.unionByName(
+        d.filter(pmod(col("doc_id"), lit(5)) >= lit(3))
+          .select((col("doc_id") + CopyShift).as("doc_id"), col("text")))
+      val base = all.select(col("doc_id"),
+        TextAnalysis.tokens(lower(col("text"))).as("toks"))
+      val occ = base.filter(size(col("toks")) >= 8)
+        .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+          posexplode(expr(
+            "transform(sequence(1, size(toks) - 7)," +
+              " i -> md5(array_join(slice(toks, i, 8), ' ')))")))
+        .select(col("doc_id"), col("n_tokens"),
+          (col("pos") + 1).as("i"), col("col").as("g"))
+      // owner key is ONE scalar (shared verbatim with the oracle —
+      // DuckDB's max_by takes no composite key): n_tokens·1e8 − doc_id
+      // orders by quality then smaller-id, collision-free while ids
+      // stay below 1e8 (base ids < 1e6, CopyShift 1e6, ScaleUp 1e7 —
+      // the dedup_source_matrix invariant)
+      val owners = occ.select("doc_id", "n_tokens", "g").distinct()
+        .groupBy("g")
+        .agg(count(lit(1)).as("ndocs"),
+          expr("max_by(doc_id, n_tokens * 100000000 - doc_id)")
+            .as("owner"))
+        .filter(col("ndocs") >= 2)
+        .select("g", "owner")
+      val cov = occ.join(owners, "g")
+        .filter(col("doc_id") =!= col("owner"))
+        .select(col("doc_id"),
+          explode(expr("sequence(i, i + 7)")).as("p"))
+        .distinct()
+      val w = Window.partitionBy("doc_id").orderBy("p")
+      cov.withColumn("island", col("p") - row_number().over(w))
+        .groupBy("doc_id", "island")
+        .agg(min(col("p")).cast("long").as("span_start"),
+          max(col("p")).cast("long").as("span_end"),
+          count(lit(1)).as("span_len"))
+        .select("doc_id", "span_start", "span_end", "span_len")
+        .orderBy("doc_id", "span_start")
+    },
+
     // Corpus snapshot diff — the report an incremental crawl publishes
     // before replacing a snapshot: which docs were added / removed /
     // changed / unchanged between versions. Both sides reduce to
@@ -4239,6 +4297,42 @@ object TrainingQueries {
         |  CAST(len(toks) - COALESCE(n_kept, 0) AS BIGINT) AS n_removed,
         |  COALESCE(trimmed_fp, md5('')) AS trimmed_fp
         |FROM t LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "cross_doc_span_trim" ->
+      s"""WITH span_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + $CopyShift AS doc_id, text FROM documents
+        |  WHERE doc_id % 5 >= 3
+        |), t AS (
+        |  SELECT doc_id, $toksExpr AS toks FROM span_docs
+        |), occ AS (
+        |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    unnest(range(1, len(toks) - 6)) AS i,
+        |    unnest(list_transform(range(1, len(toks) - 6),
+        |      i -> md5(array_to_string(toks[CAST(i AS INT):CAST(i + 7 AS INT)],
+        |        ' ')))) AS g
+        |  FROM t WHERE len(toks) >= 8
+        |), owners AS (
+        |  SELECT g, max_by(doc_id, n_tokens * 100000000 - doc_id)
+        |    AS owner
+        |  FROM (SELECT DISTINCT doc_id, n_tokens, g FROM occ)
+        |  GROUP BY g HAVING COUNT(*) >= 2
+        |), cov AS (
+        |  SELECT DISTINCT doc_id, p FROM (
+        |    SELECT occ.doc_id, unnest(range(i, i + 8)) AS p
+        |    FROM occ JOIN owners USING (g)
+        |    WHERE occ.doc_id <> owners.owner
+        |  )
+        |), isl AS (
+        |  SELECT doc_id, p,
+        |    p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p)
+        |      AS island
+        |  FROM cov
+        |)
+        |SELECT doc_id, MIN(p) AS span_start, MAX(p) AS span_end,
+        |  COUNT(*) AS span_len
+        |FROM isl GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin,
     "snapshot_diff" ->
       s"""WITH oldsnap AS (
         |  SELECT doc_id, md5(text) AS fp_old FROM documents

@@ -15,6 +15,13 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
+    # bound DuckDB's appetite: with default settings (one thread per
+    # core, memory limit ~80% of a 128G box) the sandbox occasionally
+    # fails thread creation (EAGAIN) or tiny mallocs while a Spark JVM
+    # is still releasing memory -- observed as one random FAIL per ~5
+    # full runs; 8 threads / 16G is far more than any oracle needs
+    con.execute("SET threads=8")
+    con.execute("SET memory_limit='16GB'")
     for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
