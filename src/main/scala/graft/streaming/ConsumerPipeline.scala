@@ -2,7 +2,7 @@ package graft.streaming
 
 import scala.util.Try
 
-import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -273,20 +273,18 @@ object ConsumerPipeline {
       "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
     val priorIds = prior.toDF().select(col("msgId")).distinct()
     val unusableRecs = decoded.filter(col("reason_unusable").isNotNull)
-    val newDeadRecords = unusableRecs
-      .join(priorIds, unusableRecs("eventID") === priorIds("msgId"),
-        "left_anti")
-      .select(lit("DR").as("kind"), DeadLetters.deadRecordEnvelope(
-        col("streamConsumerId"), col("shardOrEventID"), recordJson,
-        col("reason_unusable"), at).as("envelope"))
+    val newDeadRecords =
+      onceOnly(unusableRecs, unusableRecs("eventID"), priorIds)
+        .select(lit("DR").as("kind"), DeadLetters.deadRecordEnvelope(
+          col("streamConsumerId"), col("shardOrEventID"), recordJson,
+          col("reason_unusable"), at).as("envelope"))
     // Identify-rejected messages → DMQ with their REAL reasonRejected,
     // once-only across replays (the state marker below remembers them).
-    val newRejectedLetters = rejectedMsgs
-      .join(priorIds, rejectedMsgs("eventID") === priorIds("msgId"),
-        "left_anti")
-      .select(lit("DM").as("kind"), DeadLetters.deadMessageEnvelope(
-        col("streamConsumerId"), col("shardOrEventID"), col("message"),
-        col("reason_rejected"), at).as("envelope"))
+    val newRejectedLetters =
+      onceOnly(rejectedMsgs, rejectedMsgs("eventID"), priorIds)
+        .select(lit("DM").as("kind"), DeadLetters.deadMessageEnvelope(
+          col("streamConsumerId"), col("shardOrEventID"), col("message"),
+          col("reason_rejected"), at).as("envelope"))
     // A message is discarded (→ DMQ) only when ALL its task nodes
     // finalised with at least one rejected — never while a sibling
     // task still has retry budget. The envelope's reasonRejected is the
@@ -363,6 +361,20 @@ object ConsumerPipeline {
           s"${result.blocked} blocked — replaying")
     result
   }
+
+  /** Once-only guard for DRQ/DMQ writes (S4/S5): rows whose id already
+    * appears in prior state are dropped by a LEFT-ANTI equi-join, so a
+    * replayed batch cannot re-route an envelope an earlier trigger
+    * already wrote (mirrors the reference's persisted
+    * unusableRecordStates/rejectedMessageStates —
+    * test/persisting.test.js:339-398). Package-visible so
+    * PipelineFidelitySpec can pin the plan: a hash/merge ANTI join on
+    * the id (AQE/stats pick the side), never a nested loop — at 100 TB
+    * the prior-id frame is state-sized and the letters frame is
+    * failure-sized, both tiny next to the batch scan. */
+  private[graft] def onceOnly(rows: DataFrame, idCol: Column,
+      priorIds: DataFrame): DataFrame =
+    rows.join(priorIds, idCol === priorIds("msgId"), "left_anti")
 
   /** Prior-state key resolution (T2 revive): identity when
     * `migrate = false` — the migration join must be ABSENT from the

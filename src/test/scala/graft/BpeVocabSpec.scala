@@ -22,6 +22,38 @@ class BpeVocabSpec extends SparkSpec {
       "50-round run diverged from the 5-round run on rounds 1-5")
   }
 
+  test("the histogram-trained merge table equals the distributed " +
+      "per-round walk, all 50 rounds, pairs AND selection-time counts " +
+      "(the r15 batching must not change a single merge)") {
+    val hist = TrainingQueries.bpeLearnedMerges(spark, sf0001,
+      TrainingQueries.BpeVocabRounds)
+    val walk = TrainingQueries.bpeLearnedMergesDistributed(spark, sf0001,
+      TrainingQueries.BpeVocabRounds)
+    assert(hist === walk,
+      "histogram fast path diverged from the distributed merge loop")
+  }
+
+  test("histogram training costs a bounded handful of Spark jobs " +
+      "(the 50-job per-round walk is gone — the r15 verdict's pin)") {
+    val sc = spark.sparkContext
+    val group = "bpe-hist-jobs-pin"
+    sc.setJobGroup(group, "BPE histogram training job-count pin", false)
+    // fresh memo key (rounds = 7 is used by no query or other test),
+    // so this measures a real training run, not a memo hit
+    try TrainingQueries.bpeLearnedMerges(spark, sf0001, 7)
+    finally sc.clearJobGroup()
+    // job data reaches the status store through the async listener
+    // bus — poll briefly for ≥1, then pin the ceiling
+    val deadline = System.nanoTime() + 10000000000L
+    def jobs() = sc.statusTracker.getJobIdsForGroup(group).length
+    while (jobs() == 0 && System.nanoTime() < deadline)
+      Thread.sleep(100)
+    val n = jobs()
+    assert(n >= 1, "no job recorded for the histogram aggregate")
+    assert(n <= 4,
+      s"histogram training ran $n jobs — the per-round walk is back?")
+  }
+
   test("vocab growth law: every merged pair is new, each side is a " +
       "known symbol (single char or earlier merge), so round r's " +
       "pair alphabet is charset^2 + r bounded — the per-round " +

@@ -233,6 +233,53 @@ class PipelineFidelitySpec extends SparkSpec {
       s"migration join missing when enabled:\n$onPlan")
   }
 
+  test("unusable records route to the DRQ once across a replayed " +
+      "trigger — the DR half of the once-only guard (the DM half is " +
+      "pinned below and in the BFK tests)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-drq").toString
+    // e2's data is not base64 ⇒ reason_unusable = invalid base64 data
+    val batch = Seq(
+      ("e1", "shard-0", "pk1", b64("""{"id":1,"n":1,"v":"ok"}""")),
+      ("e2", "shard-0", "pk2", "%%%not-base64%%%")
+    ).toDF("eventID", "shardId", "partitionKey", "data")
+    val ok: String => Try[Unit] = _ => Try(())
+
+    val r1 = ConsumerPipeline(cfg, ok, s"$dir/state", s"$dir/dlq")(batch, 1L)
+    assert(r1.unusable === 1 && r1.completed === 1)
+    val dr1 = spark.read.parquet(s"$dir/dlq").filter(col("kind") === "DR")
+    assert(dr1.count() === 1)
+    assert(dr1.filter(col("envelope").contains("invalid base64 data"))
+      .count() === 1)
+
+    // two replays of the same trigger: the state marker anti-joins the
+    // envelope away BOTH times — letter-FILE idempotence, not just
+    // state idempotence
+    ConsumerPipeline(cfg, ok, s"$dir/state", s"$dir/dlq")(batch, 2L)
+    ConsumerPipeline(cfg, ok, s"$dir/state", s"$dir/dlq")(batch, 3L)
+    assert(spark.read.parquet(s"$dir/dlq")
+      .filter(col("kind") === "DR").count() === 1,
+      "a replayed trigger re-wrote a dead-record envelope")
+    // and nothing else leaked into the letter file
+    assert(spark.read.parquet(s"$dir/dlq").count() === 1)
+  }
+
+  test("the once-only guard plans as a hash/merge LEFT-ANTI equi-join " +
+      "on the id — never a nested loop (the shape the replayed-batch " +
+      "idempotence rides on)") {
+    import spark.implicits._
+    val rows = Seq(("e1", "x"), ("e2", "y")).toDF("eventID", "payload")
+    val prior = Seq("e1").toDF("msgId")
+    val df = ConsumerPipeline.onceOnly(rows, rows("eventID"), prior)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"),
+      s"once-only guard lost its anti-join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"once-only guard degraded to a nested loop:\n$plan")
+    assert(df.select("eventID").as[String].collect().toSeq === Seq("e2"))
+  }
+
   test("identify-rejected messages route to the DMQ once with their " +
       "real reasonRejected") {
     import spark.implicits._
