@@ -309,7 +309,8 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs within a bucket, with the
-    * bucket refined by `probeDims` chord-bound projection grids.
+    * bucket refined by `probeDims` chord-bound projection grids and an
+    * exact chord PREFILTER on the candidate stream.
     *
     * A coarse bucket column alone (class label, cluster id) has FIXED
     * cardinality, so its per-bucket population grows linearly with the
@@ -323,63 +324,132 @@ object Similarity {
     * a qualifying pair; the final codegen'd cosine filter is
     * unchanged, so the result set is identical to the unrefined join.
     *
-    * Scale knob: each projection multiplies candidate-cutting cell
-    * count (data-spread / √(2−2t) cells per dim) and costs a 3× probe
-    * duplication of the (id, cells, vec) probe side — pick `probeDims`
-    * so expected cell occupancy stays O(constant) as the corpus grows.
-    * Projections are deterministic Walsh ±1 sign patterns (unit after
-    * /√d), computed per ROW in O(d) next to the O(d) norm — never per
-    * pair. */
+    * r15 redesign, after the sf10 (100×) measurement showed the fixed
+    * knob COMPOUNDING (pd=2: 196 s; pd=4 slower than pd=3 because the
+    * probe explode carried the vectors — ~300 B × 3^pd per row):
+    *
+    *  1. The probe explode carries only (bucket, id, cells, prefilter)
+    *     — never the vector.
+    *  2. Candidates stream through an exact chord prefilter BEFORE
+    *     anything materializes: with mutually ORTHONORMAL projection
+    *     directions, Σ_k (Δproj_k)² ≤ ‖â−b̂‖² over any subset, so
+    *     `pfa²+pfb²−2·pf_a·pf_b > 2−2t (+ float slack)` rejects
+    *     exactly — the slack only ADMITS borderline candidates, which
+    *     the final full cosine still filters. The dot is the codegen'd
+    *     [[FloatVecDot]] over an 8-float array; the directions are
+    *     Hadamard rows (mask j: sign = parity(popcount(i & j))),
+    *     orthonormal whenever 2^⌈log₂(m+1)⌉ divides d — degenerate
+    *     dims fall back to the r9 single-bit patterns, prefilter off.
+    *  3. Only prefilter SURVIVORS (≈ true near-dups) join the vectors
+    *     back by id for the exact cosine — two linear id-keyed joins.
+    *  4. `probeDims = 0` (the default) AUTO-SIZES from a count probe —
+    *     one extra cheap job, the dedup_incremental_bloom sizing
+    *     precedent: one grid dim per decade beyond 5·10⁴ rows, so
+    *     candidate enumeration stays bounded as the corpus grows
+    *     (capped at 5: the probe explode is 3^pd).
+    *
+    * `GRAFT_PROBE_DIMS` overrides the grid depth for measurements —
+    * output-invariant by the exactness argument. Projections are
+    * computed per ROW in O(d) next to the O(d) norm — never per pair. */
   def cosineDupPairs(df: DataFrame, idCol: Column, vecCol: Column,
       bucketCol: String, threshold: Double,
-      probeDims: Int = 2): DataFrame = {
+      probeDims: Int = 0): DataFrame = {
     require(threshold > -1.0 && threshold < 1.0,
       "threshold must be in (-1, 1)")
+    val autoDims =
+      if (probeDims > 0) probeDims
+      else {
+        val n = df.count()
+        math.min(5, 2 + math.max(0,
+          math.floor(math.log10(math.max(1.0, n / 50000.0))).toInt +
+            (if (n > 50000) 1 else 0)))
+      }
+    val probeDims1 = sys.env.get("GRAFT_PROBE_DIMS").map(_.toInt)
+      .getOrElse(autoDims)
     val cellW = math.sqrt(2.0 - 2.0 * threshold)
     val base = df.select(col(bucketCol).as("_bk"), idCol.as("_id"),
         vecCol.as("_vec"))
       .withColumn("_norm", norm(col("_vec")))
-    // Walsh pattern k: sign flips every 2^k elements; unit projection
-    // value = Σ ±x_i / (√d · ‖x‖), cell = ⌊proj / cellW⌋. The sign
-    // vector is row-independent, so probe the (shared) dimension once
-    // at plan time and fold it to a CONSTANT ±1 array — the signed sum
-    // is then one codegen'd FloatVecDot instead of an interpreted
-    // per-element lambda chain (cosine requires equal dims anyway; a
-    // genuinely streaming input would need the HOF form, but streaming
-    // near-dup pairing goes through StreamingDedup, not here).
+    // Projection j: constant ±1 sign array folded at plan time (the
+    // signed sum is one codegen'd FloatVecDot, not an interpreted
+    // per-element lambda chain); unit value = Σ ±x_i / (√d · ‖x‖),
+    // cell = ⌊proj / cellW⌋.
     val dimRow = df.select(size(vecCol)).limit(1).collect()
     val dim = if (dimRow.isEmpty) 1 else dimRow.head.getInt(0)
-    val withCells = (0 until probeDims).foldLeft(base) { (acc, k) =>
-      val signs = array((0 until dim).map(i =>
-        lit(if (((i >> k) & 1) == 0) 1.0f else -1.0f)): _*)
-      acc.withColumn(s"_c$k",
-        floor(dot(col("_vec"), signs) /
-          (lit(math.sqrt(dim.toDouble)) * col("_norm") * lit(cellW))))
+    // Hadamard masks 1..m are mutually orthonormal iff d is a multiple
+    // of 2^⌈log₂(m+1)⌉; bDiv = largest b with 2^b | d bounds the family
+    val bDiv = if (dim > 0) Integer.numberOfTrailingZeros(dim) else 0
+    val nOrtho = (1 << math.min(bDiv, 16)) - 1
+    val useHadamard = nOrtho >= probeDims1
+    val mPref = if (useHadamard) math.min(8, nOrtho) else 0
+    def signsFor(j: Int) = {
+      val mask = if (useHadamard) j + 1 else 1 << j
+      array((0 until dim).map(i =>
+        lit(if (Integer.bitCount(i & mask) % 2 == 0) 1.0f else -1.0f)): _*)
     }
-    // probe side duplicates each row into the 3^probeDims neighboring
+    def proj(j: Int): Column =
+      dot(col("_vec"), signsFor(j)) /
+        (lit(math.sqrt(dim.toDouble)) * col("_norm"))
+    val withProj = (0 until math.max(probeDims1, mPref))
+      .foldLeft(base)((acc, j) => acc.withColumn(s"_p$j", proj(j)))
+    val withPf =
+      if (mPref == 0) withProj.withColumn("_pf", lit(null).cast("array<float>"))
+        .withColumn("_pf2", lit(0.0))
+      else withProj
+        .withColumn("_pf", array((0 until mPref).map(j =>
+          col(s"_p$j").cast("float")): _*))
+        .withColumn("_pf2", dot(col("_pf"), col("_pf")))
+    val withCells = (0 until probeDims1).foldLeft(withPf) { (acc, k) =>
+      acc.withColumn(s"_c$k", floor(col(s"_p$k") / lit(cellW)))
+    }
+    // Probe side duplicates each row into the 3^probeDims neighboring
     // cell combinations; emitting a pair only when the PROBE id is the
     // smaller one both dedups (exactly one of the two directions
-    // satisfies the order) and keeps coverage (offsets are symmetric)
-    val offsets = Seq.fill(probeDims)(Seq(-1, 0, 1))
+    // satisfies the order; the matching offset vector c_b − c_a is
+    // unique per pair, so no distinct is needed) and keeps coverage
+    // (offsets are symmetric).
+    //
+    // The explode carries ONLY (bucket, id, cells) — r15 fix: the
+    // original carried the vector + norm through the 3^probeDims
+    // duplication, so at sf10 (1M vectors, 64 floats) the probe side
+    // materialized ~8 GB per added dim and deeper grids LOST time
+    // (measured: probeDims 3 = 35 s but 4 = 85 s). Narrow probe rows
+    // are ~40 B; the exact cosine filter instead joins the two
+    // vectors back by id — two linear hash joins whose cost follows
+    // the CANDIDATE count the grid just cut.
+    val offsets = Seq.fill(probeDims1)(Seq(-1, 0, 1))
       .foldLeft(Seq(Seq.empty[Int]))((acc, s) =>
         for (c <- acc; x <- s) yield c :+ x)
     val offArr = array(offsets.map(o =>
       struct(o.zipWithIndex.map { case (v, i) => lit(v).as(s"o$i") }: _*)
     ): _*)
     val aCols = Seq(col("_bk"), col("_id").as("id_a"),
-      col("_vec").as("vec_a"), col("_norm").as("_norm_a")) ++
-      (0 until probeDims).map(k =>
+      col("_pf").as("_pf_a"), col("_pf2").as("_pf2_a")) ++
+      (0 until probeDims1).map(k =>
         (col(s"_c$k") + col(s"_off").getField(s"o$k")).as(s"_ca$k"))
     val a = withCells.withColumn("_off", explode(offArr)).select(aCols: _*)
     val bCols = Seq(col("_bk").as("_bkb"), col("_id").as("id_b"),
-      col("_vec").as("vec_b"), col("_norm").as("_norm_b")) ++
-      (0 until probeDims).map(k => col(s"_c$k").as(s"_cb$k"))
+      col("_pf").as("_pf_b"), col("_pf2").as("_pf2_b")) ++
+      (0 until probeDims1).map(k => col(s"_c$k").as(s"_cb$k"))
     val b = withCells.select(bCols: _*)
-    val joinCond = (0 until probeDims)
+    // exact chord prefilter (see scaladoc): float rounding of the
+    // projections moves each Δ by ≤ a few ulps, so the 1e-5 slack can
+    // only ADMIT extra candidates, never reject a qualifying pair
+    val prefilter =
+      if (mPref == 0) lit(true)
+      else col("_pf2_a") + col("_pf2_b") -
+        lit(2.0) * dot(col("_pf_a"), col("_pf_b")) <=
+        lit(2.0 - 2.0 * threshold + 1e-5)
+    val joinCond = (0 until probeDims1)
       .map(k => col(s"_ca$k") === col(s"_cb$k"))
       .foldLeft(col("_bk") === col("_bkb") &&
-        col("id_a") < col("id_b"))(_ && _)
-    a.join(b, joinCond)
+        col("id_a") < col("id_b") && prefilter)(_ && _)
+    val cand = a.join(b, joinCond).select("id_a", "id_b")
+    val va = base.select(col("_id").as("id_a"), col("_vec").as("vec_a"),
+      col("_norm").as("_norm_a"))
+    val vb = base.select(col("_id").as("id_b"), col("_vec").as("vec_b"),
+      col("_norm").as("_norm_b"))
+    cand.join(va, "id_a").join(vb, "id_b")
       .withColumn("cosine",
         dot(col("vec_a"), col("vec_b")) / (col("_norm_a") * col("_norm_b")))
       .filter(col("cosine") >= threshold)

@@ -56,6 +56,41 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("cosineDupPairs: odd dimension (no orthonormal Hadamard family " +
+      "— prefilter off, single-bit fallback) and the auto-sized " +
+      "default both still return the exact naive pair set") {
+    import spark.implicits._
+    val rnd = new Random(7)
+    val dim = 15 // odd: numberOfTrailingZeros = 0 → fallback path
+    val centers = Array.fill(20)(Array.fill(dim)(rnd.nextGaussian()))
+    val rows = (0 until 400).map { i =>
+      val c = centers(rnd.nextInt(centers.length))
+      val noise = if (rnd.nextBoolean()) 0.02 else 0.6
+      (i.toLong, c.map(x => (x + noise * rnd.nextGaussian()).toFloat),
+        i % 3)
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val withNorm = df.withColumn("_n", Similarity.norm(col("embedding")))
+    val a = withNorm.select(col("label"), col("vec_id").as("id_a"),
+      col("embedding").as("va"), col("_n").as("na"))
+    val b = withNorm.select(col("label"), col("vec_id").as("id_b"),
+      col("embedding").as("vb"), col("_n").as("nb"))
+    val expected = a.join(b, "label").filter(col("id_a") < col("id_b"))
+      .filter(Similarity.dot(col("va"), col("vb")) /
+        (col("na") * col("nb")) >= 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(expected.nonEmpty, "degenerate fixture: no qualifying pairs")
+    val fallback = Similarity.cosineDupPairs(df, col("vec_id"),
+        col("embedding"), "label", threshold = 0.95, probeDims = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(fallback === expected, "odd-dim fallback diverged")
+    // default probeDims = 0 → auto-sized from a count probe
+    val auto = Similarity.cosineDupPairs(df, col("vec_id"),
+        col("embedding"), "label", threshold = 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(auto === expected, "auto-sized grid diverged")
+  }
+
   test("int8 scalar quantization: constant vectors degrade gracefully, " +
       "bytes stay in range, and dequantized top-10 recall >= 0.9 vs " +
       "the exact float ranking on sf0.001") {
