@@ -2107,13 +2107,19 @@ object TrainingQueries {
     // the maximal removed extents everywhere else. Per duplicated
     // word-8-gram the OWNER is the highest-quality containing doc
     // (most tokens, tie → smaller id — so planted re-crawl copies
-    // always lose to their originals); covered positions in non-owner
-    // docs merge into maximal extents by gaps-and-islands (p − rn —
-    // overlapping grams coalesce, every extent is ≥ 8 tokens by
-    // construction). Shape: occurrences and the owner aggregate are
-    // linear in corpus grams (md5-keyed exchanges, max_by partials —
-    // no pairwise text comparison anywhere), and the islands window
-    // partitions per doc — bounded by doc length, all parallel.
+    // always lose to their originals); non-owner gram hits merge into
+    // maximal extents as INTERVALS ([i, i+7] runs coalesce while the
+    // next start is ≤ running-max-end + 1 — a lag-max window over the
+    // HITS, never an 8× position explode; coverage inside a merged
+    // run is contiguous by construction, so span_len = end − start + 1
+    // and every extent is ≥ 8 tokens). The DuckDB oracle derives the
+    // same extents through the genuinely different position-islands
+    // algorithm (explode covered positions, p − row_number groups) —
+    // two algorithms, one answer. Shape: occurrences and the owner
+    // aggregate are linear in corpus grams (md5-keyed exchanges,
+    // max_by partials — no pairwise text comparison anywhere), and
+    // the interval windows partition per doc over HIT counts —
+    // bounded by doc length, all parallel.
     "cross_doc_span_trim" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
@@ -2141,17 +2147,23 @@ object TrainingQueries {
             .as("owner"))
         .filter(col("ndocs") >= 2)
         .select("g", "owner")
-      val cov = occ.join(owners, "g")
+      // one row per (doc, i): a position holds ONE gram, and the g
+      // equi-join matches at most one owners row — no distinct needed
+      val hits = occ.join(owners, "g")
         .filter(col("doc_id") =!= col("owner"))
-        .select(col("doc_id"),
-          explode(expr("sequence(i, i + 7)")).as("p"))
-        .distinct()
-      val w = Window.partitionBy("doc_id").orderBy("p")
-      cov.withColumn("island", col("p") - row_number().over(w))
+        .select(col("doc_id"), col("i"))
+      val byI = Window.partitionBy("doc_id").orderBy("i")
+      val prevMax = byI.rowsBetween(Window.unboundedPreceding, -1)
+      val runFrame = byI.rowsBetween(Window.unboundedPreceding, 0)
+      hits
+        .withColumn("prev_end", max(col("i") + 7).over(prevMax))
+        .withColumn("brk", when(col("prev_end").isNull ||
+          col("i") > col("prev_end") + 1, 1L).otherwise(0L))
+        .withColumn("island", sum("brk").over(runFrame))
         .groupBy("doc_id", "island")
-        .agg(min(col("p")).cast("long").as("span_start"),
-          max(col("p")).cast("long").as("span_end"),
-          count(lit(1)).as("span_len"))
+        .agg(min(col("i")).cast("long").as("span_start"),
+          max(col("i") + 7).cast("long").as("span_end"))
+        .withColumn("span_len", col("span_end") - col("span_start") + 1)
         .select("doc_id", "span_start", "span_end", "span_len")
         .orderBy("doc_id", "span_start")
     },
