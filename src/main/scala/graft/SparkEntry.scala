@@ -156,7 +156,8 @@ object SparkEntry {
       "rfm_segments_approx", "bpe_compression_curve", "url_dedup",
       "domain_dup_matrix",
       // round-15 additions
-      "interval_overlap", "t_closeness_report", "cross_doc_span_trim")
+      "interval_overlap", "t_closeness_report", "cross_doc_span_trim",
+      "dp_count_release", "frontier_refresh_plan")
 
   def benchQueries: Seq[(String, (SparkSession, String) => DataFrame)] =
     benchNames.flatMap(n => queries.get(n).map(n -> _))

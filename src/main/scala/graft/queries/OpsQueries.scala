@@ -31,7 +31,60 @@ object OpsQueries {
       .filter(substring(md5(concat(lit("erase:"),
         col("user_id").cast("string"))), 1, 2) < "18")
 
+  /** Discrete-Laplace noise ladder for [[all]]'s `dp_count_release` —
+    * the INTEGER differential-privacy mechanism (two-sided geometric;
+    * Ghosh, Roughgarden & Sundararajan 2009: the universally optimal
+    * count mechanism, and what real DP deployments release because
+    * float Laplace leaks through its mantissa — Mironov 2012). At
+    * ε = 1, sensitivity 1: P(k) = p₀·e^{−|k|} with p₀ = (1−e⁻¹)/(1+e⁻¹).
+    * The CDF over k ∈ [−32, 32] (tail mass < 10⁻¹³ — the clamp is the
+    * standard bounded-noise release) is computed HOST-side and embedded
+    * as shortest-round-trip double literals in ONE CASE ladder string
+    * both engines evaluate: the uniform draw `u` is exact in both
+    * (integer md5 prefix + a power-of-two scale — no rounding), so
+    * every comparison is between identical doubles and the sampled
+    * noise is engine-identical with no shared-ln hazard. */
+  private[queries] def dpNoiseSql(u: String): String = {
+    val p = math.exp(-1.0)
+    val K = 32
+    val p0 = (1 - p) / (1 + p)
+    val probs = (-K to K).map(k => p0 * math.pow(p, math.abs(k)))
+    val cum = probs.scanLeft(0.0)(_ + _).tail
+    def dlit(c: Double): String = {
+      val s = c.toString
+      if (s.contains('E')) s.replace("E", "e") else s + "e0"
+    }
+    val cases = (-K until K).zip(cum).map { case (k, c) =>
+      s"WHEN $u < ${dlit(c)} THEN CAST($k AS BIGINT)"
+    }.mkString(" ")
+    s"CASE $cases ELSE CAST($K AS BIGINT) END"
+  }
+
   val all: Map[String, Q] = Map(
+
+    // DIFFERENTIALLY-PRIVATE count release — the governance tier's
+    // publishing end: per-source document counts released under ε = 1
+    // pure DP via the discrete-Laplace mechanism (see [[dpNoiseSql]]:
+    // integer noise from a host-side CDF ladder, engine-exact — the
+    // float-Laplace ln() hazard never arises). The uniform draw is the
+    // seeded md5-bucket discipline every sampler here uses, making the
+    // release REPRODUCIBLE — in production the seed input is a secret
+    // release nonce instead of a bare constant, and only
+    // (source, released_count) ship; n_docs and dp_noise are kept in
+    // this frame for the oracle hash gate. Shape: one source-cardinality
+    // aggregate + per-row ladder arithmetic — nothing scales past the
+    // scan.
+    "dp_count_release" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy("source").agg(count(lit(1)).as("n_docs"))
+        .withColumn("u", expr(
+          "(CAST(conv(substring(md5(concat('dp:', source)), 1, 8), " +
+            "16, 10) AS BIGINT) + 0.5e0) / 4294967296.0e0"))
+        .withColumn("dp_noise", expr(dpNoiseSql("u")))
+        .select(col("source"), col("n_docs"), col("dp_noise"),
+          (col("n_docs") + col("dp_noise")).as("released_count"))
+        .orderBy("source")
+    },
 
     // Right-to-be-forgotten SWEEP — the purge manifest a deletion job
     // executes and the audit trail it files: for every tombstoned
@@ -560,6 +613,22 @@ object OpsQueries {
     })
 
   val oracle: Map[String, String] = Map(
+
+    "dp_count_release" -> {
+      val ladder = dpNoiseSql("u")
+      s"""WITH c AS (
+        |  SELECT source, COUNT(*) AS n_docs FROM documents
+        |  GROUP BY source
+        |), uu AS (
+        |  SELECT source, n_docs,
+        |    (('0x' || substr(md5('dp:' || source), 1, 8))::BIGINT
+        |      + 0.5e0) / 4294967296.0e0 AS u
+        |  FROM c
+        |)
+        |SELECT source, n_docs, $ladder AS dp_noise,
+        |  n_docs + ($ladder) AS released_count
+        |FROM uu ORDER BY source""".stripMargin
+    },
 
     "erasure_sweep" ->
       """WITH tomb AS (

@@ -224,6 +224,40 @@ object WebQueries {
         .orderBy("canonical_url")
     },
 
+    // Crawl-frontier REFRESH PLAN — the scheduling decision the
+    // frontier tier feeds (StreamingUrlFrontier admits per refresh
+    // interval; THIS query sets the interval): per registered domain,
+    // URL volume, canonical-dedup rate, and observed change rate
+    // (snapshot_diff's doc_id % 11 edit rule — the re-crawl delta
+    // signal), combined by an integer policy into a refresh interval —
+    // weekly base, pulled earlier by change rate, pushed later by
+    // duplication (a domain whose pages are mostly variants of each
+    // other wastes crawl budget), clamped to [6h, 336h] — and a
+    // priority rank. Shape: one scan into a domain-cardinality
+    // aggregate (web-bounded), policy arithmetic per domain row, one
+    // domains-sized rank window. All integer permille — hash-exact.
+    "frontier_refresh_plan" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      withUrls(s, dir)
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_urls"),
+          countDistinct(col("canonical_url")).as("n_canonical"),
+          sum(when(pmod(col("doc_id"), lit(11)) === 0, 1L)
+            .otherwise(0L)).as("n_changed"))
+        .withColumn("dup_pm",
+          expr("(n_urls - n_canonical) * 1000 div n_urls"))
+        .withColumn("change_pm", expr("n_changed * 1000 div n_urls"))
+        .withColumn("refresh_hours", expr(
+          "greatest(CAST(6 AS BIGINT), least(CAST(336 AS BIGINT), " +
+            "168 - (change_pm * 162) div 1000 + " +
+            "(dup_pm * 168) div 1000))"))
+        .withColumn("priority", row_number().over(
+          Window.orderBy(col("refresh_hours").asc, col("domain"))))
+        .select("priority", "domain", "n_urls", "n_canonical",
+          "dup_pm", "change_pm", "refresh_hours")
+        .orderBy("priority")
+    },
+
     // Cross-DOMAIN duplication matrix — dedup_source_matrix one
     // level finer (the r13 report works on the coarse `source`
     // column; real curation decisions happen per registered domain):
@@ -404,6 +438,30 @@ object WebQueries {
         |  CAST(COUNT(DISTINCT canonical_url) AS BIGINT) AS n_canonical,
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM canon GROUP BY domain ORDER BY domain""".stripMargin,
+
+    "frontier_refresh_plan" ->
+      s"""WITH $urlCte,
+        |g AS (
+        |  SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_urls,
+        |    CAST(COUNT(DISTINCT canonical_url) AS BIGINT) AS n_canonical,
+        |    CAST(SUM(CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_changed
+        |  FROM canon GROUP BY domain
+        |), p AS (
+        |  SELECT domain, n_urls, n_canonical,
+        |    (n_urls - n_canonical) * 1000 // n_urls AS dup_pm,
+        |    n_changed * 1000 // n_urls AS change_pm
+        |  FROM g
+        |), f AS (
+        |  SELECT *, greatest(CAST(6 AS BIGINT), least(CAST(336 AS BIGINT),
+        |    168 - (change_pm * 162) // 1000 + (dup_pm * 168) // 1000))
+        |    AS refresh_hours
+        |  FROM p
+        |)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY refresh_hours, domain)
+        |    AS INT) AS priority,
+        |  domain, n_urls, n_canonical, dup_pm, change_pm, refresh_hours
+        |FROM f ORDER BY priority""".stripMargin,
 
     "url_dedup" ->
       """WITH u AS (
