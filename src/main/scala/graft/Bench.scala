@@ -6,7 +6,20 @@ package graft
   * materialize at target volume) happen outside the timed run — the
   * timed number measures the engine, not HotSpot. Session comes from
   * GraftSession (same config as Verify, so benched plans are the
-  * verified plans). */
+  * verified plans).
+  *
+  * KNOWN MEASUREMENT ARTIFACT (r15, plan-verified): timing via
+  * `df.count()` lets the optimizer drop final sorts for every query
+  * and — via Spark's duplicate-agnostic OUTER-JOIN elimination —
+  * entire subtrees behind a left join to a unique-keyed aggregate.
+  * Three registry queries end in that shape, so their Bench numbers
+  * measure only the surviving scan side: `dedup_span_trim` (0.19 s
+  * benched vs 3.5 s full at sf0.1), `dup_span_report` (0.8 vs 2.4 —
+  * its n_dup branch elides), `decontaminate` (0.14 vs 0.95). The
+  * methodology stays count()-based for round-over-round
+  * comparability; `TimeQuery -full` (toRdd materialization) is the
+  * truth instrument for those shapes, and their CORRECTNESS cost is
+  * always real (Verify writes parquet). */
 object Bench {
   private val warmupDir = "/root/testdata/sf0.001"
 

@@ -5,11 +5,22 @@ import graft.{GraftSession, SparkEntry}
 /** Times one registered query for N passes on SPARK_GRAFT_SF_DIR with
   * the engine session — the isolation harness for "Bench says X,
   * elsewhere says Y" discrepancies (no warmups, no other queries, no
-  * cache clearing: just the query under the engine config). */
+  * cache clearing: just the query under the engine config).
+  *
+  * `-full` materializes the plan's OWN output rows
+  * (`queryExecution.toRdd.count()`) instead of `df.count()`: a count
+  * aggregate lets the optimizer elide final sorts AND — via
+  * duplicate-agnostic outer-join elimination — entire subtrees behind
+  * a left join to a unique-keyed aggregate (r15 finding: Bench's
+  * dedup_span_trim / decontaminate / dup_span_report numbers measure
+  * only their surviving scan side; see Bench's scaladoc). `-full` is
+  * the truth instrument for those shapes. */
 object TimeQuery {
-  def main(args: Array[String]): Unit = {
+  def main(rawArgs: Array[String]): Unit = {
+    val full = rawArgs.contains("-full")
+    val args = rawArgs.filterNot(_ == "-full")
     if (args.isEmpty) {
-      System.err.println("usage: TimeQuery <query-name> [passes]\n" +
+      System.err.println("usage: TimeQuery [-full] <query-name> [passes]\n" +
         "registered queries:\n  " +
         SparkEntry.queries.keys.toSeq.sorted.mkString("\n  "))
       sys.exit(2)
@@ -30,8 +41,10 @@ object TimeQuery {
     val spark = GraftSession.local("graft-time")
     (1 to passes).foreach { i =>
       val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
-      println(f"[timequery] $name pass $i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+      val df = fn(spark, sfDir)
+      val n = if (full) df.queryExecution.toRdd.count() else df.count()
+      val mode = if (full) " (full)" else ""
+      println(f"[timequery] $name$mode pass $i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
     }
     spark.stop()
   }
