@@ -12,14 +12,14 @@ package graft
   * `df.count()` lets the optimizer drop final sorts for every query
   * and — via Spark's duplicate-agnostic OUTER-JOIN elimination —
   * entire subtrees behind a left join to a unique-keyed aggregate.
-  * Three registry queries end in that shape, so their Bench numbers
-  * measure only the surviving scan side: `dedup_span_trim` (0.19 s
-  * benched vs 3.5 s full at sf0.1), `dup_span_report` (0.8 vs 2.4 —
-  * its n_dup branch elides), `decontaminate` (0.14 vs 0.95). The
-  * methodology stays count()-based for round-over-round
-  * comparability; `TimeQuery -full` (toRdd materialization) is the
-  * truth instrument for those shapes, and their CORRECTNESS cost is
-  * always real (Verify writes parquet). */
+  * `graft.tools.ElisionAudit` sweeps the registry for the shape: 16
+  * of 195 queries lose joins under count() (full list + measured true
+  * costs in SCALE.md r15 — worst gaps: dedup_span_trim 0.19 s benched
+  * vs 3.8 s full, simhash_calibration 1.0 vs 5.0, containment_
+  * survivors 0.33 vs 3.2). The methodology stays count()-based for
+  * round-over-round comparability; `TimeQuery -full` (toRdd
+  * materialization) is the truth instrument for those shapes, and
+  * their CORRECTNESS cost is always real (Verify writes parquet). */
 object Bench {
   private val warmupDir = "/root/testdata/sf0.001"
 
