@@ -426,6 +426,33 @@ class PlanPinsSpec extends SparkSpec {
       s"no hash/merge equi-join node in the overlap plan:\n$plan")
   }
 
+  test("dp_count_release is one partial-aggregable scan + per-row " +
+      "ladder arithmetic — no join, no window, nothing past the " +
+      "source-cardinality exchange") {
+    val df = SparkEntry.queries("dp_count_release")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_count"),
+      s"source aggregate lost map-side partials:\n$plan")
+    assert(!plan.contains("Join") && !plan.contains("Window"),
+      s"unexpected join/window in a scan-aggregate release:\n$plan")
+  }
+
+  test("frontier_refresh_plan aggregates with map-side partials and " +
+      "ranks in ONE domains-bounded window — no corpus-sized sort") {
+    val df = SparkEntry.queries("frontier_refresh_plan")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_count"),
+      s"domain aggregate lost map-side partials:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"unexpected nested loop:\n$plan")
+    // the rank window must sit ABOVE the domain aggregate (its input
+    // is domain-cardinality), which the partial/final agg pair plus a
+    // single Window node in the plan certifies
+    assert("Window".r.findAllIn(plan).length >= 1,
+      s"priority rank window missing:\n$plan")
+  }
+
   test("ingest_changepoint's CUSUM windows run over the FIXED 200-" +
       "bucket histogram (broadcast extent, no corpus-proportional " +
       "single-partition sort)") {
