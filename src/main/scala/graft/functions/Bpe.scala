@@ -72,8 +72,16 @@ object Bpe {
     *         bpeLearnedMerges contract */
   def trainOnHistogram(hist: Seq[(String, Long)],
       nRounds: Int): Seq[(Int, String, Long)] = {
+    // Split by CODE POINT, not UTF-16 code unit: the distributed path
+    // this must equal (bpeInitialWords) splits with Spark `substring`
+    // (code points), and the DuckDB oracle likewise — a char-wise split
+    // would turn supplementary-plane characters into lone surrogates
+    // (which UTF-8-encode as '?'), silently diverging all three.
     var types: Array[(Seq[String], Long)] = hist.iterator.map {
-      case (w, n) => (w.map(_.toString): Seq[String], n)
+      case (w, n) =>
+        val syms = w.codePoints().toArray
+          .map(cp => new String(Character.toChars(cp))).toSeq
+        (syms, n)
     }.toArray
     val merges = Seq.newBuilder[(Int, String, Long)]
     for (r <- 1 to nRounds) {

@@ -343,23 +343,44 @@ object Similarity {
     *  3. Only prefilter SURVIVORS (≈ true near-dups) join the vectors
     *     back by id for the exact cosine — two linear id-keyed joins.
     *  4. `probeDims = 0` (the default) AUTO-SIZES from a count probe —
-    *     one extra cheap job, the dedup_incremental_bloom sizing
-    *     precedent: one grid dim per decade beyond 5·10⁴ rows, so
-    *     candidate enumeration stays bounded as the corpus grows
-    *     (capped at 5: the probe explode is 3^pd).
+    *     one extra cheap job, MEMOIZED per (input plan, process) so
+    *     repeated construction (Explain, ElisionAudit, bench loops)
+    *     pays it once — the dedup_incremental_bloom sizing precedent:
+    *     one grid dim per decade beyond 5·10⁴ rows, so candidate
+    *     enumeration stays bounded as the corpus grows (capped at 5:
+    *     the probe explode is 3^pd). NOTE this makes the FIRST
+    *     construction of each distinct input plan side-effectful (a
+    *     count job runs before the DataFrame exists) — unavoidable,
+    *     because grid depth is plan SHAPE.
     *
     * `GRAFT_PROBE_DIMS` overrides the grid depth for measurements —
     * output-invariant by the exactness argument. Projections are
     * computed per ROW in O(d) next to the O(d) norm — never per pair. */
+  /** Construction-time sizing probes (count + dim), memoized by the
+    * input's SEMANTIC plan hash: `probeDims = 0` auto-sizing needs the
+    * row count (grid depth is plan SHAPE, so it must be known before
+    * the DataFrame exists), which makes construction side-effectful —
+    * Explain/ElisionAudit and Bench's timed region run these jobs on
+    * first construction of each distinct input plan. The memo bounds
+    * that to once per (plan, process); the depth itself is
+    * output-invariant (exactness argument above), so a stale memo
+    * across identical plans can never change results. */
+  private val countMemo = new java.util.concurrent.ConcurrentHashMap[
+    Int, Long]()
+  private val dimMemo = new java.util.concurrent.ConcurrentHashMap[
+    Int, Int]()
+
   def cosineDupPairs(df: DataFrame, idCol: Column, vecCol: Column,
       bucketCol: String, threshold: Double,
       probeDims: Int = 0): DataFrame = {
     require(threshold > -1.0 && threshold < 1.0,
       "threshold must be in (-1, 1)")
+    val memoKey =
+      df.select(idCol, vecCol).queryExecution.analyzed.semanticHash()
     val autoDims =
       if (probeDims > 0) probeDims
       else {
-        val n = df.count()
+        val n = countMemo.computeIfAbsent(memoKey, _ => df.count())
         math.min(5, 2 + math.max(0,
           math.floor(math.log10(math.max(1.0, n / 50000.0))).toInt +
             (if (n > 50000) 1 else 0)))
@@ -374,8 +395,10 @@ object Similarity {
     // signed sum is one codegen'd FloatVecDot, not an interpreted
     // per-element lambda chain); unit value = Σ ±x_i / (√d · ‖x‖),
     // cell = ⌊proj / cellW⌋.
-    val dimRow = df.select(size(vecCol)).limit(1).collect()
-    val dim = if (dimRow.isEmpty) 1 else dimRow.head.getInt(0)
+    val dim = dimMemo.computeIfAbsent(memoKey, _ => {
+      val dimRow = df.select(size(vecCol)).limit(1).collect()
+      if (dimRow.isEmpty) 1 else dimRow.head.getInt(0)
+    })
     // Hadamard masks 1..m are mutually orthonormal iff d is a multiple
     // of 2^⌈log₂(m+1)⌉; bDiv = largest b with 2^b | d bounds the family
     val bDiv = if (dim > 0) Integer.numberOfTrailingZeros(dim) else 0
@@ -432,14 +455,23 @@ object Similarity {
       col("_pf").as("_pf_b"), col("_pf2").as("_pf2_b")) ++
       (0 until probeDims1).map(k => col(s"_c$k").as(s"_cb$k"))
     val b = withCells.select(bCols: _*)
-    // exact chord prefilter (see scaladoc): float rounding of the
-    // projections moves each Δ by ≤ a few ulps, so the 1e-5 slack can
-    // only ADMIT extra candidates, never reject a qualifying pair
+    // exact chord prefilter (see scaladoc): the slack must dominate
+    // the float rounding of the projections so it only ever ADMITS
+    // borderline candidates (the final full cosine re-filters), never
+    // rejects a qualifying pair. Each projection is a FloatVecDot
+    // accumulation over d elements divided by a float-accumulated
+    // norm — worst-case absolute error grows ~linearly in d (each of
+    // the ≤ d float adds contributes ≤ ulp ≈ 6e-8 relative, and
+    // |proj| ≤ 1) — so a FIXED 1e-5 is unsafe at d ≳ 512 (r15
+    // ADVICE). Slack = 1e-5 + 2^-20·d bounds 8 projections' combined
+    // error with an order-of-magnitude margin (d=64 → 7e-5,
+    // d=4096 → 4e-3, still ≪ the 2−2t chord budget at any useful t).
+    val slack = 1e-5 + dim.toDouble / (1 << 20)
     val prefilter =
       if (mPref == 0) lit(true)
       else col("_pf2_a") + col("_pf2_b") -
         lit(2.0) * dot(col("_pf_a"), col("_pf_b")) <=
-        lit(2.0 - 2.0 * threshold + 1e-5)
+        lit(2.0 - 2.0 * threshold + slack)
     val joinCond = (0 until probeDims1)
       .map(k => col(s"_ca$k") === col(s"_cb$k"))
       .foldLeft(col("_bk") === col("_bkb") &&

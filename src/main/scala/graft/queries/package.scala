@@ -43,14 +43,22 @@ package object queries {
       s"/tmp/graft_${java.lang.ProcessHandle.current().pid()}"
     })
 
+  /** Age-guarded (r15 ADVICE): the oracle replay reads a dead pid's
+    * tree in the window between Verify's exit and check_oracle.py's
+    * run, and pid reuse can keep a dead tree "alive" — so only trees
+    * untouched for > 6 h are swept. A pending replay runs within
+    * minutes of the writing JVM's exit; 6 h-stale trees are orphans. */
   private def sweepDeadArtifactRoots(): Unit = {
     val self = java.lang.ProcessHandle.current().pid()
+    val minAgeMs = 6L * 3600 * 1000
+    val now = System.currentTimeMillis()
     val re = "graft_(\\d+)".r
     val kids = new java.io.File("/tmp").listFiles()
     if (kids != null) kids.foreach { f =>
       f.getName match {
         case re(p) if p.toLong != self &&
-            !java.lang.ProcessHandle.of(p.toLong).isPresent =>
+            !java.lang.ProcessHandle.of(p.toLong).isPresent &&
+            now - f.lastModified() > minAgeMs =>
           deleteRecursively(f)
         case _ => ()
       }

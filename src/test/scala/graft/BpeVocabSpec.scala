@@ -54,6 +54,36 @@ class BpeVocabSpec extends SparkSpec {
       s"histogram training ran $n jobs — the per-round walk is back?")
   }
 
+  test("non-BMP equality fixture: the histogram trainer splits by " +
+      "CODE POINT like the distributed walk (Spark substring) and the " +
+      "oracle — supplementary-plane characters must not shatter into " +
+      "lone surrogates (which UTF-8-encode as '?')") {
+    import spark.implicits._
+    // 𝕏 (U+1D54F, MATHEMATICAL DOUBLE-STRUCK CAPITAL X) is a
+    // surrogate pair in UTF-16; a code-UNIT split would yield
+    // [\uD835, \uDD4F, ...] and a different merge table
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bpe_nonbmp").toString
+    Seq((1L, "𝕏𝕏a aa 𝕏b"),
+        (2L, "𝕏𝕏a aa"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val hist = TrainingQueries.bpeLearnedMerges(spark, dir, 3)
+    val walk = TrainingQueries.bpeLearnedMergesDistributed(spark, dir, 3)
+    assert(hist === walk,
+      "histogram trainer diverged from the distributed walk on non-BMP")
+    // and the symbols themselves are whole code points, not surrogates
+    hist.foreach { case (_, pair, _) =>
+      pair.split(" ", 2).foreach { sym =>
+        assert(!sym.exists(Character.isSurrogate) ||
+            sym.codePoints().toArray.forall(Character.isValidCodePoint),
+          s"pair '$pair' contains a lone surrogate symbol")
+        assert(!(sym.length == 1 && Character.isSurrogate(sym.charAt(0))),
+          s"pair '$pair' has a single lone-surrogate symbol")
+      }
+    }
+  }
+
   test("vocab growth law: every merged pair is new, each side is a " +
       "known symbol (single char or earlier merge), so round r's " +
       "pair alphabet is charset^2 + r bounded — the per-round " +
