@@ -17,9 +17,12 @@ package graft
   * costs in SCALE.md r15 — worst gaps: dedup_span_trim 0.19 s benched
   * vs 3.8 s full, simhash_calibration 1.0 vs 5.0, containment_
   * survivors 0.33 vs 3.2). The methodology stays count()-based for
-  * round-over-round comparability; `TimeQuery -full` (toRdd
-  * materialization) is the truth instrument for those shapes, and
-  * their CORRECTNESS cost is always real (Verify writes parquet). */
+  * round-over-round comparability, and since r16 the JSON also
+  * carries a "full" column: toRdd-materialized min-of-3 times for
+  * exactly the elided set, so a regression inside an elided subtree
+  * is visible round-over-round (compare_bench.py diffs both columns).
+  * `TimeQuery -full` remains the isolation instrument, and the
+  * queries' CORRECTNESS cost is always real (Verify writes parquet). */
 object Bench {
   private val warmupDir = "/root/testdata/sf0.001"
 
@@ -87,12 +90,40 @@ object Bench {
     }
     val results = byName.collect { case (n, ts) if ts.nonEmpty => n -> ts.min }
     val failed = byName.collect { case (n, ts) if ts.isEmpty => n }
+    // FULL-materialization column (r15 verdict task #2) for exactly
+    // the count()-elided shapes: their count()-timed number above
+    // measures only the surviving join side, so a regression inside
+    // the elided subtree would be invisible round-over-round. Same
+    // min-of-3 interleaved methodology, timed via
+    // `queryExecution.toRdd.count()` (every output row materializes —
+    // TimeQuery -full's truth instrument). The elided set comes from
+    // the live ElisionAudit predicate, not a hardcoded list, so a new
+    // elided query gets its full row automatically (ElisionPinSpec
+    // separately pins the expected set).
+    val elidedSet = graft.tools.ElisionAudit.elided(spark, warmupDir)
+      .filter(n => only.isEmpty || only(n)).toSet
+    val fullTargets = headline.filter { case (n, _) => elidedSet(n) }
+    val fullPasses = (1 to 3).map { _ =>
+      spark.catalog.clearCache()
+      fullTargets.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
+          catch { case _: Throwable => false }
+        name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
+      }
+    }
+    val fullResults = fullTargets.flatMap { case (name, _) =>
+      val ts = fullPasses.flatMap(_.collect { case (`name`, Some(t)) => t })
+      if (ts.nonEmpty) Some(name -> ts.min) else None
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val fullJson = fullResults.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val calibJson = calibs.map(c => f"$c%.3f").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"calib":$calibJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"full":$fullJson,"failed":$failedJson,"calib":$calibJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

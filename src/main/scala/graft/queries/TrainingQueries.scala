@@ -2048,6 +2048,19 @@ object TrainingQueries {
         .orderBy("doc_id")
     },
 
+    // WHICH TRIM TO USE (the span family's policy choice — a curation
+    // pipeline picks exactly ONE per corpus): `dedup_span_trim`
+    // removes a duplicated span from EVERY carrier — the right policy
+    // when duplicated text is itself unwanted (boilerplate, license
+    // headers, navigation chrome): no copy survives, at the price of
+    // deleting one "legitimate" occurrence too. `cross_doc_span_trim`
+    // keeps each span's single best-quality home intact and trims the
+    // rest — the Lee et al. ExactSubstr policy for ordinary content
+    // duplication, where the model should still see the text ONCE.
+    // Rule of thumb: trim-everywhere for spans you'd blocklist,
+    // keep-one-owner for spans you'd dedup. Running both in sequence
+    // double-trims and is never what you want.
+    //
     // The ExactSubstr-style dedup ACTION the span report only counts:
     // REMOVE every token covered by a cross-document duplicated
     // word-8-gram and emit the trimmed doc (verified as an md5 over

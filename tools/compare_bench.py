@@ -4,10 +4,25 @@ tools/bench_snapshots/r14_sf0.1.json) query by query.
 
 Usage: compare_bench.py <old> <new> [topN=15]
 
-Prints shared-query totals, the ratio, and the largest regressions /
-improvements — the round-over-round discipline the judge reads.
+Prints shared-query totals, the RAW ratio and the CALIB-NORMALIZED
+ratio, and the largest regressions / improvements — the
+round-over-round discipline the judge reads.
+
+Calib normalization (r15 verdict task #4): both snapshots time the same
+fixed calibration query 3x; dividing the raw shared-total ratio by the
+calib ratio (median new / median old) separates machine-state drift
+(GC, page cache, sandbox contention — which moves calib and queries
+alike) from real plan changes (which move only their queries). A raw
+drift that disappears under normalization is environmental; one that
+survives is real. Per-query full-materialization times (the `full`
+column for count()-elided queries, r15 verdict task #2) are compared
+separately when both snapshots carry them.
 """
 import json, re, sys
+
+def median(xs):
+    s = sorted(xs)
+    return s[len(s) // 2]
 
 def load(path):
     with open(path) as f:
@@ -27,8 +42,12 @@ def main(old_path, new_path, top_n=15):
     sn = sum(nq[q] for q in shared)
     print(f"old: {len(oq)} queries, calib {old.get('calib')}")
     print(f"new: {len(nq)} queries, calib {new.get('calib')}")
-    print(f"shared {len(shared)}: {so:.2f}s -> {sn:.2f}s "
-          f"= {sn / so:.3f}x")
+    raw = sn / so
+    line = f"shared {len(shared)}: {so:.2f}s -> {sn:.2f}s = {raw:.3f}x raw"
+    if old.get("calib") and new.get("calib"):
+        cr = median(new["calib"]) / median(old["calib"])
+        line += f", calib {cr:.3f}x, normalized {raw / cr:.3f}x"
+    print(line)
     if only_old:
         print(f"dropped ({len(only_old)}): {', '.join(only_old)}")
     if only_new:
@@ -44,6 +63,22 @@ def main(old_path, new_path, top_n=15):
     print(f"\nbest {top_n} improvements:")
     for r, q in ratios[-top_n:][::-1]:
         print(f"  {q:32s} {oq[q]:7.3f} -> {nq[q]:7.3f}  {r:.2f}x")
+    of, nf = old.get("full") or {}, new.get("full") or {}
+    if nf:
+        fshared = sorted(set(of) & set(nf))
+        print(f"\nfull-materialization column (count()-elided queries): "
+              f"old {len(of)}, new {len(nf)}, shared {len(fshared)}")
+        if fshared:
+            fo, fn_ = sum(of[q] for q in fshared), sum(nf[q] for q in fshared)
+            print(f"  shared full totals: {fo:.2f}s -> {fn_:.2f}s "
+                  f"= {fn_ / fo:.3f}x")
+            for q in sorted(fshared, key=lambda q: -(nf[q] / of[q])):
+                print(f"  {q:32s} {of[q]:7.3f} -> {nf[q]:7.3f}  "
+                      f"{nf[q] / of[q]:.2f}x")
+        only = sorted(set(nf) - set(of))
+        if only:
+            print("  new-only full rows: "
+                  + ", ".join(f"{q}={nf[q]:.3f}" for q in only))
     return 0
 
 if __name__ == "__main__":
