@@ -157,7 +157,9 @@ object SparkEntry {
       "domain_dup_matrix",
       // round-15 additions
       "interval_overlap", "t_closeness_report", "cross_doc_span_trim",
-      "dp_count_release", "frontier_refresh_plan")
+      "dp_count_release", "frontier_refresh_plan",
+      // round-16 additions
+      "dp_histogram_release")
 
   def benchQueries: Seq[(String, (SparkSession, String) => DataFrame)] =
     benchNames.flatMap(n => queries.get(n).map(n -> _))

@@ -86,6 +86,43 @@ object OpsQueries {
         .orderBy("source")
     },
 
+    // DIFFERENTIALLY-PRIVATE k-ary HISTOGRAM release (r15 verdict
+    // task #7) — dp_count_release generalized from one count to a
+    // histogram with PER-USER CONTRIBUTION BOUNDING, the step real DP
+    // deployments cannot skip: a raw histogram's per-bucket
+    // sensitivity is unbounded (one heavy user can carry hundreds of
+    // events into one bucket), so each user is first clamped to ONE
+    // vote per bucket (distinct (user, bucket) — at sf0.001 bucket 0
+    // holds 169 events but releases from 15 votes). After the clamp,
+    // add/remove-one-user moves each bucket by ≤ 1, so every bucket's
+    // release is the ε = 1 discrete-Laplace ladder of [[dpNoiseSql]]
+    // (engine-exact, no float-Laplace hazard); USER-level privacy
+    // composes to ε·(buckets touched) — the accounting every
+    // histogram release states, tightened in production by capping
+    // buckets-per-user or splitting ε. Negative noised counts clamp
+    // to 0 (post-processing, free). Buckets are value-decades
+    // (⌊value⌋ div 10) — k-ary with real variation, unlike the flat
+    // per-type user counts. Shape: scan → two shrinking aggregates
+    // (user×bucket distinct, then bucket counts) → per-row ladder —
+    // no join, no window, nothing scales past the first exchange
+    // (pinned in PlanPinsSpec).
+    "dp_histogram_release" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .select(col("user_id"),
+          expr("CAST(floor(value) AS BIGINT) div 10").as("bucket"))
+        .distinct()
+        .groupBy("bucket").agg(count(lit(1)).as("n_users"))
+        .withColumn("u", expr(
+          "(CAST(conv(substring(md5(concat('dph:', " +
+            "CAST(bucket AS STRING))), 1, 8), 16, 10) AS BIGINT) " +
+            "+ 0.5e0) / 4294967296.0e0"))
+        .withColumn("dp_noise", expr(dpNoiseSql("u")))
+        .select(col("bucket"), col("n_users"), col("dp_noise"),
+          greatest(col("n_users") + col("dp_noise"), lit(0L))
+            .as("released_count"))
+        .orderBy("bucket")
+    },
+
     // Right-to-be-forgotten SWEEP — the purge manifest a deletion job
     // executes and the audit trail it files: for every tombstoned
     // user, how many events, how many distinct types, the time span,
@@ -628,6 +665,25 @@ object OpsQueries {
         |SELECT source, n_docs, $ladder AS dp_noise,
         |  n_docs + ($ladder) AS released_count
         |FROM uu ORDER BY source""".stripMargin
+    },
+
+    "dp_histogram_release" -> {
+      val ladder = dpNoiseSql("u")
+      s"""WITH v AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(floor(value) AS BIGINT) // 10 AS bucket
+        |  FROM events
+        |), c AS (
+        |  SELECT bucket, COUNT(*) AS n_users FROM v GROUP BY bucket
+        |), uu AS (
+        |  SELECT bucket, n_users,
+        |    (('0x' || substr(md5('dph:' || CAST(bucket AS VARCHAR)), 1, 8))
+        |      ::BIGINT + 0.5e0) / 4294967296.0e0 AS u
+        |  FROM c
+        |)
+        |SELECT bucket, n_users, $ladder AS dp_noise,
+        |  greatest(n_users + ($ladder), 0) AS released_count
+        |FROM uu ORDER BY bucket""".stripMargin
     },
 
     "erasure_sweep" ->

@@ -437,6 +437,17 @@ class PlanPinsSpec extends SparkSpec {
       s"unexpected join/window in a scan-aggregate release:\n$plan")
   }
 
+  test("dp_histogram_release is scan + two shrinking aggregates + " +
+      "per-row ladder — no join, no window; the contribution clamp " +
+      "(user×bucket distinct) keeps map-side partials") {
+    val df = SparkEntry.queries("dp_histogram_release")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_count"),
+      s"bucket aggregate lost map-side partials:\n$plan")
+    assert(!plan.contains("Join") && !plan.contains("Window"),
+      s"unexpected join/window in a scan-aggregate release:\n$plan")
+  }
+
   test("frontier_refresh_plan aggregates with map-side partials and " +
       "ranks in ONE domains-bounded window — no corpus-sized sort") {
     val df = SparkEntry.queries("frontier_refresh_plan")(spark, sf0001)
