@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, TextAnalysis}
+import graft.operators.{Dedup, Sketches, TextAnalysis}
 import graft.sources.Tables
 
 /** Training-data pipeline queries over the `documents` table: text
@@ -189,6 +189,13 @@ object TrainingQueries {
        |  THEN list_transform(range(1, len($toksExpr) - 1),
        |         i -> array_to_string(($toksExpr)[i:i+2], ' '))
        |  ELSE [array_to_string($toksExpr, ' ')] END""".stripMargin
+
+  /** hll_shingle_report's error column — ONE shared double string
+    * (house discipline): both inputs are exact integers / the shared
+    * estimate, so the floor'd permille is engine-identical. */
+  private val HllErrPermilleSql =
+    "CAST(floor(abs(hll_estimate - CAST(exact_distinct AS DOUBLE)) " +
+      "* 1000e0 / CAST(exact_distinct AS DOUBLE)) AS BIGINT)"
 
   private val stopwordList = TextAnalysis.DefaultStopwords
     .map(w => s"'$w'").mkString("(", ",", ")")
@@ -2262,6 +2269,39 @@ object TrainingQueries {
     // runs on ~corpus/50 checkpoint rows, never on tokens
     // (bucket width is the knob: production sets it so checkpoints
     // stay in the thousands at any corpus size).
+    // HLL distinct-SHINGLE report — the sketch that replaces exact
+    // countDistinct at 100 TB (see [[graft.operators.Sketches]]):
+    // per-source distinct word-3-shingle cardinality from 256
+    // md5-deterministic HyperLogLog registers, next to the exact
+    // count and an integer-permille error column. The registers are
+    // engine-identical (md5, not an engine's private hash), so the
+    // DuckDB oracle verifies the SKETCH STATE (v_zero, s_scaled)
+    // bit-for-bit, and the estimate is one shared-SQL double
+    // division by that exact integer. p = 8 keeps every source
+    // (≈ 1.3 k shingles) in the raw-HLL regime — no ln-based
+    // small-range correction, which cross-engine determinism forbids.
+    // Plan: the register aggregate's exchange is ≤ sources × 256 rows
+    // after map-side combine whatever the corpus size — the sketch
+    // branch costs one scan + a fixed-width exchange; the exact
+    // branch (shuffling every distinct shingle) is the TEST-scale
+    // baseline a production run drops.
+    "hll_shingle_report" -> { (s, dir) =>
+      val sh = Tables.documents(s, dir)
+        .select(col("source"),
+          explode(TextAnalysis.shingles(col("text"), 3)).as("sh"))
+      val summ = Sketches.hllSummary(
+          Sketches.hllRegisters(sh, col("source"), col("sh"), 8), 8)
+        .withColumnRenamed("key", "source")
+      val exact = sh.groupBy("source")
+        .agg(countDistinct(col("sh")).as("exact_distinct"))
+      summ.join(exact, "source")
+        .withColumn("hll_estimate", expr(Sketches.hllEstimateSql(8)))
+        .withColumn("err_permille", expr(HllErrPermilleSql))
+        .select("source", "v_zero", "s_scaled", "hll_estimate",
+          "exact_distinct", "err_permille")
+        .orderBy("source")
+    },
+
     "heaps_law" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val d = Tables.documents(s, dir)
@@ -3137,6 +3177,37 @@ object TrainingQueries {
         |SELECT id_a, id_b, inter, size_a, size_b, cont_pm, jac_pm
         |FROM sc WHERE cont_pm >= 800 AND jac_pm < 800
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "hll_shingle_report" -> {
+      val est = Sketches.hllEstimateSql(8)
+      s"""WITH sh AS (
+        |  SELECT source, unnest($shinglesExpr) AS sh FROM documents
+        |), hh AS (
+        |  SELECT source,
+        |    ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h
+        |  FROM sh
+        |), r AS (
+        |  SELECT source, h // 4503599627370496 AS register,
+        |    MAX(CASE WHEN h % 4503599627370496 = 0 THEN 53
+        |      ELSE 53 - length(bin(h % 4503599627370496)) END) AS m
+        |  FROM hh GROUP BY source, register
+        |), su AS (
+        |  SELECT source, 256 - COUNT(*) AS v_zero,
+        |    (256 - COUNT(*)) * 9007199254740992 +
+        |      CAST(SUM(1::BIGINT << (53 - m)) AS BIGINT) AS s_scaled
+        |  FROM r GROUP BY source
+        |), ex AS (
+        |  SELECT source, COUNT(DISTINCT sh) AS exact_distinct FROM sh
+        |  GROUP BY source
+        |), j AS (
+        |  SELECT su.source, v_zero, s_scaled, $est AS hll_estimate,
+        |    exact_distinct
+        |  FROM su JOIN ex USING (source)
+        |)
+        |SELECT source, v_zero, s_scaled, hll_estimate, exact_distinct,
+        |  $HllErrPermilleSql AS err_permille
+        |FROM j ORDER BY source""".stripMargin
+    },
 
     "heaps_law" ->
       s"""WITH d AS (
