@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sketches
+import graft.streaming.StreamingDistinct
+import graft.streaming.StreamingDistinct.{DistinctEstimate, SeenValue}
+
+/** Pins [[StreamingDistinct]]: the compiled register derivation
+  * equals the batch sketch's SQL derivation value-for-value, a closed
+  * hour's streamed summary equals the batch summary of the same data
+  * (scrambled arrival — register max is commutative), emission is
+  * exactly-once at watermark close with nothing provisional before,
+  * and the estimate lands within the raw-regime error band. */
+class StreamingDistinctSpec extends SparkSpec {
+
+  private def corpusValues: Seq[String] =
+    (1 to 3000).map(i => s"value-$i-${i * 7919}")
+
+  test("compiled registerAndRho equals Sketches.hllRegisters' SQL " +
+      "derivation for every corpus value (same md5, same 60-bit " +
+      "slice, same rank)") {
+    import spark.implicits._
+    val df = corpusValues.toDF("v")
+    // key = the value itself → one (register, m) row per value, no
+    // max-merging: the per-value derivation laid bare
+    val sql = Sketches.hllRegisters(df, col("v"), col("v"), 8)
+      .collect().map(r => r.getAs[String]("key") ->
+        (r.getAs[Long]("register").toInt, r.getAs[Int]("m"))).toMap
+    corpusValues.foreach { v =>
+      assert(StreamingDistinct.registerAndRho(v) === sql(v),
+        s"register/rho diverged for '$v'")
+    }
+  }
+
+  test("a closed hour's streamed sketch equals the batch sketch of " +
+      "the same values (scrambled batches), emits exactly once at " +
+      "watermark close, and estimates within the raw-regime band") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = StreamingDistinct.HourUs * 500
+    val vals = corpusValues
+    // scrambled thirds, each value sighted 1-3 times (duplicates must
+    // not move registers)
+    val (a, rest) = vals.splitAt(1000)
+    val (b, c) = rest.splitAt(1000)
+    val input = MemoryStream[SeenValue]
+    val out = StreamingDistinct.report(input.toDS(),
+      maxDelay = "1 second")
+    val q = out.writeStream.format("memory").queryName("sdist_out")
+      .outputMode("update").start()
+    def events(): Seq[DistinctEstimate] =
+      spark.table("sdist_out").as[DistinctEstimate].collect().toSeq
+    try {
+      input.addData(b.map(v => SeenValue(v, t0 + 1000)): _*)
+      q.processAllAvailable()
+      input.addData((c ++ b.take(300)).map(v => SeenValue(v, t0 + 2000)): _*)
+      q.processAllAvailable()
+      input.addData((a ++ c.take(200)).map(v => SeenValue(v, t0 + 3000)): _*)
+      q.processAllAvailable()
+      assert(events().isEmpty, "open hour emitted a provisional row")
+
+      // advance the watermark past hour end (+1 s delay), twice so
+      // the timeout batch definitely runs
+      input.addData(SeenValue("flush-1",
+        t0 + StreamingDistinct.HourUs + 2000000))
+      q.processAllAvailable()
+      input.addData(SeenValue("flush-2",
+        t0 + StreamingDistinct.HourUs + 3000000))
+      q.processAllAvailable()
+      val closed = events()
+      assert(closed.size === 1, s"expected exactly one close: $closed")
+      val got = closed.head
+      assert(got.hourBucket === 500L)
+
+      // batch parity on identical values (duplicates and all)
+      val batch = Sketches.hllSummary(
+          Sketches.hllRegisters(
+            (b ++ c ++ b.take(300) ++ a ++ c.take(200)).toDF("v"),
+            lit("k"), col("v"), 8), 8)
+        .collect().head
+      assert(got.vZero === batch.getAs[Long]("v_zero"))
+      assert(got.sScaled === batch.getAs[Long]("s_scaled"))
+
+      val exact = vals.distinct.size.toDouble
+      assert(math.abs(got.estimate - exact) / exact < 0.20,
+        s"estimate ${got.estimate} vs exact $exact")
+    } finally q.stop()
+  }
+}
