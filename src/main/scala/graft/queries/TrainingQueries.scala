@@ -2323,6 +2323,51 @@ object TrainingQueries {
         .orderBy("bucket")
     },
 
+    // Budgeted QUOTA sample — sample_stratified's exact-k sibling
+    // (that one thins by per-stratum Bernoulli RATES; this one hits a
+    // fixed budget exactly): the "give me a balanced 100-doc
+    // eval slice" op every corpus audit starts with, exact and
+    // deterministic end to end: per-language quotas by LARGEST-
+    // REMAINDER (Hamilton) apportionment — base_i = K·n_i div N, the
+    // K − Σ base leftover seats to the largest remainders (rem desc,
+    // lang asc) — all INTEGER arithmetic, no float quota ever rounds
+    // differently across engines; then each stratum fills its quota
+    // with the k_i largest md5('samp:'||doc_id) draws — the engine's
+    // seeded-uniform discipline, so the manifest is reproducible and
+    // extends monotonically when K grows. Plan: lang-cardinality
+    // aggregates with two broadcast 1-row totals; the per-stratum
+    // pick is the NATIVE bounded-heap top-K node (partial/final — no
+    // corpus-wide or stratum-wide sort), and the trailing windows
+    // rank only ≤ langs×K survivors. The final inner join is
+    // lang-keyed against a langs-sized frame.
+    "quota_sample" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val K = 100
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+      val counts = d.groupBy("lang").agg(count(lit(1)).as("n"))
+      val tot = counts.agg(sum("n").as("nn"))
+      val a0 = counts.crossJoin(broadcast(tot))
+        .withColumn("base", expr(s"$K * n div nn"))
+        .withColumn("rem", expr(s"($K * n) % nn"))
+      val sb = a0.agg(sum("base").as("sbase"))
+      val alloc = a0.crossJoin(broadcast(sb))
+        .withColumn("seat", row_number().over(
+          Window.orderBy(col("rem").desc, col("lang").asc)))
+        .withColumn("k_alloc", col("base") +
+          when(col("seat") <= lit(K) - col("sbase"), 1L).otherwise(0L))
+        .select("lang", "k_alloc")
+      val draws = d.withColumn("draw",
+        md5(concat(lit("samp:"), col("doc_id").cast("string"))))
+      graft.operators.TopK.perGroupNative(
+          draws, "lang", "doc_id", "draw", K)
+        .withColumnRenamed("rank", "rk")
+        .join(alloc, "lang")
+        .filter(col("rk") <= col("k_alloc"))
+        .select(col("lang"), col("k_alloc"), col("doc_id"),
+          col("rk").cast("long").as("rk"))
+        .orderBy("lang", "rk")
+    },
+
     // TOKEN-BUDGET plan — the data-mixing arithmetic a training run
     // does before it starts: given per-language token inventories and
     // target mixture weights, how many epochs of each language fill a
@@ -3230,6 +3275,32 @@ object TrainingQueries {
         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
         |FROM tb LEFT JOIN nt USING (bucket)
         |ORDER BY bucket""".stripMargin,
+
+    "quota_sample" ->
+      """WITH c AS (
+        |  SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+        |), t AS (
+        |  SELECT CAST(SUM(n) AS BIGINT) AS nn FROM c
+        |), a0 AS (
+        |  SELECT lang, n, 100 * n // nn AS base, (100 * n) % nn AS rem
+        |  FROM c CROSS JOIN t
+        |), sb AS (
+        |  SELECT CAST(SUM(base) AS BIGINT) AS sbase FROM a0
+        |), a AS (
+        |  SELECT lang,
+        |    CAST(base + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC,
+        |      lang) <= 100 - sbase THEN 1 ELSE 0 END AS BIGINT) AS k_alloc
+        |  FROM a0 CROSS JOIN sb
+        |), r AS (
+        |  SELECT lang, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY md5('samp:' || CAST(doc_id AS VARCHAR)) DESC,
+        |        doc_id) AS rk
+        |  FROM documents
+        |)
+        |SELECT r.lang, k_alloc, doc_id, rk
+        |FROM r JOIN a USING (lang) WHERE rk <= k_alloc
+        |ORDER BY lang, rk""".stripMargin,
 
     "token_budget_plan" ->
       s"""WITH w(lang, weight_pct) AS (VALUES
