@@ -159,7 +159,8 @@ object SparkEntry {
       "interval_overlap", "t_closeness_report", "cross_doc_span_trim",
       "dp_count_release", "frontier_refresh_plan",
       // round-16 additions
-      "dp_histogram_release", "hll_shingle_report", "quota_sample")
+      "dp_histogram_release", "hll_shingle_report", "quota_sample",
+      "robots_policy", "redirect_resolve", "cms_bigram_report")
 
   def benchQueries: Seq[(String, (SparkSession, String) => DataFrame)] =
     benchNames.flatMap(n => queries.get(n).map(n -> _))

@@ -80,4 +80,68 @@ object Sketches {
     s"$alpha * ${m.toDouble * m}e0 * ${(1L << top)}e0" +
       " / CAST(s_scaled AS DOUBLE)"
   }
+
+  // ---------------------------------------------------------------
+  // Count-Min sketch (Cormode & Muthukrishnan 2005) — the COUNT
+  // sibling of the HLL above: where the HLL answers "how many
+  // DISTINCT values", the CMS answers "about how often is THIS
+  // value", with the same fixed-state contract — d rows × w cells of
+  // exact BIGINT counters whatever the corpus size. The estimate
+  // min_r cells[r][h_r(key)] never underestimates (each cell is the
+  // true count plus non-negative collision mass) and the md5 hash
+  // discipline makes the cells — not just the estimates —
+  // reproducible in the DuckDB oracle, so the gate hash-compares
+  // counts derived from SKETCH STATE against exact GROUP BY counts.
+  // Integer-only end to end: no epsilon/delta floats anywhere.
+  // ---------------------------------------------------------------
+
+  /** Row-r cell index for a key: first 15 md5 hex chars of
+    * `"r:cms:key"` as a 60-bit integer, mod w. The row index is part
+    * of the hashed text, so the d hash functions are independent
+    * md5 draws, not correlated bit-slices of one digest. */
+  def cmsCell(r: Column, key: Column, w: Int): Column =
+    conv(substring(md5(concat(r.cast("string"), lit(":cms:"), key)),
+      1, 15), 16, 10).cast("long") % w
+
+  /** Sketch build: per-(row, cell) counter table `r, c, cnt`.
+    * The d-way explode happens BEFORE the aggregate, so map-side
+    * combine caps the exchange at d×w rows per input partition —
+    * the 100 TB contract (d=3, w=256 → ≤768 rows) — and `cnt` is an
+    * exact partial-aggregable BIGINT count, so sketches of corpus
+    * shards merge by cell-wise addition for free. */
+  def cmsCells(df: DataFrame, keyCol: Column, d: Int, w: Int)
+      : DataFrame = {
+    require(d >= 1 && w >= 2, s"need d >= 1, w >= 2; got d=$d, w=$w")
+    df.select(keyCol.as("key"))
+      .select(explode(sequence(lit(0), lit(d - 1))).as("r"), col("key"))
+      .select(col("r"), cmsCell(col("r"), col("key"), w).as("c"))
+      .groupBy("r", "c").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-query estimates for a (small) candidate frame carrying
+    * `key`: joins each candidate's d cells against the sketch and
+    * takes min_r cnt. The sketch is w×d rows — ALWAYS broadcast —
+    * so the probe costs one broadcast hash join however many
+    * candidates there are. Output: input columns + `cms_estimate`.
+    *
+    * `missingAsZero = true` (default) LEFT-joins so a never-inserted
+    * key estimates 0 — the general point-query contract. Pass false
+    * when every candidate is known inserted (all d cells then exist
+    * by construction): the probe becomes an INNER join, identical in
+    * result but visible to `count()` — a left join over the
+    * unique-keyed sketch is row-preserving, so Catalyst's join
+    * elimination would let a count()-timed bench skip the whole
+    * sketch build (the ElisionPin hazard). */
+  def cmsEstimate(candidates: DataFrame, cells: DataFrame, d: Int,
+      w: Int, missingAsZero: Boolean = true): DataFrame = {
+    val keyCols = candidates.columns.map(col).toSeq
+    val joinType = if (missingAsZero) "left" else "inner"
+    candidates
+      .select(keyCols :+
+        explode(sequence(lit(0), lit(d - 1))).as("r"): _*)
+      .withColumn("c", cmsCell(col("r"), col("key"), w))
+      .join(broadcast(cells), Seq("r", "c"), joinType)
+      .groupBy(keyCols: _*)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_estimate"))
+  }
 }

@@ -2302,6 +2302,40 @@ object TrainingQueries {
         .orderBy("source")
     },
 
+    // Count-Min ESTIMATE audit — hot_bigrams' sketch sibling and the
+    // HLL report's count twin (operators/Sketches scaladoc): build a
+    // d=3 × w=256 CMS over the corpus bigram stream, then compare
+    // the sketch's point estimates against exact counts for the
+    // exact top-20 bigrams, overestimate in integer permille (CMS
+    // never underestimates, so truncating div and flooring // agree).
+    // w is sized BELOW the ~916-bigram vocabulary on purpose: the
+    // report exists to SHOW collision inflation, and at w=256 most
+    // of the top-20 carry nonzero over_pm at every SF. Plan: the
+    // sketch build is one map-side-combinable aggregate whose
+    // exchange is ≤ 768 rows per partition at ANY corpus size; the
+    // exact top-20 is a vocab-bounded aggregate + the usual (n desc,
+    // key asc) deterministic cut; the probe is a broadcast join of
+    // 60 candidate cells against the ≤768-row sketch. Nothing scales
+    // past the token explode.
+    "cms_bigram_report" -> { (s, dir) =>
+      val big = Tables.documents(s, dir)
+        .select(TextAnalysis.tokens(lower(col("text"))).as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(toks) - 1)," +
+            " i -> concat(element_at(toks, i), ' '," +
+            " element_at(toks, i + 1)))")).as("key"))
+      val cells = Sketches.cmsCells(big, col("key"), 3, 256)
+      val top = big.groupBy("key").agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("key").asc).limit(20)
+      Sketches.cmsEstimate(top, cells, 3, 256, missingAsZero = false)
+        .withColumn("over_pm",
+          expr("(cms_estimate - n_exact) * 1000 div n_exact"))
+        .select(col("key").as("bigram"), col("n_exact"),
+          col("cms_estimate"), col("over_pm"))
+        .orderBy(col("n_exact").desc, col("bigram").asc)
+    },
+
     "heaps_law" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val d = Tables.documents(s, dir)
@@ -3253,6 +3287,39 @@ object TrainingQueries {
         |  $HllErrPermilleSql AS err_permille
         |FROM j ORDER BY source""".stripMargin
     },
+
+    "cms_bigram_report" ->
+      s"""WITH t AS (
+        |  SELECT $toksExpr AS toks FROM documents
+        |), b AS (
+        |  SELECT unnest(list_transform(range(1, len(toks)),
+        |    i -> toks[CAST(i AS INT)] || ' ' ||
+        |         toks[CAST(i + 1 AS INT)])) AS key
+        |  FROM t WHERE len(toks) >= 2
+        |), cells AS (
+        |  SELECT r, ('0x' || substr(md5(CAST(r AS VARCHAR) ||
+        |      ':cms:' || key), 1, 15))::BIGINT % 256 AS c,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM b, (SELECT unnest([0, 1, 2]) AS r)
+        |  GROUP BY r, c
+        |), top AS (
+        |  SELECT key, CAST(COUNT(*) AS BIGINT) AS n_exact FROM b
+        |  GROUP BY key ORDER BY n_exact DESC, key ASC LIMIT 20
+        |), probe AS (
+        |  SELECT t2.key, t2.n_exact, r.r,
+        |    ('0x' || substr(md5(CAST(r.r AS VARCHAR) ||
+        |      ':cms:' || t2.key), 1, 15))::BIGINT % 256 AS c
+        |  FROM top t2, (SELECT unnest([0, 1, 2]) AS r) r
+        |), est AS (
+        |  SELECT key, n_exact,
+        |    MIN(COALESCE(cells.cnt, 0)) AS cms_estimate
+        |  FROM probe LEFT JOIN cells USING (r, c)
+        |  GROUP BY key, n_exact
+        |)
+        |SELECT key AS bigram, n_exact,
+        |  CAST(cms_estimate AS BIGINT) AS cms_estimate,
+        |  (cms_estimate - n_exact) * 1000 // n_exact AS over_pm
+        |FROM est ORDER BY n_exact DESC, bigram ASC""".stripMargin,
 
     "heaps_law" ->
       s"""WITH d AS (

@@ -188,6 +188,100 @@ object WebQueries {
         .orderBy("domain")
     },
 
+    // ROBOTS-style URL policy — the fetch-permission gate between the
+    // frontier (which URLs exist) and the politeness limiter (how
+    // fast to fetch them): per-domain allow/disallow PREFIX rules
+    // resolved by the Robots Exclusion Protocol's most-specific-match
+    // rule (RFC 9309 §2.2.2: the longest matching prefix wins, so a
+    // specific re-allow pierces a broad disallow). The container has
+    // no robots corpus, so rules derive deterministically from the
+    // domain set itself — every domain allows "/", ~half (seeded md5
+    // residue) disallow "/docs/", and ~half of those re-allow
+    // "/docs/index.html" — exercising default-allow, blanket-block
+    // and override-pierce paths (the index slug exists every 17th
+    // doc, so the override MATTERS in the output). Shape: the rules
+    // frame is ≤ 3 × domains rows and BROADCASTS into the URL scan;
+    // longest-prefix-wins is a partial-aggregable max_by over the
+    // ≤ 3 matched rules per URL (prefix lengths are distinct by
+    // construction — a total order); the report is one more shrinking
+    // domain rollup. Nothing scales past the scan.
+    "robots_policy" -> { (s, dir) =>
+      val u = withUrls(s, dir).select(col("doc_id"), col("domain"),
+        col("path"))
+      val doms = u.select("domain").distinct()
+      val b1 = substring(md5(concat(lit("robots:"), col("domain"))), 1, 1)
+      val b2 = substring(md5(concat(lit("robots:"), col("domain"))), 2, 1)
+      val rules = doms
+        .select(col("domain"), lit("/").as("prefix"), lit(true).as("allow"))
+        .unionByName(doms.filter(b1 < "8")
+          .select(col("domain"), lit("/docs/").as("prefix"),
+            lit(false).as("allow")))
+        .unionByName(doms.filter(b1 < "8" && b2 < "8")
+          .select(col("domain"), lit("/docs/index.html").as("prefix"),
+            lit(true).as("allow")))
+      u.join(broadcast(rules), Seq("domain"))
+        .filter(expr("substring(path, 1, length(prefix)) = prefix"))
+        .groupBy("doc_id", "domain")
+        .agg(expr("max_by(allow, length(prefix))").as("allowed"))
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_urls"),
+          sum(when(col("allowed"), 1L).otherwise(0L)).as("n_allowed"),
+          sum(when(col("allowed"), 0L).otherwise(1L)).as("n_disallowed"))
+        .orderBy("domain")
+    },
+
+    // REDIRECT-chain resolution — the crawl step between fetching and
+    // URL dedup: every 301/308 hop is an edge in a FUNCTIONAL graph
+    // (each URL has at most one redirect target), and the corpus
+    // wants each page keyed by its TERMINAL URL, with redirect loops
+    // detected rather than walked forever. Synthesis (mirrored in the
+    // oracle CTE): ids group in 8s; offset 0 is the terminal page,
+    // offsets walk down one id per hop (chains up to 7), and in a
+    // seeded 1/8 of groups offset 5 redirects UP to 6 — a 2-cycle
+    // {5,6} that offset 7's chain falls into (a tail-into-loop, the
+    // shape real loop detectors must handle; 'dangling' covers a
+    // target outside the crawl). Resolution is POINTER DOUBLING
+    // (Wyllie 1979 list ranking): state (x, cur, hops) starts at one
+    // hop and composes with itself — terminals are (x, x, 0)
+    // fixpoints so composition needs no conditional — reaching f^(2^k)
+    // after k rounds: ceil(log2(maxChain+1)) = 3 self-joins instead
+    // of 7 sequential passes, each a hash equi-join on the frontier-
+    // bounded URL set with lineage truncated per round (the house
+    // Dedup.components discipline). A node still pointing at a
+    // redirecting URL after 8 composed hops can only be on a cycle.
+    // The oracle resolves the SAME graph by a genuinely different
+    // algorithm — DuckDB's recursive CTE walks hop-at-a-time, capped
+    // at 8 — so agreement checks the doubling algebra, not a shared
+    // implementation.
+    "redirect_resolve" -> { (s, dir) =>
+      val grp = expr("CAST(doc_id div 8 AS STRING)")
+      val nxt = Tables.documents(s, dir).select(col("doc_id").as("x"),
+        when(expr("doc_id % 8") === 0, lit(null).cast("long"))
+          .when(expr("doc_id % 8") === 5 &&
+            substring(md5(concat(lit("cyc:"), grp)), 1, 1) < "2",
+            col("doc_id") + 1)
+          .otherwise(col("doc_id") - 1).as("nxt"))
+      var st = nxt.select(col("x"),
+        coalesce(col("nxt"), col("x")).as("cur"),
+        when(col("nxt").isNull, 0L).otherwise(1L).as("hops"))
+      for (_ <- 1 to 3) {
+        val hop = st.select(col("x").as("bx"), col("cur").as("bcur"),
+          col("hops").as("bhops"))
+        st = st.join(hop, col("cur") === col("bx"), "left")
+          .select(col("x"), coalesce(col("bcur"), col("cur")).as("cur"),
+            (col("hops") + coalesce(col("bhops"), lit(0L))).as("hops"))
+          .localCheckpoint(eager = false)
+      }
+      st.join(nxt.select(col("x").as("fx"), col("nxt").as("fnxt")),
+          col("cur") === col("fx"), "left")
+        .select(col("x").as("doc_id"), col("cur").as("final_id"),
+          col("hops"),
+          when(col("fx").isNull, lit("dangling"))
+            .when(col("fnxt").isNull, lit("ok"))
+            .otherwise(lit("loop")).as("status"))
+        .orderBy("doc_id")
+    },
+
     // Canonical-URL DEDUP — the crawl pipeline's very first dedup
     // (before any content hashing): re-crawls of one page differ only
     // in host case, an explicit default port, or a fragment; folding
@@ -462,6 +556,65 @@ object WebQueries {
         |    AS INT) AS priority,
         |  domain, n_urls, n_canonical, dup_pm, change_pm, refresh_hours
         |FROM f ORDER BY priority""".stripMargin,
+
+    "robots_policy" ->
+      s"""WITH $urlCte,
+        |p AS (
+        |  SELECT doc_id,
+        |    regexp_replace(host, '^(www|cdn)\\.', '') AS domain, path
+        |  FROM c
+        |), doms AS (
+        |  SELECT DISTINCT domain FROM p
+        |), rules AS (
+        |  SELECT domain, '/' AS prefix, TRUE AS allow FROM doms
+        |  UNION ALL
+        |  SELECT domain, '/docs/', FALSE FROM doms
+        |  WHERE substr(md5('robots:' || domain), 1, 1) < '8'
+        |  UNION ALL
+        |  SELECT domain, '/docs/index.html', TRUE FROM doms
+        |  WHERE substr(md5('robots:' || domain), 1, 1) < '8'
+        |    AND substr(md5('robots:' || domain), 2, 1) < '8'
+        |), m AS (
+        |  SELECT p.doc_id, p.domain, r.allow, length(r.prefix) AS plen
+        |  FROM p JOIN rules r ON p.domain = r.domain
+        |    AND substr(p.path, 1, length(r.prefix)) = r.prefix
+        |), v AS (
+        |  SELECT doc_id, domain, max_by(allow, plen) AS allowed
+        |  FROM m GROUP BY doc_id, domain
+        |)
+        |SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_urls,
+        |  CAST(SUM(CASE WHEN allowed THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_allowed,
+        |  CAST(SUM(CASE WHEN allowed THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS n_disallowed
+        |FROM v GROUP BY domain ORDER BY domain""".stripMargin,
+
+    "redirect_resolve" ->
+      """WITH RECURSIVE nxt AS (
+        |  SELECT doc_id AS x,
+        |    CASE WHEN doc_id % 8 = 0 THEN NULL
+        |      WHEN doc_id % 8 = 5 AND substr(md5('cyc:' ||
+        |          CAST(doc_id // 8 AS VARCHAR)), 1, 1) < '2'
+        |        THEN doc_id + 1
+        |      ELSE doc_id - 1 END AS nxt
+        |  FROM documents
+        |), walk AS (
+        |  SELECT x, x AS cur, 0 AS hops FROM nxt
+        |  UNION ALL
+        |  SELECT w.x, n.nxt, w.hops + 1
+        |  FROM walk w JOIN nxt n ON w.cur = n.x
+        |  WHERE n.nxt IS NOT NULL AND w.hops < 8
+        |), fin AS (
+        |  SELECT x, max_by(cur, hops) AS final_id,
+        |    MAX(hops) AS hops
+        |  FROM walk GROUP BY x
+        |)
+        |SELECT f.x AS doc_id, f.final_id,
+        |  CAST(f.hops AS BIGINT) AS hops,
+        |  CASE WHEN n2.x IS NULL THEN 'dangling'
+        |    WHEN n2.nxt IS NULL THEN 'ok' ELSE 'loop' END AS status
+        |FROM fin f LEFT JOIN nxt n2 ON f.final_id = n2.x
+        |ORDER BY doc_id""".stripMargin,
 
     "url_dedup" ->
       """WITH u AS (

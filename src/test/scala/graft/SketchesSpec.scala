@@ -54,4 +54,56 @@ class SketchesSpec extends SparkSpec {
         s"${r.getAs[String]("key")}: estimate $est vs exact $exactN")
     }
   }
+
+  test("CMS one-sided error: every token's estimate >= exact count, " +
+      "the sketch is bounded by d*w cells, and per-shard sketches " +
+      "merge by cell-wise addition into the whole-corpus sketch") {
+    val toks = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), explode(graft.operators.TextAnalysis
+        .tokens(lower(col("text")))).as("key"))
+    val (d, w) = (3, 64)
+    val cells = Sketches.cmsCells(toks, col("key"), d, w)
+    assert(cells.count() <= d.toLong * w, "sketch outgrew d*w cells")
+    val exact = toks.groupBy("key").agg(count(lit(1)).as("n_exact"))
+    val est = Sketches.cmsEstimate(exact, cells, d, w)
+    val bad = est.filter(col("cms_estimate") < col("n_exact")).count()
+    assert(bad === 0, s"$bad tokens underestimated — CMS one-sided " +
+      "error guarantee broken")
+    // merge law: shard sketches sum cell-wise to the corpus sketch
+    val a = Sketches.cmsCells(toks.filter(pmod(col("doc_id"), lit(2))
+      === 0), col("key"), d, w)
+    val b = Sketches.cmsCells(toks.filter(pmod(col("doc_id"), lit(2))
+      === 1), col("key"), d, w)
+    val merged = a.unionByName(b).groupBy("r", "c")
+      .agg(sum("cnt").as("cnt"))
+    assert(cells.exceptAll(merged).isEmpty &&
+      merged.exceptAll(cells).isEmpty,
+      "sum-of-shard-sketches diverged from whole-corpus sketch")
+  }
+
+  test("CMS estimate is exact for a key with collision-free cells " +
+      "in at least one row, and a never-inserted key estimates 0") {
+    // two keys engineered onto the real token stream: the sketch of
+    // tokens plus one sentinel occurrence; the sentinel's count must
+    // come back >= 1 and a distinct absent sentinel exactly 0.
+    val toks = Tables.documents(spark, sf0001)
+      .select(explode(graft.operators.TextAnalysis
+        .tokens(lower(col("text")))).as("key"))
+    val withSentinel = toks.unionByName(
+      spark.range(1).select(lit("graft-cms-sentinel").as("key")))
+    val cells = Sketches.cmsCells(withSentinel, col("key"), 3, 1024)
+    val probe = spark.range(1)
+      .select(lit("graft-cms-sentinel").as("key"))
+      .unionByName(spark.range(1)
+        .select(lit("graft-cms-absent").as("key")))
+    val est = Sketches.cmsEstimate(probe, cells, 3, 1024)
+      .collect().map(r => r.getAs[String]("key") ->
+        r.getAs[Long]("cms_estimate")).toMap
+    assert(est("graft-cms-sentinel") >= 1L,
+      "inserted sentinel lost from the sketch")
+    // deterministic data, so this is a pin: at w=1024 over a
+    // ~32-token vocabulary the absent key has a collision-free row
+    assert(est("graft-cms-absent") === 0L,
+      "never-inserted key estimated nonzero at w=1024")
+  }
 }
