@@ -160,7 +160,8 @@ object SparkEntry {
       "dp_count_release", "frontier_refresh_plan",
       // round-16 additions
       "dp_histogram_release", "hll_shingle_report", "quota_sample",
-      "robots_policy", "redirect_resolve", "cms_bigram_report")
+      "robots_policy", "redirect_resolve", "cms_bigram_report",
+      "hdr_value_quantiles")
 
   def benchQueries: Seq[(String, (SparkSession, String) => DataFrame)] =
     benchNames.flatMap(n => queries.get(n).map(n -> _))

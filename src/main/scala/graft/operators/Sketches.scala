@@ -144,4 +144,51 @@ object Sketches {
       .groupBy(keyCols: _*)
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_estimate"))
   }
+
+  // ---------------------------------------------------------------
+  // HDR-style log-bucket QUANTILE sketch — the third member of the
+  // trio (HLL: distinct; CMS: counts; this: quantiles), the shape
+  // HdrHistogram and Prometheus-native-histogram deploy at scale:
+  // a non-negative integer collapses to (exponent, 4 top mantissa
+  // bits), so the histogram holds ≤ 16 + 56×16 = 912 buckets for the
+  // entire BIGINT range however many distinct values the corpus has —
+  // where an exact value histogram grows with value cardinality.
+  // Buckets are pure integer bit arithmetic (length(bin(v)) is the
+  // exponent probe, the same cross-engine idiom hllRegisters' rho
+  // uses), merge by addition, and bound relative error at 2^-4 =
+  // 6.25%: a value in bucket b satisfies lo(b) <= v < lo(b)·(1+1/16),
+  // so a quantile read off bucket lower bounds never overestimates —
+  // err_pm stays non-negative and truncating div/flooring // agree.
+  // Values < 32 (exponent <= 4) are their own exact buckets.
+  // Emitted as SQL fragments, not Columns: the shift distances are
+  // data-dependent, which the Scala Column API can't express
+  // (shiftright's wrapper takes a literal Int) but both SQL dialects
+  // can. Spark and DuckDB differ only in shift spelling
+  // (shiftright/shiftleft vs >>/<<) — integer ops, no rounding to
+  // share a string over.
+  // ---------------------------------------------------------------
+
+  /** Spark-SQL bucket index for non-negative BIGINT expression `v`. */
+  def hdrBucketSql(v: String): String =
+    s"CASE WHEN length(bin($v)) <= 5 THEN $v" +
+      s" ELSE (length(bin($v)) - 5) * 16 +" +
+      s" shiftright($v, length(bin($v)) - 5) END"
+
+  /** Spark-SQL inclusive lower bound of `v`'s bucket. */
+  def hdrBucketLoSql(v: String): String =
+    s"CASE WHEN length(bin($v)) <= 5 THEN $v" +
+      s" ELSE shiftleft(shiftright($v, length(bin($v)) - 5)," +
+      s" length(bin($v)) - 5) END"
+
+  /** DuckDB spelling of [[hdrBucketSql]]. */
+  def hdrBucketDuck(v: String): String =
+    s"CASE WHEN length(bin($v)) <= 5 THEN $v" +
+      s" ELSE (length(bin($v)) - 5) * 16 +" +
+      s" ($v >> (length(bin($v)) - 5)) END"
+
+  /** DuckDB spelling of [[hdrBucketLoSql]]. */
+  def hdrBucketLoDuck(v: String): String =
+    s"CASE WHEN length(bin($v)) <= 5 THEN $v" +
+      s" ELSE ($v >> (length(bin($v)) - 5)) <<" +
+      s" (length(bin($v)) - 5) END"
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.AsofJoin
+import graft.operators.{AsofJoin, Sketches}
 import graft.sources.Tables
 
 /** Event-time queries over the `events` table: the as-of join (state at
@@ -299,6 +299,66 @@ object TemporalQueries {
       ranked.groupBy("event_type")
         .agg(qd(0.5).as("p50_value"), qd(0.9).as("p90_value"),
           qd(0.99).as("p99_value"))
+        .orderBy("event_type")
+    },
+
+    // HDR-SKETCH value percentiles — value_quantiles' bounded-state
+    // sibling and the quantile member of the Sketches trio
+    // (operators/Sketches scaladoc): the exact histogram above is
+    // safe only while distinct payload values stay bounded; this one
+    // collapses each value to a (exponent, 4-mantissa-bit) log
+    // bucket, so the per-type histogram holds ≤ ~912 buckets at ANY
+    // value cardinality and shards merge by addition. Values enter
+    // as floor-1e6 micro-units (the ONE float op, the house shared-
+    // double discipline — the same "floor(value * 1000000e0)" text
+    // in both engines); everything after is integer bit arithmetic.
+    // The report reads p50/p90/p99 off bucket LOWER bounds next to
+    // the exact micro-unit answer: sketch <= exact < sketch·17/16,
+    // so err_pm is non-negative (truncating div and flooring //
+    // agree) and must stay under 62.5‰ — the 2^-4 design bound made
+    // visible, audited by the oracle at every SF. Plan: two
+    // histogram aggregates off one scan; windows run on bucket- and
+    // value-cardinality frames, never the event stream.
+    "hdr_value_quantiles" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.events(s, dir)
+        .filter(col("value").isNotNull && col("value") > 0)
+        .select(col("event_type"),
+          expr("CAST(floor(value * 1000000e0) AS BIGINT)").as("vi"))
+      val hist = e
+        .withColumn("bucket", expr(Sketches.hdrBucketSql("vi")))
+        .withColumn("lo", expr(Sketches.hdrBucketLoSql("vi")))
+        .groupBy("event_type", "bucket")
+        .agg(min("lo").as("lo"), count(lit(1)).as("cnt"))
+      val wn = Window.partitionBy("event_type")
+      val skCum = hist
+        .withColumn("cum", sum("cnt").over(wn.orderBy("bucket")))
+        .withColumn("n", sum("cnt").over(wn))
+      def q(v: String)(p: Int) =
+        min(when(col("cum") * 100 >= lit(p) * col("n"), col(v)))
+      val sk = skCum.groupBy("event_type")
+        .agg(q("lo")(50).as("p50_sketch"), q("lo")(90).as("p90_sketch"),
+          q("lo")(99).as("p99_sketch"),
+          count(lit(1)).as("n_buckets"))
+      val exCum = e.groupBy("event_type", "vi")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum("cnt").over(wn.orderBy("vi")))
+        .withColumn("n", sum("cnt").over(wn))
+      val ex = exCum.groupBy("event_type")
+        .agg(q("vi")(50).as("p50_exact"), q("vi")(90).as("p90_exact"),
+          q("vi")(99).as("p99_exact"))
+      sk.join(ex, "event_type")
+        .select(col("event_type"),
+          col("p50_exact"), col("p50_sketch"),
+          expr("(p50_exact - p50_sketch) * 1000 div p50_exact")
+            .as("p50_err_pm"),
+          col("p90_exact"), col("p90_sketch"),
+          expr("(p90_exact - p90_sketch) * 1000 div p90_exact")
+            .as("p90_err_pm"),
+          col("p99_exact"), col("p99_sketch"),
+          expr("(p99_exact - p99_sketch) * 1000 div p99_exact")
+            .as("p99_err_pm"),
+          col("n_buckets"))
         .orderBy("event_type")
     },
 
@@ -601,6 +661,58 @@ object TemporalQueries {
         |  quantile_disc(value, 0.99) AS p99_value
         |FROM events WHERE value IS NOT NULL
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "hdr_value_quantiles" ->
+      s"""WITH e AS (
+        |  SELECT event_type,
+        |    CAST(floor(value * 1000000e0) AS BIGINT) AS vi
+        |  FROM events WHERE value IS NOT NULL AND value > 0
+        |), b AS (
+        |  SELECT event_type, vi,
+        |    ${Sketches.hdrBucketDuck("vi")} AS bucket,
+        |    ${Sketches.hdrBucketLoDuck("vi")} AS lo
+        |  FROM e
+        |), hist AS (
+        |  SELECT event_type, bucket, MIN(lo) AS lo,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM b GROUP BY event_type, bucket
+        |), skcum AS (
+        |  SELECT event_type, lo, cnt,
+        |    SUM(cnt) OVER (PARTITION BY event_type ORDER BY bucket)
+        |      AS cum,
+        |    SUM(cnt) OVER (PARTITION BY event_type) AS n
+        |  FROM hist
+        |), sk AS (
+        |  SELECT event_type,
+        |    MIN(CASE WHEN cum * 100 >= 50 * n THEN lo END)
+        |      AS p50_sketch,
+        |    MIN(CASE WHEN cum * 100 >= 90 * n THEN lo END)
+        |      AS p90_sketch,
+        |    MIN(CASE WHEN cum * 100 >= 99 * n THEN lo END)
+        |      AS p99_sketch,
+        |    CAST(COUNT(*) AS BIGINT) AS n_buckets
+        |  FROM skcum GROUP BY event_type
+        |), excum AS (
+        |  SELECT event_type, vi,
+        |    SUM(cnt) OVER (PARTITION BY event_type ORDER BY vi) AS cum,
+        |    SUM(cnt) OVER (PARTITION BY event_type) AS n
+        |  FROM (SELECT event_type, vi, CAST(COUNT(*) AS BIGINT) AS cnt
+        |        FROM e GROUP BY event_type, vi)
+        |), ex AS (
+        |  SELECT event_type,
+        |    MIN(CASE WHEN cum * 100 >= 50 * n THEN vi END) AS p50_exact,
+        |    MIN(CASE WHEN cum * 100 >= 90 * n THEN vi END) AS p90_exact,
+        |    MIN(CASE WHEN cum * 100 >= 99 * n THEN vi END) AS p99_exact
+        |  FROM excum GROUP BY event_type
+        |)
+        |SELECT s.event_type, p50_exact, p50_sketch,
+        |  (p50_exact - p50_sketch) * 1000 // p50_exact AS p50_err_pm,
+        |  p90_exact, p90_sketch,
+        |  (p90_exact - p90_sketch) * 1000 // p90_exact AS p90_err_pm,
+        |  p99_exact, p99_sketch,
+        |  (p99_exact - p99_sketch) * 1000 // p99_exact AS p99_err_pm,
+        |  n_buckets
+        |FROM sk s JOIN ex USING (event_type)
+        |ORDER BY event_type""".stripMargin,
     "sessionize" ->
       """WITH e AS (
         |  SELECT user_id, ts, value,
