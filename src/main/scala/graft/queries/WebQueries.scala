@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.operators.TextAnalysis
 import graft.sources.Tables
 
 /** Crawl-front-end tier: HTML→text extraction with boilerplate
@@ -280,6 +281,87 @@ object WebQueries {
             .when(col("fnxt").isNull, lit("ok"))
             .otherwise(lit("loop")).as("status"))
         .orderBy("doc_id")
+    },
+
+    // CRAWL-DEPTH labeling — frontier BFS from the seed list over the
+    // outlink graph, the "how deep did the crawl budget reach" audit
+    // every crawl corpus ships with (depth is a quality prior: deep
+    // pages are disproportionately spam/duplicates). Synthesis
+    // (mirrored in the oracle): seeds are every 97th page; every page
+    // links to the next (pagination), and every 17th page is an index
+    // page fanning out to its 16 members — so depths spread over the
+    // full 0..8 budget with an undiscovered tail (~60% here), both
+    // regimes a depth report must show. The algorithm is textbook
+    // DELTA-FRONTIER BFS: 8 rounds (the crawl budget) of frontier ⋈
+    // edges, each new layer anti-joined against the visited set so
+    // per-round work is ∝ the frontier, never the visited set, and
+    // lineage is lazily checkpoint-truncated per round (the house
+    // Dedup.components discipline). Contrast redirect_resolve: pointer
+    // doubling needs a FUNCTIONAL graph (out-degree ≤ 1); BFS is the
+    // general-fan-out tool, and its rounds are the budget semantics
+    // itself (depth ≤ 8), not a log2 trick. The oracle explores the
+    // same graph with a depth-capped recursive CTE (all paths, UNION-
+    // deduped, min per node) — a genuinely different algorithm.
+    "crawl_depth_bfs" -> { (s, dir) =>
+      val ids = Tables.documents(s, dir).select(col("doc_id"))
+      val edges = ids.select(col("doc_id").as("src"),
+          explode(when(expr("doc_id % 17 = 0"),
+              expr("sequence(doc_id + 1, doc_id + 16)"))
+            .otherwise(array(col("doc_id") + 1))).as("dst"))
+        .join(ids.select(col("doc_id").as("dst")), Seq("dst"),
+          "left_semi")
+        .localCheckpoint(eager = false)
+      var dist = ids.filter(expr("doc_id % 97 = 0"))
+        .select(col("doc_id").as("x"), lit(0L).as("depth"))
+        .localCheckpoint(eager = false)
+      var frontier = dist
+      for (d <- 1 to 8) {
+        val nxt = frontier.join(edges, col("x") === col("src"))
+          .select(col("dst").as("x")).distinct()
+          .join(dist, Seq("x"), "left_anti")
+          .select(col("x"), lit(d.toLong).as("depth"))
+          .localCheckpoint(eager = false)
+        dist = dist.unionByName(nxt).localCheckpoint(eager = false)
+        frontier = nxt
+      }
+      ids.join(dist, col("doc_id") === col("x"), "left")
+        .select(col("doc_id"),
+          coalesce(col("depth"), lit(-1L)).as("depth"),
+          when(col("depth").isNull, lit("undiscovered"))
+            .when(col("depth") === 0L, lit("seed"))
+            .otherwise(lit("reached")).as("status"))
+        .orderBy("doc_id")
+    },
+
+    // ANCHOR-TEXT aggregation — the web-graph signal retrieval and
+    // quality pipelines mine from crawls (anchor terms describe the
+    // TARGET page better than the target's own text — the classic
+    // web-IR observation behind anchor fields in BM25F): member pages
+    // link to their group's index page (the same every-17th hub
+    // structure crawl_depth_bfs fans out over) carrying their first
+    // two tokens as anchor text; the report is each target's top-3
+    // anchor terms. Plan: the per-(target, term) count is a vocab×
+    // targets-bounded partial aggregate, and the top-3 cut runs
+    // through the NATIVE bounded-heap top-k node (partial/final
+    // around the exchange — the answer shuffles, not the corpus),
+    // with (n desc, term asc) total order so the cut is
+    // deterministic. The semi-join keeps only targets that exist in
+    // the corpus (sparse id-space safety, e.g. ScaleUp copies).
+    "anchor_text_topk" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val anchors = docs.filter(expr("doc_id % 17 != 0"))
+        .select(expr("doc_id - doc_id % 17").as("target_id"),
+          explode(slice(TextAnalysis.tokens(lower(col("text"))), 1, 2))
+            .as("term"))
+        .join(docs.select(col("doc_id").as("target_id")),
+          Seq("target_id"), "left_semi")
+      val counts = anchors.groupBy("target_id", "term")
+        .agg(count(lit(1)).as("n"))
+      graft.operators.TopK.perGroupNative(counts, "target_id", "term",
+          "n", 3)
+        .filter(col("rank") <= 3)
+        .select(col("target_id"), col("term"), col("n"), col("rank"))
+        .orderBy("target_id", "rank")
     },
 
     // Canonical-URL DEDUP — the crawl pipeline's very first dedup
@@ -615,6 +697,57 @@ object WebQueries {
         |    WHEN n2.nxt IS NULL THEN 'ok' ELSE 'loop' END AS status
         |FROM fin f LEFT JOIN nxt n2 ON f.final_id = n2.x
         |ORDER BY doc_id""".stripMargin,
+
+    "crawl_depth_bfs" ->
+      """WITH RECURSIVE ids AS (
+        |  SELECT doc_id FROM documents
+        |), edges AS (
+        |  SELECT src, dst FROM (
+        |    SELECT doc_id AS src, unnest(
+        |      CASE WHEN doc_id % 17 = 0
+        |        THEN list_concat([doc_id + 1],
+        |          list_transform(range(2, 17), k -> doc_id + k))
+        |        ELSE [doc_id + 1] END) AS dst
+        |    FROM ids)
+        |  WHERE dst IN (SELECT doc_id FROM ids)
+        |), walk AS (
+        |  SELECT doc_id AS x, 0 AS depth FROM ids WHERE doc_id % 97 = 0
+        |  UNION
+        |  SELECT e.dst AS x, w.depth + 1
+        |  FROM walk w JOIN edges e ON w.x = e.src
+        |  WHERE w.depth < 8
+        |), dist AS (
+        |  SELECT x, MIN(depth) AS depth FROM walk GROUP BY x
+        |)
+        |SELECT i.doc_id,
+        |  CAST(COALESCE(d.depth, -1) AS BIGINT) AS depth,
+        |  CASE WHEN d.depth IS NULL THEN 'undiscovered'
+        |    WHEN d.depth = 0 THEN 'seed' ELSE 'reached' END AS status
+        |FROM ids i LEFT JOIN dist d ON i.doc_id = d.x
+        |ORDER BY doc_id""".stripMargin,
+
+    "anchor_text_topk" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, ${TrainingQueries.toksExpr} AS toks
+        |  FROM documents
+        |), a AS (
+        |  SELECT doc_id - doc_id % 17 AS target_id,
+        |    unnest(toks[1:2]) AS term
+        |  FROM t WHERE doc_id % 17 != 0
+        |), f AS (
+        |  SELECT * FROM a
+        |  WHERE target_id IN (SELECT doc_id FROM documents)
+        |), c AS (
+        |  SELECT target_id, term, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM f GROUP BY target_id, term
+        |), r AS (
+        |  SELECT target_id, term, n, CAST(row_number() OVER (
+        |    PARTITION BY target_id ORDER BY n DESC, term ASC)
+        |    AS INT) AS rank
+        |  FROM c
+        |)
+        |SELECT target_id, term, n, rank FROM r WHERE rank <= 3
+        |ORDER BY target_id, rank""".stripMargin,
 
     "url_dedup" ->
       """WITH u AS (
