@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Live per-window QUANTILE sketching — the third streaming sketch
+  * twin, completing the trio next to [[StreamingDistinct]] (HLL) and
+  * [[StreamingCms]] (Count-Min): "p50/p99 of this hour's values",
+  * where an exact streaming histogram needs state proportional to the
+  * hour's distinct values. The HDR log-bucket histogram
+  * ([[graft.operators.Sketches]] scaladoc) holds ≤ ~912 long counters
+  * per open hour for the whole non-negative BIGINT range, and the
+  * buckets are the SAME (exponent, 4-mantissa-bit) buckets as the
+  * batch sketch, computed here in compiled JVM code
+  * ([[StreamingHdr.bucket]]/[[StreamingHdr.bucketLo]] — a
+  * leading-zero count instead of the SQL length(bin(v)) probe, pinned
+  * value-equal in the spec) so streamed hours merge with batch
+  * sketches by cell-wise addition.
+  *
+  * Emission discipline is the house one: bucket increments are
+  * commutative, so arrival order inside the watermark horizon is
+  * irrelevant; a closed hour emits its FULL bucket table exactly once
+  * — sketch STATE, not quantiles, so downstream picks any p after the
+  * fact (`hdr_value_quantiles`' cumulative read) — and drops its
+  * state. Open hours emit nothing.
+  */
+object StreamingHdr {
+
+  /** A non-negative measurement at event time `tsUs` (epoch µs). */
+  case class Measured(vi: Long, tsUs: Long)
+
+  private[streaming] case class TimedVal(vi: Long, tsUs: Long,
+      eventTime: java.sql.Timestamp, hourBucket: Long)
+
+  /** One closed hour's sketch: one row per touched bucket. */
+  case class BucketCount(hourBucket: Long, bucket: Long, lo: Long,
+      cnt: Long)
+
+  private[streaming] case class HdrState(cells: Map[Long, Long])
+
+  val HourUs: Long = 3600000000L
+
+  /** EXACTLY Sketches.hdrBucketSql's bucket index (values < 32 are
+    * their own buckets; above, (exponent − 5)·16 + top-5 bits), with
+    * numberOfLeadingZeros standing in for the SQL length(bin(v))
+    * exponent probe. */
+  private[graft] def bucket(vi: Long): Long =
+    if (vi < 32L) vi
+    else {
+      val len = 64 - java.lang.Long.numberOfLeadingZeros(vi)
+      (len - 5).toLong * 16L + (vi >>> (len - 5))
+    }
+
+  /** EXACTLY Sketches.hdrBucketLoSql's inclusive bucket lower bound. */
+  private[graft] def bucketLo(vi: Long): Long =
+    if (vi < 32L) vi
+    else {
+      val len = 64 - java.lang.Long.numberOfLeadingZeros(vi)
+      (vi >>> (len - 5)) << (len - 5)
+    }
+
+  def cells(values: Dataset[Measured],
+      maxDelay: String = "1 hour"): Dataset[BucketCount] = {
+    implicit val timedEnc = Encoders.product[TimedVal]
+    implicit val stateEnc = Encoders.product[HdrState]
+    implicit val outEnc = Encoders.product[BucketCount]
+    values.toDF()
+      .withColumn("eventTime", timestamp_micros(col("tsUs")))
+      .withWatermark("eventTime", maxDelay)
+      .withColumn("hourBucket", expr(s"tsUs div $HourUs"))
+      .as[TimedVal]
+      .groupByKey(_.hourBucket)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.EventTimeTimeout) {
+        (hour: Long, it: Iterator[TimedVal],
+            state: GroupState[HdrState]) =>
+          val prior = state.getOption.getOrElse(HdrState(Map.empty))
+          val cellsNow = it.foldLeft(prior.cells) { (m, e) =>
+            val b = bucket(e.vi)
+            m.updated(b, m.getOrElse(b, 0L) + 1L)
+          }
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val hourEndUs = (hour + 1L) * HourUs
+          if (wmUs >= hourEndUs) {
+            state.remove()
+            cellsNow.toSeq.sortBy(_._1).map { case (b, cnt) =>
+              // lo re-derives from any member value's bucket floor;
+              // bucket → lo is closed-form: small buckets are their
+              // own value, larger ones are (16 + b%16) << (b/16 - 1)
+              val lo = if (b < 32L) b
+                else (16L + b % 16L) << (b / 16L - 1L)
+              BucketCount(hour, b, lo, cnt)
+            }.iterator
+          } else {
+            state.update(HdrState(cellsNow))
+            state.setTimeoutTimestamp(hourEndUs / 1000L)
+            Iterator.empty
+          }
+      }
+  }
+}

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sketches
+import graft.streaming.StreamingHdr
+import graft.streaming.StreamingHdr.{BucketCount, Measured}
+
+/** Pins [[StreamingHdr]]: the compiled bucket/lower-bound derivation
+  * equals the batch sketch's SQL derivation value-for-value (a
+  * leading-zero count vs the SQL length(bin(v)) probe), a closed
+  * hour's streamed bucket table equals the batch histogram of the
+  * same values (scrambled arrival — increments are commutative),
+  * emission is exactly-once at watermark close, and the emitted
+  * closed-form lower bounds match the per-value floors. */
+class StreamingHdrSpec extends SparkSpec {
+
+  // spans the exact small-bucket regime (< 32), the boundary, and
+  // several exponent decades up to > 2^40
+  private def corpusValues: Seq[Long] =
+    (0L to 40L) ++ (1 to 1500).map(i =>
+      (i.toLong * 7919L * (1L << (i % 28))) % (1L << 44))
+
+  test("compiled bucket()/bucketLo() equal Sketches.hdrBucketSql / " +
+      "hdrBucketLoSql for every corpus value") {
+    import spark.implicits._
+    val rows = corpusValues.distinct.toDF("vi")
+      .withColumn("bucket", expr(Sketches.hdrBucketSql("vi")))
+      .withColumn("lo", expr(Sketches.hdrBucketLoSql("vi")))
+      .collect()
+    rows.foreach { r =>
+      val vi = r.getAs[Long]("vi")
+      assert(StreamingHdr.bucket(vi) === r.getAs[Long]("bucket"),
+        s"bucket diverged for $vi")
+      assert(StreamingHdr.bucketLo(vi) === r.getAs[Long]("lo"),
+        s"bucketLo diverged for $vi")
+    }
+  }
+
+  test("a closed hour's streamed bucket table equals the batch HDR " +
+      "histogram of the same values (scrambled batches), emits " +
+      "exactly once, and its closed-form lower bounds match") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = StreamingHdr.HourUs * 900
+    val vals = corpusValues
+    val (a, rest) = vals.splitAt(500)
+    val (b, c) = rest.splitAt(500)
+    val input = MemoryStream[Measured]
+    val out = StreamingHdr.cells(input.toDS(), maxDelay = "1 second")
+    val q = out.writeStream.format("memory").queryName("shdr_out")
+      .outputMode("update").start()
+    def events(): Seq[BucketCount] =
+      spark.table("shdr_out").as[BucketCount].collect().toSeq
+    try {
+      input.addData(b.map(v => Measured(v, t0 + 1000)): _*)
+      q.processAllAvailable()
+      input.addData((c ++ b.take(150)).map(v =>
+        Measured(v, t0 + 2000)): _*)
+      q.processAllAvailable()
+      input.addData((a ++ c.take(50)).map(v =>
+        Measured(v, t0 + 3000)): _*)
+      q.processAllAvailable()
+      assert(events().isEmpty, "open hour emitted a provisional row")
+
+      input.addData(Measured(1L, t0 + StreamingHdr.HourUs + 2000000))
+      q.processAllAvailable()
+      input.addData(Measured(2L, t0 + StreamingHdr.HourUs + 3000000))
+      q.processAllAvailable()
+      val closed = events()
+      assert(closed.nonEmpty && closed.forall(_.hourBucket === 900L),
+        s"expected exactly one closed hour: ${closed.take(5)}")
+      assert(closed.map(_.bucket).distinct.size === closed.size,
+        "duplicate bucket rows — hour closed twice?")
+
+      // batch parity on identical values (duplicates and all)
+      val streamed = closed.map(cc => cc.bucket -> (cc.lo, cc.cnt))
+        .toMap
+      val batch = (b ++ c ++ b.take(150) ++ a ++ c.take(50))
+        .toDF("vi")
+        .withColumn("bucket", expr(Sketches.hdrBucketSql("vi")))
+        .withColumn("lo", expr(Sketches.hdrBucketLoSql("vi")))
+        .groupBy("bucket").agg(min("lo").as("lo"),
+          count(lit(1)).as("cnt"))
+        .collect()
+        .map(r => r.getAs[Long]("bucket") ->
+          (r.getAs[Long]("lo"), r.getAs[Long]("cnt"))).toMap
+      assert(streamed === batch,
+        "streamed bucket table diverged from the batch histogram")
+    } finally q.stop()
+  }
+}
