@@ -481,4 +481,42 @@ class PlanPinsSpec extends SparkSpec {
     assert(plan.contains("partial_sum"),
       s"bucket char-sum aggregate lost map-side partials:\n$plan")
   }
+
+  test("robots_policy's rules frame broadcasts into the URL scan " +
+      "(domains-sized build side; longest-prefix max_by combines " +
+      "map-side)") {
+    val df = SparkEntry.queries("robots_policy")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"rules join is not a broadcast hash join:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"unexpected nested loop in the rules match:\n$plan")
+    assert(plan.contains("partial_max_by") ||
+      plan.contains("partial_maxby") || plan.contains("partial_max_"),
+      s"longest-prefix max_by lost map-side partials:\n$plan")
+  }
+
+  test("anchor_text_topk's cut runs through the NATIVE top-k node, " +
+      "partial before the exchange and final after it") {
+    val df = SparkEntry.queries("anchor_text_topk")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroup(partial=true"),
+      s"partial bounded-heap pass missing:\n$plan")
+    assert(plan.contains("TopKPerGroup(partial=false"),
+      s"final bounded-heap pass missing:\n$plan")
+  }
+
+  test("the iterative/sketch r16 additions keep every join hashed — " +
+      "no nested-loop anywhere in redirect_resolve, crawl_depth_bfs, " +
+      "cms_bigram_report or hdr_value_quantiles") {
+    Seq("redirect_resolve", "crawl_depth_bfs", "cms_bigram_report",
+        "hdr_value_quantiles").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sf0001)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"$name grew a nested loop:\n$plan")
+    }
+  }
 }
