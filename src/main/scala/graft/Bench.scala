@@ -112,18 +112,27 @@ object Bench {
         name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
       }
     }
-    val fullResults = fullTargets.flatMap { case (name, _) =>
-      val ts = fullPasses.flatMap(_.collect { case (`name`, Some(t)) => t })
-      if (ts.nonEmpty) Some(name -> ts.min) else None
+    val fullByName = fullTargets.map { case (name, _) =>
+      name -> fullPasses.flatMap(_.collect { case (`name`, Some(t)) => t })
     }
+    val fullResults =
+      fullByName.collect { case (n, ts) if ts.nonEmpty => n -> ts.min }
+    // An elided query whose toRdd pass starts crashing must be FLAGGED,
+    // not silently dropped from the `full` column (r16 ADVICE): the
+    // count()-timed number above can stay green while the real
+    // materialization is broken, and compare_bench.py would just
+    // shrink the shared full set.
+    val fullFailed = fullByName.collect { case (n, ts) if ts.isEmpty => n }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fullJson = fullResults.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val fullFailedJson =
+      fullFailed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val calibJson = calibs.map(c => f"$c%.3f").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"full":$fullJson,"failed":$failedJson,"calib":$calibJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"full":$fullJson,"failed":$failedJson,"full_failed":$fullFailedJson,"calib":$calibJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

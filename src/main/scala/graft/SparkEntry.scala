@@ -161,7 +161,9 @@ object SparkEntry {
       // round-16 additions
       "dp_histogram_release", "hll_shingle_report", "quota_sample",
       "robots_policy", "redirect_resolve", "cms_bigram_report",
-      "hdr_value_quantiles", "crawl_depth_bfs", "anchor_text_topk")
+      "hdr_value_quantiles", "crawl_depth_bfs", "anchor_text_topk",
+      // round-17 additions
+      "hll_shingle_sketch", "cms_bigram_sketch")
 
   def benchQueries: Seq[(String, (SparkSession, String) => DataFrame)] =
     benchNames.flatMap(n => queries.get(n).map(n -> _))

@@ -356,19 +356,22 @@ object Similarity {
     * `GRAFT_PROBE_DIMS` overrides the grid depth for measurements —
     * output-invariant by the exactness argument. Projections are
     * computed per ROW in O(d) next to the O(d) norm — never per pair. */
-  /** Construction-time sizing probes (count + dim), memoized by the
-    * input's SEMANTIC plan hash: `probeDims = 0` auto-sizing needs the
-    * row count (grid depth is plan SHAPE, so it must be known before
-    * the DataFrame exists), which makes construction side-effectful —
-    * Explain/ElisionAudit and Bench's timed region run these jobs on
+  /** Construction-time COUNT probe, memoized by the input's SEMANTIC
+    * plan hash: `probeDims = 0` auto-sizing needs the row count (grid
+    * depth is plan SHAPE, so it must be known before the DataFrame
+    * exists), which makes construction side-effectful —
+    * Explain/ElisionAudit and Bench's timed region run this job on
     * first construction of each distinct input plan. The memo bounds
-    * that to once per (plan, process); the depth itself is
-    * output-invariant (exactness argument above), so a stale memo
-    * across identical plans can never change results. */
+    * that to once per (plan, process). The safety claim is specific
+    * to the COUNT: depth is output-invariant (exactness argument
+    * above), so a stale count across hash-colliding or rewritten-data
+    * plans can only change grid DEPTH, never the emitted pairs. The
+    * vector DIMENSION enjoys no such invariance (it sizes the Hadamard
+    * masks, the √d normalization and the prefilter slack), so it is
+    * deliberately NOT memoized — the limit-1 probe is a one-row job
+    * per construction (r16 ADVICE). */
   private val countMemo = new java.util.concurrent.ConcurrentHashMap[
     Int, Long]()
-  private val dimMemo = new java.util.concurrent.ConcurrentHashMap[
-    Int, Int]()
 
   def cosineDupPairs(df: DataFrame, idCol: Column, vecCol: Column,
       bucketCol: String, threshold: Double,
@@ -395,10 +398,10 @@ object Similarity {
     // signed sum is one codegen'd FloatVecDot, not an interpreted
     // per-element lambda chain); unit value = Σ ±x_i / (√d · ‖x‖),
     // cell = ⌊proj / cellW⌋.
-    val dim = dimMemo.computeIfAbsent(memoKey, _ => {
+    val dim = {
       val dimRow = df.select(size(vecCol)).limit(1).collect()
       if (dimRow.isEmpty) 1 else dimRow.head.getInt(0)
-    })
+    }
     // Hadamard masks 1..m are mutually orthonormal iff d is a multiple
     // of 2^⌈log₂(m+1)⌉; bDiv = largest b with 2^b | d bounds the family
     val bDiv = if (dim > 0) Integer.numberOfTrailingZeros(dim) else 0

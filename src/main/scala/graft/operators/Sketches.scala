@@ -150,7 +150,10 @@ object Sketches {
   // trio (HLL: distinct; CMS: counts; this: quantiles), the shape
   // HdrHistogram and Prometheus-native-histogram deploy at scale:
   // a non-negative integer collapses to (exponent, 4 top mantissa
-  // bits), so the histogram holds ≤ 16 + 56×16 = 912 buckets for the
+  // bits), so the histogram holds ≤ 32 + 58×16 = 960 buckets
+  // (values < 32 each occupy their own bucket — 32 of them — and
+  // exponents 6..63 contribute 58 × 16 mantissa cells; r16 ADVICE
+  // corrected the earlier 16 + 56×16 = 912 arithmetic) for the
   // entire BIGINT range however many distinct values the corpus has —
   // where an exact value histogram grows with value cardinality.
   // Buckets are pure integer bit arithmetic (length(bin(v)) is the

@@ -108,6 +108,14 @@ object OpsQueries {
     // (pinned in PlanPinsSpec).
     "dp_histogram_release" -> { (s, dir) =>
       Tables.events(s, dir)
+        // Non-negativity guard (r16 ADVICE): Spark `div` truncates
+        // toward zero while DuckDB `//` floors, so the two bucket
+        // functions diverge on negative values (-1 div 10 = 0 vs
+        // -1 // 10 = -1). The guard documents the assumption the
+        // generators currently satisfy — the hdr_value_quantiles
+        // `value > 0` discipline — and makes the query total if a
+        // future generator emits negatives.
+        .filter(col("value") >= 0)
         .select(col("user_id"),
           expr("CAST(floor(value) AS BIGINT) div 10").as("bucket"))
         .distinct()
@@ -672,7 +680,7 @@ object OpsQueries {
       s"""WITH v AS (
         |  SELECT DISTINCT user_id,
         |    CAST(floor(value) AS BIGINT) // 10 AS bucket
-        |  FROM events
+        |  FROM events WHERE value >= 0
         |), c AS (
         |  SELECT bucket, COUNT(*) AS n_users FROM v GROUP BY bucket
         |), uu AS (

@@ -307,7 +307,7 @@ object TemporalQueries {
     // (operators/Sketches scaladoc): the exact histogram above is
     // safe only while distinct payload values stay bounded; this one
     // collapses each value to a (exponent, 4-mantissa-bit) log
-    // bucket, so the per-type histogram holds ≤ ~912 buckets at ANY
+    // bucket, so the per-type histogram holds ≤ 960 buckets at ANY
     // value cardinality and shards merge by addition. Values enter
     // as floor-1e6 micro-units (the ONE float op, the house shared-
     // double discipline — the same "floor(value * 1000000e0)" text

@@ -200,6 +200,38 @@ object TrainingQueries {
   private val stopwordList = TextAnalysis.DefaultStopwords
     .map(w => s"'$w'").mkString("(", ",", ")")
 
+  /** quota_sample's engine, parameterized on K so QuotaSampleSpec can
+    * pin the K > corpus regime (the hardwired registry row uses
+    * K = 100). Semantics + the why-one-cap-suffices proof live on the
+    * registry entry's comment; `d` must carry `doc_id` and `lang`. */
+  private[graft] def quotaSample(d: org.apache.spark.sql.DataFrame,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = d.groupBy("lang").agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum("n").as("nn"))
+    val a0 = counts.crossJoin(broadcast(tot))
+      .withColumn("base", expr(s"$k * n div nn"))
+      .withColumn("rem", expr(s"($k * n) % nn"))
+    val sb = a0.agg(sum("base").as("sbase"))
+    val alloc = a0.crossJoin(broadcast(sb))
+      .withColumn("seat", row_number().over(
+        Window.orderBy(col("rem").desc, col("lang").asc)))
+      .withColumn("k_alloc", least(col("base") +
+        when(col("seat") <= lit(k) - col("sbase"), 1L).otherwise(0L),
+        col("n")))
+      .select("lang", "k_alloc")
+    val draws = d.withColumn("draw",
+      md5(concat(lit("samp:"), col("doc_id").cast("string"))))
+    graft.operators.TopK.perGroupNative(
+        draws, "lang", "doc_id", "draw", k)
+      .withColumnRenamed("rank", "rk")
+      .join(alloc, "lang")
+      .filter(col("rk") <= col("k_alloc"))
+      .select(col("lang"), col("k_alloc"), col("doc_id"),
+        col("rk").cast("long").as("rk"))
+      .orderBy("lang", "rk")
+  }
+
   /** The composed Gopher/MassiveText-style gate verdict (first failing
     * rule wins), shared by quality_gate (verdict histogram) and
     * quality_audit (per-source pass rates): all per-row codegen'd
@@ -2336,6 +2368,49 @@ object TrainingQueries {
         .orderBy(col("n_exact").desc, col("bigram").asc)
     },
 
+    // PRODUCTION sketch rows (r16 verdict task #4): the two report
+    // queries above deliberately carry an exact-audit branch
+    // (countDistinct / exact top-20), so their bench time tracks the
+    // test-scale audit, not the sketch. These rows emit ONLY the
+    // sketch — the path a production pipeline ships at 100 TB — so
+    // the bench and SCALE.md's decade steps measure the fixed-width
+    // exchange directly, and the oracle still hash-verifies the FULL
+    // sketch state (every register / every cell), not a summary.
+    //
+    // hll_shingle_sketch: per-source HLL summary + raw estimate.
+    // Plan: one scan + shingle explode, register aggregate partial
+    // (max-of-rho) → exchange ≤ sources × 256 rows at ANY corpus
+    // size; the summary fold and the one shared-SQL double division
+    // happen on that fixed-width frame.
+    "hll_shingle_sketch" -> { (s, dir) =>
+      val sh = Tables.documents(s, dir)
+        .select(col("source"),
+          explode(TextAnalysis.shingles(col("text"), 3)).as("sh"))
+      Sketches.hllSummary(
+          Sketches.hllRegisters(sh, col("source"), col("sh"), 8), 8)
+        .withColumnRenamed("key", "source")
+        .withColumn("hll_estimate", expr(Sketches.hllEstimateSql(8)))
+        .select("source", "v_zero", "s_scaled", "hll_estimate")
+        .orderBy("source")
+    },
+
+    // cms_bigram_sketch: the d=3 × w=256 cell table itself. Plan:
+    // token explode → d-way explode BEFORE the aggregate (map-side
+    // combine caps the exchange at d×w = 768 rows per partition) —
+    // nothing downstream of the explode grows with the corpus.
+    "cms_bigram_sketch" -> { (s, dir) =>
+      val big = Tables.documents(s, dir)
+        .select(TextAnalysis.tokens(lower(col("text"))).as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(toks) - 1)," +
+            " i -> concat(element_at(toks, i), ' '," +
+            " element_at(toks, i + 1)))")).as("key"))
+      Sketches.cmsCells(big, col("key"), 3, 256)
+        .select("r", "c", "cnt")
+        .orderBy("r", "c")
+    },
+
     "heaps_law" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val d = Tables.documents(s, dir)
@@ -2374,32 +2449,24 @@ object TrainingQueries {
     // corpus-wide or stratum-wide sort), and the trailing windows
     // rank only ≤ langs×K survivors. The final inner join is
     // lang-keyed against a langs-sized frame.
+    //
+    // EDGE contract (r16 verdict task #8): quotas are capped at the
+    // stratum population, `least(k_alloc, n)` — and that single cap
+    // is EXACT for every K, no reallocation cascade exists. Proof:
+    // for K < N, base_i = ⌊K·n_i/N⌋ ≤ n_i − 1, so base_i + 1 ≤ n_i
+    // and no quota can exceed its stratum (the cap never binds;
+    // outputs are unchanged from the uncapped query). For K = N,
+    // base_i = n_i with zero remainder. For K > N, K·n_i/N > n_i
+    // forces base_i ≥ n_i for EVERY stratum, so every quota caps at
+    // exactly n_i and the sample is the whole corpus — total
+    // Σ k_alloc = min(K, N), the maximal fillable budget, in all
+    // three regimes (QuotaSampleSpec pins K > N). Freed seats never
+    // need redistributing because no under-capped stratum coexists
+    // with a capped one.
     "quota_sample" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val K = 100
-      val d = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
-      val counts = d.groupBy("lang").agg(count(lit(1)).as("n"))
-      val tot = counts.agg(sum("n").as("nn"))
-      val a0 = counts.crossJoin(broadcast(tot))
-        .withColumn("base", expr(s"$K * n div nn"))
-        .withColumn("rem", expr(s"($K * n) % nn"))
-      val sb = a0.agg(sum("base").as("sbase"))
-      val alloc = a0.crossJoin(broadcast(sb))
-        .withColumn("seat", row_number().over(
-          Window.orderBy(col("rem").desc, col("lang").asc)))
-        .withColumn("k_alloc", col("base") +
-          when(col("seat") <= lit(K) - col("sbase"), 1L).otherwise(0L))
-        .select("lang", "k_alloc")
-      val draws = d.withColumn("draw",
-        md5(concat(lit("samp:"), col("doc_id").cast("string"))))
-      graft.operators.TopK.perGroupNative(
-          draws, "lang", "doc_id", "draw", K)
-        .withColumnRenamed("rank", "rk")
-        .join(alloc, "lang")
-        .filter(col("rk") <= col("k_alloc"))
-        .select(col("lang"), col("k_alloc"), col("doc_id"),
-          col("rk").cast("long").as("rk"))
-        .orderBy("lang", "rk")
+      quotaSample(
+        Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+        100)
     },
 
     // TOKEN-BUDGET plan — the data-mixing arithmetic a training run
@@ -3321,6 +3388,45 @@ object TrainingQueries {
         |  (cms_estimate - n_exact) * 1000 // n_exact AS over_pm
         |FROM est ORDER BY n_exact DESC, bigram ASC""".stripMargin,
 
+    "hll_shingle_sketch" -> {
+      val est = Sketches.hllEstimateSql(8)
+      s"""WITH sh AS (
+        |  SELECT source, unnest($shinglesExpr) AS sh FROM documents
+        |), hh AS (
+        |  SELECT source,
+        |    ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h
+        |  FROM sh
+        |), r AS (
+        |  SELECT source, h // 4503599627370496 AS register,
+        |    MAX(CASE WHEN h % 4503599627370496 = 0 THEN 53
+        |      ELSE 53 - length(bin(h % 4503599627370496)) END) AS m
+        |  FROM hh GROUP BY source, register
+        |), su AS (
+        |  SELECT source, 256 - COUNT(*) AS v_zero,
+        |    (256 - COUNT(*)) * 9007199254740992 +
+        |      CAST(SUM(1::BIGINT << (53 - m)) AS BIGINT) AS s_scaled
+        |  FROM r GROUP BY source
+        |)
+        |SELECT source, v_zero, s_scaled, $est AS hll_estimate
+        |FROM su ORDER BY source""".stripMargin
+    },
+
+    "cms_bigram_sketch" ->
+      s"""WITH t AS (
+        |  SELECT $toksExpr AS toks FROM documents
+        |), b AS (
+        |  SELECT unnest(list_transform(range(1, len(toks)),
+        |    i -> toks[CAST(i AS INT)] || ' ' ||
+        |         toks[CAST(i + 1 AS INT)])) AS key
+        |  FROM t WHERE len(toks) >= 2
+        |)
+        |SELECT CAST(r AS INT) AS r,
+        |  ('0x' || substr(md5(CAST(r AS VARCHAR) ||
+        |    ':cms:' || key), 1, 15))::BIGINT % 256 AS c,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM b, (SELECT unnest([0, 1, 2]) AS r)
+        |GROUP BY 1, 2 ORDER BY r, c""".stripMargin,
+
     "heaps_law" ->
       s"""WITH d AS (
         |  SELECT doc_id // 50 AS bucket, $toksExpr AS toks
@@ -3355,8 +3461,10 @@ object TrainingQueries {
         |  SELECT CAST(SUM(base) AS BIGINT) AS sbase FROM a0
         |), a AS (
         |  SELECT lang,
-        |    CAST(base + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC,
-        |      lang) <= 100 - sbase THEN 1 ELSE 0 END AS BIGINT) AS k_alloc
+        |    LEAST(CAST(base + CASE WHEN ROW_NUMBER() OVER (
+        |      ORDER BY rem DESC,
+        |      lang) <= 100 - sbase THEN 1 ELSE 0 END AS BIGINT),
+        |      CAST(n AS BIGINT)) AS k_alloc
         |  FROM a0 CROSS JOIN sb
         |), r AS (
         |  SELECT lang, doc_id,

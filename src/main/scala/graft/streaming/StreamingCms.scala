@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoders}
-import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.functions.{col, expr, lit, pmod, sum, timestamp_micros, xxhash64}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Live per-window frequency sketching — the streaming sibling of
@@ -10,20 +10,29 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * batch HLL: "about how often was each key seen this hour", where
   * exact per-key streaming counts need state proportional to the
   * live key set and a hot-key stream (crawler URLs, user ids, search
-  * terms) can make that set unbounded. The sketch holds d×w = 768
-  * exact long counters per open hour whatever the traffic, and the
-  * cells are the SAME md5-deterministic cells as the batch sketch
+  * terms) can make that set unbounded. Each stateful group holds
+  * ≤ d×w = 768 exact long counters, and the cells are the SAME
+  * md5-deterministic cells as the batch sketch
   * ([[graft.operators.Sketches.cmsCells]]), computed here in compiled
   * JVM code ([[StreamingCms.cell]]) and spec-pinned equal to the SQL
   * derivation on identical input.
   *
+  * THROUGHPUT at scale (r16 verdict): the stateful key is
+  * `(hourBucket, salt)` — the [[StreamingHotKeys]] discipline — so
+  * `salts` groups ingest the live hour in parallel instead of one
+  * hour-global task; state is (open hours × salts) × ≤768 longs.
+  * Cell counts are sums, so cell-wise ADDITION across the per-salt
+  * tables ([[merge]], a ≤ salts×768-row follow-up aggregate, e.g. in
+  * `foreachBatch`) reproduces the unsalted sketch EXACTLY —
+  * salted-vs-unsalted parity is spec-pinned, and the same law merges
+  * hours with batch sketches.
+  *
   * Emission discipline is [[StreamingDistinct]]'s: cell increments
   * are commutative, so arrival order inside the watermark horizon is
-  * irrelevant; a closed hour (watermark past hour end) emits its
-  * FULL cell table exactly once — sketch STATE, not estimates, so
-  * downstream can merge hours by cell-wise addition (the batch merge
-  * law, spec-pinned there) or point-query any key after the fact —
-  * and drops its state. Open hours emit nothing.
+  * irrelevant; a closed hour (watermark past hour end) emits each
+  * group's cell table exactly once — sketch STATE, not estimates, so
+  * downstream can merge or point-query any key after the fact — and
+  * drops its state. Open hours emit nothing.
   */
 object StreamingCms {
 
@@ -31,9 +40,16 @@ object StreamingCms {
   case class KeyedEvent(key: String, tsUs: Long)
 
   private[streaming] case class TimedKey(key: String, tsUs: Long,
-      eventTime: java.sql.Timestamp, hourBucket: Long)
+      eventTime: java.sql.Timestamp, hourBucket: Long, salt: Long)
 
-  /** One closed hour's sketch: one row per touched (r, c) cell. */
+  /** One (closed hour, salt group) cell: the per-salt partial count
+    * of sketch cell (r, c). */
+  case class SaltedCell(hourBucket: Long, salt: Long, r: Int, c: Long,
+      cnt: Long)
+
+  /** One closed hour's MERGED sketch: one row per touched (r, c)
+    * cell — what [[merge]] folds the per-salt tables into, and the
+    * shape batch sketches merge with. */
   case class CellCount(hourBucket: Long, r: Int, c: Long, cnt: Long)
 
   private[streaming] case class CmsState(cells: Map[String, Long])
@@ -60,21 +76,29 @@ object StreamingCms {
     h % w
   }
 
-  def cells(events: Dataset[KeyedEvent],
-      maxDelay: String = "1 hour"): Dataset[CellCount] = {
+  /** Per-(hour, salt) cell tables, exactly once per group at
+    * watermark close. `salts` is the ingest-parallelism knob; the
+    * routing salt (xxhash64 — cheap, deterministic) never reaches a
+    * result, because addition merges any assignment back exactly. */
+  def cells(events: Dataset[KeyedEvent], salts: Int = 16,
+      maxDelay: String = "1 hour"): Dataset[SaltedCell] = {
+    require(salts >= 1, s"salts must be >= 1, got $salts")
     implicit val timedEnc = Encoders.product[TimedKey]
     implicit val stateEnc = Encoders.product[CmsState]
-    implicit val outEnc = Encoders.product[CellCount]
+    implicit val outEnc = Encoders.product[SaltedCell]
     events.toDF()
       .withColumn("eventTime", timestamp_micros(col("tsUs")))
       .withWatermark("eventTime", maxDelay)
       .withColumn("hourBucket", expr(s"tsUs div $HourUs"))
+      .withColumn("salt", pmod(xxhash64(col("key")), lit(salts.toLong)))
       .as[TimedKey]
-      .groupByKey(_.hourBucket)(Encoders.scalaLong)
+      .groupByKey(e => (e.hourBucket, e.salt))(
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
       .flatMapGroupsWithState(OutputMode.Update,
         GroupStateTimeout.EventTimeTimeout) {
-        (hour: Long, it: Iterator[TimedKey],
+        (hs: (Long, Long), it: Iterator[TimedKey],
             state: GroupState[CmsState]) =>
+          val (hour, salt) = hs
           val prior = state.getOption.getOrElse(CmsState(Map.empty))
           val cellsNow = it.foldLeft(prior.cells) { (m, e) =>
             (0 until D).foldLeft(m) { (m2, r) =>
@@ -89,13 +113,24 @@ object StreamingCms {
             // deterministic emission order: (r, c) ascending
             cellsNow.toSeq.map { case (k, cnt) =>
               val Array(r, c) = k.split(":")
-              CellCount(hour, r.toInt, c.toLong, cnt)
-            }.sortBy(cc => (cc.r, cc.c)).iterator
+              SaltedCell(hour, salt, r.toInt, c.toLong, cnt)
+            }.sortBy(sc => (sc.r, sc.c)).iterator
           } else {
             state.update(CmsState(cellsNow))
             state.setTimeoutTimestamp(hourEndUs / 1000L)
             Iterator.empty
           }
       }
+  }
+
+  /** Cell-wise addition of per-salt tables → the hour's merged cell
+    * table (the batch merge law; ≤ salts × 768 input rows per hour —
+    * run in `foreachBatch` or any batch job over the sink). */
+  def merge(cells: Dataset[SaltedCell]): Dataset[CellCount] = {
+    implicit val outEnc = Encoders.product[CellCount]
+    cells.toDF()
+      .groupBy("hourBucket", "r", "c").agg(sum("cnt").as("cnt"))
+      .select(col("hourBucket"), col("r"), col("c"), col("cnt"))
+      .as[CellCount]
   }
 }

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoders}
-import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.functions.{col, expr, lit, max, pmod, timestamp_micros, xxhash64}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Live per-window DISTINCT counting — the streaming sibling of
@@ -9,20 +9,35 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * this hour", the panel exact streaming distinct cannot serve because
   * its state grows with the distinct set itself (every value seen this
   * hour must be remembered). The sketch holds 2^p = 256 registers per
-  * open hour — state is (open hours in the horizon) × 256 ints
-  * whatever the traffic — and the registers are the SAME
-  * md5-deterministic registers as the batch sketch, computed here in
-  * compiled JVM code ([[StreamingDistinct.registerAndRho]]) and
-  * spec-pinned equal to [[graft.operators.Sketches.hllRegisters]]'s
-  * SQL derivation on identical input.
+  * stateful group — and the registers are the SAME md5-deterministic
+  * registers as the batch sketch, computed here in compiled JVM code
+  * ([[StreamingDistinct.registerAndRho]]) and spec-pinned equal to
+  * [[graft.operators.Sketches.hllRegisters]]'s SQL derivation on
+  * identical input.
+  *
+  * THROUGHPUT at scale (r16 verdict): state being bounded is only half
+  * the 100 TB story — keying by the hour alone funnels every event of
+  * the live hour through ONE stateful task. The production path is
+  * therefore [[cells]], which keys by `(hourBucket, salt)` (the
+  * [[StreamingHotKeys]] discipline): `salts` groups ingest the hour in
+  * parallel, each holding its own 256 registers over the values that
+  * hashed to it, and each emits its register table exactly once at
+  * watermark close. Register max is commutative AND associative
+  * (spec-pinned merge law), so element-wise max across the per-salt
+  * tables — [[merge]], a `salts × 256`-row follow-up aggregate, e.g.
+  * in `foreachBatch` — reproduces the single-group sketch EXACTLY
+  * (salted-vs-unsalted parity is spec-pinned). State is
+  * (open hours × salts) × ≤256 ints; throughput scales with `salts`.
   *
   * Emission discipline is [[StreamingTopK]]'s: register maxes are
   * commutative, so arrival order inside the watermark horizon is
-  * irrelevant; a closed hour (watermark past hour end) emits its
-  * summary EXACTLY ONCE — v_zero and the integer s_scaled (the full
-  * sketch state, so downstream can re-derive or merge) plus the
-  * raw-HLL estimate — and drops its state. Open hours emit nothing:
+  * irrelevant; a closed hour (watermark past hour end) emits exactly
+  * once per (hour, salt) and drops its state. Open hours emit nothing:
   * no provisional estimate ever shifts under a dashboard.
+  *
+  * [[report]] (single hour-global group emitting the folded summary
+  * directly) remains as the test-scale audit convenience — its output
+  * is what [[merge]] must reproduce.
   */
 object StreamingDistinct {
 
@@ -30,12 +45,18 @@ object StreamingDistinct {
   case class SeenValue(value: String, tsUs: Long)
 
   private[streaming] case class TimedValue(value: String, tsUs: Long,
-      eventTime: java.sql.Timestamp, hourBucket: Long)
+      eventTime: java.sql.Timestamp, hourBucket: Long, salt: Long)
 
   /** One closed hour's sketch summary: the integer state (v_zero,
     * s_scaled — merge-able, oracle-able) and the raw-HLL estimate. */
   case class DistinctEstimate(hourBucket: Long, vZero: Long,
       sScaled: Long, estimate: Double)
+
+  /** One (closed hour, salt group) register: the per-salt cell table
+    * row [[cells]] emits at watermark close. `m` is the max rho the
+    * group observed for `register`. */
+  case class RegisterCell(hourBucket: Long, salt: Long, register: Int,
+      m: Int)
 
   private[streaming] case class RegState(m: Map[Int, Int])
 
@@ -66,31 +87,107 @@ object StreamingDistinct {
 
   /** alpha_m · m² · 2^(wBits+1) / s_scaled — the same raw-regime
     * formula as Sketches.hllEstimateSql, in JVM doubles (one division
-    * by an exact integer; deterministic IEEE). */
+    * by an exact integer; deterministic IEEE, and operation-for-
+    * operation the SQL expression's evaluation order, so the two are
+    * bit-equal — the merge-vs-report parity pin relies on that). */
   private[graft] def estimate(sScaled: Long): Double =
     0.7213 / (1.0 + 1.079 / M) * (M.toDouble * M) *
       (1L << Top).toDouble / sScaled.toDouble
 
-  def report(values: Dataset[SeenValue],
-      maxDelay: String = "1 hour"): Dataset[DistinctEstimate] = {
+  private def timed(values: Dataset[SeenValue], maxDelay: String,
+      salts: Int): Dataset[TimedValue] = {
     implicit val timedEnc = Encoders.product[TimedValue]
-    implicit val stateEnc = Encoders.product[RegState]
-    implicit val outEnc = Encoders.product[DistinctEstimate]
     values.toDF()
       .withColumn("eventTime", timestamp_micros(col("tsUs")))
       .withWatermark("eventTime", maxDelay)
       .withColumn("hourBucket", expr(s"tsUs div $HourUs"))
+      // routing-only salt: xxhash64 is cheap and deterministic, and
+      // ANY assignment of values to salt groups merges back exactly
+      // (element-wise register max) — the salt never reaches a result
+      .withColumn("salt", pmod(xxhash64(col("value")), lit(salts.toLong)))
       .as[TimedValue]
+  }
+
+  private def foldRegs(prior: Map[Int, Int],
+      it: Iterator[TimedValue]): Map[Int, Int] =
+    it.foldLeft(prior) { (m, v) =>
+      val (r, rho) = registerAndRho(v.value)
+      if (rho > m.getOrElse(r, 0)) m.updated(r, rho) else m
+    }
+
+  /** PRODUCTION path: per-(hour, salt) register tables, exactly once
+    * per group at watermark close. `salts` is the ingest-parallelism
+    * knob — state stays `salts × ≤256` ints per open hour. Merge the
+    * tables with [[merge]] (or any element-wise max downstream). */
+  def cells(values: Dataset[SeenValue], salts: Int = 16,
+      maxDelay: String = "1 hour"): Dataset[RegisterCell] = {
+    require(salts >= 1, s"salts must be >= 1, got $salts")
+    implicit val stateEnc = Encoders.product[RegState]
+    implicit val outEnc = Encoders.product[RegisterCell]
+    timed(values, maxDelay, salts)
+      .groupByKey(v => (v.hourBucket, v.salt))(
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.EventTimeTimeout) {
+        (hs: (Long, Long), it: Iterator[TimedValue],
+            state: GroupState[RegState]) =>
+          val (hour, salt) = hs
+          val regs = foldRegs(
+            state.getOption.getOrElse(RegState(Map.empty)).m, it)
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val hourEndUs = (hour + 1L) * HourUs
+          if (wmUs >= hourEndUs) {
+            state.remove()
+            regs.toSeq.sortBy(_._1).iterator.map { case (r, rho) =>
+              RegisterCell(hour, salt, r, rho)
+            }
+          } else {
+            state.update(RegState(regs))
+            state.setTimeoutTimestamp(hourEndUs / 1000L)
+            Iterator.empty
+          }
+      }
+  }
+
+  /** Cell-wise merge of per-salt register tables → per-hour summary,
+    * the tiny follow-up aggregate of the salted path (≤ salts × 256
+    * input rows per hour; run it in `foreachBatch` or any batch job
+    * over the sink). Element-wise max reproduces the single-group
+    * registers exactly, then the fold + estimate are the house
+    * integer-s_scaled / shared-double formulas
+    * ([[graft.operators.Sketches]] scaladoc). */
+  def merge(cells: Dataset[RegisterCell]): Dataset[DistinctEstimate] = {
+    implicit val outEnc = Encoders.product[DistinctEstimate]
+    cells.toDF()
+      .groupBy("hourBucket", "register").agg(max("m").as("m"))
+      .groupBy("hourBucket").agg(
+        expr(s"CAST($M - count(1) AS BIGINT)").as("vZero"),
+        expr(s"CAST($M - count(1) AS BIGINT) * ${1L << Top} + " +
+          s"sum(shiftleft(CAST(1 AS BIGINT), CAST($Top - m AS INT)))")
+          .as("sScaled"))
+      .withColumn("estimate", expr(
+        graft.operators.Sketches.hllEstimateSql(P)
+          .replace("s_scaled", "sScaled")))
+      .select(col("hourBucket"), col("vZero"), col("sScaled"),
+        col("estimate"))
+      .as[DistinctEstimate]
+  }
+
+  /** Single hour-global group emitting the folded summary directly —
+    * the test-scale audit convenience (one group ingests the whole
+    * hour; use [[cells]] + [[merge]] where throughput matters). */
+  def report(values: Dataset[SeenValue],
+      maxDelay: String = "1 hour"): Dataset[DistinctEstimate] = {
+    implicit val stateEnc = Encoders.product[RegState]
+    implicit val outEnc = Encoders.product[DistinctEstimate]
+    timed(values, maxDelay, salts = 1)
       .groupByKey(_.hourBucket)(Encoders.scalaLong)
       .flatMapGroupsWithState(OutputMode.Update,
         GroupStateTimeout.EventTimeTimeout) {
         (hour: Long, it: Iterator[TimedValue],
             state: GroupState[RegState]) =>
-          val prior = state.getOption.getOrElse(RegState(Map.empty))
-          val regs = it.foldLeft(prior.m) { (m, v) =>
-            val (r, rho) = registerAndRho(v.value)
-            if (rho > m.getOrElse(r, 0)) m.updated(r, rho) else m
-          }
+          val regs = foldRegs(
+            state.getOption.getOrElse(RegState(Map.empty)).m, it)
           val wmUs = state.getCurrentWatermarkMs() * 1000L
           val hourEndUs = (hour + 1L) * HourUs
           if (wmUs >= hourEndUs) {

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoders}
-import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.functions.{col, expr, lit, pmod, sum, timestamp_micros, xxhash64}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Live per-window QUANTILE sketching — the third streaming sketch
@@ -9,8 +9,8 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * [[StreamingCms]] (Count-Min): "p50/p99 of this hour's values",
   * where an exact streaming histogram needs state proportional to the
   * hour's distinct values. The HDR log-bucket histogram
-  * ([[graft.operators.Sketches]] scaladoc) holds ≤ ~912 long counters
-  * per open hour for the whole non-negative BIGINT range, and the
+  * ([[graft.operators.Sketches]] scaladoc) holds ≤ 960 long counters
+  * per stateful group for the whole non-negative BIGINT range, and the
   * buckets are the SAME (exponent, 4-mantissa-bit) buckets as the
   * batch sketch, computed here in compiled JVM code
   * ([[StreamingHdr.bucket]]/[[StreamingHdr.bucketLo]] — a
@@ -18,12 +18,21 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * value-equal in the spec) so streamed hours merge with batch
   * sketches by cell-wise addition.
   *
+  * THROUGHPUT at scale (r16 verdict): the stateful key is
+  * `(hourBucket, salt)` — the [[StreamingHotKeys]] discipline — so
+  * `salts` groups ingest the live hour in parallel instead of one
+  * hour-global task; state is (open hours × salts) × ≤960 longs.
+  * Bucket counts are sums, so cell-wise ADDITION across the per-salt
+  * tables ([[merge]], a ≤ salts×960-row follow-up aggregate, e.g. in
+  * `foreachBatch`) reproduces the unsalted histogram EXACTLY —
+  * salted-vs-unsalted parity is spec-pinned.
+  *
   * Emission discipline is the house one: bucket increments are
   * commutative, so arrival order inside the watermark horizon is
-  * irrelevant; a closed hour emits its FULL bucket table exactly once
-  * — sketch STATE, not quantiles, so downstream picks any p after the
-  * fact (`hdr_value_quantiles`' cumulative read) — and drops its
-  * state. Open hours emit nothing.
+  * irrelevant; a closed hour emits each group's bucket table exactly
+  * once — sketch STATE, not quantiles, so downstream picks any p
+  * after the fact (`hdr_value_quantiles`' cumulative read) — and
+  * drops its state. Open hours emit nothing.
   */
 object StreamingHdr {
 
@@ -31,9 +40,16 @@ object StreamingHdr {
   case class Measured(vi: Long, tsUs: Long)
 
   private[streaming] case class TimedVal(vi: Long, tsUs: Long,
-      eventTime: java.sql.Timestamp, hourBucket: Long)
+      eventTime: java.sql.Timestamp, hourBucket: Long, salt: Long)
 
-  /** One closed hour's sketch: one row per touched bucket. */
+  /** One (closed hour, salt group) bucket: the per-salt partial
+    * count of histogram bucket `bucket`. */
+  case class SaltedBucket(hourBucket: Long, salt: Long, bucket: Long,
+      lo: Long, cnt: Long)
+
+  /** One closed hour's MERGED sketch: one row per touched bucket —
+    * what [[merge]] folds the per-salt tables into, and the shape
+    * batch sketches merge with. */
   case class BucketCount(hourBucket: Long, bucket: Long, lo: Long,
       cnt: Long)
 
@@ -60,21 +76,29 @@ object StreamingHdr {
       (vi >>> (len - 5)) << (len - 5)
     }
 
-  def cells(values: Dataset[Measured],
-      maxDelay: String = "1 hour"): Dataset[BucketCount] = {
+  /** Per-(hour, salt) bucket tables, exactly once per group at
+    * watermark close. `salts` is the ingest-parallelism knob; the
+    * routing salt (xxhash64 — cheap, deterministic) never reaches a
+    * result, because addition merges any assignment back exactly. */
+  def cells(values: Dataset[Measured], salts: Int = 16,
+      maxDelay: String = "1 hour"): Dataset[SaltedBucket] = {
+    require(salts >= 1, s"salts must be >= 1, got $salts")
     implicit val timedEnc = Encoders.product[TimedVal]
     implicit val stateEnc = Encoders.product[HdrState]
-    implicit val outEnc = Encoders.product[BucketCount]
+    implicit val outEnc = Encoders.product[SaltedBucket]
     values.toDF()
       .withColumn("eventTime", timestamp_micros(col("tsUs")))
       .withWatermark("eventTime", maxDelay)
       .withColumn("hourBucket", expr(s"tsUs div $HourUs"))
+      .withColumn("salt", pmod(xxhash64(col("vi")), lit(salts.toLong)))
       .as[TimedVal]
-      .groupByKey(_.hourBucket)(Encoders.scalaLong)
+      .groupByKey(e => (e.hourBucket, e.salt))(
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
       .flatMapGroupsWithState(OutputMode.Update,
         GroupStateTimeout.EventTimeTimeout) {
-        (hour: Long, it: Iterator[TimedVal],
+        (hs: (Long, Long), it: Iterator[TimedVal],
             state: GroupState[HdrState]) =>
+          val (hour, salt) = hs
           val prior = state.getOption.getOrElse(HdrState(Map.empty))
           val cellsNow = it.foldLeft(prior.cells) { (m, e) =>
             val b = bucket(e.vi)
@@ -90,7 +114,7 @@ object StreamingHdr {
               // own value, larger ones are (16 + b%16) << (b/16 - 1)
               val lo = if (b < 32L) b
                 else (16L + b % 16L) << (b / 16L - 1L)
-              BucketCount(hour, b, lo, cnt)
+              SaltedBucket(hour, salt, b, lo, cnt)
             }.iterator
           } else {
             state.update(HdrState(cellsNow))
@@ -98,5 +122,18 @@ object StreamingHdr {
             Iterator.empty
           }
       }
+  }
+
+  /** Cell-wise addition of per-salt tables → the hour's merged
+    * bucket table (≤ salts × 960 input rows per hour — run in
+    * `foreachBatch` or any batch job over the sink). `lo` is a pure
+    * function of `bucket`, so grouping by both changes nothing. */
+  def merge(cells: Dataset[SaltedBucket]): Dataset[BucketCount] = {
+    implicit val outEnc = Encoders.product[BucketCount]
+    cells.toDF()
+      .groupBy("hourBucket", "bucket", "lo")
+      .agg(sum("cnt").as("cnt"))
+      .select(col("hourBucket"), col("bucket"), col("lo"), col("cnt"))
+      .as[BucketCount]
   }
 }

@@ -5,15 +5,17 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.Sketches
 import graft.streaming.StreamingCms
-import graft.streaming.StreamingCms.{CellCount, KeyedEvent}
+import graft.streaming.StreamingCms.{KeyedEvent, SaltedCell}
 
 /** Pins [[StreamingCms]]: the compiled cell derivation equals the
   * batch sketch's SQL derivation value-for-value, a closed hour's
-  * streamed cell table equals the batch `cmsCells` of the same data
-  * (scrambled arrival — cell increments are commutative), emission is
-  * exactly-once at watermark close with nothing provisional before,
-  * and the state honours the d×w bound that makes the operator safe
-  * under unbounded key cardinality. */
+  * merged per-salt cell tables equal the batch `cmsCells` of the same
+  * data (scrambled arrival — cell increments are commutative),
+  * emission is exactly-once per (hour, salt) at watermark close with
+  * nothing provisional before, each salt group honours the d×w bound
+  * that makes the operator safe under unbounded key cardinality, and
+  * salted-vs-unsalted outputs merge to the SAME sketch (the r16
+  * throughput fix's exactness law). */
 class StreamingCmsSpec extends SparkSpec {
 
   private def corpusKeys: Seq[String] =
@@ -36,9 +38,10 @@ class StreamingCmsSpec extends SparkSpec {
     }
   }
 
-  test("a closed hour's streamed cell table equals the batch CMS of " +
-      "the same keys (scrambled batches), emits exactly once at " +
-      "watermark close, and never exceeds d*w cells") {
+  test("a closed hour's merged per-salt cell tables equal the batch " +
+      "CMS of the same keys (scrambled batches), emission is " +
+      "exactly-once per (hour, salt), and no salt group exceeds d*w " +
+      "cells") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val t0 = StreamingCms.HourUs * 700
@@ -46,11 +49,12 @@ class StreamingCmsSpec extends SparkSpec {
     val (a, rest) = keys.splitAt(700)
     val (b, c) = rest.splitAt(700)
     val input = MemoryStream[KeyedEvent]
-    val out = StreamingCms.cells(input.toDS(), maxDelay = "1 second")
+    val out = StreamingCms.cells(input.toDS(), salts = 4,
+      maxDelay = "1 second")
     val q = out.writeStream.format("memory").queryName("scms_out")
       .outputMode("update").start()
-    def events(): Seq[CellCount] =
-      spark.table("scms_out").as[CellCount].collect().toSeq
+    def events(): Seq[SaltedCell] =
+      spark.table("scms_out").as[SaltedCell].collect().toSeq
     try {
       input.addData(b.map(k => KeyedEvent(k, t0 + 1000)): _*)
       q.processAllAvailable()
@@ -70,23 +74,65 @@ class StreamingCmsSpec extends SparkSpec {
       q.processAllAvailable()
       val closed = events()
       assert(closed.nonEmpty && closed.forall(_.hourBucket === 700L),
-        s"expected exactly one closed hour: $closed")
-      assert(closed.size <= StreamingCms.D * StreamingCms.W,
-        "emitted cell table outgrew the d*w state bound")
-      assert(closed.map(cc => (cc.r, cc.c)).distinct.size ===
-        closed.size, "duplicate cell rows — hour closed twice?")
+        s"expected exactly one closed hour: ${closed.take(5)}")
+      assert(closed.map(sc => (sc.salt, sc.r, sc.c)).distinct.size ===
+        closed.size, "duplicate (salt, cell) rows — a group closed " +
+        "twice?")
+      closed.groupBy(_.salt).foreach { case (salt, rows) =>
+        assert(rows.size <= StreamingCms.D * StreamingCms.W,
+          s"salt group $salt outgrew the d*w state bound")
+      }
+      assert(closed.map(_.salt).distinct.size > 1,
+        "salting routed every key to one group — no parallelism " +
+        "was exercised")
 
-      // batch parity on identical keys (duplicates and all)
-      val streamed = closed.map(cc => (cc.r, cc.c.toInt) -> cc.cnt)
-        .toMap
+      // batch parity of the MERGED tables on identical keys
+      // (duplicates and all)
+      val merged = StreamingCms.merge(
+          spark.table("scms_out").as[SaltedCell])
+        .collect()
+        .map(cc => (cc.r, cc.c.toInt) -> cc.cnt).toMap
       val batch = Sketches.cmsCells(
           (b ++ c ++ b.take(200) ++ a ++ c.take(100)).toDF("key"),
           col("key"), StreamingCms.D, StreamingCms.W)
         .collect()
         .map(x => (x.getAs[Int]("r"), x.getAs[Long]("c").toInt) ->
           x.getAs[Long]("cnt")).toMap
-      assert(streamed === batch,
-        "streamed cell table diverged from batch cmsCells")
+      assert(merged === batch,
+        "merged streamed cell tables diverged from batch cmsCells")
     } finally q.stop()
+  }
+
+  test("salted and unsalted runs over identical input merge to the " +
+      "same cell table (cell-wise addition is exact for any salt " +
+      "assignment)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = StreamingCms.HourUs * 701
+    val keys = corpusKeys.take(600)
+    def run(name: String, salts: Int): Map[(Int, Long), Long] = {
+      val input = MemoryStream[KeyedEvent]
+      val q = StreamingCms.cells(input.toDS(), salts = salts,
+          maxDelay = "1 second")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      try {
+        input.addData(keys.map(k => KeyedEvent(k, t0 + 1000)): _*)
+        q.processAllAvailable()
+        input.addData(KeyedEvent("flush-1",
+          t0 + StreamingCms.HourUs + 2000000))
+        q.processAllAvailable()
+        input.addData(KeyedEvent("flush-2",
+          t0 + StreamingCms.HourUs + 3000000))
+        q.processAllAvailable()
+        StreamingCms.merge(spark.table(name).as[SaltedCell])
+          .collect().filter(_.hourBucket == 701L)
+          .map(cc => (cc.r, cc.c) -> cc.cnt).toMap
+      } finally q.stop()
+    }
+    val unsalted = run("scms_par1", salts = 1)
+    val salted = run("scms_par8", salts = 8)
+    assert(salted === unsalted,
+      "merged salted cells diverged from the single-group sketch")
   }
 }

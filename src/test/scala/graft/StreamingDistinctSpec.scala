@@ -88,4 +88,65 @@ class StreamingDistinctSpec extends SparkSpec {
         s"estimate ${got.estimate} vs exact $exact")
     } finally q.stop()
   }
+
+  test("salted per-(hour, salt) register tables merge to EXACTLY the " +
+      "single-group summary (element-wise max is exact for any salt " +
+      "assignment; estimates bit-equal), with every salt group " +
+      "register-bounded and exactly-once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = StreamingDistinct.HourUs * 501
+    val vals = corpusValues.take(1200)
+    val saltedIn = MemoryStream[SeenValue]
+    val plainIn = MemoryStream[SeenValue]
+    val qs = StreamingDistinct.cells(saltedIn.toDS(), salts = 8,
+        maxDelay = "1 second")
+      .writeStream.format("memory").queryName("sdist_cells")
+      .outputMode("update").start()
+    val qp = StreamingDistinct.report(plainIn.toDS(),
+        maxDelay = "1 second")
+      .writeStream.format("memory").queryName("sdist_plain")
+      .outputMode("update").start()
+    try {
+      Seq(saltedIn, plainIn).foreach { in =>
+        in.addData(vals.map(v => SeenValue(v, t0 + 1000)): _*)
+      }
+      Seq(qs, qp).foreach(_.processAllAvailable())
+      Seq(saltedIn, plainIn).foreach { in =>
+        in.addData(SeenValue("flush-1",
+          t0 + StreamingDistinct.HourUs + 2000000))
+      }
+      Seq(qs, qp).foreach(_.processAllAvailable())
+      Seq(saltedIn, plainIn).foreach { in =>
+        in.addData(SeenValue("flush-2",
+          t0 + StreamingDistinct.HourUs + 3000000))
+      }
+      Seq(qs, qp).foreach(_.processAllAvailable())
+
+      val cells = spark.table("sdist_cells")
+        .as[StreamingDistinct.RegisterCell].collect()
+        .filter(_.hourBucket == 501L)
+      assert(cells.map(c => (c.salt, c.register)).distinct.size ===
+        cells.size, "duplicate (salt, register) rows — a group " +
+        "closed twice?")
+      assert(cells.map(_.salt).distinct.size > 1,
+        "salting routed every value to one group — no parallelism " +
+        "was exercised")
+      cells.groupBy(_.salt).foreach { case (salt, rows) =>
+        assert(rows.size <= 256,
+          s"salt group $salt outgrew the 2^p register bound")
+      }
+
+      val merged = StreamingDistinct.merge(
+          spark.table("sdist_cells")
+            .as[StreamingDistinct.RegisterCell])
+        .collect().filter(_.hourBucket == 501L)
+      val plain = spark.table("sdist_plain").as[DistinctEstimate]
+        .collect().filter(_.hourBucket == 501L)
+      assert(merged.length === 1 && plain.length === 1,
+        s"expected one summary each: ${merged.toSeq} / ${plain.toSeq}")
+      assert(merged.head === plain.head,
+        "merged salted summary diverged from the single-group report")
+    } finally { qs.stop(); qp.stop() }
+  }
 }

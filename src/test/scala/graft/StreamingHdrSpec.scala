@@ -5,15 +5,17 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.Sketches
 import graft.streaming.StreamingHdr
-import graft.streaming.StreamingHdr.{BucketCount, Measured}
+import graft.streaming.StreamingHdr.{Measured, SaltedBucket}
 
 /** Pins [[StreamingHdr]]: the compiled bucket/lower-bound derivation
   * equals the batch sketch's SQL derivation value-for-value (a
   * leading-zero count vs the SQL length(bin(v)) probe), a closed
-  * hour's streamed bucket table equals the batch histogram of the
-  * same values (scrambled arrival — increments are commutative),
-  * emission is exactly-once at watermark close, and the emitted
-  * closed-form lower bounds match the per-value floors. */
+  * hour's merged per-salt bucket tables equal the batch histogram of
+  * the same values (scrambled arrival — increments are commutative),
+  * emission is exactly-once per (hour, salt) at watermark close, the
+  * emitted closed-form lower bounds match the per-value floors, and
+  * salted-vs-unsalted outputs merge to the SAME histogram (the r16
+  * throughput fix's exactness law). */
 class StreamingHdrSpec extends SparkSpec {
 
   // spans the exact small-bucket regime (< 32), the boundary, and
@@ -38,9 +40,10 @@ class StreamingHdrSpec extends SparkSpec {
     }
   }
 
-  test("a closed hour's streamed bucket table equals the batch HDR " +
-      "histogram of the same values (scrambled batches), emits " +
-      "exactly once, and its closed-form lower bounds match") {
+  test("a closed hour's merged per-salt bucket tables equal the " +
+      "batch HDR histogram of the same values (scrambled batches), " +
+      "emission is exactly-once per (hour, salt), and the " +
+      "closed-form lower bounds match") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val t0 = StreamingHdr.HourUs * 900
@@ -48,11 +51,12 @@ class StreamingHdrSpec extends SparkSpec {
     val (a, rest) = vals.splitAt(500)
     val (b, c) = rest.splitAt(500)
     val input = MemoryStream[Measured]
-    val out = StreamingHdr.cells(input.toDS(), maxDelay = "1 second")
+    val out = StreamingHdr.cells(input.toDS(), salts = 4,
+      maxDelay = "1 second")
     val q = out.writeStream.format("memory").queryName("shdr_out")
       .outputMode("update").start()
-    def events(): Seq[BucketCount] =
-      spark.table("shdr_out").as[BucketCount].collect().toSeq
+    def events(): Seq[SaltedBucket] =
+      spark.table("shdr_out").as[SaltedBucket].collect().toSeq
     try {
       input.addData(b.map(v => Measured(v, t0 + 1000)): _*)
       q.processAllAvailable()
@@ -71,12 +75,19 @@ class StreamingHdrSpec extends SparkSpec {
       val closed = events()
       assert(closed.nonEmpty && closed.forall(_.hourBucket === 900L),
         s"expected exactly one closed hour: ${closed.take(5)}")
-      assert(closed.map(_.bucket).distinct.size === closed.size,
-        "duplicate bucket rows — hour closed twice?")
+      assert(closed.map(sb => (sb.salt, sb.bucket)).distinct.size ===
+        closed.size, "duplicate (salt, bucket) rows — a group " +
+        "closed twice?")
+      assert(closed.map(_.salt).distinct.size > 1,
+        "salting routed every value to one group — no parallelism " +
+        "was exercised")
 
-      // batch parity on identical values (duplicates and all)
-      val streamed = closed.map(cc => cc.bucket -> (cc.lo, cc.cnt))
-        .toMap
+      // batch parity of the MERGED tables on identical values
+      // (duplicates and all)
+      val merged = StreamingHdr.merge(
+          spark.table("shdr_out").as[SaltedBucket])
+        .collect()
+        .map(cc => cc.bucket -> (cc.lo, cc.cnt)).toMap
       val batch = (b ++ c ++ b.take(150) ++ a ++ c.take(50))
         .toDF("vi")
         .withColumn("bucket", expr(Sketches.hdrBucketSql("vi")))
@@ -86,8 +97,41 @@ class StreamingHdrSpec extends SparkSpec {
         .collect()
         .map(r => r.getAs[Long]("bucket") ->
           (r.getAs[Long]("lo"), r.getAs[Long]("cnt"))).toMap
-      assert(streamed === batch,
-        "streamed bucket table diverged from the batch histogram")
+      assert(merged === batch,
+        "merged streamed bucket tables diverged from the batch " +
+        "histogram")
     } finally q.stop()
+  }
+
+  test("salted and unsalted runs over identical input merge to the " +
+      "same bucket table (cell-wise addition is exact for any salt " +
+      "assignment)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = StreamingHdr.HourUs * 901
+    val vals = corpusValues.take(600)
+    def run(name: String, salts: Int): Map[Long, (Long, Long)] = {
+      val input = MemoryStream[Measured]
+      val q = StreamingHdr.cells(input.toDS(), salts = salts,
+          maxDelay = "1 second")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      try {
+        input.addData(vals.map(v => Measured(v, t0 + 1000)): _*)
+        q.processAllAvailable()
+        input.addData(Measured(1L, t0 + StreamingHdr.HourUs + 2000000))
+        q.processAllAvailable()
+        input.addData(Measured(2L, t0 + StreamingHdr.HourUs + 3000000))
+        q.processAllAvailable()
+        StreamingHdr.merge(spark.table(name).as[SaltedBucket])
+          .collect().filter(_.hourBucket == 901L)
+          .map(cc => cc.bucket -> (cc.lo, cc.cnt)).toMap
+      } finally q.stop()
+    }
+    val unsalted = run("shdr_par1", salts = 1)
+    val salted = run("shdr_par8", salts = 8)
+    assert(salted === unsalted,
+      "merged salted buckets diverged from the single-group " +
+      "histogram")
   }
 }
