@@ -41,6 +41,33 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** The SAME mixing loop on every core at once (shorter per-thread
+    * iteration count; wall time of the whole barrier) — the
+    * MULTI-CORE load gauge the r16 snapshot showed the single-thread
+    * calib cannot be: a co-tenant process eating N of 32 cores leaves
+    * one pinned thread untouched (calib flat) while inflating every
+    * 32-way Spark stage by ~32/(32−N). Queries contend like this
+    * gauge, not like calibrate(). Ships as "calib_mt";
+    * compare_bench.py prefers it for normalization when both
+    * snapshots carry it. */
+  private def calibrateMt(): Double = {
+    val n = Runtime.getRuntime.availableProcessors()
+    val t0 = System.nanoTime()
+    val threads = (0 until n).map { t =>
+      new Thread(() => {
+        var x = 0x9E3779B97F4A7C15L + t
+        var i = 0
+        while (i < 40000000) {
+          x ^= x >>> 33; x *= 0xFF51AFD7ED558CCDL; i += 1
+        }
+        if (x == 42L) print("")
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // optional trailing args restrict to named queries (local scale
@@ -75,9 +102,11 @@ object Bench {
     // measurement. A calibration probe before each pass records machine
     // load at that moment (see calibrate()).
     val calibs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val calibsMt = scala.collection.mutable.ArrayBuffer.empty[Double]
     val passes = (1 to 3).map { _ =>
       spark.catalog.clearCache()
       calibs += calibrate()
+      calibsMt += calibrateMt()
       headline.map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
@@ -131,8 +160,10 @@ object Bench {
     val fullFailedJson =
       fullFailed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val calibJson = calibs.map(c => f"$c%.3f").mkString("[", ",", "]")
+    val calibMtJson =
+      calibsMt.map(c => f"$c%.3f").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"full":$fullJson,"failed":$failedJson,"full_failed":$fullFailedJson,"calib":$calibJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"full":$fullJson,"failed":$failedJson,"full_failed":$fullFailedJson,"calib":$calibJson,"calib_mt":$calibMtJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -231,6 +231,77 @@ object WebQueries {
         .orderBy("domain")
     },
 
+    // ROBOTS with the FULL RFC 9309 pattern grammar (r16 verdict task
+    // #6) — robots_policy's literal-prefix tier plus WILDCARD rules:
+    // `*` matches any octet sequence and `$` anchors the pattern at
+    // the path end (RFC 9309 §2.2.3), so real-world rules like
+    // "Disallow: /docs/*7.html$" are expressible. Most-specific-match
+    // now ranks by PATTERN length (the reference robots.txt parsers'
+    // octet count — wildcards count as one octet), with the RFC's
+    // least-restrictive tie-break (equal specificity → allow wins)
+    // encoded arithmetically: spec = 2·length(pattern) + allow-bit,
+    // resolved by the same partial-aggregable max_by. Matching
+    // translates each pattern ONCE (rule-side, domains-sized frame)
+    // to ANSI LIKE — '*' → '%', trailing '$' drops the implicit
+    // prefix '%', no escaping needed because the synthetic patterns
+    // carry no LIKE metachars — so both engines evaluate the
+    // IDENTICAL predicate. The wildcard tiers extend the seeded rule
+    // synthesis: ~half the domains (md5 residue b3) block slugs
+    // ending in 7, and ~half of those (b4) re-allow ...77.html via a
+    // longer pattern — exercising anchored-wildcard block and
+    // wildcard-over-wildcard pierce; `n_wild_decided` counts URLs
+    // whose WINNING rule used the grammar, so the tier visibly
+    // matters. Shape unchanged from robots_policy: ≤ 5 × domains
+    // rules broadcast into the URL scan (plan-pinned nested-loop-
+    // free), per-URL max_by, one shrinking rollup. The per-row LIKE
+    // against a column pattern is regex-compiled per match — fine
+    // while matched-rules-per-URL is the broadcast side's ≤ 5.
+    "robots_wildcard" -> { (s, dir) =>
+      val u = withUrls(s, dir).select(col("doc_id"), col("domain"),
+        col("path"))
+      val doms = u.select("domain").distinct()
+      val h = md5(concat(lit("robots:"), col("domain")))
+      val b1 = substring(h, 1, 1)
+      val b2 = substring(h, 2, 1)
+      val b3 = substring(h, 3, 1)
+      val b4 = substring(h, 4, 1)
+      val rules = doms
+        .select(col("domain"), lit("/").as("pattern"),
+          lit(true).as("allow"))
+        .unionByName(doms.filter(b1 < "8")
+          .select(col("domain"), lit("/docs/").as("pattern"),
+            lit(false).as("allow")))
+        .unionByName(doms.filter(b1 < "8" && b2 < "8")
+          .select(col("domain"), lit("/docs/index.html").as("pattern"),
+            lit(true).as("allow")))
+        .unionByName(doms.filter(b3 < "8")
+          .select(col("domain"), lit("/docs/*7.html$").as("pattern"),
+            lit(false).as("allow")))
+        .unionByName(doms.filter(b3 < "8" && b4 < "8")
+          .select(col("domain"), lit("/docs/*77.html$").as("pattern"),
+            lit(true).as("allow")))
+        .withColumn("lp", expr(
+          "CASE WHEN pattern LIKE '%$'" +
+            " THEN replace(substring(pattern, 1," +
+            " length(pattern) - 1), '*', '%')" +
+            " ELSE replace(pattern, '*', '%') || '%' END"))
+        .withColumn("spec", expr(
+          "length(pattern) * 2 + IF(allow, 1, 0)"))
+      u.join(broadcast(rules), Seq("domain"))
+        .filter(expr("path LIKE lp"))
+        .groupBy("doc_id", "domain")
+        .agg(expr("max_by(allow, spec)").as("allowed"),
+          expr("max_by(pattern, spec)").as("win_pattern"))
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_urls"),
+          sum(when(col("allowed"), 1L).otherwise(0L)).as("n_allowed"),
+          sum(when(col("allowed"), 0L).otherwise(1L))
+            .as("n_disallowed"),
+          sum(when(col("win_pattern").rlike("[*$]"), 1L)
+            .otherwise(0L)).as("n_wild_decided"))
+        .orderBy("domain")
+    },
+
     // REDIRECT-chain resolution — the crawl step between fetching and
     // URL dedup: every 301/308 hop is an edge in a FUNCTIONAL graph
     // (each URL has at most one redirect target), and the corpus
@@ -669,6 +740,57 @@ object WebQueries {
         |    AS n_allowed,
         |  CAST(SUM(CASE WHEN allowed THEN 0 ELSE 1 END) AS BIGINT)
         |    AS n_disallowed
+        |FROM v GROUP BY domain ORDER BY domain""".stripMargin,
+
+    "robots_wildcard" ->
+      s"""WITH $urlCte,
+        |p AS (
+        |  SELECT doc_id,
+        |    regexp_replace(host, '^(www|cdn)\\.', '') AS domain, path
+        |  FROM c
+        |), doms AS (
+        |  SELECT DISTINCT domain FROM p
+        |), r0 AS (
+        |  SELECT domain, '/' AS pattern, TRUE AS allow FROM doms
+        |  UNION ALL
+        |  SELECT domain, '/docs/', FALSE FROM doms
+        |  WHERE substr(md5('robots:' || domain), 1, 1) < '8'
+        |  UNION ALL
+        |  SELECT domain, '/docs/index.html', TRUE FROM doms
+        |  WHERE substr(md5('robots:' || domain), 1, 1) < '8'
+        |    AND substr(md5('robots:' || domain), 2, 1) < '8'
+        |  UNION ALL
+        |  SELECT domain, '/docs/*7.html$$', FALSE FROM doms
+        |  WHERE substr(md5('robots:' || domain), 3, 1) < '8'
+        |  UNION ALL
+        |  SELECT domain, '/docs/*77.html$$', TRUE FROM doms
+        |  WHERE substr(md5('robots:' || domain), 3, 1) < '8'
+        |    AND substr(md5('robots:' || domain), 4, 1) < '8'
+        |), rules AS (
+        |  SELECT domain, pattern, allow,
+        |    CASE WHEN pattern LIKE '%$$'
+        |      THEN replace(substring(pattern, 1,
+        |        length(pattern) - 1), '*', '%')
+        |      ELSE replace(pattern, '*', '%') || '%' END AS lp,
+        |    length(pattern) * 2 +
+        |      CASE WHEN allow THEN 1 ELSE 0 END AS spec
+        |  FROM r0
+        |), m AS (
+        |  SELECT p.doc_id, p.domain, r.allow, r.pattern, r.spec
+        |  FROM p JOIN rules r ON p.domain = r.domain
+        |    AND p.path LIKE r.lp
+        |), v AS (
+        |  SELECT doc_id, domain, max_by(allow, spec) AS allowed,
+        |    max_by(pattern, spec) AS win_pattern
+        |  FROM m GROUP BY doc_id, domain
+        |)
+        |SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_urls,
+        |  CAST(SUM(CASE WHEN allowed THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_allowed,
+        |  CAST(SUM(CASE WHEN allowed THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS n_disallowed,
+        |  CAST(SUM(CASE WHEN regexp_matches(win_pattern, '[*$$]')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_wild_decided
         |FROM v GROUP BY domain ORDER BY domain""".stripMargin,
 
     "redirect_resolve" ->

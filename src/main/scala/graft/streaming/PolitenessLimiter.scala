@@ -62,18 +62,27 @@ object PolitenessLimiter {
     *                   back-to-back before spacing kicks in
     * @param maxPending deferral queue bound per host; beyond it,
     *                   requests drop (re-offered by the next refresh)
-    * @param maxDelay   watermark delay for late requests */
+    * @param maxDelay   watermark delay for late requests
+    * @param inheritWatermark when the limiter sits DOWNSTREAM of
+    *                   another stateful operator in the same query
+    *                   (the [[CrawlScheduler]] composition), the
+    *                   lineage already carries a watermark and Spark
+    *                   forbids redefining it — pass true to reuse the
+    *                   upstream one (event-time timers still fire off
+    *                   the propagated watermark); `maxDelay` is then
+    *                   ignored */
   def limit(reqs: Dataset[FetchRequest], gapUs: Long, burst: Int = 1,
-      maxPending: Int = 64,
-      maxDelay: String = "10 minutes"): Dataset[FetchDecision] = {
+      maxPending: Int = 64, maxDelay: String = "10 minutes",
+      inheritWatermark: Boolean = false): Dataset[FetchDecision] = {
     require(gapUs >= 1000, s"gapUs must be >= 1000 (1 ms), got $gapUs")
     require(burst >= 1, s"burst must be >= 1, got $burst")
     require(maxPending >= 0, s"maxPending must be >= 0, got $maxPending")
     implicit val outEnc = Encoders.product[FetchDecision]
-    reqs.toDF("url", "tsUs")
+    val timed = reqs.toDF("url", "tsUs")
       .withColumn("host", host(col("url")))
       .withColumn("eventTime", timestamp_micros(col("tsUs")))
-      .withWatermark("eventTime", maxDelay)
+    (if (inheritWatermark) timed
+     else timed.withWatermark("eventTime", maxDelay))
       .as[HostReq](Encoders.product[HostReq])
       .groupByKey(_.host)(Encoders.STRING)
       .transformWithState(

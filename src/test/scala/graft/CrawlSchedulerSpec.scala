@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.{CrawlScheduler, PolitenessLimiter, StreamingUrlFrontier}
+import graft.streaming.PolitenessLimiter.FetchDecision
+import graft.streaming.StreamingUrlFrontier.SeenUrl
+
+/** Pins [[CrawlScheduler]] — the frontier → robots gate → politeness
+  * pipeline composed into ONE streaming query — on a single scripted
+  * event-time schedule: variant storms suppress before the gate,
+  * disallowed paths never reach the limiter, a wildcard re-allow
+  * pierces a literal disallow, ruleless domains default to allowed,
+  * and the politeness phase fetches/defers/drops exactly as if driven
+  * alone. The batch-side [[CrawlScheduler.gate]] verdict is also
+  * pinned equal to the robots_wildcard most-specific-match rule. */
+class CrawlSchedulerSpec extends SparkSpec {
+
+  private val providerKey = "spark.sql.streaming.stateStore.providerClass"
+  private val g = 10000000L // 10 s politeness spacing
+
+  private def rulesDf = {
+    import spark.implicits._
+    Seq(
+      ("a.com", "/", true),
+      ("a.com", "/private/", false),
+      ("a.com", "/private/pub*", true), // wildcard pierce (longer)
+      ("b.net", "/", true))
+      .toDF("domain", "pattern", "allow")
+  }
+
+  test("end-to-end scripted schedule: suppress -> gate -> " +
+      "fetch/defer/drop counts come out exactly right, with the " +
+      "deferral releasing at its GCRA slot on the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val t0 = 3000000000L
+    val input = MemoryStream[SeenUrl]
+    val out = CrawlScheduler.schedule(input.toDS(), rulesDf,
+      ttlUs = 3600000000L, gapUs = g, burst = 1, maxPending = 1,
+      maxDelay = "1 second")
+    val q = out.writeStream.format("memory").queryName("crawl_out")
+      .outputMode("update").start()
+    def decisions(): Seq[FetchDecision] =
+      spark.table("crawl_out").as[FetchDecision].collect().toSeq
+        .filterNot(_.host == "d.org") // watermark-flush traffic
+    try {
+      input.addData(
+        // admit + allow + token available -> fetch
+        SeenUrl("https://a.com/page1", t0),
+        // same canonical (case/port/fragment variants) -> frontier
+        // suppresses it BEFORE the gate: no second decision row
+        SeenUrl("https://A.COM:443/page1#f", t0 + 1000),
+        // admit, robots-disallowed -> never reaches the limiter
+        SeenUrl("https://a.com/private/secret", t0 + 2000),
+        // admit, wildcard re-allow pierces the /private/ disallow;
+        // a.com's token is spent -> parks at slot t0 + g
+        SeenUrl("https://a.com/private/pub1", t0 + 3000),
+        // admit, allowed, queue full (maxPending = 1) -> drop
+        SeenUrl("https://a.com/page2", t0 + 4000),
+        // independent host -> fetch
+        SeenUrl("https://b.net/q", t0 + 5000),
+        // no rules for c.org -> RFC default allow -> fetch
+        SeenUrl("https://c.org/x", t0 + 6000))
+      q.processAllAvailable()
+      val d1 = decisions()
+      assert(d1.filter(_.kind == "fetch")
+        .map(e => (e.url, e.releaseUs)).sorted === Seq(
+          ("https://a.com/page1", t0),
+          ("https://b.net/q", t0 + 5000),
+          ("https://c.org/x", t0 + 6000)),
+        s"wrong immediate fetches: $d1")
+      assert(d1.filter(_.kind == "drop").map(_.url) ===
+        Seq("https://a.com/page2"), s"wrong drops: $d1")
+      assert(!d1.exists(_.url.contains("secret")),
+        "a robots-disallowed URL reached the politeness limiter")
+      assert(d1.count(_.url == "https://a.com/page1") === 1,
+        "a suppressed frontier variant produced a second decision")
+      assert(d1.size === 4, s"unexpected extra decisions: $d1")
+
+      // advance the watermark past t0 + g on an unrelated host: the
+      // parked pierce releases at EXACTLY its GCRA slot, once
+      input.addData(SeenUrl("https://d.org/f1", t0 + g + 2000000))
+      q.processAllAvailable()
+      input.addData(SeenUrl("https://d.org/f2", t0 + g + 3000000))
+      q.processAllAvailable()
+      val rel = decisions().filter(_.kind == "release")
+      assert(rel.map(e => (e.url, e.releaseUs)) ===
+        Seq(("https://a.com/private/pub1", t0 + g)),
+        s"wrong releases: $rel")
+      assert(decisions().size === 5,
+        s"decision set drifted: ${decisions()}")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
+  test("gate() on a batch frame applies robots_wildcard's " +
+      "most-specific-match: literal block, wildcard pierce, anchored " +
+      "patterns, ruleless default-allow") {
+    import spark.implicits._
+    val urls = Seq(
+      "https://a.com/ok.html",
+      "https://a.com/private/secret",
+      "https://a.com/private/pub7",
+      "https://www.a.com/private/x", // www strips to a.com
+      "https://c.org/anything")
+      .toDF("canonicalUrl")
+      .withColumn("tsUs", lit(0L))
+    val got = CrawlScheduler.gate(urls,
+        CrawlScheduler.compileRules(rulesDf))
+      .select("canonicalUrl").as[String].collect().toSeq.sorted
+    assert(got === Seq(
+      "https://a.com/ok.html",
+      "https://a.com/private/pub7",
+      "https://c.org/anything"), s"gate verdicts wrong: $got")
+  }
+}

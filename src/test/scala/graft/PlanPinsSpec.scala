@@ -497,6 +497,21 @@ class PlanPinsSpec extends SparkSpec {
       s"longest-prefix max_by lost map-side partials:\n$plan")
   }
 
+  test("robots_wildcard keeps robots_policy's shape under the RFC " +
+      "9309 grammar: rules broadcast, no nested loop for the LIKE " +
+      "match, specificity max_by combines map-side") {
+    val df = SparkEntry.queries("robots_wildcard")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"rules join is not a broadcast hash join:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"unexpected nested loop in the pattern match:\n$plan")
+    assert(plan.contains("partial_max_by") ||
+      plan.contains("partial_maxby") || plan.contains("partial_max_"),
+      s"specificity max_by lost map-side partials:\n$plan")
+  }
+
   test("anchor_text_topk's cut runs through the NATIVE top-k node, " +
       "partial before the exchange and final after it") {
     val df = SparkEntry.queries("anchor_text_topk")(spark, sf0001)

@@ -103,6 +103,92 @@ class PolitenessLimiterSpec extends SparkSpec {
     }
   }
 
+  test("checkpoint restart: parked deferrals and the GCRA tat " +
+      "survive a cold stop — a FRESH query over the SAME checkpoint " +
+      "defers new work against the restored tat and releases each " +
+      "parked request exactly once at its original slot (no " +
+      "double-release), the at-least-once contract every stateful " +
+      "operator here owes") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    import PolitenessLimiterSpec.restartOut
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-polite-restart").toString
+    restartOut.clear()
+    val input = MemoryStream[FetchRequest]
+    // the memory sink refuses checkpoint recovery; collect through
+    // foreachBatch into a static buffer (the TransformWithStateSpec
+    // restart discipline)
+    def startQuery() =
+      PolitenessLimiter.limit(input.toDS(), gapUs = g, burst = 1,
+          maxPending = 4, maxDelay = "1 second")
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[FetchDecision],
+            _: Long) =>
+          df.collect().foreach(restartOut.add)
+        }
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .start()
+    def aCom() = restartOut.asScala.toSeq.filter(_.host == "a.com")
+    val t0 = 2000000000L
+    try {
+      val q1 = startQuery()
+      try {
+        // burst 1: /1 fetches (tat -> t0+g); /2 and /3 park at slots
+        // t0+g and t0+2g, far beyond the watermark — nothing releases
+        // before the stop, so the parked queue lives ONLY in the
+        // checkpoint
+        input.addData(
+          FetchRequest("https://a.com/1", t0),
+          FetchRequest("https://a.com/2", t0 + 1000),
+          FetchRequest("https://a.com/3", t0 + 2000))
+        q1.processAllAvailable()
+        assert(aCom().map(e => (e.url, e.kind)) ===
+          Seq(("https://a.com/1", "fetch")),
+          s"pre-restart emissions wrong: ${aCom()}")
+      } finally { q1.stop(); q1.awaitTermination() }
+
+      val q2 = startQuery()
+      try {
+        // restored tat = t0+3g, so /4 must DEFER to that slot — a
+        // lost bucket would fetch it immediately
+        input.addData(FetchRequest("https://a.com/4", t0 + 3000))
+        q2.processAllAvailable()
+        assert(aCom().count(_.kind == "fetch") === 1,
+          s"tat lost across restart — a post-restart request " +
+            s"fetched inside the spacing window: ${aCom()}")
+
+        // watermark past every slot: /2, /3, /4 release at their
+        // ORIGINAL spaced slots, each exactly once
+        input.addData(FetchRequest("https://flush.net/a",
+          t0 + 3 * g + 2000000))
+        q2.processAllAvailable()
+        input.addData(FetchRequest("https://flush.net/b",
+          t0 + 3 * g + 3000000))
+        q2.processAllAvailable()
+        val rel = aCom().filter(_.kind == "release")
+          .map(e => (e.url, e.releaseUs)).sorted
+        assert(rel === Seq(
+          ("https://a.com/2", t0 + g),
+          ("https://a.com/3", t0 + 2 * g),
+          ("https://a.com/4", t0 + 3 * g)),
+          s"parked deferrals did not survive restart intact: $rel")
+        assert(aCom().map(_.url).distinct.size === aCom().size,
+          s"a request was emitted twice across the restart: ${aCom()}")
+      } finally q2.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("host() extracts the lowercased politeness key: scheme, port " +
       "and path are not who we are hammering") {
     import spark.implicits._
@@ -113,4 +199,11 @@ class PolitenessLimiterSpec extends SparkSpec {
       .as[String].collect().toSeq
     assert(got === Seq("a.com", "a.com", "b.net"))
   }
+}
+
+object PolitenessLimiterSpec {
+  // decisions collected by the restart test's foreachBatch sink —
+  // static so the closure survives serialization AND query restarts
+  val restartOut = new java.util.concurrent.ConcurrentLinkedQueue[
+    graft.streaming.PolitenessLimiter.FetchDecision]()
 }

@@ -47,7 +47,21 @@ def main(old_path, new_path, top_n=15):
     if old.get("calib") and new.get("calib"):
         cr = median(new["calib"]) / median(old["calib"])
         line += f", calib {cr:.3f}x, normalized {raw / cr:.3f}x"
+    # calib_mt (r17): the all-cores gauge. Queries run 32-way, so a
+    # co-tenant eating cores inflates them while the pinned
+    # single-thread calib stays flat (the r16 snapshot's 1.32x "drift"
+    # at calib 1.007x). When both snapshots carry calib_mt, ITS
+    # normalization is the honest one.
+    if old.get("calib_mt") and new.get("calib_mt"):
+        cm = median(new["calib_mt"]) / median(old["calib_mt"])
+        line += f", calib_mt {cm:.3f}x, mt-normalized {raw / cm:.3f}x"
     print(line)
+    for side, d in (("old", old), ("new", new)):
+        if d.get("failed"):
+            print(f"FAILED queries in {side}: {', '.join(d['failed'])}")
+        if d.get("full_failed"):
+            print(f"FULL-pass failures in {side}: "
+                  + ", ".join(d["full_failed"]))
     if only_old:
         print(f"dropped ({len(only_old)}): {', '.join(only_old)}")
     if only_new:
