@@ -163,7 +163,8 @@ object SparkEntry {
       "robots_policy", "redirect_resolve", "cms_bigram_report",
       "hdr_value_quantiles", "crawl_depth_bfs", "anchor_text_topk",
       // round-17 additions
-      "hll_shingle_sketch", "cms_bigram_sketch", "robots_wildcard")
+      "hll_shingle_sketch", "cms_bigram_sketch", "robots_wildcard",
+      "hll_merge_shards", "cms_merge_shards", "politeness_schedule")
 
   def benchQueries: Seq[(String, (SparkSession, String) => DataFrame)] =
     benchNames.flatMap(n => queries.get(n).map(n -> _))

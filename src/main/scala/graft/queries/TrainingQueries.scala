@@ -200,6 +200,23 @@ object TrainingQueries {
   private val stopwordList = TextAnalysis.DefaultStopwords
     .map(w => s"'$w'").mkString("(", ",", ")")
 
+  /** The corpus bigram stream (lowercased token pairs), shared by the
+    * CMS sketch/report rows; `withDocId` keeps the shard key for the
+    * merge-law row. */
+  private def bigramStream(s: org.apache.spark.sql.SparkSession,
+      dir: String,
+      withDocId: Boolean = false): org.apache.spark.sql.DataFrame = {
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        TextAnalysis.tokens(lower(col("text"))).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 1)," +
+          " i -> concat(element_at(toks, i), ' '," +
+          " element_at(toks, i + 1)))")).as("key"))
+    if (withDocId) base else base.select("key")
+  }
+
   /** quota_sample's engine, parameterized on K so QuotaSampleSpec can
     * pin the K > corpus regime (the hardwired registry row uses
     * K = 100). Semantics + the why-one-cap-suffices proof live on the
@@ -2350,13 +2367,7 @@ object TrainingQueries {
     // 60 candidate cells against the ≤768-row sketch. Nothing scales
     // past the token explode.
     "cms_bigram_report" -> { (s, dir) =>
-      val big = Tables.documents(s, dir)
-        .select(TextAnalysis.tokens(lower(col("text"))).as("toks"))
-        .filter(size(col("toks")) >= 2)
-        .select(explode(expr(
-          "transform(sequence(1, size(toks) - 1)," +
-            " i -> concat(element_at(toks, i), ' '," +
-            " element_at(toks, i + 1)))")).as("key"))
+      val big = bigramStream(s, dir)
       val cells = Sketches.cmsCells(big, col("key"), 3, 256)
       val top = big.groupBy("key").agg(count(lit(1)).as("n_exact"))
         .orderBy(col("n_exact").desc, col("key").asc).limit(20)
@@ -2399,14 +2410,46 @@ object TrainingQueries {
     // combine caps the exchange at d×w = 768 rows per partition) —
     // nothing downstream of the explode grows with the corpus.
     "cms_bigram_sketch" -> { (s, dir) =>
-      val big = Tables.documents(s, dir)
-        .select(TextAnalysis.tokens(lower(col("text"))).as("toks"))
-        .filter(size(col("toks")) >= 2)
-        .select(explode(expr(
-          "transform(sequence(1, size(toks) - 1)," +
-            " i -> concat(element_at(toks, i), ' '," +
-            " element_at(toks, i + 1)))")).as("key"))
-      Sketches.cmsCells(big, col("key"), 3, 256)
+      Sketches.cmsCells(bigramStream(s, dir), col("key"), 3, 256)
+        .select("r", "c", "cnt")
+        .orderBy("r", "c")
+    },
+
+    // SHARD-MERGE law, oracle-verified end to end (the 100 TB
+    // incremental-ingest story: daily shards each build a sketch;
+    // the running corpus sketch is the cell-wise merge — no reread
+    // of history). The Spark side deliberately SHARDS the corpus
+    // (doc_id parity), builds an independent sketch per shard, and
+    // merges: registers by element-wise max, CMS cells by addition.
+    // The DuckDB oracle never shards — it derives the whole-corpus
+    // sketch directly — so the gate's hash equality IS the merge law
+    // proven across engines on real data, not just the SketchesSpec
+    // unit pin. Plan: each per-shard aggregate is partial (map-side
+    // combine), the merge re-aggregate sees ≤ 2 × fixed-width rows —
+    // the union adds one exchange of SF-invariant size.
+    "hll_merge_shards" -> { (s, dir) =>
+      val sh = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          explode(TextAnalysis.shingles(col("text"), 3)).as("sh"))
+      def shard(p: Int) = Sketches.hllRegisters(
+        sh.filter(pmod(col("doc_id"), lit(2)) === p),
+        col("source"), col("sh"), 8)
+      val merged = shard(0).unionByName(shard(1))
+        .groupBy("key", "register").agg(max("m").as("m"))
+      Sketches.hllSummary(merged, 8)
+        .withColumnRenamed("key", "source")
+        .withColumn("hll_estimate", expr(Sketches.hllEstimateSql(8)))
+        .select("source", "v_zero", "s_scaled", "hll_estimate")
+        .orderBy("source")
+    },
+
+    "cms_merge_shards" -> { (s, dir) =>
+      val big = bigramStream(s, dir, withDocId = true)
+      def shard(p: Int) = Sketches.cmsCells(
+        big.filter(pmod(col("doc_id"), lit(2)) === p)
+          .select("key"), col("key"), 3, 256)
+      shard(0).unionByName(shard(1))
+        .groupBy("r", "c").agg(sum("cnt").as("cnt"))
         .select("r", "c", "cnt")
         .orderBy("r", "c")
     },
@@ -3412,6 +3455,49 @@ object TrainingQueries {
     },
 
     "cms_bigram_sketch" ->
+      s"""WITH t AS (
+        |  SELECT $toksExpr AS toks FROM documents
+        |), b AS (
+        |  SELECT unnest(list_transform(range(1, len(toks)),
+        |    i -> toks[CAST(i AS INT)] || ' ' ||
+        |         toks[CAST(i + 1 AS INT)])) AS key
+        |  FROM t WHERE len(toks) >= 2
+        |)
+        |SELECT CAST(r AS INT) AS r,
+        |  ('0x' || substr(md5(CAST(r AS VARCHAR) ||
+        |    ':cms:' || key), 1, 15))::BIGINT % 256 AS c,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM b, (SELECT unnest([0, 1, 2]) AS r)
+        |GROUP BY 1, 2 ORDER BY r, c""".stripMargin,
+
+    // merge-law rows: the oracle NEVER shards — it derives the
+    // whole-corpus sketch in one pass, so hash equality against the
+    // Spark side's shard-and-merge derivation proves the merge law
+    // across engines on real data
+    "hll_merge_shards" -> {
+      val est = Sketches.hllEstimateSql(8)
+      s"""WITH sh AS (
+        |  SELECT source, unnest($shinglesExpr) AS sh FROM documents
+        |), hh AS (
+        |  SELECT source,
+        |    ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h
+        |  FROM sh
+        |), r AS (
+        |  SELECT source, h // 4503599627370496 AS register,
+        |    MAX(CASE WHEN h % 4503599627370496 = 0 THEN 53
+        |      ELSE 53 - length(bin(h % 4503599627370496)) END) AS m
+        |  FROM hh GROUP BY source, register
+        |), su AS (
+        |  SELECT source, 256 - COUNT(*) AS v_zero,
+        |    (256 - COUNT(*)) * 9007199254740992 +
+        |      CAST(SUM(1::BIGINT << (53 - m)) AS BIGINT) AS s_scaled
+        |  FROM r GROUP BY source
+        |)
+        |SELECT source, v_zero, s_scaled, $est AS hll_estimate
+        |FROM su ORDER BY source""".stripMargin
+    },
+
+    "cms_merge_shards" ->
       s"""WITH t AS (
         |  SELECT $toksExpr AS toks FROM documents
         |), b AS (

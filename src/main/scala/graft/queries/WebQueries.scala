@@ -302,6 +302,34 @@ object WebQueries {
         .orderBy("domain")
     },
 
+    // BATCH politeness schedule — the crawl-plan AUDIT twin of the
+    // streaming GCRA limiter (PolitenessLimiter.batchSchedule
+    // scaladoc: s_i = max(t_i, s_{i-1}+gap) has the closed form
+    // gap·i + prefix-max(t_j − gap·j), one per-host cumulative-max
+    // window — so the limiter's burst=1 semantics get an ORACLE row,
+    // and the spec pins batch == streaming decision-for-decision).
+    // Request log synthesis (mirrored in the oracle): waves 8 s apart
+    // per host plus an md5 jitter in [0, 4 s) — inter-arrivals land
+    // in [4 s, 12 s) around the 5 s gap, so conforming fetches,
+    // one-off deferrals and short cascades all occur, host-varied.
+    // Plan: one hash exchange on host + per-host ordered window
+    // (hosts are the parallelism unit; no corpus-global window).
+    "politeness_schedule" -> { (s, dir) =>
+      val reqs = withUrls(s, dir)
+        .select(col("doc_id"), col("host"))
+        .withColumn("tsUs", expr(
+          "doc_id div 37 * 8000000 + " +
+            "CAST(conv(substring(md5(concat('req:', " +
+            "CAST(doc_id AS STRING))), 1, 4), 16, 10) AS BIGINT) " +
+            "% 4000000"))
+      graft.streaming.PolitenessLimiter
+        .batchSchedule(reqs, 5000000L,
+          Seq(col("tsUs"), col("doc_id")))
+        .select(col("host"), col("doc_id"), col("tsUs").as("ts_us"),
+          col("slot_us"), col("wait_us"), col("deferred"))
+        .orderBy("host", "slot_us", "doc_id")
+    },
+
     // REDIRECT-chain resolution — the crawl step between fetching and
     // URL dedup: every 301/308 hop is an edge in a FUNCTIONAL graph
     // (each URL has at most one redirect target), and the corpus
@@ -792,6 +820,31 @@ object WebQueries {
         |  CAST(SUM(CASE WHEN regexp_matches(win_pattern, '[*$$]')
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_wild_decided
         |FROM v GROUP BY domain ORDER BY domain""".stripMargin,
+
+    "politeness_schedule" ->
+      s"""WITH $urlCte,
+        |req AS (
+        |  SELECT doc_id, host,
+        |    doc_id // 37 * 8000000 +
+        |      ('0x' || substr(md5('req:' || CAST(doc_id AS VARCHAR)),
+        |        1, 4))::BIGINT % 4000000 AS ts_us
+        |  FROM c
+        |), rnk AS (
+        |  SELECT host, doc_id, ts_us,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY host
+        |      ORDER BY ts_us, doc_id) AS BIGINT) AS rn
+        |  FROM req
+        |), sched AS (
+        |  SELECT host, doc_id, ts_us,
+        |    5000000 * rn + MAX(ts_us - 5000000 * rn) OVER (
+        |      PARTITION BY host ORDER BY ts_us, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS slot_us
+        |  FROM rnk
+        |)
+        |SELECT host, doc_id, ts_us, CAST(slot_us AS BIGINT) AS slot_us,
+        |  CAST(slot_us - ts_us AS BIGINT) AS wait_us,
+        |  slot_us - ts_us > 0 AS deferred
+        |FROM sched ORDER BY host, slot_us, doc_id""".stripMargin,
 
     "redirect_resolve" ->
       """WITH RECURSIVE nxt AS (

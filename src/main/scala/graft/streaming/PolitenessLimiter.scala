@@ -55,6 +55,42 @@ object PolitenessLimiter {
   def host(url: Column): Column =
     lower(regexp_extract(url, "^https?://([^/:#]+)", 1))
 
+  /** BATCH twin of the streaming limiter for burst = 1 — the crawl
+    * PLAN auditor ("given this request log, when would each fetch
+    * go out, and how long would it wait?"), the url_dedup-vs-frontier
+    * pairing applied to politeness. The GCRA recurrence
+    * s_i = max(t_i, s_(i-1) + gap) has the CLOSED FORM
+    * s_i = gap·i + max_(j ≤ i)(t_j − gap·j), so the whole schedule is
+    * one per-host cumulative-max window — exact integer arithmetic,
+    * SQL-expressible, hence ORACLE-CHECKABLE where the streaming
+    * operator is spec-pass only; PolitenessLimiterSpec pins the two
+    * equal decision-for-decision on identical input. burst > 1 has no
+    * such prefix-max form (the tolerance couples into the max), so
+    * the audit twin fixes burst = 1 — the common crawl-etiquette
+    * setting — and the streaming operator remains the general path.
+    *
+    * `reqs` must carry `host`, `tsUs`, and the `orderCols` that make
+    * the per-host order total (ties would make the schedule
+    * nondeterministic). Adds `slot_us` (the fetch instant), `wait_us`
+    * and `deferred`. Scale shape: one hash exchange on host + a
+    * per-host ordered window — no corpus-global window, and hosts
+    * are the natural parallelism unit. */
+  def batchSchedule(reqs: org.apache.spark.sql.DataFrame, gapUs: Long,
+      orderCols: Seq[Column]): org.apache.spark.sql.DataFrame = {
+    require(gapUs >= 1000, s"gapUs must be >= 1000 (1 ms), got $gapUs")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("host").orderBy(orderCols: _*)
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    reqs
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("slot_us",
+        lit(gapUs) * col("rn") +
+          max(col("tsUs") - lit(gapUs) * col("rn")).over(cum))
+      .withColumn("wait_us", col("slot_us") - col("tsUs"))
+      .withColumn("deferred", col("wait_us") > 0L)
+      .drop("rn")
+  }
+
   /** @param reqs       released fetch requests
     * @param gapUs      minimum spacing between fetches to one host
     *                   (≥ 1000: event-time timers have ms granularity)

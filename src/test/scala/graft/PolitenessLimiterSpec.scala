@@ -189,6 +189,63 @@ class PolitenessLimiterSpec extends SparkSpec {
     }
   }
 
+  test("batchSchedule (closed-form prefix-max GCRA) equals the " +
+      "streaming limiter decision-for-decision on identical burst=1 " +
+      "input — the audit twin is the SAME schedule, not an " +
+      "approximation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val t0 = 4000000000L
+    // two hosts, arrivals straddling the 10 s gap: back-to-back
+    // bursts (cascading deferrals), a conforming arrival after a
+    // quiet stretch, and an arrival landing exactly on the tat
+    val script = Seq(
+      ("https://a.com/1", t0),
+      ("https://a.com/2", t0 + 1000),        // defer -> t0+g
+      ("https://a.com/3", t0 + 2000),        // defer -> t0+2g
+      ("https://a.com/4", t0 + 3 * g),       // conforming (t >= tat)
+      ("https://a.com/5", t0 + 4 * g - 1000),// defer by 1 ms
+      ("https://b.net/1", t0 + 500),
+      ("https://b.net/2", t0 + 2 * g))       // conforming
+    val input = MemoryStream[FetchRequest]
+    val q = PolitenessLimiter.limit(input.toDS(), gapUs = g,
+        burst = 1, maxPending = 64, maxDelay = "1 second")
+      .writeStream.format("memory").queryName("polite_parity")
+      .outputMode("update").start()
+    try {
+      input.addData(script.map { case (u, t) => FetchRequest(u, t) }: _*)
+      q.processAllAvailable()
+      input.addData(FetchRequest("https://flush.org/x", t0 + 10 * g))
+      q.processAllAvailable()
+      input.addData(FetchRequest("https://flush.org/y", t0 + 11 * g))
+      q.processAllAvailable()
+      val streamed = spark.table("polite_parity").as[FetchDecision]
+        .collect().toSeq
+        .filter(d => d.host == "a.com" || d.host == "b.net")
+        .map(d => d.url -> d.releaseUs).toMap
+      val batch = PolitenessLimiter.batchSchedule(
+          script.toDF("url", "tsUs")
+            .withColumn("host", PolitenessLimiter.host(col("url"))),
+          gapUs = g, Seq(col("tsUs"), col("url")))
+        .select("url", "slot_us").as[(String, Long)]
+        .collect().toMap
+      assert(streamed.size === script.size,
+        s"not every request decided: $streamed")
+      assert(streamed === batch,
+        s"batch audit diverged from the streaming schedule:\n" +
+          s"stream $streamed\nbatch  $batch")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("host() extracts the lowercased politeness key: scheme, port " +
       "and path are not who we are hammering") {
     import spark.implicits._
