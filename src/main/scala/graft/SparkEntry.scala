@@ -164,7 +164,8 @@ object SparkEntry {
       "hdr_value_quantiles", "crawl_depth_bfs", "anchor_text_topk",
       // round-17 additions
       "hll_shingle_sketch", "cms_bigram_sketch", "robots_wildcard",
-      "hll_merge_shards", "cms_merge_shards", "politeness_schedule")
+      "hll_merge_shards", "cms_merge_shards", "politeness_schedule",
+      "hll_pair_overlap")
 
   def benchQueries: Seq[(String, (SparkSession, String) => DataFrame)] =
     benchNames.flatMap(n => queries.get(n).map(n -> _))

@@ -200,6 +200,16 @@ object TrainingQueries {
   private val stopwordList = TextAnalysis.DefaultStopwords
     .map(w => s"'$w'").mkString("(", ",", ")")
 
+  /** hll_pair_overlap's inclusion–exclusion estimate and its permille
+    * error vs the exact audit — ONE shared double string each (house
+    * discipline): the three est inputs are bit-equal across engines
+    * (each is hllEstimateSql's single division), so the fixed-order
+    * sum and the floor'd permille are engine-identical. */
+  private val InterEstSql = "est_s1 + est_s2 - est_union"
+  private val InterErrPermilleSql =
+    "CAST(floor(abs(inter_est - CAST(exact_inter AS DOUBLE)) " +
+      "* 1000e0 / CAST(exact_inter AS DOUBLE)) AS BIGINT)"
+
   /** The corpus bigram stream (lowercased token pairs), shared by the
     * CMS sketch/report rows; `withDocId` keeps the shard key for the
     * merge-law row. */
@@ -2454,6 +2464,68 @@ object TrainingQueries {
         .orderBy("r", "c")
     },
 
+    // SKETCH SET-ALGEBRA — pairwise source-vocabulary OVERLAP from
+    // HLL sketches alone: |A∩B| ≈ est(A) + est(B) − est(A∪B), where
+    // est(A∪B) comes FREE from the merge law (element-wise register
+    // max — no rescan of either source). This is the audience-overlap
+    // / cross-source-contamination estimator a 100 TB pipeline runs
+    // on persisted per-source sketches: 20 sources → 190 pair
+    // estimates from 20×256 stored registers, zero corpus reads.
+    // The exact intersection (a distinct-shingle self-join) rides
+    // along as the TEST-SCALE audit, with err_pm honest about
+    // inclusion–exclusion's known weakness: the estimate's absolute
+    // error scales with the SET sizes (raw-HLL σ ≈ 6.5% at p=8), so
+    // small true intersections carry large permille error — the
+    // production answer for small-overlap regimes is a theta/KMV
+    // sketch, and the column quantifies exactly when that upgrade
+    // pays. Plan: registers aggregate once (≤ sources×256 rows);
+    // pair expansion joins the REGISTER table (sources²×256 rows at
+    // worst — sketch-sized, not corpus-sized); only the audit branch
+    // touches corpus-scale data.
+    "hll_pair_overlap" -> { (s, dir) =>
+      val sh = Tables.documents(s, dir)
+        .select(col("source"),
+          explode(TextAnalysis.shingles(col("text"), 3)).as("sh"))
+      val regs = Sketches.hllRegisters(sh, col("source"), col("sh"), 8)
+      val est = Sketches.hllSummary(regs, 8)
+        .withColumn("est", expr(Sketches.hllEstimateSql(8)))
+        .select(col("key"), col("est"))
+      val srcs = regs.select("key").distinct()
+      val pairs = srcs.select(col("key").as("s1"))
+        .join(srcs.select(col("key").as("s2")), col("s1") < col("s2"))
+      val pu = pairs
+        .join(regs.withColumnRenamed("key", "s1"), "s1")
+        .select("s1", "s2", "register", "m")
+        .unionByName(pairs
+          .join(regs.withColumnRenamed("key", "s2"), "s2")
+          .select("s1", "s2", "register", "m"))
+      val unionSummary = pu
+        .groupBy("s1", "s2", "register").agg(max("m").as("m"))
+        .groupBy("s1", "s2").agg(count(lit(1)).as("n_obs"),
+          sum(expr("shiftleft(CAST(1 AS BIGINT)," +
+            " CAST(53 - m AS INT))")).as("s_obs"))
+        .select(col("s1"), col("s2"),
+          ((lit(256L) - col("n_obs")) * lit(1L << 53) + col("s_obs"))
+            .as("s_scaled"))
+        .withColumn("est_union", expr(Sketches.hllEstimateSql(8)))
+      val dsh = sh.distinct()
+      val exact = dsh.as("x")
+        .join(dsh.as("y"), col("x.sh") === col("y.sh") &&
+          col("x.source") < col("y.source"))
+        .groupBy(col("x.source").as("s1"), col("y.source").as("s2"))
+        .agg(count(lit(1)).as("exact_inter"))
+      unionSummary
+        .join(est.select(col("key").as("s1"), col("est").as("est_s1")),
+          "s1")
+        .join(est.select(col("key").as("s2"), col("est").as("est_s2")),
+          "s2")
+        .join(exact, Seq("s1", "s2"))
+        .withColumn("inter_est", expr(InterEstSql))
+        .withColumn("err_pm", expr(InterErrPermilleSql))
+        .select("s1", "s2", "exact_inter", "inter_est", "err_pm")
+        .orderBy("s1", "s2")
+    },
+
     "heaps_law" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val d = Tables.documents(s, dir)
@@ -3469,6 +3541,70 @@ object TrainingQueries {
         |  CAST(COUNT(*) AS BIGINT) AS cnt
         |FROM b, (SELECT unnest([0, 1, 2]) AS r)
         |GROUP BY 1, 2 ORDER BY r, c""".stripMargin,
+
+    "hll_pair_overlap" -> {
+      val est = Sketches.hllEstimateSql(8)
+      s"""WITH shr AS (
+        |  SELECT source, unnest($shinglesExpr) AS sh FROM documents
+        |), dsh AS (
+        |  SELECT DISTINCT source, sh FROM shr
+        |), hh AS (
+        |  SELECT source,
+        |    ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h
+        |  FROM dsh
+        |), r AS (
+        |  SELECT source, h // 4503599627370496 AS register,
+        |    MAX(CASE WHEN h % 4503599627370496 = 0 THEN 53
+        |      ELSE 53 - length(bin(h % 4503599627370496)) END) AS m
+        |  FROM hh GROUP BY source, register
+        |), su AS (
+        |  SELECT source,
+        |    (256 - COUNT(*)) * 9007199254740992 +
+        |      CAST(SUM(1::BIGINT << (53 - m)) AS BIGINT) AS s_scaled
+        |  FROM r GROUP BY source
+        |), se AS (
+        |  SELECT source, $est AS est FROM su
+        |), pairs AS (
+        |  SELECT a.source AS s1, b.source AS s2
+        |  FROM (SELECT DISTINCT source FROM r) a
+        |  JOIN (SELECT DISTINCT source FROM r) b ON a.source < b.source
+        |), pu AS (
+        |  SELECT s1, s2, register, m FROM pairs
+        |  JOIN r ON r.source = s1
+        |  UNION ALL
+        |  SELECT s1, s2, register, m FROM pairs
+        |  JOIN r ON r.source = s2
+        |), ur AS (
+        |  SELECT s1, s2, register, MAX(m) AS m
+        |  FROM pu GROUP BY s1, s2, register
+        |), us AS (
+        |  SELECT s1, s2,
+        |    (256 - COUNT(*)) * 9007199254740992 +
+        |      CAST(SUM(1::BIGINT << (53 - m)) AS BIGINT) AS s_scaled
+        |  FROM ur GROUP BY s1, s2
+        |), ue AS (
+        |  SELECT s1, s2, $est AS est_union FROM us
+        |), ex AS (
+        |  SELECT x.source AS s1, y.source AS s2,
+        |    CAST(COUNT(*) AS BIGINT) AS exact_inter
+        |  FROM dsh x JOIN dsh y
+        |    ON x.sh = y.sh AND x.source < y.source
+        |  GROUP BY 1, 2
+        |), j AS (
+        |  SELECT ue.s1, ue.s2, exact_inter,
+        |    ea.est AS est_s1, eb.est AS est_s2, est_union
+        |  FROM ue
+        |  JOIN se ea ON ea.source = ue.s1
+        |  JOIN se eb ON eb.source = ue.s2
+        |  JOIN ex ON ex.s1 = ue.s1 AND ex.s2 = ue.s2
+        |), f AS (
+        |  SELECT s1, s2, exact_inter, $InterEstSql AS inter_est
+        |  FROM j
+        |)
+        |SELECT s1, s2, exact_inter, inter_est,
+        |  $InterErrPermilleSql AS err_pm
+        |FROM f ORDER BY s1, s2""".stripMargin
+    },
 
     // merge-law rows: the oracle NEVER shards — it derives the
     // whole-corpus sketch in one pass, so hash equality against the

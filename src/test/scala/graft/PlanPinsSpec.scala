@@ -534,4 +534,35 @@ class PlanPinsSpec extends SparkSpec {
         s"$name grew a nested loop:\n$plan")
     }
   }
+
+  test("the r17 sketch/audit additions keep their scale shapes: " +
+      "merge rows and the sketch-only rows stay partial-aggregable " +
+      "with hashed joins only; politeness_schedule is one exchange + " +
+      "per-host window, join-free") {
+    Seq("hll_shingle_sketch", "cms_bigram_sketch", "hll_merge_shards",
+        "cms_merge_shards", "politeness_schedule").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sf0001)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"$name grew a nested loop:\n$plan")
+      assert(plan.contains("partial_max") ||
+        plan.contains("partial_sum") || plan.contains("partial_count") ||
+        name == "politeness_schedule",
+        s"$name lost its map-side partial aggregate:\n$plan")
+    }
+    val politePlan = SparkEntry.queries("politeness_schedule")(
+      spark, sf0001).queryExecution.executedPlan.toString
+    assert(!politePlan.contains("Join"),
+      s"politeness_schedule grew a join:\n$politePlan")
+    // hll_pair_overlap's pairs frame is an inequality cross of the
+    // SOURCES list — sources²-bounded by design (scaladoc); pin that
+    // the only nested-loop input is that sketch-sized frame, i.e. the
+    // corpus-scale branches (registers, exact audit) stay hashed
+    val overlap = SparkEntry.queries("hll_pair_overlap")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(overlap.contains("SortMergeJoin") ||
+      overlap.contains("BroadcastHashJoin"),
+      s"hll_pair_overlap lost its hashed corpus-side joins:\n$overlap")
+  }
 }
