@@ -103,6 +103,84 @@ class CrawlSchedulerSpec extends SparkSpec {
     }
   }
 
+  test("checkpoint restart of the COMPOSED pipeline: both stateful " +
+      "phases recover from one checkpoint — the frontier keeps " +
+      "suppressing variants of a pre-restart admit, and the limiter " +
+      "defers new work against the restored tat and releases parked " +
+      "work exactly once at its original slot") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    import CrawlSchedulerSpec.restartOut
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-crawl-restart").toString
+    restartOut.clear()
+    val input = MemoryStream[SeenUrl]
+    def startQuery() =
+      CrawlScheduler.schedule(input.toDS(), rulesDf,
+          ttlUs = 3600000000L, gapUs = g, burst = 1, maxPending = 4,
+          maxDelay = "1 second")
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[FetchDecision],
+            _: Long) =>
+          df.collect().foreach(restartOut.add)
+        }
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .start()
+    def aCom() = restartOut.asScala.toSeq.filter(_.host == "a.com")
+    val t0 = 5000000000L
+    try {
+      val q1 = startQuery()
+      try {
+        input.addData(
+          SeenUrl("https://a.com/page1", t0),
+          SeenUrl("https://a.com/page2", t0 + 1000))
+        q1.processAllAvailable()
+        // /page1 fetched; /page2 parked at slot t0+g (only in the
+        // checkpoint once we stop)
+        assert(aCom().map(e => (e.url, e.kind)) ===
+          Seq(("https://a.com/page1", "fetch")),
+          s"pre-restart decisions wrong: ${aCom()}")
+      } finally { q1.stop(); q1.awaitTermination() }
+
+      val q2 = startQuery()
+      try {
+        input.addData(
+          // variant of the pre-restart admit: the FRONTIER's state
+          // must suppress it — a lost admit would re-admit and emit a
+          // spurious second decision for page1's canonical
+          SeenUrl("https://A.COM:443/page1#frag", t0 + 2000),
+          // new URL: the LIMITER's restored tat (t0+2g) must defer it
+          SeenUrl("https://a.com/page3", t0 + 3000))
+        q2.processAllAvailable()
+        assert(aCom().count(_.kind == "fetch") === 1,
+          s"frontier or limiter state lost across restart: ${aCom()}")
+
+        input.addData(SeenUrl("https://d.org/f1", t0 + 2 * g + 2000000))
+        q2.processAllAvailable()
+        input.addData(SeenUrl("https://d.org/f2", t0 + 2 * g + 3000000))
+        q2.processAllAvailable()
+        val rel = aCom().filter(_.kind == "release")
+          .map(e => (e.url, e.releaseUs)).sorted
+        assert(rel === Seq(
+          ("https://a.com/page2", t0 + g),
+          ("https://a.com/page3", t0 + 2 * g)),
+          s"releases did not survive the restart intact: $rel")
+        assert(aCom().map(_.url).distinct.size === aCom().size,
+          s"a decision was emitted twice across the restart: ${aCom()}")
+      } finally q2.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("gate() on a batch frame applies robots_wildcard's " +
       "most-specific-match: literal block, wildcard pierce, anchored " +
       "patterns, ruleless default-allow") {
@@ -123,4 +201,11 @@ class CrawlSchedulerSpec extends SparkSpec {
       "https://a.com/private/pub7",
       "https://c.org/anything"), s"gate verdicts wrong: $got")
   }
+}
+
+object CrawlSchedulerSpec {
+  // decisions collected by the restart test's foreachBatch sink —
+  // static so the closure survives serialization AND query restarts
+  val restartOut = new java.util.concurrent.ConcurrentLinkedQueue[
+    graft.streaming.PolitenessLimiter.FetchDecision]()
 }
