@@ -152,6 +152,16 @@ object Bench {
     // materialization is broken, and compare_bench.py would just
     // shrink the shared full set.
     val fullFailed = fullByName.collect { case (n, ts) if ts.isEmpty => n }
+    // ... and an INTERMITTENT crasher (some passes fail, some survive)
+    // must not hide behind the min of its surviving passes (r17
+    // ADVICE): `full_passes` ships the per-query success count out of
+    // the 3 attempts, and `flaky` lists any query — timed or full —
+    // whose success count is neither 0 (already in failed/full_failed)
+    // nor the full 3.
+    val fullPassCounts = fullByName.map { case (n, ts) => n -> ts.size }
+    val flaky = (byName ++ fullByName)
+      .collect { case (n, ts) if ts.nonEmpty && ts.size < 3 => n }
+      .distinct
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fullJson = fullResults.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -159,11 +169,15 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullFailedJson =
       fullFailed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val fullPassesJson = fullPassCounts
+      .map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val flakyJson = flaky.map("\"" + _ + "\"").mkString("[", ",", "]")
     val calibJson = calibs.map(c => f"$c%.3f").mkString("[", ",", "]")
     val calibMtJson =
       calibsMt.map(c => f"$c%.3f").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"full":$fullJson,"failed":$failedJson,"full_failed":$fullFailedJson,"calib":$calibJson,"calib_mt":$calibMtJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"full":$fullJson,"failed":$failedJson,"full_failed":$fullFailedJson,"full_passes":$fullPassesJson,"flaky":$flakyJson,"calib":$calibJson,"calib_mt":$calibMtJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

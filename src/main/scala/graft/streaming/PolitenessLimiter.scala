@@ -1,6 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, Dataset, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, MapState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
@@ -42,13 +43,19 @@ object PolitenessLimiter {
   case class FetchRequest(url: String, tsUs: Long)
 
   private[streaming] case class HostReq(url: String, tsUs: Long,
-      host: String, eventTime: java.sql.Timestamp)
+      host: String, eventTime: java.sql.Timestamp,
+      allowed: Boolean, reason: String)
 
   /** kind = "fetch" (conforming, releaseUs = tsUs), "release"
-    * (deferred; releaseUs > tsUs is the spaced slot) or "drop"
-    * (maxPending exceeded, releaseUs = tsUs). */
+    * (deferred; releaseUs > tsUs is the spaced slot), "drop"
+    * (maxPending exceeded, releaseUs = tsUs, reason =
+    * "queue_overflow") or "disallowed" (a gated-out request passed
+    * through by [[limitGated]]; reason names the robots rule). The
+    * dead-letter kinds carry a non-empty `reason` — the reference's
+    * nothing-vanishes-without-an-envelope discipline (DRQ/DMQ
+    * reasonRejected, kinesis-processing.js:608-746). */
   case class FetchDecision(host: String, url: String, tsUs: Long,
-      releaseUs: Long, kind: String)
+      releaseUs: Long, kind: String, reason: String = "")
 
   /** Lowercased registered host — the politeness key (scheme and port
     * do not change whose server we are hammering). */
@@ -109,16 +116,45 @@ object PolitenessLimiter {
     *                   ignored */
   def limit(reqs: Dataset[FetchRequest], gapUs: Long, burst: Int = 1,
       maxPending: Int = 64, maxDelay: String = "10 minutes",
-      inheritWatermark: Boolean = false): Dataset[FetchDecision] = {
+      inheritWatermark: Boolean = false): Dataset[FetchDecision] =
+    limitGated(reqs.toDF("url", "tsUs")
+        .withColumn("allowed", lit(true))
+        .withColumn("reason", lit("")),
+      gapUs, burst, maxPending, maxDelay, inheritWatermark)
+
+  /** [[limit]] over a PRE-GATED frame carrying `url, tsUs, allowed,
+    * reason`: rows with `allowed = false` pass straight through as
+    * `kind = "disallowed"` envelopes (no token consumed, no state
+    * touched) — the [[CrawlScheduler]] dead-letter path, kept inside
+    * the one stateful operator so the composed pipeline stays a
+    * single streaming query and exactly-once covers the envelopes. */
+  private[streaming] def limitGated(reqs: DataFrame, gapUs: Long,
+      burst: Int, maxPending: Int, maxDelay: String,
+      inheritWatermark: Boolean): Dataset[FetchDecision] = {
     require(gapUs >= 1000, s"gapUs must be >= 1000 (1 ms), got $gapUs")
     require(burst >= 1, s"burst must be >= 1, got $burst")
     require(maxPending >= 0, s"maxPending must be >= 0, got $maxPending")
     implicit val outEnc = Encoders.product[FetchDecision]
-    val timed = reqs.toDF("url", "tsUs")
+    val timed = reqs
       .withColumn("host", host(col("url")))
       .withColumn("eventTime", timestamp_micros(col("tsUs")))
-    (if (inheritWatermark) timed
-     else timed.withWatermark("eventTime", maxDelay))
+    val src = if (inheritWatermark) {
+      // inheritWatermark only REUSES a watermark — it cannot conjure
+      // one. If the upstream lineage carries none, the event-time
+      // timers never fire, parked deferrals never release, and
+      // per-host state grows unboundedly with NO error — so fail loud
+      // at construction instead (r17 ADVICE).
+      require(timed.queryExecution.analyzed.exists {
+          case _: EventTimeWatermark => true
+          case _ => false
+        },
+        "inheritWatermark = true but the upstream lineage defines no " +
+          "watermark: add withWatermark upstream in the same query, " +
+          "or pass inheritWatermark = false to let the limiter " +
+          "define one from maxDelay")
+      timed
+    } else timed.withWatermark("eventTime", maxDelay)
+    src
       .as[HostReq](Encoders.product[HostReq])
       .groupByKey(_.host)(Encoders.STRING)
       .transformWithState(
@@ -177,12 +213,17 @@ private[streaming] class PolitenessProcessor(gapUs: Long, burst: Int,
       else HostBucket(Long.MinValue, 0L)
     var out = List.empty[FetchDecision]
     rs.foreach { r =>
-      val tat1 = math.max(r.tsUs, b.tatUs)
-      if (tat1 - r.tsUs <= tolUs) {
+      lazy val tat1 = math.max(r.tsUs, b.tatUs)
+      if (!r.allowed) {
+        // gated-out pass-through: envelope only, no token, no state
+        out ::= FetchDecision(hostKey, r.url, r.tsUs, r.tsUs,
+          "disallowed", r.reason)
+      } else if (tat1 - r.tsUs <= tolUs) {
         out ::= FetchDecision(hostKey, r.url, r.tsUs, r.tsUs, "fetch")
         b = b.copy(tatUs = tat1 + gapUs)
       } else if (b.nPending >= maxPending) {
-        out ::= FetchDecision(hostKey, r.url, r.tsUs, r.tsUs, "drop")
+        out ::= FetchDecision(hostKey, r.url, r.tsUs, r.tsUs, "drop",
+          "queue_overflow")
       } else {
         val releaseUs = tat1 - tolUs
         parked.updateValue(releaseUs, ParkedReq(r.url, r.tsUs))

@@ -31,8 +31,9 @@ class CrawlSchedulerSpec extends SparkSpec {
   }
 
   test("end-to-end scripted schedule: suppress -> gate -> " +
-      "fetch/defer/drop counts come out exactly right, with the " +
-      "deferral releasing at its GCRA slot on the watermark") {
+      "fetch/defer/drop/disallow counts come out exactly right, with " +
+      "the deferral releasing at its GCRA slot on the watermark and " +
+      "every dead-letter row carrying its reason envelope") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val prev = spark.conf.getOption(providerKey)
@@ -55,7 +56,8 @@ class CrawlSchedulerSpec extends SparkSpec {
         // same canonical (case/port/fragment variants) -> frontier
         // suppresses it BEFORE the gate: no second decision row
         SeenUrl("https://A.COM:443/page1#f", t0 + 1000),
-        // admit, robots-disallowed -> never reaches the limiter
+        // admit, robots-disallowed -> dead-letter decision row naming
+        // the winning rule; consumes NO politeness token
         SeenUrl("https://a.com/private/secret", t0 + 2000),
         // admit, wildcard re-allow pierces the /private/ disallow;
         // a.com's token is spent -> parks at slot t0 + g
@@ -74,13 +76,24 @@ class CrawlSchedulerSpec extends SparkSpec {
           ("https://b.net/q", t0 + 5000),
           ("https://c.org/x", t0 + 6000)),
         s"wrong immediate fetches: $d1")
-      assert(d1.filter(_.kind == "drop").map(_.url) ===
-        Seq("https://a.com/page2"), s"wrong drops: $d1")
-      assert(!d1.exists(_.url.contains("secret")),
-        "a robots-disallowed URL reached the politeness limiter")
+      assert(d1.filter(_.kind == "drop").map(e => (e.url, e.reason)) ===
+        Seq(("https://a.com/page2", "queue_overflow")),
+        s"wrong drops: $d1")
+      assert(d1.filter(_.kind == "disallowed")
+        .map(e => (e.url, e.reason)) ===
+        Seq(("https://a.com/private/secret", "robots:/private/")),
+        s"wrong disallowed envelopes: $d1")
+      assert(!d1.exists(e => e.url.contains("secret") &&
+        e.kind != "disallowed"),
+        "a robots-disallowed URL consumed a politeness decision")
       assert(d1.count(_.url == "https://a.com/page1") === 1,
         "a suppressed frontier variant produced a second decision")
-      assert(d1.size === 4, s"unexpected extra decisions: $d1")
+      assert(d1.size === 5, s"unexpected extra decisions: $d1")
+      // the disallowed pass-through consumed no token: page2 dropped
+      // because the ONE pending slot held the pierce, not the secret
+      assert(d1.filter(e => e.kind == "fetch" || e.kind == "release")
+        .forall(_.reason == ""),
+        s"a conforming decision carried a dead-letter reason: $d1")
 
       // advance the watermark past t0 + g on an unrelated host: the
       // parked pierce releases at EXACTLY its GCRA slot, once
@@ -92,7 +105,7 @@ class CrawlSchedulerSpec extends SparkSpec {
       assert(rel.map(e => (e.url, e.releaseUs)) ===
         Seq(("https://a.com/private/pub1", t0 + g)),
         s"wrong releases: $rel")
-      assert(decisions().size === 5,
+      assert(decisions().size === 6,
         s"decision set drifted: ${decisions()}")
     } finally {
       q.stop()
@@ -138,12 +151,16 @@ class CrawlSchedulerSpec extends SparkSpec {
       try {
         input.addData(
           SeenUrl("https://a.com/page1", t0),
+          // robots-disallowed: its dead-letter envelope must be
+          // emitted exactly ONCE across the restart below
+          SeenUrl("https://a.com/private/secret", t0 + 500),
           SeenUrl("https://a.com/page2", t0 + 1000))
         q1.processAllAvailable()
-        // /page1 fetched; /page2 parked at slot t0+g (only in the
-        // checkpoint once we stop)
-        assert(aCom().map(e => (e.url, e.kind)) ===
-          Seq(("https://a.com/page1", "fetch")),
+        // /page1 fetched; /secret enveloped; /page2 parked at slot
+        // t0+g (only in the checkpoint once we stop)
+        assert(aCom().map(e => (e.url, e.kind)).sorted === Seq(
+          ("https://a.com/page1", "fetch"),
+          ("https://a.com/private/secret", "disallowed")),
           s"pre-restart decisions wrong: ${aCom()}")
       } finally { q1.stop(); q1.awaitTermination() }
 
@@ -154,11 +171,17 @@ class CrawlSchedulerSpec extends SparkSpec {
           // must suppress it — a lost admit would re-admit and emit a
           // spurious second decision for page1's canonical
           SeenUrl("https://A.COM:443/page1#frag", t0 + 2000),
+          // variant of the pre-restart DISALLOWED admit: suppressed
+          // the same way — a lost admit would double its envelope
+          SeenUrl("https://A.COM/private/secret#z", t0 + 2500),
           // new URL: the LIMITER's restored tat (t0+2g) must defer it
           SeenUrl("https://a.com/page3", t0 + 3000))
         q2.processAllAvailable()
         assert(aCom().count(_.kind == "fetch") === 1,
           s"frontier or limiter state lost across restart: ${aCom()}")
+        assert(aCom().count(_.kind == "disallowed") === 1,
+          s"dead-letter envelope double-written across restart: " +
+            s"${aCom()}")
 
         input.addData(SeenUrl("https://d.org/f1", t0 + 2 * g + 2000000))
         q2.processAllAvailable()
@@ -200,6 +223,34 @@ class CrawlSchedulerSpec extends SparkSpec {
       "https://a.com/ok.html",
       "https://a.com/private/pub7",
       "https://c.org/anything"), s"gate verdicts wrong: $got")
+  }
+
+  test("compileRules escapes LIKE metachars in robots literals " +
+      "(_ matches only itself, % from percent-encoding is no " +
+      "wildcard) and a path-less URL matches as path '/' per " +
+      "RFC 9309") {
+    import spark.implicits._
+    val rules = Seq(
+      ("e.io", "/", true),
+      ("e.io", "/wp_admin/", false),     // '_' must stay literal
+      ("e.io", "/cache%20dir/", false),  // '%' must stay literal
+      ("f.co", "/", false))              // domain-wide disallow
+      .toDF("domain", "pattern", "allow")
+    val urls = Seq(
+      "https://e.io/wp_admin/x",   // literal match -> disallowed
+      "https://e.io/wpXadmin/x",   // '_' as wildcard would block this
+      "https://e.io/cache%20dir/y", // literal match -> disallowed
+      "https://e.io/cacheXXXdir/y", // '%' as wildcard would block this
+      "https://f.co",              // path-less: empty path means '/'
+      "https://f.co/x")
+      .toDF("canonicalUrl")
+      .withColumn("tsUs", lit(0L))
+    val got = CrawlScheduler.gate(urls,
+        CrawlScheduler.compileRules(rules))
+      .select("canonicalUrl").as[String].collect().toSeq.sorted
+    assert(got === Seq(
+      "https://e.io/cacheXXXdir/y",
+      "https://e.io/wpXadmin/x"), s"gate verdicts wrong: $got")
   }
 }
 
