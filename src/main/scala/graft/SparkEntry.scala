@@ -165,7 +165,9 @@ object SparkEntry {
       // round-17 additions
       "hll_shingle_sketch", "cms_bigram_sketch", "robots_wildcard",
       "hll_merge_shards", "cms_merge_shards", "politeness_schedule",
-      "hll_pair_overlap")
+      "hll_pair_overlap",
+      // round-18 additions
+      "hll_pair_estimate", "kmv_pair_overlap", "kmv_pair_estimate")
 
   def benchQueries: Seq[(String, (SparkSession, String) => DataFrame)] =
     benchNames.flatMap(n => queries.get(n).map(n -> _))

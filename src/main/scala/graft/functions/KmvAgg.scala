@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Typed `Aggregator` for the KMV (k-minimum-values) sketch: keeps
+  * the k smallest DISTINCT 60-bit hash values per group as a bounded
+  * sorted buffer — the aggregate-function tier of SURVEY §7.3, the
+  * [[TopKByAgg]] shape applied to sketch state.
+  *
+  * Selection of the k smallest distinct values over a total order is
+  * associative + commutative, so Spark runs it as a normal two-phase
+  * aggregation: partial bottom-k per partition, merge of k-bounded
+  * buffers — the exchange carries ≤ partitions × groups × k longs
+  * whatever the corpus size, and NO corpus-wide distinct ever
+  * shuffles (the whole point of the sketch: `distinct().orderBy.limit`
+  * would move every distinct value to get the same k numbers).
+  *
+  * Buffer invariant: sorted ascending, distinct, ≤ k. The common hot
+  * path — a full buffer rejecting a hash ≥ its max — is O(1); an
+  * accepted or duplicate hash pays O(k), which amortizes out because
+  * a full buffer accepts a new value with probability ~k/n_seen.
+  */
+class KmvAgg(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
+
+  private def bottom(buf: Seq[Long]): Seq[Long] =
+    buf.distinct.sorted.take(k)
+
+  override def zero: Seq[Long] = Vector.empty
+
+  override def reduce(buf: Seq[Long], h: Long): Seq[Long] =
+    if (buf.size == k && h >= buf(buf.size - 1)) buf
+    else if (buf.contains(h)) buf
+    else bottom(buf :+ h)
+
+  override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] =
+    bottom(a ++ b)
+
+  override def finish(buf: Seq[Long]): Seq[Long] = buf
+
+  override def bufferEncoder: Encoder[Seq[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+
+  override def outputEncoder: Encoder[Seq[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+}
+
+object KmvAgg {
+
+  /** Untyped column form usable in `agg(...)`: the sorted-ascending
+    * array of the group's k smallest distinct hash values. */
+  def kmv(h: Column, k: Int): Column = {
+    val agg = udaf(new KmvAgg(k),
+      org.apache.spark.sql.Encoders.scalaLong)
+    agg(h)
+  }
+}

@@ -82,6 +82,83 @@ object Sketches {
   }
 
   // ---------------------------------------------------------------
+  // KMV (k-minimum-values / bottom-k theta) sketch — Bar-Yossef et
+  // al. 2002 "Counting distinct elements in a data stream"; the
+  // theta-sketch set-algebra formulation is the Apache DataSketches
+  // line (Dasgupta et al. 2016). The SMALL-INTERSECTION complement to
+  // the HLL above: inclusion–exclusion (est(A) + est(B) − est(A∪B))
+  // carries the absolute error of the SET-sized estimates, so a small
+  // true |A∩B| drowns in it (hll_pair_overlap's err_pm column
+  // measures exactly this). The KMV instead keeps the k smallest
+  // distinct md5 hashes per key — a uniform SAMPLE of the distinct
+  // values — so an intersection is estimated by DIRECTLY MATCHING
+  // hashes below the pair threshold θ = min(θ_A, θ_B):
+  //   est(A∩B) = |{h < θ : h ∈ kmv(A) ∧ h ∈ kmv(B)}| · 2^60 / θ,
+  // whose error scales with the INTERSECTION, not the sets.
+  // Same md5-60-bit hash as hllRegisters, same cross-engine
+  // determinism: the sketch TABLE (not just estimates) hash-compares
+  // against DuckDB. State is ≤ k longs per key; sketches of corpus
+  // shards merge exactly — the k smallest of A ∪ B are a subset of
+  // kmv(A) ∪ kmv(B) (SketchesSpec pins the merge law).
+  // ---------------------------------------------------------------
+
+  /** Per-key bottom-k table `key, h`: the k smallest DISTINCT 60-bit
+    * md5 hash values of `valueCol`, ≤ k rows per key. Built by the
+    * bounded [[graft.functions.KmvAgg]] aggregate — partial bottom-k
+    * before the exchange, no corpus-wide distinct. */
+  def kmvSketch(df: DataFrame, keyCol: Column, valueCol: Column,
+      k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    df.select(keyCol.as("key"),
+        conv(substring(md5(valueCol), 1, 15), 16, 10).cast("long")
+          .as("h"))
+      .groupBy("key")
+      .agg(graft.functions.KmvAgg.kmv(col("h"), k).as("hs"))
+      .select(col("key"), explode(col("hs")).as("h"))
+  }
+
+  /** Merge of KMV sketch tables built with the same k: bottom-k of
+    * the distinct union per key — the merge law (the k smallest of
+    * A ∪ B are among kmv(A) ∪ kmv(B), so merging sketches loses
+    * nothing vs sketching the union). Input/output schema: `key, h`. */
+  def kmvMerge(sketches: DataFrame, k: Int): DataFrame =
+    sketches
+      .groupBy("key")
+      .agg(graft.functions.KmvAgg.kmv(col("h"), k).as("hs"))
+      .select(col("key"), explode(col("hs")).as("h"))
+
+  /** Per-key summary of a KMV sketch table: `key, n_k` (sketch size),
+    * `theta` (max retained hash = the k-th min when full) and
+    * `th_eff` — the effective threshold for set algebra: a sketch
+    * with n_k < k saw EVERY distinct value, so its threshold is the
+    * whole hash range 2^60 (and pair estimates below it are exact). */
+  def kmvSummary(sketch: DataFrame, k: Int): DataFrame =
+    sketch.groupBy("key")
+      .agg(count(lit(1)).as("n_k"), max("h").as("theta"))
+      .withColumn("th_eff", expr(
+        s"CASE WHEN n_k < $k THEN 1152921504606846976 " +
+          "ELSE theta END"))
+
+  /** The KMV distinct estimate as a shared-SQL double expression over
+    * a frame carrying `n_k` and `theta` (see [[hllEstimateSql]] for
+    * the shared-string discipline): exact n_k when the sketch is
+    * exhaustive, else the unbiased (k−1) · 2^60 / θ — one double
+    * division by an exact integer. */
+  def kmvEstimateSql(k: Int): String =
+    s"CASE WHEN n_k < $k THEN CAST(n_k AS DOUBLE) " +
+      s"ELSE ${k - 1}e0 * 1152921504606846976e0 " +
+      "/ CAST(theta AS DOUBLE) END"
+
+  /** The KMV intersection estimate over a frame carrying `n_match`
+    * (common hashes strictly below the pair threshold) and `theta`
+    * (the pair threshold min(th_eff_A, th_eff_B)): n_match · 2^60 / θ.
+    * Both inputs exact integers — when both sketches are exhaustive
+    * θ = 2^60 and the estimate IS the exact intersection. */
+  val KmvInterEstSql: String =
+    "CAST(n_match AS DOUBLE) * 1152921504606846976e0 " +
+      "/ CAST(theta AS DOUBLE)"
+
+  // ---------------------------------------------------------------
   // Count-Min sketch (Cormode & Muthukrishnan 2005) — the COUNT
   // sibling of the HLL above: where the HLL answers "how many
   // DISTINCT values", the CMS answers "about how often is THIS

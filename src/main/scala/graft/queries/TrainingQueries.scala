@@ -206,9 +206,14 @@ object TrainingQueries {
     * (each is hllEstimateSql's single division), so the fixed-order
     * sum and the floor'd permille are engine-identical. */
   private val InterEstSql = "est_s1 + est_s2 - est_union"
-  private val InterErrPermilleSql =
-    "CAST(floor(abs(inter_est - CAST(exact_inter AS DOUBLE)) " +
-      "* 1000e0 / CAST(exact_inter AS DOUBLE)) AS BIGINT)"
+  // err_pm is NULL when the exact intersection is empty (r17 ADVICE:
+  // the permille-of-zero division is undefined, and the zero-overlap
+  // regime must still appear as a row, not silently drop)
+  private def errPermilleSql(estCol: String): String =
+    "CASE WHEN exact_inter = 0 THEN CAST(NULL AS BIGINT) ELSE " +
+      s"CAST(floor(abs($estCol - CAST(exact_inter AS DOUBLE)) " +
+      "* 1000e0 / CAST(exact_inter AS DOUBLE)) AS BIGINT) END"
+  private val InterErrPermilleSql = errPermilleSql("inter_est")
 
   /** The corpus bigram stream (lowercased token pairs), shared by the
     * CMS sketch/report rows; `withDocId` keeps the shard key for the
@@ -2471,6 +2476,10 @@ object TrainingQueries {
     // / cross-source-contamination estimator a 100 TB pipeline runs
     // on persisted per-source sketches: 20 sources → 190 pair
     // estimates from 20×256 stored registers, zero corpus reads.
+    // THIS ROW IS THE TEST-SCALE AUDIT TWIN — hll_pair_estimate
+    // (below) is the registered sketch-only production form; keep
+    // benching BOTH so the audit's known superlinear self-join cost
+    // (SCALE.md) never masquerades as the production path's.
     // The exact intersection (a distinct-shingle self-join) rides
     // along as the TEST-SCALE audit, with err_pm honest about
     // inclusion–exclusion's known weakness: the estimate's absolute
@@ -2514,15 +2523,199 @@ object TrainingQueries {
           col("x.source") < col("y.source"))
         .groupBy(col("x.source").as("s1"), col("y.source").as("s2"))
         .agg(count(lit(1)).as("exact_inter"))
+      // LEFT join (r17 ADVICE): a pair with zero exact overlap — the
+      // very regime the err_pm commentary flags — must surface with
+      // exact_inter = 0 and a NULL err_pm, not vanish from the row set
       unionSummary
         .join(est.select(col("key").as("s1"), col("est").as("est_s1")),
           "s1")
         .join(est.select(col("key").as("s2"), col("est").as("est_s2")),
           "s2")
-        .join(exact, Seq("s1", "s2"))
+        .join(exact, Seq("s1", "s2"), "left")
+        .withColumn("exact_inter", coalesce(col("exact_inter"), lit(0L)))
         .withColumn("inter_est", expr(InterEstSql))
         .withColumn("err_pm", expr(InterErrPermilleSql))
         .select("s1", "s2", "exact_inter", "inter_est", "err_pm")
+        .orderBy("s1", "s2")
+    },
+
+    // SKETCH-ONLY pair-overlap twin (r17 verdict task #1) — the
+    // PRODUCTION form of hll_pair_overlap, which stays registered as
+    // its test-scale audit (the report-vs-sketch discipline of
+    // hll_shingle_report / hll_shingle_sketch): every output column
+    // derives from the register table ALONE — no exact intersection,
+    // no distinct-shingle self-join, nothing downstream that grows
+    // with the corpus. At 100 TB this is the row a contamination
+    // check actually runs: per-source registers aggregate once
+    // (map-side partial, exchange ≤ sources × 256 rows), then pair
+    // union/intersection estimates are pure sketch set-algebra over
+    // sources² × 256 rows. The register frame is localCheckpoint'ed
+    // (eager) so the est / pair / union branches — which reference it
+    // seven times — all read the ~sources×256-row materialized frame:
+    // the whole query holds ONE corpus scan, executed at
+    // construction (PlanPinsSpec pins the final plan parquet-free).
+    "hll_pair_estimate" -> { (s, dir) =>
+      val sh = Tables.documents(s, dir)
+        .select(col("source"),
+          explode(TextAnalysis.shingles(col("text"), 3)).as("sh"))
+      val regs = Sketches.hllRegisters(sh, col("source"), col("sh"), 8)
+        .localCheckpoint()
+      val est = Sketches.hllSummary(regs, 8)
+        .withColumn("est", expr(Sketches.hllEstimateSql(8)))
+        .select(col("key"), col("est"))
+      val srcs = regs.select("key").distinct()
+      val pairs = srcs.select(col("key").as("s1"))
+        .join(srcs.select(col("key").as("s2")), col("s1") < col("s2"))
+      val pu = pairs
+        .join(regs.withColumnRenamed("key", "s1"), "s1")
+        .select("s1", "s2", "register", "m")
+        .unionByName(pairs
+          .join(regs.withColumnRenamed("key", "s2"), "s2")
+          .select("s1", "s2", "register", "m"))
+      pu
+        .groupBy("s1", "s2", "register").agg(max("m").as("m"))
+        .groupBy("s1", "s2").agg(count(lit(1)).as("n_obs"),
+          sum(expr("shiftleft(CAST(1 AS BIGINT)," +
+            " CAST(53 - m AS INT))")).as("s_obs"))
+        .select(col("s1"), col("s2"),
+          ((lit(256L) - col("n_obs")) * lit(1L << 53) + col("s_obs"))
+            .as("s_scaled"))
+        .withColumn("est_union", expr(Sketches.hllEstimateSql(8)))
+        .join(est.select(col("key").as("s1"), col("est").as("est_s1")),
+          "s1")
+        .join(est.select(col("key").as("s2"), col("est").as("est_s2")),
+          "s2")
+        .withColumn("inter_est", expr(InterEstSql))
+        .select("s1", "s2", "est_s1", "est_s2", "est_union",
+          "inter_est")
+        .orderBy("s1", "s2")
+    },
+
+    // KMV pair overlap — the SMALL-INTERSECTION estimator
+    // (r17 verdict task #2; Sketches.scala KMV scaladoc for the
+    // theory): hll_pair_overlap's own err_pm commentary names
+    // theta/KMV as the production answer where inclusion–exclusion
+    // degrades, and this row carries BOTH estimators side by side
+    // against the exact audit so the two err_pm columns empirically
+    // show where KMV wins. Plan: the KMV branch is ONE bounded
+    // aggregate (partial bottom-k per partition, exchange ≤
+    // partitions × sources × k longs) + set algebra over the
+    // sources×256-row sketch table; the HLL branch is the register
+    // derivation of hll_pair_overlap; only the exact-audit branch
+    // (distinct-shingle self-join) is corpus-scale — this row is the
+    // TEST-SCALE comparison twin, kmv_pair_estimate below is the
+    // production form.
+    "kmv_pair_overlap" -> { (s, dir) =>
+      val sh = Tables.documents(s, dir)
+        .select(col("source"),
+          explode(TextAnalysis.shingles(col("text"), 3)).as("sh"))
+      // ---- KMV branch: sketch, summary, pair matching
+      val kv = Sketches.kmvSketch(sh, col("source"), col("sh"), 256)
+        .localCheckpoint()
+      val smry = Sketches.kmvSummary(kv, 256)
+      val srcs = smry.select("key").distinct()
+      val pairs = srcs.select(col("key").as("s1"))
+        .join(srcs.select(col("key").as("s2")), col("s1") < col("s2"))
+      val pth = pairs
+        .join(smry.select(col("key").as("s1"), col("th_eff").as("t1")),
+          "s1")
+        .join(smry.select(col("key").as("s2"), col("th_eff").as("t2")),
+          "s2")
+        .withColumn("theta", least(col("t1"), col("t2")))
+        .select("s1", "s2", "theta")
+      val common = pairs
+        .join(kv.select(col("key").as("s1"), col("h")), "s1")
+        .join(kv.select(col("key").as("s2"), col("h")), Seq("s2", "h"))
+      val nMatch = common.join(pth, Seq("s1", "s2"))
+        .filter(col("h") < col("theta"))
+        .groupBy("s1", "s2").agg(count(lit(1)).as("n_match"))
+      val kmvPairs = pth.join(nMatch, Seq("s1", "s2"), "left")
+        .withColumn("n_match", coalesce(col("n_match"), lit(0L)))
+        .withColumn("inter_kmv", expr(Sketches.KmvInterEstSql))
+        .select("s1", "s2", "inter_kmv")
+      // ---- HLL branch: the hll_pair_overlap inclusion–exclusion
+      val regs = Sketches.hllRegisters(sh, col("source"), col("sh"), 8)
+        .localCheckpoint()
+      val est = Sketches.hllSummary(regs, 8)
+        .withColumn("est", expr(Sketches.hllEstimateSql(8)))
+        .select(col("key"), col("est"))
+      val pu = pairs
+        .join(regs.withColumnRenamed("key", "s1"), "s1")
+        .select("s1", "s2", "register", "m")
+        .unionByName(pairs
+          .join(regs.withColumnRenamed("key", "s2"), "s2")
+          .select("s1", "s2", "register", "m"))
+      val hllPairs = pu
+        .groupBy("s1", "s2", "register").agg(max("m").as("m"))
+        .groupBy("s1", "s2").agg(count(lit(1)).as("n_obs"),
+          sum(expr("shiftleft(CAST(1 AS BIGINT)," +
+            " CAST(53 - m AS INT))")).as("s_obs"))
+        .select(col("s1"), col("s2"),
+          ((lit(256L) - col("n_obs")) * lit(1L << 53) + col("s_obs"))
+            .as("s_scaled"))
+        .withColumn("est_union", expr(Sketches.hllEstimateSql(8)))
+        .join(est.select(col("key").as("s1"), col("est").as("est_s1")),
+          "s1")
+        .join(est.select(col("key").as("s2"), col("est").as("est_s2")),
+          "s2")
+        .withColumn("inter_hll", expr(InterEstSql))
+        .select("s1", "s2", "inter_hll")
+      // ---- exact audit (test-scale; see hll_pair_overlap)
+      val dsh = sh.distinct()
+      val exact = dsh.as("x")
+        .join(dsh.as("y"), col("x.sh") === col("y.sh") &&
+          col("x.source") < col("y.source"))
+        .groupBy(col("x.source").as("s1"), col("y.source").as("s2"))
+        .agg(count(lit(1)).as("exact_inter"))
+      kmvPairs
+        .join(hllPairs, Seq("s1", "s2"))
+        .join(exact, Seq("s1", "s2"), "left")
+        .withColumn("exact_inter", coalesce(col("exact_inter"), lit(0L)))
+        .withColumn("err_pm_hll", expr(errPermilleSql("inter_hll")))
+        .withColumn("err_pm_kmv", expr(errPermilleSql("inter_kmv")))
+        .select("s1", "s2", "exact_inter", "inter_hll", "err_pm_hll",
+          "inter_kmv", "err_pm_kmv")
+        .orderBy("s1", "s2")
+    },
+
+    // kmv_pair_overlap's SKETCH-ONLY production twin (the
+    // hll_pair_estimate discipline): per-source bottom-k sketches
+    // aggregate once (bounded partial aggregate, ONE corpus scan via
+    // the checkpointed sketch table), then every output column is
+    // set algebra over the ≤ sources×256-row sketch — n_match and
+    // theta are exact integers, the two estimates are single shared-
+    // string divisions. At 100 TB: sketches persist per source;
+    // sources² pair estimates cost zero corpus reads.
+    "kmv_pair_estimate" -> { (s, dir) =>
+      val sh = Tables.documents(s, dir)
+        .select(col("source"),
+          explode(TextAnalysis.shingles(col("text"), 3)).as("sh"))
+      val kv = Sketches.kmvSketch(sh, col("source"), col("sh"), 256)
+        .localCheckpoint()
+      val smry = Sketches.kmvSummary(kv, 256)
+        .withColumn("est", expr(Sketches.kmvEstimateSql(256)))
+      val srcs = smry.select("key").distinct()
+      val pairs = srcs.select(col("key").as("s1"))
+        .join(srcs.select(col("key").as("s2")), col("s1") < col("s2"))
+      val pth = pairs
+        .join(smry.select(col("key").as("s1"), col("th_eff").as("t1"),
+          col("est").as("est_s1")), "s1")
+        .join(smry.select(col("key").as("s2"), col("th_eff").as("t2"),
+          col("est").as("est_s2")), "s2")
+        .withColumn("theta", least(col("t1"), col("t2")))
+        .select("s1", "s2", "est_s1", "est_s2", "theta")
+      val common = pairs
+        .join(kv.select(col("key").as("s1"), col("h")), "s1")
+        .join(kv.select(col("key").as("s2"), col("h")), Seq("s2", "h"))
+      val nMatch = common
+        .join(pth.select("s1", "s2", "theta"), Seq("s1", "s2"))
+        .filter(col("h") < col("theta"))
+        .groupBy("s1", "s2").agg(count(lit(1)).as("n_match"))
+      pth.join(nMatch, Seq("s1", "s2"), "left")
+        .withColumn("n_match", coalesce(col("n_match"), lit(0L)))
+        .withColumn("inter_est", expr(Sketches.KmvInterEstSql))
+        .select("s1", "s2", "est_s1", "est_s2", "n_match", "theta",
+          "inter_est")
         .orderBy("s1", "s2")
     },
 
@@ -3591,18 +3784,230 @@ object TrainingQueries {
         |    ON x.sh = y.sh AND x.source < y.source
         |  GROUP BY 1, 2
         |), j AS (
-        |  SELECT ue.s1, ue.s2, exact_inter,
+        |  SELECT ue.s1, ue.s2,
+        |    CAST(COALESCE(ex.exact_inter, 0) AS BIGINT) AS exact_inter,
         |    ea.est AS est_s1, eb.est AS est_s2, est_union
         |  FROM ue
         |  JOIN se ea ON ea.source = ue.s1
         |  JOIN se eb ON eb.source = ue.s2
-        |  JOIN ex ON ex.s1 = ue.s1 AND ex.s2 = ue.s2
+        |  LEFT JOIN ex ON ex.s1 = ue.s1 AND ex.s2 = ue.s2
         |), f AS (
         |  SELECT s1, s2, exact_inter, $InterEstSql AS inter_est
         |  FROM j
         |)
         |SELECT s1, s2, exact_inter, inter_est,
         |  $InterErrPermilleSql AS err_pm
+        |FROM f ORDER BY s1, s2""".stripMargin
+    },
+
+    "hll_pair_estimate" -> {
+      val est = Sketches.hllEstimateSql(8)
+      s"""WITH sh AS (
+        |  SELECT source, unnest($shinglesExpr) AS sh FROM documents
+        |), hh AS (
+        |  SELECT source,
+        |    ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h
+        |  FROM sh
+        |), r AS (
+        |  SELECT source, h // 4503599627370496 AS register,
+        |    MAX(CASE WHEN h % 4503599627370496 = 0 THEN 53
+        |      ELSE 53 - length(bin(h % 4503599627370496)) END) AS m
+        |  FROM hh GROUP BY source, register
+        |), su AS (
+        |  SELECT source,
+        |    (256 - COUNT(*)) * 9007199254740992 +
+        |      CAST(SUM(1::BIGINT << (53 - m)) AS BIGINT) AS s_scaled
+        |  FROM r GROUP BY source
+        |), se AS (
+        |  SELECT source, $est AS est FROM su
+        |), pairs AS (
+        |  SELECT a.source AS s1, b.source AS s2
+        |  FROM (SELECT DISTINCT source FROM r) a
+        |  JOIN (SELECT DISTINCT source FROM r) b ON a.source < b.source
+        |), pu AS (
+        |  SELECT s1, s2, register, m FROM pairs
+        |  JOIN r ON r.source = s1
+        |  UNION ALL
+        |  SELECT s1, s2, register, m FROM pairs
+        |  JOIN r ON r.source = s2
+        |), ur AS (
+        |  SELECT s1, s2, register, MAX(m) AS m
+        |  FROM pu GROUP BY s1, s2, register
+        |), us AS (
+        |  SELECT s1, s2,
+        |    (256 - COUNT(*)) * 9007199254740992 +
+        |      CAST(SUM(1::BIGINT << (53 - m)) AS BIGINT) AS s_scaled
+        |  FROM ur GROUP BY s1, s2
+        |), ue AS (
+        |  SELECT s1, s2, $est AS est_union FROM us
+        |), j AS (
+        |  SELECT ue.s1, ue.s2,
+        |    ea.est AS est_s1, eb.est AS est_s2, est_union
+        |  FROM ue
+        |  JOIN se ea ON ea.source = ue.s1
+        |  JOIN se eb ON eb.source = ue.s2
+        |)
+        |SELECT s1, s2, est_s1, est_s2, est_union,
+        |  $InterEstSql AS inter_est
+        |FROM j ORDER BY s1, s2""".stripMargin
+    },
+
+    "kmv_pair_overlap" -> {
+      val est = Sketches.hllEstimateSql(8)
+      s"""WITH shr AS (
+        |  SELECT source, unnest($shinglesExpr) AS sh FROM documents
+        |), dsh AS (
+        |  SELECT DISTINCT source, sh FROM shr
+        |), hh AS (
+        |  SELECT source,
+        |    ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h
+        |  FROM dsh
+        |), hhd AS (
+        |  SELECT DISTINCT source, h FROM hh
+        |), kv AS (
+        |  SELECT source, h FROM (
+        |    SELECT source, h,
+        |      row_number() OVER (PARTITION BY source ORDER BY h) AS rk
+        |    FROM hhd)
+        |  WHERE rk <= 256
+        |), smry AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_k,
+        |    MAX(h) AS theta,
+        |    CASE WHEN COUNT(*) < 256 THEN 1152921504606846976
+        |      ELSE MAX(h) END AS th_eff
+        |  FROM kv GROUP BY source
+        |), pairs AS (
+        |  SELECT a.source AS s1, b.source AS s2
+        |  FROM (SELECT source FROM smry) a
+        |  JOIN (SELECT source FROM smry) b ON a.source < b.source
+        |), pt AS (
+        |  SELECT p.s1, p.s2, LEAST(sa.th_eff, sb.th_eff) AS theta
+        |  FROM pairs p
+        |  JOIN smry sa ON sa.source = p.s1
+        |  JOIN smry sb ON sb.source = p.s2
+        |), cm AS (
+        |  SELECT p.s1, p.s2, a.h
+        |  FROM pairs p
+        |  JOIN kv a ON a.source = p.s1
+        |  JOIN kv b ON b.source = p.s2 AND b.h = a.h
+        |), nm AS (
+        |  SELECT cm.s1, cm.s2, CAST(COUNT(*) AS BIGINT) AS n_match
+        |  FROM cm JOIN pt ON pt.s1 = cm.s1 AND pt.s2 = cm.s2
+        |  WHERE cm.h < pt.theta GROUP BY 1, 2
+        |), kf AS (
+        |  SELECT pt.s1, pt.s2,
+        |    CAST(COALESCE(nm.n_match, 0) AS BIGINT) AS n_match,
+        |    pt.theta
+        |  FROM pt LEFT JOIN nm ON nm.s1 = pt.s1 AND nm.s2 = pt.s2
+        |), kl AS (
+        |  SELECT s1, s2, ${Sketches.KmvInterEstSql} AS inter_kmv
+        |  FROM kf
+        |), r AS (
+        |  SELECT source, h // 4503599627370496 AS register,
+        |    MAX(CASE WHEN h % 4503599627370496 = 0 THEN 53
+        |      ELSE 53 - length(bin(h % 4503599627370496)) END) AS m
+        |  FROM hh GROUP BY source, register
+        |), su AS (
+        |  SELECT source,
+        |    (256 - COUNT(*)) * 9007199254740992 +
+        |      CAST(SUM(1::BIGINT << (53 - m)) AS BIGINT) AS s_scaled
+        |  FROM r GROUP BY source
+        |), se AS (
+        |  SELECT source, $est AS est FROM su
+        |), pu AS (
+        |  SELECT s1, s2, register, m FROM pairs
+        |  JOIN r ON r.source = s1
+        |  UNION ALL
+        |  SELECT s1, s2, register, m FROM pairs
+        |  JOIN r ON r.source = s2
+        |), ur AS (
+        |  SELECT s1, s2, register, MAX(m) AS m
+        |  FROM pu GROUP BY s1, s2, register
+        |), us AS (
+        |  SELECT s1, s2,
+        |    (256 - COUNT(*)) * 9007199254740992 +
+        |      CAST(SUM(1::BIGINT << (53 - m)) AS BIGINT) AS s_scaled
+        |  FROM ur GROUP BY s1, s2
+        |), ue AS (
+        |  SELECT s1, s2, $est AS est_union FROM us
+        |), jh AS (
+        |  SELECT ue.s1, ue.s2,
+        |    ea.est AS est_s1, eb.est AS est_s2, est_union
+        |  FROM ue
+        |  JOIN se ea ON ea.source = ue.s1
+        |  JOIN se eb ON eb.source = ue.s2
+        |), hl AS (
+        |  SELECT s1, s2, $InterEstSql AS inter_hll FROM jh
+        |), ex AS (
+        |  SELECT x.source AS s1, y.source AS s2,
+        |    CAST(COUNT(*) AS BIGINT) AS exact_inter
+        |  FROM dsh x JOIN dsh y
+        |    ON x.sh = y.sh AND x.source < y.source
+        |  GROUP BY 1, 2
+        |), f AS (
+        |  SELECT hl.s1, hl.s2,
+        |    CAST(COALESCE(ex.exact_inter, 0) AS BIGINT) AS exact_inter,
+        |    inter_hll, inter_kmv
+        |  FROM hl
+        |  JOIN kl ON kl.s1 = hl.s1 AND kl.s2 = hl.s2
+        |  LEFT JOIN ex ON ex.s1 = hl.s1 AND ex.s2 = hl.s2
+        |)
+        |SELECT s1, s2, exact_inter, inter_hll,
+        |  ${errPermilleSql("inter_hll")} AS err_pm_hll,
+        |  inter_kmv,
+        |  ${errPermilleSql("inter_kmv")} AS err_pm_kmv
+        |FROM f ORDER BY s1, s2""".stripMargin
+    },
+
+    "kmv_pair_estimate" -> {
+      val kEst = Sketches.kmvEstimateSql(256)
+      s"""WITH shr AS (
+        |  SELECT source, unnest($shinglesExpr) AS sh FROM documents
+        |), hhd AS (
+        |  SELECT DISTINCT source,
+        |    ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h
+        |  FROM shr
+        |), kv AS (
+        |  SELECT source, h FROM (
+        |    SELECT source, h,
+        |      row_number() OVER (PARTITION BY source ORDER BY h) AS rk
+        |    FROM hhd)
+        |  WHERE rk <= 256
+        |), smry AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_k,
+        |    MAX(h) AS theta,
+        |    CASE WHEN COUNT(*) < 256 THEN 1152921504606846976
+        |      ELSE MAX(h) END AS th_eff
+        |  FROM kv GROUP BY source
+        |), se AS (
+        |  SELECT source, th_eff, $kEst AS est FROM smry
+        |), pairs AS (
+        |  SELECT a.source AS s1, b.source AS s2
+        |  FROM (SELECT source FROM smry) a
+        |  JOIN (SELECT source FROM smry) b ON a.source < b.source
+        |), pt AS (
+        |  SELECT p.s1, p.s2, sa.est AS est_s1, sb.est AS est_s2,
+        |    LEAST(sa.th_eff, sb.th_eff) AS theta
+        |  FROM pairs p
+        |  JOIN se sa ON sa.source = p.s1
+        |  JOIN se sb ON sb.source = p.s2
+        |), cm AS (
+        |  SELECT p.s1, p.s2, a.h
+        |  FROM pairs p
+        |  JOIN kv a ON a.source = p.s1
+        |  JOIN kv b ON b.source = p.s2 AND b.h = a.h
+        |), nm AS (
+        |  SELECT cm.s1, cm.s2, CAST(COUNT(*) AS BIGINT) AS n_match
+        |  FROM cm JOIN pt ON pt.s1 = cm.s1 AND pt.s2 = cm.s2
+        |  WHERE cm.h < pt.theta GROUP BY 1, 2
+        |), f AS (
+        |  SELECT pt.s1, pt.s2, est_s1, est_s2,
+        |    CAST(COALESCE(nm.n_match, 0) AS BIGINT) AS n_match,
+        |    pt.theta
+        |  FROM pt LEFT JOIN nm ON nm.s1 = pt.s1 AND nm.s2 = pt.s2
+        |)
+        |SELECT s1, s2, est_s1, est_s2, n_match, theta,
+        |  ${Sketches.KmvInterEstSql} AS inter_est
         |FROM f ORDER BY s1, s2""".stripMargin
     },
 

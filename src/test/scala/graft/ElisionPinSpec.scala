@@ -15,17 +15,23 @@ import graft.tools.ElisionAudit
   */
 class ElisionPinSpec extends SparkSpec {
 
-  /** The documented count()-elided set, r15 SCALE.md + Bench scaladoc. */
+  /** The documented count()-elided set, r15 SCALE.md + Bench
+    * scaladoc. r18 added the three pair-overlap rows whose
+    * zero-overlap LEFT joins (r17 ADVICE) are row-preserving over
+    * unique-keyed aggregates — count() elides the joined branch
+    * (the exact audit / n_match side), so their full rows are the
+    * honest bench instrument. */
   private val documented = Set(
     "ann_ndcg_report", "ann_recall_pq", "ann_recall_report",
     "ann_recall_trained", "containment_survivors", "decontaminate",
     "dedup_span_trim", "dup_span_report", "heaps_law",
     "ivf_probe_sweep", "minhash_calibration", "quality_dup_crosstab",
     "semantic_dedup", "simhash_calibration", "t_closeness_report",
-    "vocab_coverage")
+    "vocab_coverage",
+    "hll_pair_overlap", "kmv_pair_overlap", "kmv_pair_estimate")
 
   test("every registered query's plan audits cleanly and the " +
-      "count()-elided set equals the documented 16 — a new elided " +
+      "count()-elided set equals the documented 19 — a new elided " +
       "query must not ship a silently partial bench row") {
     val rows = ElisionAudit.audit(spark, sf0001)
     assert(rows.size === SparkEntry.queries.size)

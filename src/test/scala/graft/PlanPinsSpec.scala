@@ -565,4 +565,23 @@ class PlanPinsSpec extends SparkSpec {
       overlap.contains("BroadcastHashJoin"),
       s"hll_pair_overlap lost its hashed corpus-side joins:\n$overlap")
   }
+
+  test("the r18 sketch-only pair twins hold ONE corpus scan: the " +
+      "register/sketch frame is checkpointed at construction, so the " +
+      "final plan reads NO parquet — every join input is " +
+      "sketch-sized (<= sources x 256 rows)") {
+    Seq("hll_pair_estimate", "kmv_pair_estimate").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sf0001)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("FileScan") && !plan.contains("Scan parquet"),
+        s"$name's final plan re-reads the corpus — the checkpointed " +
+          s"sketch frame stopped carrying the scan:\n$plan")
+      assert(plan.contains("Scan ExistingRDD") ||
+        plan.contains("LogicalRDD") || plan.contains("ExistingRDD"),
+        s"$name lost its checkpointed sketch input:\n$plan")
+      // (the sources-list inequality pair expansion is a nested loop
+      // by design — sources²-bounded, never corpus-sized, same as the
+      // r17 hll_pair_overlap pin above)
+    }
+  }
 }

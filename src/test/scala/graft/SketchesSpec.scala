@@ -106,4 +106,72 @@ class SketchesSpec extends SparkSpec {
     assert(est("graft-cms-absent") === 0L,
       "never-inserted key estimated nonzero at w=1024")
   }
+
+  test("KMV merge law: bottom-k of per-half sketches equals the " +
+      "whole-corpus sketch — the k smallest of A union B are among " +
+      "kmv(A) union kmv(B), so shard-and-merge is exact under any " +
+      "partitioning") {
+    val sh = shingleStream(sf0001)
+    val whole = Sketches.kmvSketch(sh, col("source"), col("sh"), 64)
+    val a = sh.filter(pmod(crc32(col("sh")), lit(2)) === 0)
+    val b = sh.filter(pmod(crc32(col("sh")), lit(2)) === 1)
+    val merged = Sketches.kmvMerge(
+      Sketches.kmvSketch(a, col("source"), col("sh"), 64)
+        .unionByName(Sketches.kmvSketch(b, col("source"), col("sh"), 64)),
+      64)
+    assert(whole.exceptAll(merged).isEmpty &&
+        merged.exceptAll(whole).isEmpty,
+      "merge-of-sketches diverged from sketch-of-union")
+  }
+
+  test("KMV estimate: exact when the sketch is exhaustive (n_k < k " +
+      "sees every distinct value), within 25% of exact in the " +
+      "sampled regime at k=256 (1/sqrt(255) ~ 6.3% stderr; " +
+      "deterministic data, so a pin), and the sketch is distinct and " +
+      "sorted-ascending per key") {
+    val sh = shingleStream(sf0001)
+    // exhaustive regime: key by DOCUMENT — a doc holds well under
+    // k=256 distinct shingles, so the sketch sees every value and
+    // the estimate must be the exact distinct count
+    val byDoc = Tables.documents(spark, sf0001)
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"),
+        explode(graft.operators.TextAnalysis.shingles(col("text"), 3))
+          .as("sh"))
+    val exactDoc = byDoc.groupBy(col("doc_id").as("key"))
+      .agg(countDistinct(col("sh")).as("exact"))
+    val exhaustive = Sketches.kmvSummary(
+        Sketches.kmvSketch(byDoc, col("doc_id"), col("sh"), 256), 256)
+      .withColumn("est", expr(Sketches.kmvEstimateSql(256)))
+      .join(exactDoc, "key").collect()
+    assert(exhaustive.nonEmpty)
+    exhaustive.foreach { r =>
+      assert(r.getAs[Long]("exact") < 256,
+        s"doc ${r.getAs[Long]("key")} too large for the exhaustive pin")
+      assert(r.getAs[Double]("est") === r.getAs[Long]("exact").toDouble,
+        s"doc ${r.getAs[Long]("key")}: exhaustive sketch not exact")
+    }
+    val exact = sh.groupBy(col("source").as("key"))
+      .agg(countDistinct(col("sh")).as("exact"))
+    // sampled regime at the registered k
+    val kv = Sketches.kmvSketch(sh, col("source"), col("sh"), 256)
+    val sampled = Sketches.kmvSummary(kv, 256)
+      .withColumn("est", expr(Sketches.kmvEstimateSql(256)))
+      .join(exact, "key").collect()
+    sampled.foreach { r =>
+      val exactN = r.getAs[Long]("exact").toDouble
+      val est = r.getAs[Double]("est")
+      assert(exactN > 256,
+        s"${r.getAs[String]("key")}: source too small to exercise " +
+          "the sampled regime")
+      assert(math.abs(est - exactN) / exactN < 0.25,
+        s"${r.getAs[String]("key")}: estimate $est vs exact $exactN")
+    }
+    // table invariants: distinct h per key, |sketch| == k
+    val bad = kv.groupBy("key")
+      .agg(count(lit(1)).as("n"), countDistinct(col("h")).as("nd"))
+      .filter(col("n") =!= col("nd") || col("n") =!= 256)
+      .count()
+    assert(bad === 0L, "sketch table lost the k-distinct invariant")
+  }
 }

@@ -1,0 +1,199 @@
+package graft
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sketches
+import graft.streaming.{StreamingCms, StreamingDistinct, StreamingHdr}
+
+/** §2.8 checkpoint-restart + sink-merge e2e for the three SALTED
+  * sketch twins (r17 verdict tasks #4/#6): each `cells()` query runs
+  * the documented production deployment — `foreachBatch` sink table,
+  * multiple triggers — is stopped MID-HOUR (state only in the
+  * checkpoint), restarted from the same checkpoint, and driven past
+  * hour close. The pins:
+  *
+  *  - exactly-once: each (hour, salt, cell) row lands in the sink
+  *    table ONCE across the restart (a lost-state restart would
+  *    re-emit or under-emit);
+  *  - merge-law e2e: `merge()` over the SINK TABLE — not an in-test
+  *    frame — reproduces the batch sketch of the full input
+  *    bit-exactly (integer state), which chains to `report()`
+  *    equality through the batch-parity pins in
+  *    StreamingDistinctSpec/StreamingCmsSpec/StreamingHdrSpec;
+  *  - nothing provisional: the pre-restart run (open hour) emits
+  *    zero rows.
+  */
+class StreamingSketchRestartSpec extends SparkSpec {
+
+  /** Drives `mk()`'s query over `input` with a checkpoint at `ckpt`:
+    * feeds `pre`, stops (mid-hour), restarts, feeds `post`, then the
+    * `flushes` one at a time to push the watermark past hour close.
+    * Decision rows accumulate in `out` across both incarnations. */
+  private def restartRun[I, O](input: MemoryStream[I],
+      mk: () => Dataset[O], ckpt: String,
+      out: java.util.concurrent.ConcurrentLinkedQueue[O],
+      pre: Seq[I], post: Seq[I], flushes: Seq[I]): Unit = {
+    def start() = mk().writeStream
+      .foreachBatch { (df: Dataset[O], _: Long) =>
+        df.collect().foreach(out.add)
+      }
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .start()
+    val q1 = start()
+    try {
+      input.addData(pre: _*)
+      q1.processAllAvailable()
+    } finally { q1.stop(); q1.awaitTermination() }
+    assert(out.isEmpty,
+      s"open hour emitted provisional rows before the restart: $out")
+    val q2 = start()
+    try {
+      input.addData(post: _*)
+      q2.processAllAvailable()
+      flushes.foreach { f =>
+        input.addData(f)
+        q2.processAllAvailable()
+      }
+    } finally q2.stop()
+  }
+
+  private def ckptDir(tag: String): String = java.nio.file.Files
+    .createTempDirectory(s"graft-sketch-restart-$tag").toString
+
+  test("StreamingDistinct.cells survives a mid-hour checkpoint " +
+      "restart: per-(hour, salt) register tables emit exactly once " +
+      "and merge() over the sink table equals the batch sketch of " +
+      "the full input") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingSketchRestartSpec.distinctOut
+    distinctOut.clear()
+    val hour = 700L
+    val t0 = StreamingDistinct.HourUs * hour
+    val vals = (1 to 1200).map(i => s"v-$i-${i * 7919}")
+    val (pre, post) = vals.splitAt(600)
+    val input = MemoryStream[StreamingDistinct.SeenValue]
+    restartRun(input,
+      () => StreamingDistinct.cells(input.toDS(), salts = 4,
+        maxDelay = "1 second"),
+      ckptDir("dist"), distinctOut,
+      pre.map(v => StreamingDistinct.SeenValue(v, t0 + 1000)),
+      // duplicates of pre-restart values: the restored registers
+      // must absorb them without moving
+      (post ++ pre.take(200))
+        .map(v => StreamingDistinct.SeenValue(v, t0 + 2000)),
+      Seq(
+        StreamingDistinct.SeenValue("flush-1",
+          t0 + StreamingDistinct.HourUs + 2000000),
+        StreamingDistinct.SeenValue("flush-2",
+          t0 + StreamingDistinct.HourUs + 3000000)))
+    val cells = distinctOut.asScala.toSeq.filter(_.hourBucket == hour)
+    assert(cells.nonEmpty, "no register rows emitted at hour close")
+    assert(cells.map(c => (c.salt, c.register)).distinct.size ===
+      cells.size,
+      s"a (salt, register) row was emitted twice across the restart")
+    val merged = StreamingDistinct.merge(cells.toDS()).collect()
+    assert(merged.length === 1)
+    val batch = Sketches.hllSummary(
+        Sketches.hllRegisters(
+          (vals ++ pre.take(200)).toDF("v"), lit("k"), col("v"), 8), 8)
+      .collect().head
+    assert(merged.head.vZero === batch.getAs[Long]("v_zero") &&
+        merged.head.sScaled === batch.getAs[Long]("s_scaled"),
+      "sink-table merge diverged from the batch sketch after restart")
+  }
+
+  test("StreamingCms.cells survives a mid-hour checkpoint restart: " +
+      "per-(hour, salt) cell tables emit exactly once and merge() " +
+      "over the sink table equals the batch cell table") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingSketchRestartSpec.cmsOut
+    cmsOut.clear()
+    val hour = 701L
+    val t0 = StreamingCms.HourUs * hour
+    val keys = (1 to 900).map(i => s"k-${i % 300}")
+    val (pre, post) = keys.splitAt(450)
+    val input = MemoryStream[StreamingCms.KeyedEvent]
+    restartRun(input,
+      () => StreamingCms.cells(input.toDS(), salts = 4,
+        maxDelay = "1 second"),
+      ckptDir("cms"), cmsOut,
+      pre.map(k => StreamingCms.KeyedEvent(k, t0 + 1000)),
+      post.map(k => StreamingCms.KeyedEvent(k, t0 + 2000)),
+      Seq(
+        StreamingCms.KeyedEvent("flush-1",
+          t0 + StreamingCms.HourUs + 2000000),
+        StreamingCms.KeyedEvent("flush-2",
+          t0 + StreamingCms.HourUs + 3000000)))
+    val cells = cmsOut.asScala.toSeq.filter(_.hourBucket == hour)
+    assert(cells.nonEmpty, "no cell rows emitted at hour close")
+    assert(cells.map(c => (c.salt, c.r, c.c)).distinct.size ===
+      cells.size,
+      "a (salt, r, c) row was emitted twice across the restart")
+    val merged = StreamingCms.merge(cells.toDS())
+      .collect().map(c => (c.r, c.c) -> c.cnt).toMap
+    val batch = Sketches.cmsCells(keys.toDF("key"), col("key"),
+        StreamingCms.D, StreamingCms.W)
+      .collect()
+      .map(r => (r.getAs[Int]("r"), r.getAs[Long]("c")) ->
+        r.getAs[Long]("cnt")).toMap
+    assert(merged === batch,
+      "sink-table merge diverged from the batch cell table")
+  }
+
+  test("StreamingHdr.cells survives a mid-hour checkpoint restart: " +
+      "per-(hour, salt) bucket tables emit exactly once and merge() " +
+      "over the sink table equals the batch bucket histogram") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingSketchRestartSpec.hdrOut
+    hdrOut.clear()
+    val hour = 702L
+    val t0 = StreamingHdr.HourUs * hour
+    val vals = (1 to 1000).map(i => (i.toLong * i * 7919L) % 1000000L)
+    val (pre, post) = vals.splitAt(500)
+    val input = MemoryStream[StreamingHdr.Measured]
+    restartRun(input,
+      () => StreamingHdr.cells(input.toDS(), salts = 4,
+        maxDelay = "1 second"),
+      ckptDir("hdr"), hdrOut,
+      pre.map(v => StreamingHdr.Measured(v, t0 + 1000)),
+      post.map(v => StreamingHdr.Measured(v, t0 + 2000)),
+      Seq(
+        StreamingHdr.Measured(1L, t0 + StreamingHdr.HourUs + 2000000),
+        StreamingHdr.Measured(2L, t0 + StreamingHdr.HourUs + 3000000)))
+    val cells = hdrOut.asScala.toSeq.filter(_.hourBucket == hour)
+    assert(cells.nonEmpty, "no bucket rows emitted at hour close")
+    assert(cells.map(c => (c.salt, c.bucket)).distinct.size ===
+      cells.size,
+      "a (salt, bucket) row was emitted twice across the restart")
+    val merged = StreamingHdr.merge(cells.toDS())
+      .collect().map(b => (b.bucket, b.lo) -> b.cnt).toMap
+    val batch = vals.toDF("vi")
+      .selectExpr(s"${Sketches.hdrBucketSql("vi")} AS bucket",
+        s"${Sketches.hdrBucketLoSql("vi")} AS lo")
+      .groupBy("bucket", "lo").agg(count(lit(1)).as("cnt"))
+      .collect()
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("lo")) ->
+        r.getAs[Long]("cnt")).toMap
+    assert(merged === batch,
+      "sink-table merge diverged from the batch bucket histogram")
+  }
+}
+
+object StreamingSketchRestartSpec {
+  // sink tables for the restart runs — static so the foreachBatch
+  // closures survive serialization AND query restarts
+  val distinctOut = new java.util.concurrent.ConcurrentLinkedQueue[
+    StreamingDistinct.RegisterCell]()
+  val cmsOut = new java.util.concurrent.ConcurrentLinkedQueue[
+    StreamingCms.SaltedCell]()
+  val hdrOut = new java.util.concurrent.ConcurrentLinkedQueue[
+    StreamingHdr.SaltedBucket]()
+}
