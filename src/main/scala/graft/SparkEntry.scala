@@ -167,7 +167,8 @@ object SparkEntry {
       "hll_merge_shards", "cms_merge_shards", "politeness_schedule",
       "hll_pair_overlap",
       // round-18 additions
-      "hll_pair_estimate", "kmv_pair_overlap", "kmv_pair_estimate")
+      "hll_pair_estimate", "kmv_pair_overlap", "kmv_pair_estimate",
+      "kmv_merge_shards")
 
   def benchQueries: Seq[(String, (SparkSession, String) => DataFrame)] =
     benchNames.flatMap(n => queries.get(n).map(n -> _))

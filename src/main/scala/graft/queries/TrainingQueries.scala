@@ -2469,6 +2469,27 @@ object TrainingQueries {
         .orderBy("r", "c")
     },
 
+    // KMV member of the shard-merge family (see hll_merge_shards):
+    // Spark shards the corpus by doc_id parity, sketches each shard
+    // independently (bounded bottom-k aggregates) and merges with
+    // kmvMerge; the oracle derives the UNsharded bottom-k directly —
+    // hash equality on the sketch TABLE proves the KMV merge law
+    // (k-smallest of A∪B ⊆ kmv(A) ∪ kmv(B)) across engines on real
+    // data. Plan: two bounded partial aggregates + one union exchange
+    // of ≤ 2 × sources × k longs — SF-invariant past the scans.
+    "kmv_merge_shards" -> { (s, dir) =>
+      val sh = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          explode(TextAnalysis.shingles(col("text"), 3)).as("sh"))
+      def shard(p: Int) = Sketches.kmvSketch(
+        sh.filter(pmod(col("doc_id"), lit(2)) === p),
+        col("source"), col("sh"), 256)
+      Sketches.kmvMerge(shard(0).unionByName(shard(1)), 256)
+        .withColumnRenamed("key", "source")
+        .select("source", "h")
+        .orderBy("source", "h")
+    },
+
     // SKETCH SET-ALGEBRA — pairwise source-vocabulary OVERLAP from
     // HLL sketches alone: |A∩B| ≈ est(A) + est(B) − est(A∪B), where
     // est(A∪B) comes FREE from the merge law (element-wise register
@@ -2495,7 +2516,13 @@ object TrainingQueries {
       val sh = Tables.documents(s, dir)
         .select(col("source"),
           explode(TextAnalysis.shingles(col("text"), 3)).as("sh"))
+      // checkpoint the register frame (r17 verdict): the est / srcs /
+      // pair-union branches reference it ~7×; without this the static
+      // plan embeds 20 corpus scans (AQE recovered 7 reuses but still
+      // executed 3 scans + explodes) — now the whole query holds TWO
+      // corpus scans: the register build here and the exact audit
       val regs = Sketches.hllRegisters(sh, col("source"), col("sh"), 8)
+        .localCheckpoint()
       val est = Sketches.hllSummary(regs, 8)
         .withColumn("est", expr(Sketches.hllEstimateSql(8)))
         .select(col("key"), col("est"))
@@ -3958,6 +3985,22 @@ object TrainingQueries {
         |  ${errPermilleSql("inter_kmv")} AS err_pm_kmv
         |FROM f ORDER BY s1, s2""".stripMargin
     },
+
+    // the oracle never shards (hll_merge_shards discipline): the
+    // whole-corpus bottom-k IS what the sharded merge must equal
+    "kmv_merge_shards" ->
+      s"""WITH shr AS (
+        |  SELECT source, unnest($shinglesExpr) AS sh FROM documents
+        |), hhd AS (
+        |  SELECT DISTINCT source,
+        |    ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h
+        |  FROM shr
+        |)
+        |SELECT source, h FROM (
+        |  SELECT source, h,
+        |    row_number() OVER (PARTITION BY source ORDER BY h) AS rk
+        |  FROM hhd)
+        |WHERE rk <= 256 ORDER BY source, h""".stripMargin,
 
     "kmv_pair_estimate" -> {
       val kEst = Sketches.kmvEstimateSql(256)

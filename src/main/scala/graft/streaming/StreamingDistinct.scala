@@ -67,17 +67,25 @@ object StreamingDistinct {
   private val WBits = 60 - P
   private val Top = WBits + 1
 
-  /** EXACTLY the register derivation of Sketches.hllRegisters (md5 →
-    * first 15 hex = 60 bits → top p register bits, remaining-bit
-    * leading-zero rank), in compiled form for the per-row hot path. */
-  private[graft] def registerAndRho(value: String): (Int, Int) = {
+  /** First 15 md5 hex chars as a 60-bit integer — THE engine hash
+    * (`conv(substring(md5(v), 1, 15), 16, 10)` in compiled form),
+    * shared by the HLL register derivation here and the KMV bottom-k
+    * in [[StreamingKmv]]. */
+  private[graft] def hash60(value: String): Long = {
     val md = java.security.MessageDigest.getInstance("MD5")
       .digest(value.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // first 15 hex chars = first 7 bytes + the high nibble of byte 8
     var h = 0L
     var i = 0
     while (i < 7) { h = (h << 8) | (md(i) & 0xffL); i += 1 }
-    h = (h << 4) | ((md(7) & 0xf0L) >> 4)
+    (h << 4) | ((md(7) & 0xf0L) >> 4)
+  }
+
+  /** EXACTLY the register derivation of Sketches.hllRegisters (md5 →
+    * first 15 hex = 60 bits → top p register bits, remaining-bit
+    * leading-zero rank), in compiled form for the per-row hot path. */
+  private[graft] def registerAndRho(value: String): (Int, Int) = {
+    val h = hash60(value)
     val reg = (h >>> WBits).toInt
     val w = h & ((1L << WBits) - 1)
     val rho = if (w == 0L) Top

@@ -7,10 +7,10 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 import graft.operators.Sketches
-import graft.streaming.{StreamingCms, StreamingDistinct, StreamingHdr}
+import graft.streaming.{StreamingCms, StreamingDistinct, StreamingHdr, StreamingKmv}
 
-/** §2.8 checkpoint-restart + sink-merge e2e for the three SALTED
-  * sketch twins (r17 verdict tasks #4/#6): each `cells()` query runs
+/** §2.8 checkpoint-restart + sink-merge e2e for the four SALTED
+  * sketch twins (r17 verdict tasks #4/#6; KMV joined in r18): each `cells()` query runs
   * the documented production deployment — `foreachBatch` sink table,
   * multiple triggers — is stopped MID-HOUR (state only in the
   * checkpoint), restarted from the same checkpoint, and driven past
@@ -23,7 +23,8 @@ import graft.streaming.{StreamingCms, StreamingDistinct, StreamingHdr}
   *    frame — reproduces the batch sketch of the full input
   *    bit-exactly (integer state), which chains to `report()`
   *    equality through the batch-parity pins in
-  *    StreamingDistinctSpec/StreamingCmsSpec/StreamingHdrSpec;
+  *    StreamingDistinctSpec/StreamingCmsSpec/StreamingHdrSpec/
+  *    StreamingKmvSpec;
   *  - nothing provisional: the pre-restart run (open hour) emits
   *    zero rows.
   */
@@ -147,6 +148,51 @@ class StreamingSketchRestartSpec extends SparkSpec {
       "sink-table merge diverged from the batch cell table")
   }
 
+  test("StreamingKmv.cells survives a mid-hour checkpoint restart: " +
+      "per-(hour, salt) bottom-k tables emit exactly once and " +
+      "merge() over the sink table equals the batch sketch summary " +
+      "bit-exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingSketchRestartSpec.kmvOut
+    kmvOut.clear()
+    val hour = 703L
+    val t0 = StreamingKmv.HourUs * hour
+    val vals = (1 to 1200).map(i => s"v-$i-${i * 7919}")
+    val (pre, post) = vals.splitAt(600)
+    val input = MemoryStream[StreamingDistinct.SeenValue]
+    restartRun(input,
+      () => StreamingKmv.cells(input.toDS(), salts = 4,
+        maxDelay = "1 second"),
+      ckptDir("kmv"), kmvOut,
+      pre.map(v => StreamingDistinct.SeenValue(v, t0 + 1000)),
+      // duplicates of pre-restart values: the restored bottom-k must
+      // absorb them without moving
+      (post ++ pre.take(200))
+        .map(v => StreamingDistinct.SeenValue(v, t0 + 2000)),
+      Seq(
+        StreamingDistinct.SeenValue("flush-1",
+          t0 + StreamingKmv.HourUs + 2000000),
+        StreamingDistinct.SeenValue("flush-2",
+          t0 + StreamingKmv.HourUs + 3000000)))
+    val cells = kmvOut.asScala.toSeq.filter(_.hourBucket == hour)
+    assert(cells.nonEmpty, "no sketch rows emitted at hour close")
+    assert(cells.map(c => (c.salt, c.h)).distinct.size === cells.size,
+      "a (salt, h) row was emitted twice across the restart")
+    val merged = StreamingKmv.merge(cells.toDS()).collect()
+    assert(merged.length === 1)
+    val batch = Sketches.kmvSummary(
+        Sketches.kmvSketch(
+          (vals ++ pre.take(200)).toDF("v"), lit("k"), col("v"),
+          StreamingKmv.K), StreamingKmv.K)
+      .withColumn("est", expr(Sketches.kmvEstimateSql(StreamingKmv.K)))
+      .collect().head
+    assert(merged.head.nK === batch.getAs[Long]("n_k") &&
+        merged.head.theta === batch.getAs[Long]("theta") &&
+        merged.head.estimate === batch.getAs[Double]("est"),
+      "sink-table merge diverged from the batch sketch after restart")
+  }
+
   test("StreamingHdr.cells survives a mid-hour checkpoint restart: " +
       "per-(hour, salt) bucket tables emit exactly once and merge() " +
       "over the sink table equals the batch bucket histogram") {
@@ -194,6 +240,8 @@ object StreamingSketchRestartSpec {
     StreamingDistinct.RegisterCell]()
   val cmsOut = new java.util.concurrent.ConcurrentLinkedQueue[
     StreamingCms.SaltedCell]()
+  val kmvOut = new java.util.concurrent.ConcurrentLinkedQueue[
+    StreamingKmv.SketchHash]()
   val hdrOut = new java.util.concurrent.ConcurrentLinkedQueue[
     StreamingHdr.SaltedBucket]()
 }
