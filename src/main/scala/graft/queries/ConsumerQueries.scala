@@ -441,7 +441,9 @@ object ConsumerQueries {
     // ~143). Calendar weeks, not sliding windows, keep the distinct
     // counts exact and cheap (two distinct aggregates, each one
     // exchange); a sliding 7-day distinct would need per-day
-    // re-scans or sketches — the documented trade.
+    // re-scans or sketches — the documented trade, which
+    // hll_sliding_users (TemporalQueries, r18) closes with per-day
+    // HLL register merges.
     "stickiness_report" -> { (s, dir) =>
       val ev = Tables.events(s, dir)
         .select(col("user_id"),

@@ -45,7 +45,60 @@ object TemporalQueries {
 
   private val SessionGapUs = 6L * 3600 * 1000000 // 6 hours, micros
 
+  /** hll_sliding_users' permille error — ONE shared double string
+    * (house discipline): est_users is one shared-SQL division,
+    * exact_users an exact integer ≥ 1 (a day exists only with
+    * events), so the floor'd permille is engine-identical. */
+  private val SlidingErrPermilleSql =
+    "CAST(floor(abs(est_users - CAST(exact_users AS DOUBLE)) " +
+      "* 1000e0 / CAST(exact_users AS DOUBLE)) AS BIGINT)"
+
   val all: Map[String, Q] = Map(
+
+    // SLIDING-WINDOW DISTINCT via register merge — the operation
+    // stickiness_report documents as its sketch-requiring sibling:
+    // rolling 7-day distinct users per day needs the UNION of seven
+    // daily distinct sets per output row. Exact computation shuffles
+    // every (day, user) pair into every window it touches (7× write
+    // amplification at 100 TB, growing with window length), while
+    // per-day HLL registers (days × 32 rows at p=5, SF-invariant)
+    // make each window one register-max over ≤ 7×32 rows — zero
+    // corpus reads past the one scan, ANY window length for the same
+    // price, and yesterday's registers never recompute (the
+    // hll_merge_shards incremental-ingest story applied to time).
+    // The exact sliding count rides along as the TEST-SCALE audit
+    // (pair-row discipline; its day×user expansion is the 7× blowup
+    // the sketch exists to avoid). p=5 keeps sf0.01's ~150-user
+    // windows in the raw-HLL regime; the gate checks determinism,
+    // not accuracy, below it.
+    "hll_sliding_users" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .select(expr("(ts div 1000) div 86400000000").as("day"),
+          col("user_id").cast("string").as("uid"))
+      val regs = Sketches.hllRegisters(ev, col("day"), col("uid"), 5)
+        .withColumnRenamed("key", "day")
+        .localCheckpoint()
+      val days = regs.select("day").distinct()
+      val est = Sketches.hllSummary(
+          days.select(col("day").as("d"))
+            .join(regs,
+              col("day").between(col("d") - 6, col("d")))
+            .groupBy(col("d").as("key"), col("register"))
+            .agg(max("m").as("m")), 5)
+        .withColumnRenamed("key", "day")
+        .withColumn("est_users", expr(Sketches.hllEstimateSql(5)))
+        .select("day", "est_users")
+      val du = ev.distinct()
+      val exact = days.select(col("day").as("d"))
+        .join(du, col("day").between(col("d") - 6, col("d")))
+        .select(col("d"), col("uid")).distinct()
+        .groupBy(col("d").as("day"))
+        .agg(count(lit(1)).as("exact_users"))
+      est.join(exact, "day")
+        .withColumn("err_pm", expr(SlidingErrPermilleSql))
+        .select("day", "est_users", "exact_users", "err_pm")
+        .orderBy("day")
+    },
 
     // As-of join: every non-purchase event picks up the user's most
     // recent purchase value at-or-before its own timestamp. One hash
@@ -486,6 +539,51 @@ object TemporalQueries {
       |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+
+    "hll_sliding_users" -> {
+      val est = Sketches.hllEstimateSql(5)
+      s"""WITH ev AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CAST(user_id AS VARCHAR) AS uid
+        |  FROM events
+        |), hh AS (
+        |  SELECT day,
+        |    ('0x' || substr(md5(uid), 1, 15))::BIGINT AS h
+        |  FROM ev
+        |), rg AS (
+        |  SELECT day, h // 36028797018963968 AS register,
+        |    MAX(CASE WHEN h % 36028797018963968 = 0 THEN 56
+        |      ELSE 56 - length(bin(h % 36028797018963968)) END) AS m
+        |  FROM hh GROUP BY day, register
+        |), days AS (
+        |  SELECT DISTINCT day FROM rg
+        |), wr AS (
+        |  SELECT d.day AS wd, rg.register, MAX(rg.m) AS m
+        |  FROM days d JOIN rg ON rg.day BETWEEN d.day - 6 AND d.day
+        |  GROUP BY 1, 2
+        |), su AS (
+        |  SELECT wd AS day,
+        |    (32 - COUNT(*)) * 72057594037927936 +
+        |      CAST(SUM(1::BIGINT << (56 - m)) AS BIGINT) AS s_scaled
+        |  FROM wr GROUP BY wd
+        |), se AS (
+        |  SELECT day, $est AS est_users FROM su
+        |), du AS (
+        |  SELECT DISTINCT day, uid FROM ev
+        |), ex AS (
+        |  SELECT d.day AS day,
+        |    CAST(COUNT(DISTINCT du.uid) AS BIGINT) AS exact_users
+        |  FROM days d JOIN du ON du.day BETWEEN d.day - 6 AND d.day
+        |  GROUP BY 1
+        |), f AS (
+        |  SELECT se.day, est_users, exact_users
+        |  FROM se JOIN ex ON ex.day = se.day
+        |)
+        |SELECT day, est_users, exact_users,
+        |  $SlidingErrPermilleSql AS err_pm
+        |FROM f ORDER BY day""".stripMargin
+    },
+
     // Sessions re-derived relationally (lag → break → running sum),
     // the genuinely-different algorithm the sessionize oracle uses;
     // path order pinned by (ts, event_id).

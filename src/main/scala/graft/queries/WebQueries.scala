@@ -244,8 +244,11 @@ object WebQueries {
     // translates each pattern ONCE (rule-side, domains-sized frame)
     // to ANSI LIKE — '*' → '%', trailing '$' drops the implicit
     // prefix '%', no escaping needed because the synthetic patterns
-    // carry no LIKE metachars — so both engines evaluate the
-    // IDENTICAL predicate. The wildcard tiers extend the seeded rule
+    // PROVABLY carry no LIKE metachars (md5-hex slugs + literal
+    // "/docs/"); the general-API translation with `\`-escaping and
+    // ESCAPE-clause matching lives in CrawlScheduler.compileRules
+    // (r17 ADVICE) — real robots paths carry '_' and '%'. Both
+    // engines evaluate the IDENTICAL predicate. The wildcard tiers extend the seeded rule
     // synthesis: ~half the domains (md5 residue b3) block slugs
     // ending in 7, and ~half of those (b4) re-allow ...77.html via a
     // longer pattern — exercising anchored-wildcard block and

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** The crawl scheduler END-TO-END (r16 verdict task #5) — the three
@@ -122,6 +122,25 @@ object CrawlScheduler {
     verdicts(admits, compiled)
       .filter(col("robots_allowed"))
       .drop("robots_allowed", "robots_rule", "path")
+
+  /** The scheduler's dead-letter rows as the reference's versioned
+    * `DM|K|2.0` envelopes (`kinesis-processing.js:708-724` via
+    * [[graft.operators.DeadLetters.deadMessageEnvelope]]): the bridge
+    * from decision rows to an actual dead-letter QUEUE. A pure
+    * projection — compose it onto the streaming decision output
+    * (then write via any sink) or onto a batch decision table alike.
+    * `discardedAt` is caller-supplied (current_timestamp in
+    * production, a literal in tests) per the DeadLetters replay
+    * discipline; the politeness host doubles as shardOrEventID (it
+    * IS the partition key of the crawl pipeline). */
+  def deadLetters(decisions: DataFrame, consumerId: Column,
+      discardedAt: Column): DataFrame =
+    decisions
+      .filter(col("kind").isin("disallowed", "drop"))
+      .select(graft.operators.DeadLetters.deadMessageEnvelope(
+        consumerId, col("host"),
+        struct(col("url"), col("tsUs"), col("kind")), col("reason"),
+        discardedAt).as("envelope"))
 
   /** The composed scheduler: raw sightings in, fetch decisions out —
     * including the dead-letter rows (`kind = "disallowed"` /

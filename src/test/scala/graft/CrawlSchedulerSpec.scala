@@ -225,6 +225,37 @@ class CrawlSchedulerSpec extends SparkSpec {
       "https://c.org/anything"), s"gate verdicts wrong: $got")
   }
 
+  test("deadLetters() wraps exactly the dead-letter decision kinds " +
+      "in the reference's DM|K|2.0 envelope, round-trippable through " +
+      "DeadLetters.parseEnvelope with the reason intact") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val decisions = Seq(
+      FetchDecision("a.com", "https://a.com/ok", 1000L, 1000L, "fetch"),
+      FetchDecision("a.com", "https://a.com/private/x", 2000L, 2000L,
+        "disallowed", "robots:/private/"),
+      FetchDecision("b.net", "https://b.net/burst", 3000L, 3000L,
+        "drop", "queue_overflow"),
+      FetchDecision("a.com", "https://a.com/later", 4000L, 9000L,
+        "release")).toDS().toDF()
+    val msgType = StructType(Seq(StructField("url", StringType),
+      StructField("tsUs", LongType), StructField("kind", StringType)))
+    val parsed = CrawlScheduler.deadLetters(decisions,
+        lit("crawler-1"), lit("2026-08-15T00:00:00Z"))
+      .select(graft.operators.DeadLetters.parseEnvelope(col("envelope"),
+        StringType, msgType).as("e"))
+      .select("e.ver", "e.shardOrEventID", "e.message.url",
+        "e.message.kind", "e.reasonRejected")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getString(2), r.getString(3), r.getString(4))).toSeq.sorted
+    assert(parsed === Seq(
+      ("DM|K|2.0", "a.com", "https://a.com/private/x", "disallowed",
+        "robots:/private/"),
+      ("DM|K|2.0", "b.net", "https://b.net/burst", "drop",
+        "queue_overflow")),
+      s"envelopes wrong or conforming decisions leaked in: $parsed")
+  }
+
   test("compileRules escapes LIKE metachars in robots literals " +
       "(_ matches only itself, % from percent-encoding is no " +
       "wildcard) and a path-less URL matches as path '/' per " +
