@@ -1,7 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, Encoders}
-import org.apache.spark.sql.functions.{col, expr, lit, pmod, timestamp_micros, xxhash64}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions.{col, explode, expr, lit, pmod, timestamp_micros, xxhash64}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Live per-window KMV sketching — the fourth salted streaming twin
@@ -37,8 +37,24 @@ object StreamingKmv {
   private[streaming] case class TimedValue(value: String, tsUs: Long,
       eventTime: java.sql.Timestamp, hourBucket: Long, salt: Long)
 
+  /** A sighting of `value` under sketch key `key` (e.g. the SOURCE a
+    * document came from) at event time `tsUs` — [[keyedCells]]' input. */
+  case class KeyedSeen(key: String, value: String, tsUs: Long)
+
+  private[streaming] case class TimedKeyed(key: String, value: String,
+      tsUs: Long, eventTime: java.sql.Timestamp, hourBucket: Long,
+      salt: Long)
+
   /** One retained hash of a (closed hour, salt group) sketch. */
   case class SketchHash(hourBucket: Long, salt: Long, h: Long)
+
+  /** One retained hash of a (key, closed hour, salt group) sketch —
+    * [[keyedCells]]' output; [[mergeKeyed]] folds the salt axis away
+    * into per-(key, hour) sketch TABLES, the exact shape
+    * [[graft.operators.Sketches.kmvSummary]] and the pair-overlap
+    * set algebra consume. */
+  case class KeyedSketchHash(key: String, hourBucket: Long, salt: Long,
+      h: Long)
 
   /** One closed hour's summary: sketch size, threshold (max retained
     * hash) and the KMV estimate (exact when nK < k — the sketch saw
@@ -115,6 +131,63 @@ object StreamingKmv {
             Iterator.empty
           }
       }
+  }
+
+  /** [[cells]] per sketch KEY — live per-SOURCE sketches, the input
+    * of the cross-source overlap estimator (kmv_pair_estimate): a
+    * stream of (source, shingle) sightings becomes, at each hour
+    * close, one bottom-k table per (source, salt), and [[mergeKeyed]]
+    * folds the salts into the per-(source, hour) sketch tables the
+    * batch set algebra consumes — LIVE contamination monitoring with
+    * zero corpus re-reads (StreamingKmvSpec pins the closed-hour
+    * pair estimates equal to the batch derivation on the same data).
+    * State: (keys × salts) × ≤ k longs per open hour. */
+  def keyedCells(values: Dataset[KeyedSeen], salts: Int = 16,
+      maxDelay: String = "1 hour"): Dataset[KeyedSketchHash] = {
+    require(salts >= 1, s"salts must be >= 1, got $salts")
+    implicit val timedEnc = Encoders.product[TimedKeyed]
+    implicit val stateEnc = Encoders.product[KmvState]
+    implicit val outEnc = Encoders.product[KeyedSketchHash]
+    values.toDF()
+      .withColumn("eventTime", timestamp_micros(col("tsUs")))
+      .withWatermark("eventTime", maxDelay)
+      .withColumn("hourBucket", expr(s"tsUs div $HourUs"))
+      .withColumn("salt", pmod(xxhash64(col("value")), lit(salts.toLong)))
+      .as[TimedKeyed]
+      .groupByKey(v => (v.key, v.hourBucket, v.salt))(
+        Encoders.tuple(Encoders.STRING, Encoders.scalaLong,
+          Encoders.scalaLong))
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.EventTimeTimeout) {
+        (khs: (String, Long, Long), it: Iterator[TimedKeyed],
+            state: GroupState[KmvState]) =>
+          val (key, hour, salt) = khs
+          val sketch = it.foldLeft(
+            state.getOption.getOrElse(KmvState(Vector.empty)).hs)(
+            (hs, v) => insert(hs, hash60(v.value)))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val hourEndUs = (hour + 1L) * HourUs
+          if (wmUs >= hourEndUs) {
+            state.remove()
+            sketch.iterator.map(h => KeyedSketchHash(key, hour, salt, h))
+          } else {
+            state.update(KmvState(sketch))
+            state.setTimeoutTimestamp(hourEndUs / 1000L)
+            Iterator.empty
+          }
+      }
+  }
+
+  /** Folds [[keyedCells]]' salt axis away: per-(key, hour) sketch
+    * tables `key, hourBucket, h` (≤ keys × salts × k input rows per
+    * hour) — feed `Sketches.kmvSummary` / the pair set algebra with
+    * `key` (or `(key, hourBucket)`) as the sketch key. */
+  def mergeKeyed(cells: Dataset[KeyedSketchHash]): DataFrame = {
+    cells.toDF()
+      .groupBy("key", "hourBucket")
+      .agg(graft.functions.KmvAgg.kmv(col("h"), K).as("hs"))
+      .select(col("key"), col("hourBucket"),
+        explode(col("hs")).as("h"))
   }
 
   /** Bottom-k over the per-salt tables → per-hour summary (≤ salts×k

@@ -1,0 +1,76 @@
+package graft
+
+import scala.util.Random
+
+import graft.functions.KmvAgg
+
+/** Property-style checks of [[KmvAgg]]'s algebra — the claims the
+  * KMV sketch's distributed execution rests on (seeded generator,
+  * pure JVM, no Spark jobs):
+  *
+  *  - the fold of any input stream equals bottom-k of the distinct
+  *    set (duplicates and order irrelevant);
+  *  - merge is commutative and associative, and merging the folds of
+  *    ANY partitioning of the stream equals the fold of the whole —
+  *    why a 1000-partition partial aggregate (and the shard-merge /
+  *    salted-streaming paths) are EXACT, not approximate;
+  *  - the buffer invariant (sorted ascending, distinct, ≤ k) holds
+  *    at every step.
+  */
+class KmvPropsSpec extends SparkSpec {
+
+  private val rnd = new Random(42)
+  private val K = 16
+  private val agg = new KmvAgg(K)
+
+  private def fold(vs: Seq[Long]): Seq[Long] =
+    vs.foldLeft(agg.zero)(agg.reduce)
+
+  private def truth(vs: Seq[Long]): Seq[Long] =
+    vs.distinct.sorted.take(K)
+
+  private def randomStream(): Seq[Long] = {
+    val n = 1 + rnd.nextInt(120)
+    // small value domain forces duplicates; occasional negatives and
+    // extremes probe the ordering edges
+    Seq.fill(n)(rnd.nextInt(60).toLong) ++
+      Seq(Long.MaxValue, 0L).filter(_ => rnd.nextBoolean())
+  }
+
+  test("fold == bottom-k of the distinct set, for any duplicate mix " +
+      "and arrival order") {
+    (1 to 200).foreach { _ =>
+      val vs = randomStream()
+      assert(fold(vs) === truth(vs), s"fold diverged on $vs")
+      assert(fold(rnd.shuffle(vs)) === truth(vs),
+        s"fold is order-sensitive on $vs")
+    }
+  }
+
+  test("merge is commutative + associative, and merging the folds " +
+      "of ANY partitioning equals the fold of the whole stream") {
+    (1 to 200).foreach { _ =>
+      val vs = randomStream()
+      // random 3-way partitioning
+      val parts = vs.groupBy(_ => rnd.nextInt(3)).values.toSeq
+        .padTo(3, Seq.empty[Long])
+      val Seq(a, b, c) = parts.take(3).map(fold)
+      assert(agg.merge(a, b) === agg.merge(b, a), "merge not commutative")
+      assert(agg.merge(agg.merge(a, b), c) ===
+        agg.merge(a, agg.merge(b, c)), "merge not associative")
+      assert(agg.merge(agg.merge(a, b), c) === truth(vs),
+        s"partitioned merge diverged from the whole-stream fold on $vs")
+    }
+  }
+
+  test("buffer invariant holds at every reduce step: sorted " +
+      "ascending, distinct, never more than k") {
+    (1 to 50).foreach { _ =>
+      val vs = randomStream()
+      vs.scanLeft(agg.zero)(agg.reduce).foreach { buf =>
+        assert(buf.size <= K, s"buffer overflow: $buf")
+        assert(buf === buf.distinct.sorted, s"invariant broken: $buf")
+      }
+    }
+  }
+}

@@ -73,6 +73,81 @@ class StreamingKmvSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  /** The kmv_pair_estimate set algebra over a sketch table `key, h`:
+    * (s1, s2, n_match, theta) per pair — exact integers, so streamed
+    * and batch derivations compare with plain equality. */
+  private def pairEstimates(kv: org.apache.spark.sql.DataFrame)
+      : Seq[(String, String, Long, Long)] = {
+    val smry = Sketches.kmvSummary(kv, StreamingKmv.K)
+    val srcs = smry.select("key").distinct()
+    val pairs = srcs.select(col("key").as("s1"))
+      .join(srcs.select(col("key").as("s2")), col("s1") < col("s2"))
+    val pth = pairs
+      .join(smry.select(col("key").as("s1"), col("th_eff").as("t1")),
+        "s1")
+      .join(smry.select(col("key").as("s2"), col("th_eff").as("t2")),
+        "s2")
+      .withColumn("theta", least(col("t1"), col("t2")))
+      .select("s1", "s2", "theta")
+    val common = pairs
+      .join(kv.select(col("key").as("s1"), col("h")), "s1")
+      .join(kv.select(col("key").as("s2"), col("h")), Seq("s2", "h"))
+    val nm = common.join(pth, Seq("s1", "s2"))
+      .filter(col("h") < col("theta"))
+      .groupBy("s1", "s2").agg(count(lit(1)).as("n_match"))
+    pth.join(nm, Seq("s1", "s2"), "left")
+      .withColumn("n_match", coalesce(col("n_match"), lit(0L)))
+      .collect()
+      .map(r => (r.getAs[String]("s1"), r.getAs[String]("s2"),
+        r.getAs[Long]("n_match"), r.getAs[Long]("theta")))
+      .toSeq.sorted
+  }
+
+  test("LIVE cross-source overlap: keyedCells streams per-source " +
+      "sketches, mergeKeyed folds the salts at hour close, and the " +
+      "pair set algebra over the sink equals the batch derivation on " +
+      "identical data — including a zero-overlap pair") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = StreamingKmv.HourUs * 802
+    // overlapping value ranges; (src0, src2) deliberately disjoint
+    val data = Seq(
+      "src0" -> (1 to 400), "src1" -> (200 to 600),
+      "src2" -> (500 to 900))
+      .flatMap { case (s, r) => r.map(i => (s, s"val-$i-${i * 7919}")) }
+    val input = MemoryStream[StreamingKmv.KeyedSeen]
+    val q = StreamingKmv.keyedCells(input.toDS(), salts = 4,
+        maxDelay = "1 second")
+      .writeStream.format("memory").queryName("skmv_keyed")
+      .outputMode("update").start()
+    try {
+      input.addData(data.map { case (s, v) =>
+        StreamingKmv.KeyedSeen(s, v, t0 + 1000) }: _*)
+      q.processAllAvailable()
+      input.addData(StreamingKmv.KeyedSeen("flush", "f1",
+        t0 + StreamingKmv.HourUs + 2000000))
+      q.processAllAvailable()
+      input.addData(StreamingKmv.KeyedSeen("flush", "f2",
+        t0 + StreamingKmv.HourUs + 3000000))
+      q.processAllAvailable()
+      val live = StreamingKmv.mergeKeyed(
+          spark.table("skmv_keyed").as[StreamingKmv.KeyedSketchHash]
+            .filter(_.hourBucket == 802L))
+        .select("key", "h")
+      val batch = Sketches.kmvSketch(
+        data.toDF("src", "v"), col("src"), col("v"), StreamingKmv.K)
+      val liveP = pairEstimates(live)
+      val batchP = pairEstimates(batch)
+      assert(liveP === batchP,
+        s"live pair estimates diverged:\nlive  $liveP\nbatch $batchP")
+      val disjoint = liveP.find(p => p._1 == "src0" && p._2 == "src2")
+      assert(disjoint.exists(_._3 == 0L),
+        s"the disjoint pair should match zero hashes: $disjoint")
+      assert(liveP.exists(_._3 > 0L),
+        s"no overlapping pair matched any hashes: $liveP")
+    } finally q.stop()
+  }
+
   test("salted per-(hour, salt) bottom-k tables merge to EXACTLY the " +
       "single-group summary (bottom-k selection is exact under any " +
       "salt assignment), with every salt group k-bounded and " +
