@@ -415,6 +415,34 @@ object TemporalQueries {
         .orderBy("event_type")
     },
 
+    // HDR member of the shard-merge family (hll_merge_shards /
+    // cms_merge_shards / kmv_merge_shards — this completes all four
+    // sketches): Spark shards events by user_id parity, builds an
+    // independent per-shard bucket histogram, and merges by ADDITION
+    // (lo is a pure function of bucket, so min() re-derives it);
+    // the oracle derives the UNsharded histogram directly, so hash
+    // equality on the cell table proves the HDR merge law across
+    // engines on real data. Plan: two partial histogram aggregates +
+    // one union exchange of ≤ 2 × types × 960 rows — SF-invariant
+    // past the scans.
+    "hdr_merge_shards" -> { (s, dir) =>
+      val e = Tables.events(s, dir)
+        .filter(col("value").isNotNull && col("value") > 0)
+        .select(col("user_id"), col("event_type"),
+          expr("CAST(floor(value * 1000000e0) AS BIGINT)").as("vi"))
+      def shard(p: Int) = e
+        .filter(pmod(col("user_id"), lit(2)) === p)
+        .withColumn("bucket", expr(Sketches.hdrBucketSql("vi")))
+        .withColumn("lo", expr(Sketches.hdrBucketLoSql("vi")))
+        .groupBy("event_type", "bucket")
+        .agg(min("lo").as("lo"), count(lit(1)).as("cnt"))
+      shard(0).unionByName(shard(1))
+        .groupBy("event_type", "bucket")
+        .agg(min("lo").as("lo"), sum("cnt").as("cnt"))
+        .select("event_type", "bucket", "lo", "cnt")
+        .orderBy("event_type", "bucket")
+    },
+
     // Gap-based sessionization through Spark's NATIVE session_window
     // (the same operator the streaming path uses, so batch backfill and
     // live sessions share one definition): a session extends while the
@@ -759,6 +787,25 @@ object TemporalQueries {
         |  quantile_disc(value, 0.99) AS p99_value
         |FROM events WHERE value IS NOT NULL
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // merge-law row: the oracle never shards (hll_merge_shards
+    // discipline) — the unsharded histogram IS what shard-and-add
+    // must equal
+    "hdr_merge_shards" ->
+      s"""WITH e AS (
+        |  SELECT event_type,
+        |    CAST(floor(value * 1000000e0) AS BIGINT) AS vi
+        |  FROM events WHERE value IS NOT NULL AND value > 0
+        |), b AS (
+        |  SELECT event_type, vi,
+        |    ${Sketches.hdrBucketDuck("vi")} AS bucket,
+        |    ${Sketches.hdrBucketLoDuck("vi")} AS lo
+        |  FROM e
+        |)
+        |SELECT event_type, bucket, MIN(lo) AS lo,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM b GROUP BY event_type, bucket
+        |ORDER BY event_type, bucket""".stripMargin,
+
     "hdr_value_quantiles" ->
       s"""WITH e AS (
         |  SELECT event_type,
