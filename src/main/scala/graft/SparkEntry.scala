@@ -168,7 +168,8 @@ object SparkEntry {
       "hll_pair_overlap",
       // round-18 additions
       "hll_pair_estimate", "kmv_pair_overlap", "kmv_pair_estimate",
-      "kmv_merge_shards", "hll_sliding_users", "hdr_merge_shards")
+      "kmv_merge_shards", "hll_sliding_users", "hdr_merge_shards",
+      "hdr_sliding_quantiles")
 
   def benchQueries: Seq[(String, (SparkSession, String) => DataFrame)] =
     benchNames.flatMap(n => queries.get(n).map(n -> _))

@@ -415,6 +415,67 @@ object TemporalQueries {
         .orderBy("event_type")
     },
 
+    // SLIDING-WINDOW QUANTILES via bucket-histogram addition —
+    // hll_sliding_users' quantile sibling (the two sliding rows
+    // cover the sketch trio's distinct + quantile axes): rolling
+    // 7-day p50/p90/p99 of the event payload per day. Exact sliding
+    // quantiles re-sort every event into every window it touches
+    // (7× write amplification, growing with window length); per-day
+    // HDR bucket histograms (days × ≤960 integer rows, SF-invariant)
+    // make each window a cell-wise ADD over ≤ 7×960 rows — the
+    // hdr_merge_shards law applied to time, any window length for
+    // the same price, closed days never recompute. The exact sliding
+    // quantiles ride along as the TEST-SCALE audit; err_pm is the
+    // non-negative ≤62.5‰ bound of hdr_value_quantiles, audited per
+    // window.
+    "hdr_sliding_quantiles" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.events(s, dir)
+        .filter(col("value").isNotNull && col("value") > 0)
+        .select(expr("(ts div 1000) div 86400000000").as("day"),
+          expr("CAST(floor(value * 1000000e0) AS BIGINT)").as("vi"))
+      val hist = e
+        .withColumn("bucket", expr(Sketches.hdrBucketSql("vi")))
+        .withColumn("lo", expr(Sketches.hdrBucketLoSql("vi")))
+        .groupBy("day", "bucket")
+        .agg(min("lo").as("lo"), count(lit(1)).as("cnt"))
+        .localCheckpoint()
+      val days = hist.select("day").distinct()
+      val winHist = days.select(col("day").as("d"))
+        .join(hist, col("day").between(col("d") - 6, col("d")))
+        .groupBy("d", "bucket")
+        .agg(min("lo").as("lo"), sum("cnt").as("cnt"))
+      val wn = Window.partitionBy("d")
+      val skCum = winHist
+        .withColumn("cum", sum("cnt").over(wn.orderBy("bucket")))
+        .withColumn("n", sum("cnt").over(wn))
+      def q(v: String)(p: Int) =
+        min(when(col("cum") * 100 >= lit(p) * col("n"), col(v)))
+      val sk = skCum.groupBy(col("d").as("day"))
+        .agg(q("lo")(50).as("p50_sketch"), q("lo")(90).as("p90_sketch"),
+          q("lo")(99).as("p99_sketch"))
+      val exCum = days.select(col("day").as("d"))
+        .join(e, col("day").between(col("d") - 6, col("d")))
+        .groupBy("d", "vi").agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum("cnt").over(wn.orderBy("vi")))
+        .withColumn("n", sum("cnt").over(wn))
+      val ex = exCum.groupBy(col("d").as("day"))
+        .agg(q("vi")(50).as("p50_exact"), q("vi")(90).as("p90_exact"),
+          q("vi")(99).as("p99_exact"))
+      sk.join(ex, "day")
+        .select(col("day"),
+          col("p50_exact"), col("p50_sketch"),
+          expr("(p50_exact - p50_sketch) * 1000 div p50_exact")
+            .as("p50_err_pm"),
+          col("p90_exact"), col("p90_sketch"),
+          expr("(p90_exact - p90_sketch) * 1000 div p90_exact")
+            .as("p90_err_pm"),
+          col("p99_exact"), col("p99_sketch"),
+          expr("(p99_exact - p99_sketch) * 1000 div p99_exact")
+            .as("p99_err_pm"))
+        .orderBy("day")
+    },
+
     // HDR member of the shard-merge family (hll_merge_shards /
     // cms_merge_shards / kmv_merge_shards — this completes all four
     // sketches): Spark shards events by user_id parity, builds an
@@ -787,6 +848,68 @@ object TemporalQueries {
         |  quantile_disc(value, 0.99) AS p99_value
         |FROM events WHERE value IS NOT NULL
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "hdr_sliding_quantiles" ->
+      s"""WITH e AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CAST(floor(value * 1000000e0) AS BIGINT) AS vi
+        |  FROM events WHERE value IS NOT NULL AND value > 0
+        |), b AS (
+        |  SELECT day, vi,
+        |    ${Sketches.hdrBucketDuck("vi")} AS bucket,
+        |    ${Sketches.hdrBucketLoDuck("vi")} AS lo
+        |  FROM e
+        |), hist AS (
+        |  SELECT day, bucket, MIN(lo) AS lo,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM b GROUP BY day, bucket
+        |), days AS (
+        |  SELECT DISTINCT day FROM hist
+        |), wh AS (
+        |  SELECT d.day AS wd, hist.bucket, MIN(hist.lo) AS lo,
+        |    CAST(SUM(hist.cnt) AS BIGINT) AS cnt
+        |  FROM days d
+        |  JOIN hist ON hist.day BETWEEN d.day - 6 AND d.day
+        |  GROUP BY 1, 2
+        |), skcum AS (
+        |  SELECT wd, lo, cnt,
+        |    SUM(cnt) OVER (PARTITION BY wd ORDER BY bucket) AS cum,
+        |    SUM(cnt) OVER (PARTITION BY wd) AS n
+        |  FROM wh
+        |), sk AS (
+        |  SELECT wd AS day,
+        |    MIN(CASE WHEN cum * 100 >= 50 * n THEN lo END)
+        |      AS p50_sketch,
+        |    MIN(CASE WHEN cum * 100 >= 90 * n THEN lo END)
+        |      AS p90_sketch,
+        |    MIN(CASE WHEN cum * 100 >= 99 * n THEN lo END)
+        |      AS p99_sketch
+        |  FROM skcum GROUP BY wd
+        |), we AS (
+        |  SELECT d.day AS wd, e.vi, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM days d JOIN e ON e.day BETWEEN d.day - 6 AND d.day
+        |  GROUP BY 1, 2
+        |), excum AS (
+        |  SELECT wd, vi, cnt,
+        |    SUM(cnt) OVER (PARTITION BY wd ORDER BY vi) AS cum,
+        |    SUM(cnt) OVER (PARTITION BY wd) AS n
+        |  FROM we
+        |), ex AS (
+        |  SELECT wd AS day,
+        |    MIN(CASE WHEN cum * 100 >= 50 * n THEN vi END) AS p50_exact,
+        |    MIN(CASE WHEN cum * 100 >= 90 * n THEN vi END) AS p90_exact,
+        |    MIN(CASE WHEN cum * 100 >= 99 * n THEN vi END) AS p99_exact
+        |  FROM excum GROUP BY wd
+        |)
+        |SELECT sk.day,
+        |  p50_exact, p50_sketch,
+        |  (p50_exact - p50_sketch) * 1000 // p50_exact AS p50_err_pm,
+        |  p90_exact, p90_sketch,
+        |  (p90_exact - p90_sketch) * 1000 // p90_exact AS p90_err_pm,
+        |  p99_exact, p99_sketch,
+        |  (p99_exact - p99_sketch) * 1000 // p99_exact AS p99_err_pm
+        |FROM sk JOIN ex ON ex.day = sk.day
+        |ORDER BY sk.day""".stripMargin,
+
     // merge-law row: the oracle never shards (hll_merge_shards
     // discipline) — the unsharded histogram IS what shard-and-add
     // must equal
