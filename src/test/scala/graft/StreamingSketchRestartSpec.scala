@@ -193,6 +193,66 @@ class StreamingSketchRestartSpec extends SparkSpec {
       "sink-table merge diverged from the batch sketch after restart")
   }
 
+  test("StreamingKmv.keyedCells survives a mid-hour checkpoint " +
+      "restart on ROCKSDB state: per-(source, hour, salt) sketches " +
+      "emit exactly once, and the pair set algebra over the sink " +
+      "equals the batch derivation — live contamination monitoring " +
+      "recovers from a cold stop") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingSketchRestartSpec.keyedOut
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    try {
+      keyedOut.clear()
+      val hour = 704L
+      val t0 = StreamingKmv.HourUs * hour
+      val data = Seq(
+        "src0" -> (1 to 400), "src1" -> (200 to 600))
+        .flatMap { case (s, r) =>
+          r.map(i => (s, s"val-$i-${i * 7919}")) }
+      val (pre, post) = data.splitAt(data.size / 2)
+      val input = MemoryStream[StreamingKmv.KeyedSeen]
+      restartRun(input,
+        () => StreamingKmv.keyedCells(input.toDS(), salts = 4,
+          maxDelay = "1 second"),
+        ckptDir("kmv-keyed"), keyedOut,
+        pre.map { case (s, v) =>
+          StreamingKmv.KeyedSeen(s, v, t0 + 1000) },
+        post.map { case (s, v) =>
+          StreamingKmv.KeyedSeen(s, v, t0 + 2000) },
+        Seq(
+          StreamingKmv.KeyedSeen("flush", "f1",
+            t0 + StreamingKmv.HourUs + 2000000),
+          StreamingKmv.KeyedSeen("flush", "f2",
+            t0 + StreamingKmv.HourUs + 3000000)))
+      val cells = keyedOut.asScala.toSeq.filter(_.hourBucket == hour)
+      assert(cells.nonEmpty, "no sketch rows emitted at hour close")
+      assert(cells.map(c => (c.key, c.salt, c.h)).distinct.size ===
+        cells.size,
+        "a (key, salt, h) row was emitted twice across the restart")
+      // sink-table sketches == batch sketches, per source, bit-exact
+      val live = StreamingKmv.mergeKeyed(cells.toDS())
+        .select("key", "h")
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+        .toSeq.sorted
+      val batch = Sketches.kmvSketch(
+          data.toDF("src", "v"), col("src"), col("v"), StreamingKmv.K)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+        .toSeq.sorted
+      assert(live === batch,
+        "per-source sink sketches diverged from batch after restart")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("StreamingHdr.cells survives a mid-hour checkpoint restart: " +
       "per-(hour, salt) bucket tables emit exactly once and merge() " +
       "over the sink table equals the batch bucket histogram") {
@@ -242,6 +302,8 @@ object StreamingSketchRestartSpec {
     StreamingCms.SaltedCell]()
   val kmvOut = new java.util.concurrent.ConcurrentLinkedQueue[
     StreamingKmv.SketchHash]()
+  val keyedOut = new java.util.concurrent.ConcurrentLinkedQueue[
+    StreamingKmv.KeyedSketchHash]()
   val hdrOut = new java.util.concurrent.ConcurrentLinkedQueue[
     StreamingHdr.SaltedBucket]()
 }
