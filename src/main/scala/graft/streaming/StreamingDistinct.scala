@@ -58,6 +58,22 @@ object StreamingDistinct {
   case class RegisterCell(hourBucket: Long, salt: Long, register: Int,
       m: Int)
 
+  /** A sighting of `value` under sketch key `key` (e.g. the SOURCE a
+    * document came from) — [[keyedCells]]' input. */
+  case class KeyedSeen(key: String, value: String, tsUs: Long)
+
+  private[streaming] case class TimedKeyed(key: String, value: String,
+      tsUs: Long, eventTime: java.sql.Timestamp, hourBucket: Long,
+      salt: Long)
+
+  /** One (key, closed hour, salt group) register — [[keyedCells]]'
+    * output; [[mergeKeyed]] folds the salt axis into per-(key, hour)
+    * register tables, the exact `key, register, m` shape
+    * [[graft.operators.Sketches.hllSummary]] and the pair-overlap
+    * register algebra (hll_pair_estimate) consume. */
+  case class KeyedRegisterCell(key: String, hourBucket: Long,
+      salt: Long, register: Int, m: Int)
+
   private[streaming] case class RegState(m: Map[Int, Int])
 
   val HourUs: Long = 3600000000L
@@ -156,6 +172,66 @@ object StreamingDistinct {
           }
       }
   }
+
+  /** [[cells]] per sketch KEY — live per-SOURCE registers, the input
+    * of the cross-source overlap estimator (hll_pair_estimate's
+    * inclusion–exclusion over register maxes): a stream of
+    * (source, shingle) sightings becomes, at each hour close, one
+    * register table per (source, salt); [[mergeKeyed]] folds the
+    * salts into the per-(source, hour) register tables the batch
+    * set algebra consumes — the HLL counterpart of
+    * [[StreamingKmv.keyedCells]] (StreamingDistinctSpec pins the
+    * closed-hour registers equal to the batch derivation). State:
+    * (keys × salts) × ≤256 ints per open hour. */
+  def keyedCells(values: Dataset[KeyedSeen], salts: Int = 16,
+      maxDelay: String = "1 hour"): Dataset[KeyedRegisterCell] = {
+    require(salts >= 1, s"salts must be >= 1, got $salts")
+    implicit val timedEnc = Encoders.product[TimedKeyed]
+    implicit val stateEnc = Encoders.product[RegState]
+    implicit val outEnc = Encoders.product[KeyedRegisterCell]
+    values.toDF()
+      .withColumn("eventTime", timestamp_micros(col("tsUs")))
+      .withWatermark("eventTime", maxDelay)
+      .withColumn("hourBucket", expr(s"tsUs div $HourUs"))
+      .withColumn("salt", pmod(xxhash64(col("value")), lit(salts.toLong)))
+      .as[TimedKeyed]
+      .groupByKey(v => (v.key, v.hourBucket, v.salt))(
+        Encoders.tuple(Encoders.STRING, Encoders.scalaLong,
+          Encoders.scalaLong))
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.EventTimeTimeout) {
+        (khs: (String, Long, Long), it: Iterator[TimedKeyed],
+            state: GroupState[RegState]) =>
+          val (key, hour, salt) = khs
+          val regs = it.foldLeft(
+            state.getOption.getOrElse(RegState(Map.empty)).m) { (m, v) =>
+            val (r, rho) = registerAndRho(v.value)
+            if (rho > m.getOrElse(r, 0)) m.updated(r, rho) else m
+          }
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val hourEndUs = (hour + 1L) * HourUs
+          if (wmUs >= hourEndUs) {
+            state.remove()
+            regs.toSeq.sortBy(_._1).iterator.map { case (r, rho) =>
+              KeyedRegisterCell(key, hour, salt, r, rho)
+            }
+          } else {
+            state.update(RegState(regs))
+            state.setTimeoutTimestamp(hourEndUs / 1000L)
+            Iterator.empty
+          }
+      }
+  }
+
+  /** Folds [[keyedCells]]' salt axis away: per-(key, hour) register
+    * tables `key, hourBucket, register, m` (element-wise max — the
+    * merge law) — feed `Sketches.hllSummary` / the pair register
+    * algebra with `key` (or `(key, hourBucket)`) as the sketch key. */
+  def mergeKeyed(cells: Dataset[KeyedRegisterCell])
+      : org.apache.spark.sql.DataFrame =
+    cells.toDF()
+      .groupBy("key", "hourBucket", "register")
+      .agg(max("m").as("m"))
 
   /** Cell-wise merge of per-salt register tables → per-hour summary,
     * the tiny follow-up aggregate of the salted path (≤ salts × 256

@@ -149,4 +149,53 @@ class StreamingDistinctSpec extends SparkSpec {
         "merged salted summary diverged from the single-group report")
     } finally { qs.stop(); qp.stop() }
   }
+
+  test("LIVE per-source registers: keyedCells streams one sketch " +
+      "per (source, salt), mergeKeyed folds the salts at hour " +
+      "close, and the per-source register tables equal the batch " +
+      "hllRegisters derivation bit-exactly — the input the " +
+      "hll_pair_estimate register algebra consumes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = StreamingDistinct.HourUs * 502
+    // overlapping per-source value ranges, duplicates included
+    val data = Seq("srcA" -> (1 to 900), "srcB" -> (500 to 1400))
+      .flatMap { case (s, r) =>
+        r.map(i => (s, s"value-$i-${i * 7919}")) }
+    val input = MemoryStream[StreamingDistinct.KeyedSeen]
+    val q = StreamingDistinct.keyedCells(input.toDS(), salts = 4,
+        maxDelay = "1 second")
+      .writeStream.format("memory").queryName("sdist_keyed")
+      .outputMode("update").start()
+    try {
+      input.addData(data.map { case (s, v) =>
+        StreamingDistinct.KeyedSeen(s, v, t0 + 1000) }: _*)
+      q.processAllAvailable()
+      input.addData(StreamingDistinct.KeyedSeen("flush", "f1",
+        t0 + StreamingDistinct.HourUs + 2000000))
+      q.processAllAvailable()
+      input.addData(StreamingDistinct.KeyedSeen("flush", "f2",
+        t0 + StreamingDistinct.HourUs + 3000000))
+      q.processAllAvailable()
+      val cells = spark.table("sdist_keyed")
+        .as[StreamingDistinct.KeyedRegisterCell].collect()
+        .filter(_.hourBucket == 502L)
+      assert(cells.nonEmpty, "no register rows emitted at hour close")
+      assert(cells.map(c => (c.key, c.salt, c.register)).distinct.size
+        === cells.size, "duplicate (key, salt, register) rows")
+      val live = StreamingDistinct.mergeKeyed(cells.toSeq.toDS())
+        .select("key", "register", "m")
+        .collect()
+        .map(r => (r.getString(0), r.getInt(1).toLong, r.getInt(2)))
+        .toSeq.sorted
+      val batch = graft.operators.Sketches.hllRegisters(
+          data.toDF("src", "v"), col("src"), col("v"), 8)
+        .collect()
+        .map(r => (r.getAs[String]("key"), r.getAs[Long]("register"),
+          r.getAs[Int]("m")))
+        .toSeq.sorted
+      assert(live === batch,
+        "per-source live registers diverged from the batch sketch")
+    } finally q.stop()
+  }
 }
