@@ -169,7 +169,11 @@ object SparkEntry {
       // round-18 additions
       "hll_pair_estimate", "kmv_pair_overlap", "kmv_pair_estimate",
       "kmv_merge_shards", "hll_sliding_users", "hdr_merge_shards",
-      "hdr_sliding_quantiles")
+      "hdr_sliding_quantiles",
+      // round-19 additions: the sketch-only sliding production twins
+      // + the parquet-persisted sketch-table pair path
+      "hll_sliding_estimate", "hdr_sliding_sketch",
+      "hll_pair_from_table")
 
   def benchQueries: Seq[(String, (SparkSession, String) => DataFrame)] =
     benchNames.flatMap(n => queries.get(n).map(n -> _))

@@ -57,17 +57,29 @@ object Sketches {
   }
 
   /** Register table → per-key summary `key, v_zero, s_scaled`. */
-  def hllSummary(regs: DataFrame, p: Int): DataFrame = {
+  def hllSummary(regs: DataFrame, p: Int): DataFrame =
+    hllSummaryBy(regs, Seq("key"), p)
+
+  /** [[hllSummary]] over ARBITRARY grouping columns — the ONE
+    * derivation of the `(v_zero, s_scaled)` register fold, shared by
+    * the single-key summary above and the pair-union register algebra
+    * (hll_pair_overlap / hll_pair_estimate / kmv_pair_overlap group by
+    * `(s1, s2)`). r18 ADVICE: those queries previously duplicated the
+    * fold inline with hardcoded p=8 constants (256 / 53 / 2^53) in
+    * three places, which a future p change could silently drift. */
+  def hllSummaryBy(regs: DataFrame, groupCols: Seq[String], p: Int)
+      : DataFrame = {
     val m = 1L << p
     val wBits = 60 - p
     val top = wBits + 1
-    regs.groupBy("key").agg(
+    val gcs = groupCols.map(col)
+    regs.groupBy(gcs: _*).agg(
         count(lit(1)).as("n_obs"),
         sum(expr(s"shiftleft(CAST(1 AS BIGINT), " +
           s"CAST($top - m AS INT))")).as("s_obs"))
-      .select(col("key"), (lit(m) - col("n_obs")).as("v_zero"),
+      .select(gcs ++ Seq((lit(m) - col("n_obs")).as("v_zero"),
         ((lit(m) - col("n_obs")) * lit(1L << top) + col("s_obs"))
-          .as("s_scaled"))
+          .as("s_scaled")): _*)
   }
 
   /** The raw-HLL estimate as a shared-SQL double expression over a
@@ -112,6 +124,10 @@ object Sketches {
     df.select(keyCol.as("key"),
         conv(substring(md5(valueCol), 1, 15), 16, 10).cast("long")
           .as("h"))
+      // r18 ADVICE: md5(NULL) -> NULL h would decode as 0L through the
+      // udaf's primitive long encoder, injecting a spurious minimum
+      // hash 0 into the sketch; a NULL value is "no observation"
+      .filter(col("h").isNotNull)
       .groupBy("key")
       .agg(graft.functions.KmvAgg.kmv(col("h"), k).as("hs"))
       .select(col("key"), explode(col("hs")).as("h"))

@@ -71,6 +71,11 @@ object TemporalQueries {
     // the sketch exists to avoid). p=5 keeps sf0.01's ~150-user
     // windows in the raw-HLL regime; the gate checks determinism,
     // not accuracy, below it.
+    //
+    // r18 verdict: THIS row is the audit twin; the PRODUCTION form is
+    // hll_sliding_estimate below — estimate columns from the
+    // checkpointed per-day register frame ALONE, no corpus-scale
+    // (day, user) distinct, no 7× window expansion of raw rows.
     "hll_sliding_users" -> { (s, dir) =>
       val ev = Tables.events(s, dir)
         .select(expr("(ts div 1000) div 86400000000").as("day"),
@@ -97,6 +102,40 @@ object TemporalQueries {
       est.join(exact, "day")
         .withColumn("err_pm", expr(SlidingErrPermilleSql))
         .select("day", "est_users", "exact_users", "err_pm")
+        .orderBy("day")
+    },
+
+    // hll_sliding_users' SKETCH-ONLY production twin (r18 verdict
+    // task #1 — the hll_pair_estimate discipline applied to the
+    // sliding rows): rolling 7-day distinct users per day derived
+    // from the checkpointed per-day register frame ALONE. ONE corpus
+    // scan builds days × 32 registers (p=5, map-side partial, the
+    // exchange is SF-invariant); every window is then a register-max
+    // over ≤ 7×32 rows and the estimate is the shared-string raw-HLL
+    // division — no (day, user) distinct, no 7× raw-row window
+    // expansion, ANY window length for the same price. At 100 TB this
+    // is the row a rolling-monitoring job actually runs; the exact
+    // audit lives in hll_sliding_users above, which SCALE shows
+    // growing with the corpus while this row's post-scan cost is
+    // fixed. PlanPins pins the final plan parquet-free (the register
+    // frame carries the one scan at construction).
+    "hll_sliding_estimate" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .select(expr("(ts div 1000) div 86400000000").as("day"),
+          col("user_id").cast("string").as("uid"))
+      val regs = Sketches.hllRegisters(ev, col("day"), col("uid"), 5)
+        .withColumnRenamed("key", "day")
+        .localCheckpoint()
+      val days = regs.select("day").distinct()
+      Sketches.hllSummary(
+          days.select(col("day").as("d"))
+            .join(regs,
+              col("day").between(col("d") - 6, col("d")))
+            .groupBy(col("d").as("key"), col("register"))
+            .agg(max("m").as("m")), 5)
+        .withColumnRenamed("key", "day")
+        .withColumn("est_users", expr(Sketches.hllEstimateSql(5)))
+        .select("day", "est_users")
         .orderBy("day")
     },
 
@@ -428,6 +467,10 @@ object TemporalQueries {
     // quantiles ride along as the TEST-SCALE audit; err_pm is the
     // non-negative ≤62.5‰ bound of hdr_value_quantiles, audited per
     // window.
+    //
+    // r18 verdict: THIS row is the audit twin; the PRODUCTION form is
+    // hdr_sliding_sketch below — sketch percentiles from the per-day
+    // histograms alone, no day×event expansion, no corpus re-sort.
     "hdr_sliding_quantiles" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val e = Tables.events(s, dir)
@@ -462,17 +505,65 @@ object TemporalQueries {
       val ex = exCum.groupBy(col("d").as("day"))
         .agg(q("vi")(50).as("p50_exact"), q("vi")(90).as("p90_exact"),
           q("vi")(99).as("p99_exact"))
+      // zero-guard (r18 ADVICE): value > 0 does not prevent
+      // vi = floor(value·1e6) = 0 for sub-microunit values, and Spark
+      // `div` vs DuckDB `//` may diverge on a zero divisor — an
+      // explicit CASE (mirrored in the oracle) makes that regime NULL
+      // in both engines
       sk.join(ex, "day")
         .select(col("day"),
           col("p50_exact"), col("p50_sketch"),
-          expr("(p50_exact - p50_sketch) * 1000 div p50_exact")
+          expr("CASE WHEN p50_exact = 0 THEN NULL ELSE " +
+            "(p50_exact - p50_sketch) * 1000 div p50_exact END")
             .as("p50_err_pm"),
           col("p90_exact"), col("p90_sketch"),
-          expr("(p90_exact - p90_sketch) * 1000 div p90_exact")
+          expr("CASE WHEN p90_exact = 0 THEN NULL ELSE " +
+            "(p90_exact - p90_sketch) * 1000 div p90_exact END")
             .as("p90_err_pm"),
           col("p99_exact"), col("p99_sketch"),
-          expr("(p99_exact - p99_sketch) * 1000 div p99_exact")
+          expr("CASE WHEN p99_exact = 0 THEN NULL ELSE " +
+            "(p99_exact - p99_sketch) * 1000 div p99_exact END")
             .as("p99_err_pm"))
+        .orderBy("day")
+    },
+
+    // hdr_sliding_quantiles' SKETCH-ONLY production twin (r18 verdict
+    // task #1, the hll_sliding_estimate discipline for quantiles):
+    // rolling 7-day p50/p90/p99 from the checkpointed per-day bucket
+    // histograms ALONE — each window is a bucket-count ADDITION over
+    // ≤ 7×960 rows plus one cumulative read, no day×event raw-row
+    // window expansion, no corpus-scale re-sort. ONE corpus scan
+    // builds the per-day histograms (map-side partial; the exchange
+    // carries ≤ days×960 rows at any SF); everything after is
+    // SF-invariant. hdr_sliding_quantiles above stays registered as
+    // the test-scale audit twin carrying the exact percentiles.
+    "hdr_sliding_sketch" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.events(s, dir)
+        .filter(col("value").isNotNull && col("value") > 0)
+        .select(expr("(ts div 1000) div 86400000000").as("day"),
+          expr("CAST(floor(value * 1000000e0) AS BIGINT)").as("vi"))
+      val hist = e
+        .withColumn("bucket", expr(Sketches.hdrBucketSql("vi")))
+        .withColumn("lo", expr(Sketches.hdrBucketLoSql("vi")))
+        .groupBy("day", "bucket")
+        .agg(min("lo").as("lo"), count(lit(1)).as("cnt"))
+        .localCheckpoint()
+      val days = hist.select("day").distinct()
+      val winHist = days.select(col("day").as("d"))
+        .join(hist, col("day").between(col("d") - 6, col("d")))
+        .groupBy("d", "bucket")
+        .agg(min("lo").as("lo"), sum("cnt").as("cnt"))
+      val wn = Window.partitionBy("d")
+      val skCum = winHist
+        .withColumn("cum", sum("cnt").over(wn.orderBy("bucket")))
+        .withColumn("n", sum("cnt").over(wn))
+      def q(p: Int) =
+        min(when(col("cum") * 100 >= lit(p) * col("n"), col("lo")))
+      skCum.groupBy(col("d").as("day"))
+        .agg(q(50).as("p50_sketch"), q(90).as("p90_sketch"),
+          q(99).as("p99_sketch"))
+        .select("day", "p50_sketch", "p90_sketch", "p99_sketch")
         .orderBy("day")
     },
 
@@ -671,6 +762,36 @@ object TemporalQueries {
         |SELECT day, est_users, exact_users,
         |  $SlidingErrPermilleSql AS err_pm
         |FROM f ORDER BY day""".stripMargin
+    },
+
+    "hll_sliding_estimate" -> {
+      val est = Sketches.hllEstimateSql(5)
+      s"""WITH ev AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CAST(user_id AS VARCHAR) AS uid
+        |  FROM events
+        |), hh AS (
+        |  SELECT day,
+        |    ('0x' || substr(md5(uid), 1, 15))::BIGINT AS h
+        |  FROM ev
+        |), rg AS (
+        |  SELECT day, h // 36028797018963968 AS register,
+        |    MAX(CASE WHEN h % 36028797018963968 = 0 THEN 56
+        |      ELSE 56 - length(bin(h % 36028797018963968)) END) AS m
+        |  FROM hh GROUP BY day, register
+        |), days AS (
+        |  SELECT DISTINCT day FROM rg
+        |), wr AS (
+        |  SELECT d.day AS wd, rg.register, MAX(rg.m) AS m
+        |  FROM days d JOIN rg ON rg.day BETWEEN d.day - 6 AND d.day
+        |  GROUP BY 1, 2
+        |), su AS (
+        |  SELECT wd AS day,
+        |    (32 - COUNT(*)) * 72057594037927936 +
+        |      CAST(SUM(1::BIGINT << (56 - m)) AS BIGINT) AS s_scaled
+        |  FROM wr GROUP BY wd
+        |)
+        |SELECT day, $est AS est_users FROM su ORDER BY day""".stripMargin
     },
 
     // Sessions re-derived relationally (lag → break → running sum),
@@ -902,13 +1023,56 @@ object TemporalQueries {
         |)
         |SELECT sk.day,
         |  p50_exact, p50_sketch,
-        |  (p50_exact - p50_sketch) * 1000 // p50_exact AS p50_err_pm,
+        |  CASE WHEN p50_exact = 0 THEN NULL ELSE
+        |    (p50_exact - p50_sketch) * 1000 // p50_exact END
+        |    AS p50_err_pm,
         |  p90_exact, p90_sketch,
-        |  (p90_exact - p90_sketch) * 1000 // p90_exact AS p90_err_pm,
+        |  CASE WHEN p90_exact = 0 THEN NULL ELSE
+        |    (p90_exact - p90_sketch) * 1000 // p90_exact END
+        |    AS p90_err_pm,
         |  p99_exact, p99_sketch,
-        |  (p99_exact - p99_sketch) * 1000 // p99_exact AS p99_err_pm
+        |  CASE WHEN p99_exact = 0 THEN NULL ELSE
+        |    (p99_exact - p99_sketch) * 1000 // p99_exact END
+        |    AS p99_err_pm
         |FROM sk JOIN ex ON ex.day = sk.day
         |ORDER BY sk.day""".stripMargin,
+
+    "hdr_sliding_sketch" ->
+      s"""WITH e AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CAST(floor(value * 1000000e0) AS BIGINT) AS vi
+        |  FROM events WHERE value IS NOT NULL AND value > 0
+        |), b AS (
+        |  SELECT day, vi,
+        |    ${Sketches.hdrBucketDuck("vi")} AS bucket,
+        |    ${Sketches.hdrBucketLoDuck("vi")} AS lo
+        |  FROM e
+        |), hist AS (
+        |  SELECT day, bucket, MIN(lo) AS lo,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM b GROUP BY day, bucket
+        |), days AS (
+        |  SELECT DISTINCT day FROM hist
+        |), wh AS (
+        |  SELECT d.day AS wd, hist.bucket, MIN(hist.lo) AS lo,
+        |    CAST(SUM(hist.cnt) AS BIGINT) AS cnt
+        |  FROM days d
+        |  JOIN hist ON hist.day BETWEEN d.day - 6 AND d.day
+        |  GROUP BY 1, 2
+        |), skcum AS (
+        |  SELECT wd, lo, cnt,
+        |    SUM(cnt) OVER (PARTITION BY wd ORDER BY bucket) AS cum,
+        |    SUM(cnt) OVER (PARTITION BY wd) AS n
+        |  FROM wh
+        |)
+        |SELECT wd AS day,
+        |  MIN(CASE WHEN cum * 100 >= 50 * n THEN lo END)
+        |    AS p50_sketch,
+        |  MIN(CASE WHEN cum * 100 >= 90 * n THEN lo END)
+        |    AS p90_sketch,
+        |  MIN(CASE WHEN cum * 100 >= 99 * n THEN lo END)
+        |    AS p99_sketch
+        |FROM skcum GROUP BY wd ORDER BY day""".stripMargin,
 
     // merge-law row: the oracle never shards (hll_merge_shards
     // discipline) — the unsharded histogram IS what shard-and-add

@@ -215,6 +215,63 @@ object TrainingQueries {
       "* 1000e0 / CAST(exact_inter AS DOUBLE)) AS BIGINT) END"
   private val InterErrPermilleSql = errPermilleSql("inter_est")
 
+  /** The sketch-only pair-estimate oracle — shared verbatim by
+    * hll_pair_estimate (localCheckpoint answer path) and
+    * hll_pair_from_table (parquet-persisted sketch table): the
+    * register write/read round-trip is lossless integers, so both
+    * rows must hash-match the same recomputation from `documents`. */
+  private lazy val hllPairEstimateOracleSql: String = {
+    val est = Sketches.hllEstimateSql(8)
+    s"""WITH sh AS (
+      |  SELECT source, unnest($shinglesExpr) AS sh FROM documents
+      |), hh AS (
+      |  SELECT source,
+      |    ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h
+      |  FROM sh
+      |), r AS (
+      |  SELECT source, h // 4503599627370496 AS register,
+      |    MAX(CASE WHEN h % 4503599627370496 = 0 THEN 53
+      |      ELSE 53 - length(bin(h % 4503599627370496)) END) AS m
+      |  FROM hh GROUP BY source, register
+      |), su AS (
+      |  SELECT source,
+      |    (256 - COUNT(*)) * 9007199254740992 +
+      |      CAST(SUM(1::BIGINT << (53 - m)) AS BIGINT) AS s_scaled
+      |  FROM r GROUP BY source
+      |), se AS (
+      |  SELECT source, $est AS est FROM su
+      |), pairs AS (
+      |  SELECT a.source AS s1, b.source AS s2
+      |  FROM (SELECT DISTINCT source FROM r) a
+      |  JOIN (SELECT DISTINCT source FROM r) b ON a.source < b.source
+      |), pu AS (
+      |  SELECT s1, s2, register, m FROM pairs
+      |  JOIN r ON r.source = s1
+      |  UNION ALL
+      |  SELECT s1, s2, register, m FROM pairs
+      |  JOIN r ON r.source = s2
+      |), ur AS (
+      |  SELECT s1, s2, register, MAX(m) AS m
+      |  FROM pu GROUP BY s1, s2, register
+      |), us AS (
+      |  SELECT s1, s2,
+      |    (256 - COUNT(*)) * 9007199254740992 +
+      |      CAST(SUM(1::BIGINT << (53 - m)) AS BIGINT) AS s_scaled
+      |  FROM ur GROUP BY s1, s2
+      |), ue AS (
+      |  SELECT s1, s2, $est AS est_union FROM us
+      |), j AS (
+      |  SELECT ue.s1, ue.s2,
+      |    ea.est AS est_s1, eb.est AS est_s2, est_union
+      |  FROM ue
+      |  JOIN se ea ON ea.source = ue.s1
+      |  JOIN se eb ON eb.source = ue.s2
+      |)
+      |SELECT s1, s2, est_s1, est_s2, est_union,
+      |  $InterEstSql AS inter_est
+      |FROM j ORDER BY s1, s2""".stripMargin
+  }
+
   /** The corpus bigram stream (lowercased token pairs), shared by the
     * CMS sketch/report rows; `withDocId` keeps the shard key for the
     * merge-law row. */
@@ -2535,14 +2592,12 @@ object TrainingQueries {
         .unionByName(pairs
           .join(regs.withColumnRenamed("key", "s2"), "s2")
           .select("s1", "s2", "register", "m"))
-      val unionSummary = pu
-        .groupBy("s1", "s2", "register").agg(max("m").as("m"))
-        .groupBy("s1", "s2").agg(count(lit(1)).as("n_obs"),
-          sum(expr("shiftleft(CAST(1 AS BIGINT)," +
-            " CAST(53 - m AS INT))")).as("s_obs"))
-        .select(col("s1"), col("s2"),
-          ((lit(256L) - col("n_obs")) * lit(1L << 53) + col("s_obs"))
-            .as("s_scaled"))
+      // the (s1, s2)-keyed register fold is Sketches.hllSummaryBy —
+      // ONE derivation shared with the single-key summary (r18 ADVICE:
+      // previously inlined with hardcoded p=8 constants in 3 places)
+      val unionSummary = Sketches.hllSummaryBy(
+          pu.groupBy("s1", "s2", "register").agg(max("m").as("m")),
+          Seq("s1", "s2"), 8)
         .withColumn("est_union", expr(Sketches.hllEstimateSql(8)))
       val dsh = sh.distinct()
       val exact = dsh.as("x")
@@ -2599,14 +2654,9 @@ object TrainingQueries {
         .unionByName(pairs
           .join(regs.withColumnRenamed("key", "s2"), "s2")
           .select("s1", "s2", "register", "m"))
-      pu
-        .groupBy("s1", "s2", "register").agg(max("m").as("m"))
-        .groupBy("s1", "s2").agg(count(lit(1)).as("n_obs"),
-          sum(expr("shiftleft(CAST(1 AS BIGINT)," +
-            " CAST(53 - m AS INT))")).as("s_obs"))
-        .select(col("s1"), col("s2"),
-          ((lit(256L) - col("n_obs")) * lit(1L << 53) + col("s_obs"))
-            .as("s_scaled"))
+      Sketches.hllSummaryBy(
+          pu.groupBy("s1", "s2", "register").agg(max("m").as("m")),
+          Seq("s1", "s2"), 8)
         .withColumn("est_union", expr(Sketches.hllEstimateSql(8)))
         .join(est.select(col("key").as("s1"), col("est").as("est_s1")),
           "s1")
@@ -2672,14 +2722,9 @@ object TrainingQueries {
         .unionByName(pairs
           .join(regs.withColumnRenamed("key", "s2"), "s2")
           .select("s1", "s2", "register", "m"))
-      val hllPairs = pu
-        .groupBy("s1", "s2", "register").agg(max("m").as("m"))
-        .groupBy("s1", "s2").agg(count(lit(1)).as("n_obs"),
-          sum(expr("shiftleft(CAST(1 AS BIGINT)," +
-            " CAST(53 - m AS INT))")).as("s_obs"))
-        .select(col("s1"), col("s2"),
-          ((lit(256L) - col("n_obs")) * lit(1L << 53) + col("s_obs"))
-            .as("s_scaled"))
+      val hllPairs = Sketches.hllSummaryBy(
+          pu.groupBy("s1", "s2", "register").agg(max("m").as("m")),
+          Seq("s1", "s2"), 8)
         .withColumn("est_union", expr(Sketches.hllEstimateSql(8)))
         .join(est.select(col("key").as("s1"), col("est").as("est_s1")),
           "s1")
@@ -2742,6 +2787,56 @@ object TrainingQueries {
         .withColumn("n_match", coalesce(col("n_match"), lit(0L)))
         .withColumn("inter_est", expr(Sketches.KmvInterEstSql))
         .select("s1", "s2", "est_s1", "est_s2", "n_match", "theta",
+          "inter_est")
+        .orderBy("s1", "s2")
+    },
+
+    // hll_pair_estimate over a PERSISTED sketch table (r18 verdict
+    // task #4): the pair twins pin their one-scan plans on
+    // localCheckpoint() — unreplicated executor blocks that a lost
+    // executor would kill at cluster scale. THIS row demonstrates the
+    // production-durable pattern the scaladocs promise ("persisted
+    // per-source sketches, zero corpus reads"): the per-source
+    // register frame is WRITTEN to a parquet sketch table (ONE corpus
+    // scan, sources×256 rows — a write any ingest job runs once per
+    // source/partition and unions incrementally, the hll_merge_shards
+    // law), then the answer-time pair algebra READS the sketch table
+    // back — restart-safe, shareable across jobs, and the answer-time
+    // plan scans ONLY the ≤ sources×256-row table (PlanPins pins the
+    // executed plan's single FileScan on the sketch path, corpus
+    // untouched). Results are identical to hll_pair_estimate —
+    // parquet round-trips the integer registers losslessly — so both
+    // rows share one oracle SQL.
+    "hll_pair_from_table" -> { (s, dir) =>
+      val sh = Tables.documents(s, dir)
+        .select(col("source"),
+          explode(TextAnalysis.shingles(col("text"), 3)).as("sh"))
+      val path = hllRegExportPath(dir)
+      Sketches.hllRegisters(sh, col("source"), col("sh"), 8)
+        .write.mode("overwrite").parquet(path)
+      val regs = s.read.parquet(path)
+      val est = Sketches.hllSummary(regs, 8)
+        .withColumn("est", expr(Sketches.hllEstimateSql(8)))
+        .select(col("key"), col("est"))
+      val srcs = regs.select("key").distinct()
+      val pairs = srcs.select(col("key").as("s1"))
+        .join(srcs.select(col("key").as("s2")), col("s1") < col("s2"))
+      val pu = pairs
+        .join(regs.withColumnRenamed("key", "s1"), "s1")
+        .select("s1", "s2", "register", "m")
+        .unionByName(pairs
+          .join(regs.withColumnRenamed("key", "s2"), "s2")
+          .select("s1", "s2", "register", "m"))
+      Sketches.hllSummaryBy(
+          pu.groupBy("s1", "s2", "register").agg(max("m").as("m")),
+          Seq("s1", "s2"), 8)
+        .withColumn("est_union", expr(Sketches.hllEstimateSql(8)))
+        .join(est.select(col("key").as("s1"), col("est").as("est_s1")),
+          "s1")
+        .join(est.select(col("key").as("s2"), col("est").as("est_s2")),
+          "s2")
+        .withColumn("inter_est", expr(InterEstSql))
+        .select("s1", "s2", "est_s1", "est_s2", "est_union",
           "inter_est")
         .orderBy("s1", "s2")
     },
@@ -3226,6 +3321,13 @@ object TrainingQueries {
 
   private def corpusExportPath(dir: String): String =
     s"$artifactRoot/corpus_${new java.io.File(dir).getName}.parquet"
+
+  /** hll_pair_from_table's persisted per-source register table —
+    * SF-suffixed like every at-rest layout (cross-SF clobber guard);
+    * the oracle never reads it (it recomputes registers from
+    * `documents` — parquet round-trips the integers losslessly). */
+  private def hllRegExportPath(dir: String): String =
+    s"$artifactRoot/hll_regs_${new java.io.File(dir).getName}.parquet"
 
   private val minhashMins = (0 until 8).map { i =>
     s"min(substr(md5(s), ${4 * i + 1}, 8)) AS h$i"
@@ -3827,57 +3929,10 @@ object TrainingQueries {
         |FROM f ORDER BY s1, s2""".stripMargin
     },
 
-    "hll_pair_estimate" -> {
-      val est = Sketches.hllEstimateSql(8)
-      s"""WITH sh AS (
-        |  SELECT source, unnest($shinglesExpr) AS sh FROM documents
-        |), hh AS (
-        |  SELECT source,
-        |    ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h
-        |  FROM sh
-        |), r AS (
-        |  SELECT source, h // 4503599627370496 AS register,
-        |    MAX(CASE WHEN h % 4503599627370496 = 0 THEN 53
-        |      ELSE 53 - length(bin(h % 4503599627370496)) END) AS m
-        |  FROM hh GROUP BY source, register
-        |), su AS (
-        |  SELECT source,
-        |    (256 - COUNT(*)) * 9007199254740992 +
-        |      CAST(SUM(1::BIGINT << (53 - m)) AS BIGINT) AS s_scaled
-        |  FROM r GROUP BY source
-        |), se AS (
-        |  SELECT source, $est AS est FROM su
-        |), pairs AS (
-        |  SELECT a.source AS s1, b.source AS s2
-        |  FROM (SELECT DISTINCT source FROM r) a
-        |  JOIN (SELECT DISTINCT source FROM r) b ON a.source < b.source
-        |), pu AS (
-        |  SELECT s1, s2, register, m FROM pairs
-        |  JOIN r ON r.source = s1
-        |  UNION ALL
-        |  SELECT s1, s2, register, m FROM pairs
-        |  JOIN r ON r.source = s2
-        |), ur AS (
-        |  SELECT s1, s2, register, MAX(m) AS m
-        |  FROM pu GROUP BY s1, s2, register
-        |), us AS (
-        |  SELECT s1, s2,
-        |    (256 - COUNT(*)) * 9007199254740992 +
-        |      CAST(SUM(1::BIGINT << (53 - m)) AS BIGINT) AS s_scaled
-        |  FROM ur GROUP BY s1, s2
-        |), ue AS (
-        |  SELECT s1, s2, $est AS est_union FROM us
-        |), j AS (
-        |  SELECT ue.s1, ue.s2,
-        |    ea.est AS est_s1, eb.est AS est_s2, est_union
-        |  FROM ue
-        |  JOIN se ea ON ea.source = ue.s1
-        |  JOIN se eb ON eb.source = ue.s2
-        |)
-        |SELECT s1, s2, est_s1, est_s2, est_union,
-        |  $InterEstSql AS inter_est
-        |FROM j ORDER BY s1, s2""".stripMargin
-    },
+    "hll_pair_estimate" -> hllPairEstimateOracleSql,
+    // identical algebra over the parquet-persisted register table —
+    // lossless round-trip, so the same oracle pins it
+    "hll_pair_from_table" -> hllPairEstimateOracleSql,
 
     "kmv_pair_overlap" -> {
       val est = Sketches.hllEstimateSql(8)

@@ -75,8 +75,17 @@ object CrawlScheduler {
       .withColumn("spec", expr(
         "CAST(length(pattern) * 2 + IF(allow, 1, 0) AS BIGINT)"))
       .groupBy("domain")
-      .agg(collect_list(struct(col("lp"), col("spec"), col("allow"),
-        col("pattern").as("pat"))).as("rules"))
+      // sort_array (r18 ADVICE): collect_list order after a groupBy is
+      // nondeterministic, and verdicts' strict `r.spec > acc.spec`
+      // fold keeps the FIRST max-spec rule it meets — so two rules
+      // with equal spec could alternate the winning `pat` (and the
+      // dead-letter reason string) across runs/replays even though the
+      // allow/deny verdict is stable. Sorting the struct array makes
+      // the fold order — hence the tie winner (lexicographically
+      // smallest (lp, spec, allow, pat) among max-spec matches) —
+      // deterministic.
+      .agg(sort_array(collect_list(struct(col("lp"), col("spec"),
+        col("allow"), col("pattern").as("pat")))).as("rules"))
   }
 
   private val NoRuleVerdict =

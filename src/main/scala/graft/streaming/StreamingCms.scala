@@ -52,6 +52,23 @@ object StreamingCms {
     * shape batch sketches merge with. */
   case class CellCount(hourBucket: Long, r: Int, c: Long, cnt: Long)
 
+  /** A sighting of counted item `value` under sketch key `key` (e.g.
+    * the SOURCE a document came from) — [[keyedCells]]' input; the
+    * CMS member of the keyed-streaming family (HLL:
+    * [[StreamingDistinct.KeyedSeen]], KMV: [[StreamingKmv.KeyedSeen]]). */
+  case class KeyedSeen(key: String, value: String, tsUs: Long)
+
+  private[streaming] case class TimedKeyed(key: String, value: String,
+      tsUs: Long, eventTime: java.sql.Timestamp, hourBucket: Long,
+      salt: Long)
+
+  /** One (key, closed hour, salt group) cell — [[keyedCells]]'
+    * output; [[mergeKeyed]] folds the salt axis away into per-(key,
+    * hour) cell tables, the `r, c, cnt` shape
+    * [[graft.operators.Sketches.cmsEstimate]] probes. */
+  case class KeyedSaltedCell(key: String, hourBucket: Long, salt: Long,
+      r: Int, c: Long, cnt: Long)
+
   private[streaming] case class CmsState(cells: Map[String, Long])
 
   val HourUs: Long = 3600000000L
@@ -122,6 +139,69 @@ object StreamingCms {
           }
       }
   }
+
+  /** [[cells]] per sketch KEY — live per-SOURCE frequency sketches
+    * (r18 verdict task #3, completing the keyed family next to
+    * [[StreamingDistinct.keyedCells]] and [[StreamingKmv.keyedCells]]):
+    * a stream of (source, item) sightings becomes, at each hour
+    * close, one d×w cell table per (source, salt); [[mergeKeyed]]
+    * folds the salts into the per-(source, hour) cell tables
+    * [[graft.operators.Sketches.cmsEstimate]] point-queries — live
+    * per-source frequency monitoring with the same
+    * exactly-once-at-close discipline. State: (keys × salts) × ≤ d×w
+    * longs per open hour. */
+  def keyedCells(values: Dataset[KeyedSeen], salts: Int = 16,
+      maxDelay: String = "1 hour"): Dataset[KeyedSaltedCell] = {
+    require(salts >= 1, s"salts must be >= 1, got $salts")
+    implicit val timedEnc = Encoders.product[TimedKeyed]
+    implicit val stateEnc = Encoders.product[CmsState]
+    implicit val outEnc = Encoders.product[KeyedSaltedCell]
+    values.toDF()
+      .withColumn("eventTime", timestamp_micros(col("tsUs")))
+      .withWatermark("eventTime", maxDelay)
+      .withColumn("hourBucket", expr(s"tsUs div $HourUs"))
+      .withColumn("salt", pmod(xxhash64(col("value")), lit(salts.toLong)))
+      .as[TimedKeyed]
+      .groupByKey(v => (v.key, v.hourBucket, v.salt))(
+        Encoders.tuple(Encoders.STRING, Encoders.scalaLong,
+          Encoders.scalaLong))
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.EventTimeTimeout) {
+        (khs: (String, Long, Long), it: Iterator[TimedKeyed],
+            state: GroupState[CmsState]) =>
+          val (key, hour, salt) = khs
+          val prior = state.getOption.getOrElse(CmsState(Map.empty))
+          val cellsNow = it.foldLeft(prior.cells) { (m, e) =>
+            (0 until D).foldLeft(m) { (m2, r) =>
+              val k = s"$r:${cell(r, e.value, W)}"
+              m2.updated(k, m2.getOrElse(k, 0L) + 1L)
+            }
+          }
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val hourEndUs = (hour + 1L) * HourUs
+          if (wmUs >= hourEndUs) {
+            state.remove()
+            cellsNow.toSeq.map { case (k, cnt) =>
+              val Array(r, c) = k.split(":")
+              KeyedSaltedCell(key, hour, salt, r.toInt, c.toLong, cnt)
+            }.sortBy(sc => (sc.r, sc.c)).iterator
+          } else {
+            state.update(CmsState(cellsNow))
+            state.setTimeoutTimestamp(hourEndUs / 1000L)
+            Iterator.empty
+          }
+      }
+  }
+
+  /** Folds [[keyedCells]]' salt axis away: per-(key, hour) cell
+    * tables `key, hourBucket, r, c, cnt` (cell-wise addition — the
+    * batch merge law; ≤ keys × salts × d×w input rows per hour) —
+    * probe with `Sketches.cmsEstimate` per (key, hourBucket). */
+  def mergeKeyed(cells: Dataset[KeyedSaltedCell])
+      : org.apache.spark.sql.DataFrame =
+    cells.toDF()
+      .groupBy("key", "hourBucket", "r", "c")
+      .agg(sum("cnt").as("cnt"))
 
   /** Cell-wise addition of per-salt tables → the hour's merged cell
     * table (the batch merge law; ≤ salts × 768 input rows per hour —

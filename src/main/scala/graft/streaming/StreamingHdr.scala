@@ -53,6 +53,22 @@ object StreamingHdr {
   case class BucketCount(hourBucket: Long, bucket: Long, lo: Long,
       cnt: Long)
 
+  /** A non-negative measurement under sketch key `key` (e.g. the
+    * SOURCE or endpoint it was observed on) — [[keyedCells]]' input;
+    * the HDR member of the keyed-streaming family. */
+  case class KeyedMeasured(key: String, vi: Long, tsUs: Long)
+
+  private[streaming] case class TimedKeyed(key: String, vi: Long,
+      tsUs: Long, eventTime: java.sql.Timestamp, hourBucket: Long,
+      salt: Long)
+
+  /** One (key, closed hour, salt group) bucket — [[keyedCells]]'
+    * output; [[mergeKeyed]] folds the salt axis away into per-(key,
+    * hour) bucket tables, the `bucket, lo, cnt` histogram shape the
+    * hdr_value_quantiles cumulative read consumes. */
+  case class KeyedSaltedBucket(key: String, hourBucket: Long,
+      salt: Long, bucket: Long, lo: Long, cnt: Long)
+
   private[streaming] case class HdrState(cells: Map[Long, Long])
 
   val HourUs: Long = 3600000000L
@@ -123,6 +139,68 @@ object StreamingHdr {
           }
       }
   }
+
+  /** [[cells]] per sketch KEY — live per-SOURCE quantile sketches
+    * (r18 verdict task #3, completing the keyed family next to
+    * [[StreamingDistinct.keyedCells]], [[StreamingKmv.keyedCells]]
+    * and [[StreamingCms.keyedCells]]): a stream of (source, value)
+    * measurements becomes, at each hour close, one bucket histogram
+    * per (source, salt); [[mergeKeyed]] folds the salts into the
+    * per-(source, hour) histograms any percentile read consumes —
+    * live per-source latency/size quantiles with the same
+    * exactly-once-at-close discipline. State: (keys × salts) × ≤960
+    * longs per open hour. */
+  def keyedCells(values: Dataset[KeyedMeasured], salts: Int = 16,
+      maxDelay: String = "1 hour"): Dataset[KeyedSaltedBucket] = {
+    require(salts >= 1, s"salts must be >= 1, got $salts")
+    implicit val timedEnc = Encoders.product[TimedKeyed]
+    implicit val stateEnc = Encoders.product[HdrState]
+    implicit val outEnc = Encoders.product[KeyedSaltedBucket]
+    values.toDF()
+      .withColumn("eventTime", timestamp_micros(col("tsUs")))
+      .withWatermark("eventTime", maxDelay)
+      .withColumn("hourBucket", expr(s"tsUs div $HourUs"))
+      .withColumn("salt", pmod(xxhash64(col("vi")), lit(salts.toLong)))
+      .as[TimedKeyed]
+      .groupByKey(v => (v.key, v.hourBucket, v.salt))(
+        Encoders.tuple(Encoders.STRING, Encoders.scalaLong,
+          Encoders.scalaLong))
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.EventTimeTimeout) {
+        (khs: (String, Long, Long), it: Iterator[TimedKeyed],
+            state: GroupState[HdrState]) =>
+          val (key, hour, salt) = khs
+          val prior = state.getOption.getOrElse(HdrState(Map.empty))
+          val cellsNow = it.foldLeft(prior.cells) { (m, e) =>
+            val b = bucket(e.vi)
+            m.updated(b, m.getOrElse(b, 0L) + 1L)
+          }
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val hourEndUs = (hour + 1L) * HourUs
+          if (wmUs >= hourEndUs) {
+            state.remove()
+            cellsNow.toSeq.sortBy(_._1).map { case (b, cnt) =>
+              val lo = if (b < 32L) b
+                else (16L + b % 16L) << (b / 16L - 1L)
+              KeyedSaltedBucket(key, hour, salt, b, lo, cnt)
+            }.iterator
+          } else {
+            state.update(HdrState(cellsNow))
+            state.setTimeoutTimestamp(hourEndUs / 1000L)
+            Iterator.empty
+          }
+      }
+  }
+
+  /** Folds [[keyedCells]]' salt axis away: per-(key, hour) bucket
+    * tables `key, hourBucket, bucket, lo, cnt` (cell-wise addition —
+    * the hdr_merge_shards law; ≤ keys × salts × 960 input rows per
+    * hour). */
+  def mergeKeyed(cells: Dataset[KeyedSaltedBucket])
+      : org.apache.spark.sql.DataFrame =
+    cells.toDF()
+      .groupBy("key", "hourBucket", "bucket", "lo")
+      .agg(sum("cnt").as("cnt"))
 
   /** Cell-wise addition of per-salt tables → the hour's merged
     * bucket table (≤ salts × 960 input rows per hour — run in

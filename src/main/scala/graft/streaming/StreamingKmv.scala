@@ -79,11 +79,21 @@ object StreamingKmv {
     else (K - 1).toDouble * (1L << 60).toDouble / theta.toDouble
 
   /** Bounded sorted-distinct insert — the KmvAgg reduce step in
-    * streaming-state form: O(1) rejection once full, O(k) on accept. */
+    * streaming-state form: O(1) rejection once full, O(log k) probe +
+    * one O(k) copy on accept (r18 verdict's KmvAgg micro-fix, applied
+    * here too — same invariant, same binary search). */
   private def insert(hs: Seq[Long], h: Long): Seq[Long] =
     if (hs.size == K && h >= hs(hs.size - 1)) hs
-    else if (hs.contains(h)) hs
-    else (hs :+ h).distinct.sorted.take(K)
+    else {
+      var lo = 0
+      var hi = hs.size
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (hs(mid) < h) lo = mid + 1 else hi = mid
+      }
+      if (lo < hs.size && hs(lo) == h) hs
+      else ((hs.take(lo) :+ h) ++ hs.drop(lo)).take(K)
+    }
 
   private def timed(values: Dataset[SeenValue], maxDelay: String,
       salts: Int): Dataset[TimedValue] = {

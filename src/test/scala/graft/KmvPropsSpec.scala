@@ -63,6 +63,30 @@ class KmvPropsSpec extends SparkSpec {
     }
   }
 
+  test("duplicate-heavy + adversarial orderings (r19: the binary-" +
+      "search reduce's worst cases): domain smaller than k, strictly " +
+      "descending arrival (every value accepted at slot 0), repeated " +
+      "boundary values") {
+    // domain < k: every distinct value retained, duplicates must all
+    // be rejected by the search probe (never create a double entry)
+    val tiny = Seq.fill(500)(rnd.nextInt(K - 3).toLong)
+    assert(fold(tiny) === truth(tiny))
+    // strictly descending: each new value is the new minimum — insert
+    // always lands at index 0 and, once full, evicts the current max
+    val desc = (200L to 1L by -1L)
+    assert(fold(desc) === (1L to K.toLong))
+    // descending with each value tripled: accepted-then-duplicate
+    val descDup = desc.flatMap(v => Seq(v, v, v))
+    assert(fold(descDup) === (1L to K.toLong))
+    // boundary repeats: the buffer max re-arriving when full (h ==
+    // buf.last takes the O(1) rejection), and the min re-arriving
+    val base = (1L to K.toLong)
+    val full = fold(base)
+    assert(agg.reduce(full, K.toLong) === full)
+    assert(agg.reduce(full, 1L) === full)
+    assert(agg.reduce(full, 0L) === (0L to (K - 1).toLong))
+  }
+
   test("buffer invariant holds at every reduce step: sorted " +
       "ascending, distinct, never more than k") {
     (1 to 50).foreach { _ =>

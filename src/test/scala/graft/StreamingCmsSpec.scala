@@ -135,4 +135,52 @@ class StreamingCmsSpec extends SparkSpec {
     assert(salted === unsalted,
       "merged salted cells diverged from the single-group sketch")
   }
+
+  test("LIVE per-source cells (r19): keyedCells streams one d*w " +
+      "sketch per (source, salt), mergeKeyed folds the salts at hour " +
+      "close, and every per-(source, hour) cell table equals the " +
+      "batch cmsCells of that source's items — live per-source " +
+      "frequency monitoring is batch-exact") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = StreamingCms.HourUs * 720
+    val data = Seq("src0" -> 0, "src1" -> 3).flatMap { case (s, off) =>
+      (1 to 900).map(i => (s, s"url-${(i + off) % 97}-${(i * 7919) % 31}"))
+    }
+    val input = MemoryStream[StreamingCms.KeyedSeen]
+    val q = StreamingCms.keyedCells(input.toDS(), salts = 4,
+        maxDelay = "1 second")
+      .writeStream.format("memory").queryName("scms_keyed")
+      .outputMode("update").start()
+    try {
+      input.addData(data.map { case (s, v) =>
+        StreamingCms.KeyedSeen(s, v, t0 + 1000) }: _*)
+      q.processAllAvailable()
+      input.addData(StreamingCms.KeyedSeen("flush", "f1",
+        t0 + StreamingCms.HourUs + 2000000))
+      q.processAllAvailable()
+      input.addData(StreamingCms.KeyedSeen("flush", "f2",
+        t0 + StreamingCms.HourUs + 3000000))
+      q.processAllAvailable()
+      val cells = spark.table("scms_keyed")
+        .as[StreamingCms.KeyedSaltedCell]
+        .collect().toSeq.filter(_.hourBucket == 720L)
+      assert(cells.map(c => (c.key, c.salt, c.r, c.c)).distinct.size ===
+        cells.size, "a (key, salt, r, c) row was emitted twice")
+      val live = StreamingCms.mergeKeyed(cells.toDS())
+        .collect()
+        .map(r => (r.getAs[String]("key"), r.getAs[Int]("r"),
+          r.getAs[Long]("c")) -> r.getAs[Long]("cnt")).toMap
+      val batch = Seq("src0", "src1").flatMap { s =>
+        Sketches.cmsCells(
+            data.filter(_._1 == s).map(_._2).toDF("key"), col("key"),
+            StreamingCms.D, StreamingCms.W)
+          .collect()
+          .map(r => (s, r.getAs[Int]("r"), r.getAs[Long]("c")) ->
+            r.getAs[Long]("cnt"))
+      }.toMap
+      assert(live === batch,
+        "per-source live cell tables diverged from the batch sketches")
+    } finally q.stop()
+  }
 }

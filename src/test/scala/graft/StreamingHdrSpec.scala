@@ -134,4 +134,54 @@ class StreamingHdrSpec extends SparkSpec {
       "merged salted buckets diverged from the single-group " +
       "histogram")
   }
+
+  test("LIVE per-source buckets (r19): keyedCells streams one " +
+      "histogram per (source, salt), mergeKeyed folds the salts at " +
+      "hour close, and every per-(source, hour) bucket table equals " +
+      "the batch HDR histogram of that source's values — live " +
+      "per-source quantile monitoring is batch-exact") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = StreamingHdr.HourUs * 920
+    val data = Seq("src0" -> 1L, "src1" -> 13L).flatMap {
+      case (s, mult) => corpusValues.take(800).map(v =>
+        (s, (v * mult) % (1L << 44)))
+    }
+    val input = MemoryStream[StreamingHdr.KeyedMeasured]
+    val q = StreamingHdr.keyedCells(input.toDS(), salts = 4,
+        maxDelay = "1 second")
+      .writeStream.format("memory").queryName("shdr_keyed")
+      .outputMode("update").start()
+    try {
+      input.addData(data.map { case (s, v) =>
+        StreamingHdr.KeyedMeasured(s, v, t0 + 1000) }: _*)
+      q.processAllAvailable()
+      input.addData(StreamingHdr.KeyedMeasured("flush", 1L,
+        t0 + StreamingHdr.HourUs + 2000000))
+      q.processAllAvailable()
+      input.addData(StreamingHdr.KeyedMeasured("flush", 2L,
+        t0 + StreamingHdr.HourUs + 3000000))
+      q.processAllAvailable()
+      val cells = spark.table("shdr_keyed")
+        .as[StreamingHdr.KeyedSaltedBucket]
+        .collect().toSeq.filter(_.hourBucket == 920L)
+      assert(cells.map(c => (c.key, c.salt, c.bucket)).distinct.size ===
+        cells.size, "a (key, salt, bucket) row was emitted twice")
+      val live = StreamingHdr.mergeKeyed(cells.toDS())
+        .collect()
+        .map(r => (r.getAs[String]("key"), r.getAs[Long]("bucket"),
+          r.getAs[Long]("lo")) -> r.getAs[Long]("cnt")).toMap
+      val batch = Seq("src0", "src1").flatMap { s =>
+        data.filter(_._1 == s).map(_._2).toDF("vi")
+          .selectExpr(s"${Sketches.hdrBucketSql("vi")} AS bucket",
+            s"${Sketches.hdrBucketLoSql("vi")} AS lo")
+          .groupBy("bucket", "lo").agg(count(lit(1)).as("cnt"))
+          .collect()
+          .map(r => (s, r.getAs[Long]("bucket"), r.getAs[Long]("lo")) ->
+            r.getAs[Long]("cnt"))
+      }.toMap
+      assert(live === batch,
+        "per-source live histograms diverged from the batch buckets")
+    } finally q.stop()
+  }
 }

@@ -239,18 +239,163 @@ class StreamingSketchRestartSpec extends SparkSpec {
         .select("key", "h")
         .collect().map(r => (r.getString(0), r.getLong(1)))
         .toSeq.sorted
-      val batch = Sketches.kmvSketch(
-          data.toDF("src", "v"), col("src"), col("v"), StreamingKmv.K)
+      val batchSketch = Sketches.kmvSketch(
+        data.toDF("src", "v"), col("src"), col("v"), StreamingKmv.K)
+      val batch = batchSketch
         .collect().map(r => (r.getString(0), r.getLong(1)))
         .toSeq.sorted
       assert(live === batch,
         "per-source sink sketches diverged from batch after restart")
+      // ...and the COMPOSED live pipeline (r18 verdict task #6):
+      // keyedCells -> sink table -> mergeKeyed -> the
+      // kmv_pair_estimate set algebra, across the restart — closed-
+      // hour pair ESTIMATES equal the batch derivation (theta,
+      // n_match and the shared-string inter_est, all bit-exact
+      // because the sketch tables are)
+      def pairAlgebra(sketch: org.apache.spark.sql.DataFrame)
+          : Seq[(String, String, Long, Long, Double)] = {
+        val smry = Sketches.kmvSummary(sketch, StreamingKmv.K)
+        val srcs = smry.select("key").distinct()
+        val pairs = srcs.select(col("key").as("s1"))
+          .join(srcs.select(col("key").as("s2")),
+            col("s1") < col("s2"))
+        val pth = pairs
+          .join(smry.select(col("key").as("s1"),
+            col("th_eff").as("t1")), "s1")
+          .join(smry.select(col("key").as("s2"),
+            col("th_eff").as("t2")), "s2")
+          .withColumn("theta", least(col("t1"), col("t2")))
+          .select("s1", "s2", "theta")
+        val nMatch = pairs
+          .join(sketch.select(col("key").as("s1"), col("h")), "s1")
+          .join(sketch.select(col("key").as("s2"), col("h")),
+            Seq("s2", "h"))
+          .join(pth, Seq("s1", "s2"))
+          .filter(col("h") < col("theta"))
+          .groupBy("s1", "s2").agg(count(lit(1)).as("n_match"))
+        pth.join(nMatch, Seq("s1", "s2"), "left")
+          .withColumn("n_match", coalesce(col("n_match"), lit(0L)))
+          .withColumn("inter_est", expr(Sketches.KmvInterEstSql))
+          .collect()
+          .map(r => (r.getAs[String]("s1"), r.getAs[String]("s2"),
+            r.getAs[Long]("n_match"), r.getAs[Long]("theta"),
+            r.getAs[Double]("inter_est")))
+          .toSeq.sortBy(t => (t._1, t._2))
+      }
+      val livePairs = pairAlgebra(
+        StreamingKmv.mergeKeyed(cells.toDS()).select("key", "h"))
+      val batchPairs = pairAlgebra(batchSketch)
+      assert(livePairs === batchPairs,
+        s"closed-hour pair estimates diverged from the batch " +
+          s"derivation after restart:\nlive  $livePairs\n" +
+          s"batch $batchPairs")
+      assert(livePairs.exists(_._3 > 0L),
+        s"degenerate composition: no pair matched any hashes " +
+          s"(src0/src1 ranges overlap by construction): $livePairs")
     } finally {
       prev match {
         case Some(v) => spark.conf.set(providerKey, v)
         case None => spark.conf.unset(providerKey)
       }
     }
+  }
+
+  test("StreamingCms.keyedCells survives a mid-hour checkpoint " +
+      "restart (r19, completing the keyed family): per-(source, hour, " +
+      "salt) cell tables emit exactly once and mergeKeyed over the " +
+      "sink equals the batch per-source cmsCells") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingSketchRestartSpec.keyedCmsOut
+    keyedCmsOut.clear()
+    val hour = 705L
+    val t0 = StreamingCms.HourUs * hour
+    val data = Seq("src0" -> 0, "src1" -> 5).flatMap { case (s, off) =>
+      (1 to 600).map(i => (s, s"item-${(i + off) % 211}"))
+    }
+    val (pre, post) = data.splitAt(data.size / 2)
+    val input = MemoryStream[StreamingCms.KeyedSeen]
+    restartRun(input,
+      () => StreamingCms.keyedCells(input.toDS(), salts = 4,
+        maxDelay = "1 second"),
+      ckptDir("cms-keyed"), keyedCmsOut,
+      pre.map { case (s, v) => StreamingCms.KeyedSeen(s, v, t0 + 1000) },
+      post.map { case (s, v) => StreamingCms.KeyedSeen(s, v, t0 + 2000) },
+      Seq(
+        StreamingCms.KeyedSeen("flush", "f1",
+          t0 + StreamingCms.HourUs + 2000000),
+        StreamingCms.KeyedSeen("flush", "f2",
+          t0 + StreamingCms.HourUs + 3000000)))
+    val cells = keyedCmsOut.asScala.toSeq.filter(_.hourBucket == hour)
+    assert(cells.nonEmpty, "no cell rows emitted at hour close")
+    assert(cells.map(c => (c.key, c.salt, c.r, c.c)).distinct.size ===
+      cells.size,
+      "a (key, salt, r, c) row was emitted twice across the restart")
+    val live = StreamingCms.mergeKeyed(cells.toDS())
+      .collect()
+      .map(r => (r.getAs[String]("key"), r.getAs[Int]("r"),
+        r.getAs[Long]("c")) -> r.getAs[Long]("cnt")).toMap
+    val batch = Seq("src0", "src1").flatMap { s =>
+      Sketches.cmsCells(
+          data.filter(_._1 == s).map(_._2).toDF("key"), col("key"),
+          StreamingCms.D, StreamingCms.W)
+        .collect()
+        .map(r => (s, r.getAs[Int]("r"), r.getAs[Long]("c")) ->
+          r.getAs[Long]("cnt"))
+    }.toMap
+    assert(live === batch,
+      "per-source sink cell tables diverged from batch after restart")
+  }
+
+  test("StreamingHdr.keyedCells survives a mid-hour checkpoint " +
+      "restart (r19, completing the keyed family): per-(source, hour, " +
+      "salt) bucket tables emit exactly once and mergeKeyed over the " +
+      "sink equals the batch per-source histograms") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingSketchRestartSpec.keyedHdrOut
+    keyedHdrOut.clear()
+    val hour = 706L
+    val t0 = StreamingHdr.HourUs * hour
+    val data = Seq("src0" -> 1L, "src1" -> 13L).flatMap {
+      case (s, mult) => (1 to 500).map(i =>
+        (s, (i.toLong * i * 7919L * mult) % 1000000L))
+    }
+    val (pre, post) = data.splitAt(data.size / 2)
+    val input = MemoryStream[StreamingHdr.KeyedMeasured]
+    restartRun(input,
+      () => StreamingHdr.keyedCells(input.toDS(), salts = 4,
+        maxDelay = "1 second"),
+      ckptDir("hdr-keyed"), keyedHdrOut,
+      pre.map { case (s, v) =>
+        StreamingHdr.KeyedMeasured(s, v, t0 + 1000) },
+      post.map { case (s, v) =>
+        StreamingHdr.KeyedMeasured(s, v, t0 + 2000) },
+      Seq(
+        StreamingHdr.KeyedMeasured("flush", 1L,
+          t0 + StreamingHdr.HourUs + 2000000),
+        StreamingHdr.KeyedMeasured("flush", 2L,
+          t0 + StreamingHdr.HourUs + 3000000)))
+    val cells = keyedHdrOut.asScala.toSeq.filter(_.hourBucket == hour)
+    assert(cells.nonEmpty, "no bucket rows emitted at hour close")
+    assert(cells.map(c => (c.key, c.salt, c.bucket)).distinct.size ===
+      cells.size,
+      "a (key, salt, bucket) row was emitted twice across the restart")
+    val live = StreamingHdr.mergeKeyed(cells.toDS())
+      .collect()
+      .map(r => (r.getAs[String]("key"), r.getAs[Long]("bucket"),
+        r.getAs[Long]("lo")) -> r.getAs[Long]("cnt")).toMap
+    val batch = Seq("src0", "src1").flatMap { s =>
+      data.filter(_._1 == s).map(_._2).toDF("vi")
+        .selectExpr(s"${Sketches.hdrBucketSql("vi")} AS bucket",
+          s"${Sketches.hdrBucketLoSql("vi")} AS lo")
+        .groupBy("bucket", "lo").agg(count(lit(1)).as("cnt"))
+        .collect()
+        .map(r => (s, r.getAs[Long]("bucket"), r.getAs[Long]("lo")) ->
+          r.getAs[Long]("cnt"))
+    }.toMap
+    assert(live === batch,
+      "per-source sink histograms diverged from batch after restart")
   }
 
   test("StreamingHdr.cells survives a mid-hour checkpoint restart: " +
@@ -306,4 +451,8 @@ object StreamingSketchRestartSpec {
     StreamingKmv.KeyedSketchHash]()
   val hdrOut = new java.util.concurrent.ConcurrentLinkedQueue[
     StreamingHdr.SaltedBucket]()
+  val keyedCmsOut = new java.util.concurrent.ConcurrentLinkedQueue[
+    StreamingCms.KeyedSaltedCell]()
+  val keyedHdrOut = new java.util.concurrent.ConcurrentLinkedQueue[
+    StreamingHdr.KeyedSaltedBucket]()
 }
