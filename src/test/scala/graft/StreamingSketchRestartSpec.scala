@@ -300,6 +300,53 @@ class StreamingSketchRestartSpec extends SparkSpec {
     }
   }
 
+  test("StreamingDistinct.keyedCells survives a mid-hour checkpoint " +
+      "restart (r19, completing the keyed family 4/4): per-(source, " +
+      "hour, salt) register tables emit exactly once and mergeKeyed " +
+      "over the sink equals the batch per-source hllRegisters") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingSketchRestartSpec.keyedDistOut
+    keyedDistOut.clear()
+    val hour = 707L
+    val t0 = StreamingDistinct.HourUs * hour
+    val data = Seq("src0" -> (1 to 400), "src1" -> (200 to 600))
+      .flatMap { case (s, r) => r.map(i => (s, s"val-$i-${i * 7919}")) }
+    val (pre, post) = data.splitAt(data.size / 2)
+    val input = MemoryStream[StreamingDistinct.KeyedSeen]
+    restartRun(input,
+      () => StreamingDistinct.keyedCells(input.toDS(), salts = 4,
+        maxDelay = "1 second"),
+      ckptDir("dist-keyed"), keyedDistOut,
+      pre.map { case (s, v) =>
+        StreamingDistinct.KeyedSeen(s, v, t0 + 1000) },
+      // duplicates of pre-restart values: restored registers must
+      // absorb them without moving
+      (post ++ pre.take(100)).map { case (s, v) =>
+        StreamingDistinct.KeyedSeen(s, v, t0 + 2000) },
+      Seq(
+        StreamingDistinct.KeyedSeen("flush", "f1",
+          t0 + StreamingDistinct.HourUs + 2000000),
+        StreamingDistinct.KeyedSeen("flush", "f2",
+          t0 + StreamingDistinct.HourUs + 3000000)))
+    val cells = keyedDistOut.asScala.toSeq.filter(_.hourBucket == hour)
+    assert(cells.nonEmpty, "no register rows emitted at hour close")
+    assert(cells.map(c => (c.key, c.salt, c.register)).distinct.size ===
+      cells.size,
+      "a (key, salt, register) row was emitted twice across the restart")
+    val live = StreamingDistinct.mergeKeyed(cells.toDS())
+      .collect()
+      .map(r => (r.getAs[String]("key"), r.getAs[Int]("register")) ->
+        r.getAs[Int]("m")).toMap
+    val batch = Sketches.hllRegisters(
+        data.toDF("src", "v"), col("src"), col("v"), 8)
+      .collect()
+      .map(r => (r.getAs[String]("key"), r.getAs[Long]("register").toInt)
+        -> r.getAs[Int]("m")).toMap
+    assert(live === batch,
+      "per-source sink registers diverged from batch after restart")
+  }
+
   test("StreamingCms.keyedCells survives a mid-hour checkpoint " +
       "restart (r19, completing the keyed family): per-(source, hour, " +
       "salt) cell tables emit exactly once and mergeKeyed over the " +
@@ -455,4 +502,6 @@ object StreamingSketchRestartSpec {
     StreamingCms.KeyedSaltedCell]()
   val keyedHdrOut = new java.util.concurrent.ConcurrentLinkedQueue[
     StreamingHdr.KeyedSaltedBucket]()
+  val keyedDistOut = new java.util.concurrent.ConcurrentLinkedQueue[
+    StreamingDistinct.KeyedRegisterCell]()
 }
