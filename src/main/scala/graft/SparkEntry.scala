@@ -171,9 +171,9 @@ object SparkEntry {
       "kmv_merge_shards", "hll_sliding_users", "hdr_merge_shards",
       "hdr_sliding_quantiles",
       // round-19 additions: the sketch-only sliding production twins
-      // + the parquet-persisted sketch-table pair path
+      // + the parquet-persisted sketch-table pair + ingest paths
       "hll_sliding_estimate", "hdr_sliding_sketch",
-      "hll_pair_from_table")
+      "hll_pair_from_table", "hll_table_ingest")
 
   def benchQueries: Seq[(String, (SparkSession, String) => DataFrame)] =
     benchNames.flatMap(n => queries.get(n).map(n -> _))

@@ -2841,6 +2841,47 @@ object TrainingQueries {
         .orderBy("s1", "s2")
     },
 
+    // Incremental INGEST against the persisted sketch table —
+    // hll_pair_from_table's write-once story made write-REPEATEDLY
+    // (dedup_incremental's split applied to sketch state): the
+    // at-rest per-source register table covers the EXISTING corpus
+    // (doc_id < 4n/5, written once); a NEW crawl batch (doc_id ≥
+    // 3n/5 — deliberately overlapping the last fifth of history)
+    // contributes only ITS OWN registers, and the updated table is
+    // one register-max merge of table + batch (the hll_merge_shards
+    // law applied to time): yesterday's shingles never recompute,
+    // re-ingested overlap mass cannot inflate the estimate (max is
+    // idempotent), and the merge exchange is ≤ 2 × sources × 256
+    // rows whatever the batch size. The oracle derives both register
+    // sets from the raw slices directly, so hash equality proves the
+    // at-rest round trip AND the ingest merge law on real data.
+    "hll_table_ingest" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      val n = d.agg(max("doc_id")).head.getLong(0) + 1
+      def regs(f: org.apache.spark.sql.DataFrame) =
+        Sketches.hllRegisters(
+          f.select(col("source"),
+            explode(TextAnalysis.shingles(col("text"), 3)).as("sh")),
+          col("source"), col("sh"), 8)
+      val path = hllIngestExportPath(dir)
+      regs(d.filter(col("doc_id") < n * 4 / 5))
+        .write.mode("overwrite").parquet(path)
+      val existing = s.read.parquet(path)
+      val batch = regs(d.filter(col("doc_id") >= n * 3 / 5))
+      val merged = existing.unionByName(batch)
+        .groupBy("key", "register").agg(max("m").as("m"))
+      val estE = Sketches.hllSummary(existing, 8)
+        .withColumn("est_existing", expr(Sketches.hllEstimateSql(8)))
+        .select(col("key"), col("est_existing"))
+      val estM = Sketches.hllSummary(merged, 8)
+        .withColumn("est_merged", expr(Sketches.hllEstimateSql(8)))
+        .select(col("key"), col("est_merged"))
+      estE.join(estM, "key")
+        .select(col("key").as("source"), col("est_existing"),
+          col("est_merged"))
+        .orderBy("source")
+    },
+
     "heaps_law" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val d = Tables.documents(s, dir)
@@ -3328,6 +3369,10 @@ object TrainingQueries {
     * `documents` — parquet round-trips the integers losslessly). */
   private def hllRegExportPath(dir: String): String =
     s"$artifactRoot/hll_regs_${new java.io.File(dir).getName}.parquet"
+
+  /** hll_table_ingest's at-rest "existing corpus" register table. */
+  private def hllIngestExportPath(dir: String): String =
+    s"$artifactRoot/hll_ingest_${new java.io.File(dir).getName}.parquet"
 
   private val minhashMins = (0 until 8).map { i =>
     s"min(substr(md5(s), ${4 * i + 1}, 8)) AS h$i"
@@ -3933,6 +3978,51 @@ object TrainingQueries {
     // identical algebra over the parquet-persisted register table —
     // lossless round-trip, so the same oracle pins it
     "hll_pair_from_table" -> hllPairEstimateOracleSql,
+
+    // both register sets re-derived from the raw doc_id slices (the
+    // oracle never reads the at-rest table); the merged set is the
+    // registers of the UNION slice — the merge law the ingest rests on
+    "hll_table_ingest" -> {
+      val est = Sketches.hllEstimateSql(8)
+      s"""WITH sz AS (
+        |  SELECT MAX(doc_id) + 1 AS n FROM documents
+        |), sh AS (
+        |  SELECT source, doc_id, unnest($shinglesExpr) AS sh
+        |  FROM documents
+        |), hh AS (
+        |  SELECT source, doc_id,
+        |    ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h
+        |  FROM sh
+        |), re AS (
+        |  SELECT source, h // 4503599627370496 AS register,
+        |    MAX(CASE WHEN h % 4503599627370496 = 0 THEN 53
+        |      ELSE 53 - length(bin(h % 4503599627370496)) END) AS m
+        |  FROM hh WHERE doc_id < (SELECT n * 4 // 5 FROM sz)
+        |  GROUP BY source, register
+        |), rm AS (
+        |  SELECT source, h // 4503599627370496 AS register,
+        |    MAX(CASE WHEN h % 4503599627370496 = 0 THEN 53
+        |      ELSE 53 - length(bin(h % 4503599627370496)) END) AS m
+        |  FROM hh WHERE doc_id < (SELECT n * 4 // 5 FROM sz)
+        |    OR doc_id >= (SELECT n * 3 // 5 FROM sz)
+        |  GROUP BY source, register
+        |), se AS (
+        |  SELECT source, $est AS est_existing FROM (
+        |    SELECT source,
+        |      (256 - COUNT(*)) * 9007199254740992 +
+        |        CAST(SUM(1::BIGINT << (53 - m)) AS BIGINT) AS s_scaled
+        |    FROM re GROUP BY source)
+        |), sm AS (
+        |  SELECT source, $est AS est_merged FROM (
+        |    SELECT source,
+        |      (256 - COUNT(*)) * 9007199254740992 +
+        |        CAST(SUM(1::BIGINT << (53 - m)) AS BIGINT) AS s_scaled
+        |    FROM rm GROUP BY source)
+        |)
+        |SELECT se.source, est_existing, est_merged
+        |FROM se JOIN sm ON sm.source = se.source
+        |ORDER BY se.source""".stripMargin
+    },
 
     "kmv_pair_overlap" -> {
       val est = Sketches.hllEstimateSql(8)
