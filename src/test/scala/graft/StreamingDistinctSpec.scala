@@ -198,4 +198,68 @@ class StreamingDistinctSpec extends SparkSpec {
         "per-source live registers diverged from the batch sketch")
     } finally q.stop()
   }
+
+  test("streamed hourly registers roll up to the per-day frame the " +
+      "sliding estimator consumes (r19): re-keying closed-hour " +
+      "keyedCells output by day and register-maxing equals the batch " +
+      "per-day hllRegisters bit-exactly — live ingest feeds " +
+      "hll_sliding_estimate's window algebra with zero recompute") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val day0 = 30L // day index; hours 720..791 span days 30..32
+    // three days, four active hours each, duplicated values across
+    // hours of the same day (register max must absorb them)
+    val data = for {
+      d <- 0 until 3
+      h <- Seq(1, 7, 13, 20)
+      i <- 1 to 150
+    } yield {
+      val hour = (day0 + d) * 24 + h
+      val uid = s"u-${d * 100 + i % 220}"
+      (uid, hour * StreamingDistinct.HourUs + 500000L * (i % 3 + 1))
+    }
+    val input = MemoryStream[StreamingDistinct.KeyedSeen]
+    val q = StreamingDistinct.keyedCells(input.toDS(), salts = 4,
+        maxDelay = "1 second")
+      .writeStream.format("memory").queryName("sdist_rollup")
+      .outputMode("update").start()
+    try {
+      // one constant sketch key: the day axis comes from event time
+      input.addData(data.map { case (u, ts) =>
+        StreamingDistinct.KeyedSeen("users", u, ts) }: _*)
+      q.processAllAvailable()
+      val endUs = (day0 + 3) * 24 * StreamingDistinct.HourUs
+      input.addData(StreamingDistinct.KeyedSeen("flush", "f1", endUs))
+      q.processAllAvailable()
+      input.addData(StreamingDistinct.KeyedSeen("flush", "f2",
+        endUs + StreamingDistinct.HourUs))
+      q.processAllAvailable()
+      val cells = spark.table("sdist_rollup")
+        .as[StreamingDistinct.KeyedRegisterCell].collect()
+        .filter(c => c.key == "users").toSeq
+      assert(cells.map(_.hourBucket).distinct.size === 12,
+        "expected all 12 active hours closed and emitted")
+      // hour -> day rollup: the SAME merge law, one more grain
+      val liveDaily = StreamingDistinct.mergeKeyed(cells.toDS())
+        .withColumn("day", expr("hourBucket div 24"))
+        .groupBy("day", "register")
+        .agg(org.apache.spark.sql.functions.max("m").as("m"))
+        .collect()
+        .map(r => (r.getAs[Long]("day"), r.getAs[Int]("register").toLong,
+          r.getAs[Int]("m")))
+        .toSeq.sorted
+      val batchDaily = graft.operators.Sketches.hllRegisters(
+          data.toDF("uid", "tsUs")
+            .select(expr(s"tsUs div ${24 * StreamingDistinct.HourUs}")
+              .as("day"), col("uid")),
+          col("day"), col("uid"), 8)
+        .collect()
+        .map(r => (r.getAs[Long]("key"), r.getAs[Long]("register"),
+          r.getAs[Int]("m")))
+        .toSeq.sorted
+      assert(liveDaily === batchDaily,
+        "hour->day register rollup diverged from the batch per-day " +
+          "sketch — the sliding estimator's input would drift")
+    } finally q.stop()
+  }
 }
