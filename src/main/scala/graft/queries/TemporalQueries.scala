@@ -118,7 +118,11 @@ object TemporalQueries {
     // audit lives in hll_sliding_users above, which SCALE shows
     // growing with the corpus while this row's post-scan cost is
     // fixed. PlanPins pins the final plan parquet-free (the register
-    // frame carries the one scan at construction).
+    // frame carries the one scan at construction). Durable variant:
+    // persist the per-day register frame to a parquet sketch table
+    // exactly as hll_pair_from_table / hll_table_ingest demonstrate —
+    // the window algebra below is unchanged over a read-back frame,
+    // and closed days append incrementally (the ingest merge law).
     "hll_sliding_estimate" -> { (s, dir) =>
       val ev = Tables.events(s, dir)
         .select(expr("(ts div 1000) div 86400000000").as("day"),
