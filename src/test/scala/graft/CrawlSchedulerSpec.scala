@@ -283,6 +283,31 @@ class CrawlSchedulerSpec extends SparkSpec {
       "https://e.io/cacheXXXdir/y",
       "https://e.io/wpXadmin/x"), s"gate verdicts wrong: $got")
   }
+
+  test("equal-specificity robots ties resolve deterministically " +
+      "(r18 advice): compileRules sort_arrays the rule structs, so " +
+      "the strict max-spec fold always lands on the lexicographically " +
+      "smallest matching rule — the dead-letter reason string cannot " +
+      "drift across runs or replays") {
+    import spark.implicits._
+    // '/a*' and '/ab' both match '/ab/x' with EQUAL spec
+    // (2·3 + 0 = 6); '/' allow is the lower-spec default
+    val rules = Seq(
+      ("g.com", "/ab", false),
+      ("g.com", "/a*", false),
+      ("g.com", "/", true)).toDF("domain", "pattern", "allow")
+    val urls = Seq("https://g.com/ab/x").toDF("canonicalUrl")
+      .withColumn("tsUs", lit(0L))
+    (1 to 5).foreach { _ =>
+      val got = CrawlScheduler.verdicts(urls,
+          CrawlScheduler.compileRules(rules))
+        .select("robots_allowed", "robots_rule").collect().head
+      assert(got.getBoolean(0) === false, "allow/deny verdict wrong")
+      // sorted rule array: lp '/a%%' < '/ab%', so '/a*' wins the tie
+      assert(got.getString(1) === "/a*",
+        s"tie winner drifted: ${got.getString(1)}")
+    }
+  }
 }
 
 object CrawlSchedulerSpec {

@@ -174,4 +174,45 @@ class SketchesSpec extends SparkSpec {
       .count()
     assert(bad === 0L, "sketch table lost the k-distinct invariant")
   }
+
+  test("hllSummaryBy equals hllSummary on any grouping and any p " +
+      "(r19: the pair-union algebra and the single-key summary now " +
+      "share ONE register fold, so a future p change cannot drift " +
+      "the three pair queries that previously inlined p=8 constants)") {
+    val sh = shingleStream(sf0001)
+    Seq(6, 10).foreach { p =>
+      val regs = Sketches.hllRegisters(sh, col("source"), col("sh"), p)
+      val single = Sketches.hllSummary(regs, p)
+        .collect()
+        .map(r => r.getAs[String]("key") ->
+          ((r.getAs[Long]("v_zero"), r.getAs[Long]("s_scaled")))).toMap
+      // the same registers under two group tags: every (tag, key)
+      // summary must equal the single-key fold bit-for-bit
+      val tagged = regs.withColumn("tag", lit("t0"))
+        .unionByName(regs.withColumn("tag", lit("t1")))
+      val by = Sketches.hllSummaryBy(tagged, Seq("tag", "key"), p)
+        .collect()
+      assert(by.length === 2 * single.size, s"p=$p lost group rows")
+      by.foreach { r =>
+        val k = r.getAs[String]("key")
+        assert((r.getAs[Long]("v_zero"), r.getAs[Long]("s_scaled")) ===
+          single(k), s"p=$p key=$k grouped summary diverged")
+      }
+    }
+  }
+
+  test("kmvSketch ignores NULL values (r18 advice): a nullable " +
+      "column yields exactly the sketch of its non-null subset — " +
+      "md5(NULL) cannot inject a spurious minimum hash 0") {
+    import spark.implicits._
+    val vals = (1 to 500).map(i => s"v-$i-${i * 7919}")
+    val withNulls: Seq[Option[String]] =
+      vals.map(Option(_)) ++ Seq.fill(50)(Option.empty[String])
+    val a = Sketches.kmvSketch(withNulls.toDF("v"), lit("k"), col("v"),
+      64).collect().map(_.getLong(1)).toSeq.sorted
+    val b = Sketches.kmvSketch(vals.toDF("v"), lit("k"), col("v"),
+      64).collect().map(_.getLong(1)).toSeq.sorted
+    assert(a === b, "NULL values changed the sketch")
+    assert(!a.contains(0L), "spurious 0 hash in the sketch")
+  }
 }
