@@ -27,9 +27,6 @@ import org.apache.spark.sql.functions.udaf
   */
 class KmvAgg(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
 
-  private def bottom(buf: Seq[Long]): Seq[Long] =
-    buf.distinct.sorted.take(k)
-
   /** First index with `buf(i) >= h` (== buf.size when h > max) —
     * the buffer is sorted-distinct, so `buf(i) == h` iff present. */
   private def lowerBound(buf: Seq[Long], h: Long): Int = {
@@ -52,8 +49,29 @@ class KmvAgg(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
       else ((buf.take(i) :+ h) ++ buf.drop(i)).take(k)
     }
 
+  /** Single-pass sorted merge of two sorted-distinct buffers, bounded
+    * at k (r19 verdict residual #3: the old `(a ++ b).distinct.sorted
+    * .take(k)` rebuild was O(2k log 2k) + a transient 2k array per
+    * partition-pair merge; both inputs already carry the buffer
+    * invariant, so one linear zip with duplicate-skip suffices). */
   override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] =
-    bottom(a ++ b)
+    if (a.isEmpty) b
+    else if (b.isEmpty) a
+    else {
+      val out = Vector.newBuilder[Long]
+      var i = 0
+      var j = 0
+      var n = 0
+      while (n < k && (i < a.size || j < b.size)) {
+        val takeA = j >= b.size || (i < a.size && a(i) <= b(j))
+        val v = if (takeA) a(i) else b(j)
+        if (takeA) i += 1
+        if (j < b.size && b(j) == v) j += 1 // duplicate across shards
+        out += v
+        n += 1
+      }
+      out.result()
+    }
 
   override def finish(buf: Seq[Long]): Seq[Long] = buf
 

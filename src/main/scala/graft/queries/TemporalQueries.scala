@@ -53,6 +53,53 @@ object TemporalQueries {
     "CAST(floor(abs(est_users - CAST(exact_users AS DOUBLE)) " +
       "* 1000e0 / CAST(exact_users AS DOUBLE)) AS BIGINT)"
 
+  /** hll_sliding_from_table's persisted per-day register table —
+    * SF-suffixed at-rest layout under the pid-scoped
+    * [[graft.queries.artifactRoot]] (same concurrency contract as
+    * TrainingQueries' sketch tables; writes serialize through
+    * [[TrainingQueries.writeSketchTable]]). The oracle never reads it
+    * — it recomputes per-day registers from `events` (parquet
+    * round-trips the integers losslessly). */
+  private def hllDayExportPath(dir: String): String =
+    s"$artifactRoot/hll_day_regs_${new java.io.File(dir).getName}" +
+      ".parquet"
+
+  /** The sliding-estimate oracle — shared verbatim by
+    * hll_sliding_estimate (localCheckpoint answer path) and
+    * hll_sliding_from_table (parquet-persisted day-grain register
+    * table): the write/append/read round-trip is lossless integers,
+    * so both rows must hash-match the same recomputation from
+    * `events`. */
+  private lazy val hllSlidingEstimateOracleSql: String = {
+    val est = Sketches.hllEstimateSql(5)
+    s"""WITH ev AS (
+      |  SELECT epoch_us(ts) // 86400000000 AS day,
+      |    CAST(user_id AS VARCHAR) AS uid
+      |  FROM events
+      |), hh AS (
+      |  SELECT day,
+      |    ('0x' || substr(md5(uid), 1, 15))::BIGINT AS h
+      |  FROM ev
+      |), rg AS (
+      |  SELECT day, h // 36028797018963968 AS register,
+      |    MAX(CASE WHEN h % 36028797018963968 = 0 THEN 56
+      |      ELSE 56 - length(bin(h % 36028797018963968)) END) AS m
+      |  FROM hh GROUP BY day, register
+      |), days AS (
+      |  SELECT DISTINCT day FROM rg
+      |), wr AS (
+      |  SELECT d.day AS wd, rg.register, MAX(rg.m) AS m
+      |  FROM days d JOIN rg ON rg.day BETWEEN d.day - 6 AND d.day
+      |  GROUP BY 1, 2
+      |), su AS (
+      |  SELECT wd AS day,
+      |    (32 - COUNT(*)) * 72057594037927936 +
+      |      CAST(SUM(1::BIGINT << (56 - m)) AS BIGINT) AS s_scaled
+      |  FROM wr GROUP BY wd
+      |)
+      |SELECT day, $est AS est_users FROM su ORDER BY day""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
 
     // SLIDING-WINDOW DISTINCT via register merge — the operation
@@ -134,6 +181,62 @@ object TemporalQueries {
       Sketches.hllSummary(
           days.select(col("day").as("d"))
             .join(regs,
+              col("day").between(col("d") - 6, col("d")))
+            .groupBy(col("d").as("key"), col("register"))
+            .agg(max("m").as("m")), 5)
+        .withColumnRenamed("key", "day")
+        .withColumn("est_users", expr(Sketches.hllEstimateSql(5)))
+        .select("day", "est_users")
+        .orderBy("day")
+    },
+
+    // hll_sliding_estimate over a PERSISTED day-grain sketch table
+    // (r19 verdict task #1 — the hll_pair_from_table +
+    // hll_table_ingest pattern applied at day grain, retiring the
+    // last localCheckpoint-only production row a rolling-monitoring
+    // deployment would run daily): the per-day register frame is
+    // WRITTEN to a parquet sketch table — all closed history in one
+    // scan (the write an ingest job runs ONCE), then the newest
+    // closed day APPENDS incrementally: only ITS events scan,
+    // yesterday never recomputes, and the read-back register-max
+    // groupBy is the hll_merge_shards law applied to time (≤ days×32
+    // rows, idempotent under re-appended overlap). The rolling 7-day
+    // estimates then derive from READING the table back — the window
+    // algebra of hll_sliding_estimate unchanged, the answer-time
+    // plan's FileScans touch ONLY the ≤ days×32-row sketch table
+    // (PlanPins pins `events` absent) — restart-safe, shareable
+    // across jobs, ANY window length for the same price. Results are
+    // identical to hll_sliding_estimate (parquet round-trips the
+    // integer registers losslessly), so both rows share one oracle.
+    "hll_sliding_from_table" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .select(expr("(ts div 1000) div 86400000000").as("day"),
+          col("user_id").cast("string").as("uid"))
+      // documented 1-row construction-time action (the closed-day
+      // split bound), guarded for the empty-table regime
+      val mx = ev.agg(max("day")).head
+      require(!mx.isNullAt(0),
+        s"hll_sliding_from_table: events table at $dir is empty — " +
+          "no day bound to split closed history vs the newest day")
+      val maxDay = mx.getLong(0)
+      def regs(f: org.apache.spark.sql.DataFrame) =
+        Sketches.hllRegisters(f, col("day"), col("uid"), 5)
+          .withColumnRenamed("key", "day")
+      val path = hllDayExportPath(dir)
+      // at-rest table: every closed day before the newest, written once
+      TrainingQueries.writeSketchTable(
+        regs(ev.filter(col("day") < maxDay)), path)
+      // incremental ingest: the newly closed day's OWN registers only
+      TrainingQueries.writeSketchTable(
+        regs(ev.filter(col("day") === maxDay)), path, mode = "append")
+      // read-back + register-max merge (idempotent: a re-appended day
+      // cannot inflate any register — the ingest law at day grain)
+      val tbl = s.read.parquet(path)
+        .groupBy("day", "register").agg(max("m").as("m"))
+      val days = tbl.select("day").distinct()
+      Sketches.hllSummary(
+          days.select(col("day").as("d"))
+            .join(tbl,
               col("day").between(col("d") - 6, col("d")))
             .groupBy(col("d").as("key"), col("register"))
             .agg(max("m").as("m")), 5)
@@ -443,16 +546,25 @@ object TemporalQueries {
       val ex = exCum.groupBy("event_type")
         .agg(q("vi")(50).as("p50_exact"), q("vi")(90).as("p90_exact"),
           q("vi")(99).as("p99_exact"))
+      // zero-guard (r19 verdict residual #1, propagating the
+      // hdr_sliding_quantiles fix): value > 0 does not prevent
+      // vi = floor(value·1e6) = 0 on sub-microunit data, and a zero
+      // divisor splits the engines — Spark `div` returns NULL, DuckDB
+      // `//` RAISES — so the explicit CASE (mirrored in the oracle)
+      // makes that regime NULL in both
       sk.join(ex, "event_type")
         .select(col("event_type"),
           col("p50_exact"), col("p50_sketch"),
-          expr("(p50_exact - p50_sketch) * 1000 div p50_exact")
+          expr("CASE WHEN p50_exact = 0 THEN NULL ELSE " +
+            "(p50_exact - p50_sketch) * 1000 div p50_exact END")
             .as("p50_err_pm"),
           col("p90_exact"), col("p90_sketch"),
-          expr("(p90_exact - p90_sketch) * 1000 div p90_exact")
+          expr("CASE WHEN p90_exact = 0 THEN NULL ELSE " +
+            "(p90_exact - p90_sketch) * 1000 div p90_exact END")
             .as("p90_err_pm"),
           col("p99_exact"), col("p99_sketch"),
-          expr("(p99_exact - p99_sketch) * 1000 div p99_exact")
+          expr("CASE WHEN p99_exact = 0 THEN NULL ELSE " +
+            "(p99_exact - p99_sketch) * 1000 div p99_exact END")
             .as("p99_err_pm"),
           col("n_buckets"))
         .orderBy("event_type")
@@ -768,35 +880,12 @@ object TemporalQueries {
         |FROM f ORDER BY day""".stripMargin
     },
 
-    "hll_sliding_estimate" -> {
-      val est = Sketches.hllEstimateSql(5)
-      s"""WITH ev AS (
-        |  SELECT epoch_us(ts) // 86400000000 AS day,
-        |    CAST(user_id AS VARCHAR) AS uid
-        |  FROM events
-        |), hh AS (
-        |  SELECT day,
-        |    ('0x' || substr(md5(uid), 1, 15))::BIGINT AS h
-        |  FROM ev
-        |), rg AS (
-        |  SELECT day, h // 36028797018963968 AS register,
-        |    MAX(CASE WHEN h % 36028797018963968 = 0 THEN 56
-        |      ELSE 56 - length(bin(h % 36028797018963968)) END) AS m
-        |  FROM hh GROUP BY day, register
-        |), days AS (
-        |  SELECT DISTINCT day FROM rg
-        |), wr AS (
-        |  SELECT d.day AS wd, rg.register, MAX(rg.m) AS m
-        |  FROM days d JOIN rg ON rg.day BETWEEN d.day - 6 AND d.day
-        |  GROUP BY 1, 2
-        |), su AS (
-        |  SELECT wd AS day,
-        |    (32 - COUNT(*)) * 72057594037927936 +
-        |      CAST(SUM(1::BIGINT << (56 - m)) AS BIGINT) AS s_scaled
-        |  FROM wr GROUP BY wd
-        |)
-        |SELECT day, $est AS est_users FROM su ORDER BY day""".stripMargin
-    },
+    "hll_sliding_estimate" -> hllSlidingEstimateOracleSql,
+    // identical window algebra over the parquet-persisted day-grain
+    // register table — lossless integer round-trip, so the same
+    // oracle pins the at-rest write, the incremental closed-day
+    // append AND the read-back merge
+    "hll_sliding_from_table" -> hllSlidingEstimateOracleSql,
 
     // Sessions re-derived relationally (lag → break → running sum),
     // the genuinely-different algorithm the sessionize oracle uses;
@@ -1141,11 +1230,17 @@ object TemporalQueries {
         |  FROM excum GROUP BY event_type
         |)
         |SELECT s.event_type, p50_exact, p50_sketch,
-        |  (p50_exact - p50_sketch) * 1000 // p50_exact AS p50_err_pm,
+        |  CASE WHEN p50_exact = 0 THEN NULL ELSE
+        |    (p50_exact - p50_sketch) * 1000 // p50_exact END
+        |    AS p50_err_pm,
         |  p90_exact, p90_sketch,
-        |  (p90_exact - p90_sketch) * 1000 // p90_exact AS p90_err_pm,
+        |  CASE WHEN p90_exact = 0 THEN NULL ELSE
+        |    (p90_exact - p90_sketch) * 1000 // p90_exact END
+        |    AS p90_err_pm,
         |  p99_exact, p99_sketch,
-        |  (p99_exact - p99_sketch) * 1000 // p99_exact AS p99_err_pm,
+        |  CASE WHEN p99_exact = 0 THEN NULL ELSE
+        |    (p99_exact - p99_sketch) * 1000 // p99_exact END
+        |    AS p99_err_pm,
         |  n_buckets
         |FROM sk s JOIN ex USING (event_type)
         |ORDER BY event_type""".stripMargin,

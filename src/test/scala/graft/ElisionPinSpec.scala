@@ -20,7 +20,9 @@ class ElisionPinSpec extends SparkSpec {
     * zero-overlap LEFT joins (r17 ADVICE) are row-preserving over
     * unique-keyed aggregates — count() elides the joined branch
     * (the exact audit / n_match side), so their full rows are the
-    * honest bench instrument. */
+    * honest bench instrument. r20 adds kmv_pair_from_table — the
+    * persisted-table twin of kmv_pair_estimate, elided for the same
+    * row-preserving n_match LEFT join. */
   private val documented = Set(
     "ann_ndcg_report", "ann_recall_pq", "ann_recall_report",
     "ann_recall_trained", "containment_survivors", "decontaminate",
@@ -28,10 +30,11 @@ class ElisionPinSpec extends SparkSpec {
     "ivf_probe_sweep", "minhash_calibration", "quality_dup_crosstab",
     "semantic_dedup", "simhash_calibration", "t_closeness_report",
     "vocab_coverage",
-    "hll_pair_overlap", "kmv_pair_overlap", "kmv_pair_estimate")
+    "hll_pair_overlap", "kmv_pair_overlap", "kmv_pair_estimate",
+    "kmv_pair_from_table")
 
   test("every registered query's plan audits cleanly and the " +
-      "count()-elided set equals the documented 19 — a new elided " +
+      "count()-elided set equals the documented 20 — a new elided " +
       "query must not ship a silently partial bench row") {
     val rows = ElisionAudit.audit(spark, sf0001)
     assert(rows.size === SparkEntry.queries.size)

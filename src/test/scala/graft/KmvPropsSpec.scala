@@ -87,6 +87,38 @@ class KmvPropsSpec extends SparkSpec {
     assert(agg.reduce(full, 0L) === (0L to (K - 1).toLong))
   }
 
+  test("linear merge (r20: single-pass bounded zip replacing the " +
+      "distinct.sorted.take rebuild) — overlapping buffers, " +
+      "duplicates across shards, empty/full asymmetries") {
+    // heavy cross-shard overlap: shards share most of their bottom-k
+    val shared = (0L until K.toLong).map(_ * 3)
+    val a = fold(shared ++ Seq(100L, 101L))
+    val b = fold(shared ++ Seq(200L, 201L))
+    assert(agg.merge(a, b) === truth(shared ++ Seq(100L, 101L, 200L,
+      201L)), "overlapping merge diverged")
+    // identical buffers: merge must be idempotent (pure duplicates)
+    assert(agg.merge(a, a) === a, "self-merge not idempotent")
+    // disjoint interleaved ranges: exercises strict alternation
+    val odd = fold((1L to 40L by 2))
+    val even = fold((2L to 40L by 2))
+    assert(agg.merge(odd, even) === (1L to K.toLong),
+      "interleaved merge diverged")
+    // empty sides
+    assert(agg.merge(agg.zero, a) === a)
+    assert(agg.merge(a, agg.zero) === a)
+    // one side shorter than k, the other full
+    val short = fold(Seq(5L, 500L))
+    assert(agg.merge(short, b) === truth(Seq(5L, 500L) ++ shared ++
+      Seq(200L, 201L)), "short-vs-full merge diverged")
+    // randomized cross-check vs the definitional rebuild
+    (1 to 200).foreach { _ =>
+      val x = fold(randomStream())
+      val y = fold(randomStream())
+      assert(agg.merge(x, y) === (x ++ y).distinct.sorted.take(K),
+        s"linear merge diverged from rebuild on $x / $y")
+    }
+  }
+
   test("buffer invariant holds at every reduce step: sorted " +
       "ascending, distinct, never more than k") {
     (1 to 50).foreach { _ =>

@@ -615,4 +615,32 @@ class PlanPinsSpec extends SparkSpec {
       s"answer-time plan touches the corpus — the pair algebra must " +
         s"read the persisted register table alone:\n$plan")
   }
+
+  test("kmv_pair_from_table's answer-time plan scans ONLY the " +
+      "persisted bottom-k table: its FileScans read the kmv_sketch " +
+      "parquet layout, and the documents corpus appears nowhere — " +
+      "the persisted-table pair path for the measured-better " +
+      "estimator (r19 verdict task #2)") {
+    val plan = SparkEntry.queries("kmv_pair_from_table")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("kmv_sketch_"),
+      s"answer-time plan lost its sketch-table scan:\n$plan")
+    assert(!plan.contains("documents"),
+      s"answer-time plan touches the corpus — the pair algebra must " +
+        s"read the persisted bottom-k table alone:\n$plan")
+  }
+
+  test("hll_sliding_from_table's answer-time plan scans ONLY the " +
+      "persisted day-grain register table: its FileScans read the " +
+      "hll_day_regs parquet layout, and the events corpus appears " +
+      "nowhere — the durable sliding estimator (r19 verdict task #1)") {
+    val plan = SparkEntry.queries("hll_sliding_from_table")(
+        spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hll_day_regs_"),
+      s"answer-time plan lost its sketch-table scan:\n$plan")
+    assert(!plan.contains("events"),
+      s"answer-time plan touches the corpus — the window algebra " +
+        s"must read the persisted per-day register table alone:\n$plan")
+  }
 }

@@ -347,6 +347,90 @@ class StreamingSketchRestartSpec extends SparkSpec {
       "per-source sink registers diverged from batch after restart")
   }
 
+  test("HLL live-pair e2e (r19 verdict task #3 — the KMV composition " +
+      "mirrored, completing live contamination monitoring for both " +
+      "estimators): StreamingDistinct.keyedCells -> sink table -> " +
+      "mergeKeyed -> the hll_pair_estimate register algebra across a " +
+      "restart equals the batch derivation with no double-emitted " +
+      "register") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingSketchRestartSpec.hllPairOut
+    hllPairOut.clear()
+    val hour = 708L
+    val t0 = StreamingDistinct.HourUs * hour
+    val data = Seq("src0" -> (1 to 400), "src1" -> (200 to 600))
+      .flatMap { case (s, r) => r.map(i => (s, s"val-$i-${i * 7919}")) }
+    val (pre, post) = data.splitAt(data.size / 2)
+    val input = MemoryStream[StreamingDistinct.KeyedSeen]
+    restartRun(input,
+      () => StreamingDistinct.keyedCells(input.toDS(), salts = 4,
+        maxDelay = "1 second"),
+      ckptDir("hll-pair"), hllPairOut,
+      pre.map { case (s, v) =>
+        StreamingDistinct.KeyedSeen(s, v, t0 + 1000) },
+      post.map { case (s, v) =>
+        StreamingDistinct.KeyedSeen(s, v, t0 + 2000) },
+      Seq(
+        StreamingDistinct.KeyedSeen("flush", "f1",
+          t0 + StreamingDistinct.HourUs + 2000000),
+        StreamingDistinct.KeyedSeen("flush", "f2",
+          t0 + StreamingDistinct.HourUs + 3000000)))
+    val cells = hllPairOut.asScala.toSeq.filter(_.hourBucket == hour)
+    assert(cells.nonEmpty, "no register rows emitted at hour close")
+    assert(cells.map(c => (c.key, c.salt, c.register)).distinct.size ===
+      cells.size,
+      "a (key, salt, register) row was emitted twice across the restart")
+    // the hll_pair_estimate register algebra (union register-max +
+    // the shared-string estimate + inclusion-exclusion), run over
+    // EITHER register frame — bit-exact equality holds because the
+    // integer register tables are equal
+    def pairAlgebra(regs: org.apache.spark.sql.DataFrame)
+        : Seq[(String, String, Double, Double, Double, Double)] = {
+      val est = Sketches.hllSummary(regs, 8)
+        .withColumn("est", expr(Sketches.hllEstimateSql(8)))
+        .select("key", "est")
+      val srcs = regs.select("key").distinct()
+      val pairs = srcs.select(col("key").as("s1"))
+        .join(srcs.select(col("key").as("s2")), col("s1") < col("s2"))
+      val pu = pairs
+        .join(regs.withColumnRenamed("key", "s1"), "s1")
+        .select("s1", "s2", "register", "m")
+        .unionByName(pairs
+          .join(regs.withColumnRenamed("key", "s2"), "s2")
+          .select("s1", "s2", "register", "m"))
+      Sketches.hllSummaryBy(
+          pu.groupBy("s1", "s2", "register").agg(max("m").as("m")),
+          Seq("s1", "s2"), 8)
+        .withColumn("est_union", expr(Sketches.hllEstimateSql(8)))
+        .join(est.select(col("key").as("s1"), col("est").as("est_s1")),
+          "s1")
+        .join(est.select(col("key").as("s2"), col("est").as("est_s2")),
+          "s2")
+        .withColumn("inter_est", expr("est_s1 + est_s2 - est_union"))
+        .collect()
+        .map(r => (r.getAs[String]("s1"), r.getAs[String]("s2"),
+          r.getAs[Double]("est_s1"), r.getAs[Double]("est_s2"),
+          r.getAs[Double]("est_union"), r.getAs[Double]("inter_est")))
+        .toSeq.sortBy(t => (t._1, t._2))
+    }
+    val livePairs = pairAlgebra(
+      StreamingDistinct.mergeKeyed(cells.toDS())
+        .select(col("key"),
+          col("register").cast("long").as("register"), col("m")))
+    val batchPairs = pairAlgebra(
+      Sketches.hllRegisters(data.toDF("src", "v"),
+        col("src"), col("v"), 8))
+    assert(livePairs === batchPairs,
+      s"closed-hour HLL pair estimates diverged from the batch " +
+        s"derivation after restart:\nlive  $livePairs\n" +
+        s"batch $batchPairs")
+    assert(livePairs.exists(_._6 > 0d),
+      s"degenerate composition: no pair shows positive estimated " +
+        s"overlap (src0/src1 ranges overlap by construction): " +
+        s"$livePairs")
+  }
+
   test("StreamingCms.keyedCells survives a mid-hour checkpoint " +
       "restart (r19, completing the keyed family): per-(source, hour, " +
       "salt) cell tables emit exactly once and mergeKeyed over the " +
@@ -503,5 +587,7 @@ object StreamingSketchRestartSpec {
   val keyedHdrOut = new java.util.concurrent.ConcurrentLinkedQueue[
     StreamingHdr.KeyedSaltedBucket]()
   val keyedDistOut = new java.util.concurrent.ConcurrentLinkedQueue[
+    StreamingDistinct.KeyedRegisterCell]()
+  val hllPairOut = new java.util.concurrent.ConcurrentLinkedQueue[
     StreamingDistinct.KeyedRegisterCell]()
 }
