@@ -1,0 +1,167 @@
+#!/usr/bin/env python3
+"""Same-code / cross-commit bench A/B via git worktrees — the STANDING
+drift-adjudication protocol (r19 verdict task #5).
+
+Round-over-round raw bench drift on this shared sandbox is frequently
+ENVIRONMENTAL (co-tenant CPU/page-cache pressure), and r19 proved both
+calibration gauges can lie in the same round (calib 1.05x up while
+calib_mt 0.87x down under a 1.27x raw drift). The one honest
+instrument is a back-to-back A/B of the two CODE STATES on the SAME
+machine minutes apart: check out the previous round's snapshot commit
+and HEAD in separate git worktrees, time the worst-moving queries in
+both, interleaved. Code-state ratios within ~±10-15% while the
+snapshot ratio is much larger = the drift is the machine, not the
+code (r14/r15 and r18/r19 both adjudicated this way).
+
+compare_bench.py prints the trigger: when the shared-query raw ratio
+exceeds 1.15x (either direction), run this script and paste its table
+into tools/bench_snapshots/cmp_r{N-1}_r{N}.txt.
+
+Usage:
+  bench_ab.py <old_ref> <new_ref> --queries q1,q2,...  [options]
+  bench_ab.py <old_ref> <new_ref> --snapshots old.json new.json [options]
+
+With --snapshots, the N worst shared movers (new/old ratio) are picked
+automatically. Options: --passes (default 4; min is reported),
+--top (default 5, with --snapshots), --sfdir (default
+/root/testdata/sf0.1), --full (time via -full materialization).
+
+Worktrees land at /tmp/graft_ab_<ref> and are REUSED if present
+(compile is the slow step); remove them with `git worktree remove`
+when done. Each (ref, query) runs one fresh JVM (TimeQuery), old/new
+interleaved per query so machine drift cannot masquerade as a code
+delta.
+"""
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+
+JVM_OPENS = [
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar",
+]
+
+
+def sh(cmd, **kw):
+    print(f"+ {' '.join(cmd)}", file=sys.stderr)
+    return subprocess.run(cmd, check=True, **kw)
+
+
+def load_snapshot(path):
+    text = open(path).read()
+    m = re.search(r'\{"metric".*\}', text)
+    if not m:
+        raise SystemExit(f"{path}: no bench JSON line found")
+    return json.loads(m.group(0))
+
+
+def worst_movers(old_path, new_path, top):
+    oq = load_snapshot(old_path)["queries"]
+    nq = load_snapshot(new_path)["queries"]
+    shared = [q for q in oq if q in nq and oq[q] > 0]
+    ranked = sorted(shared, key=lambda q: -(nq[q] / oq[q]))
+    return ranked[:top]
+
+
+def prepare_worktree(repo, ref):
+    safe = re.sub(r"[^A-Za-z0-9_.-]", "_", ref)
+    wt = f"/tmp/graft_ab_{safe}"
+    if not os.path.isdir(wt):
+        sh(["git", "-C", repo, "worktree", "add", "--detach", wt, ref])
+    head = subprocess.run(["git", "-C", wt, "rev-parse", "HEAD"],
+                          capture_output=True, text=True).stdout.strip()
+    want = subprocess.run(["git", "-C", repo, "rev-parse", ref],
+                          capture_output=True, text=True).stdout.strip()
+    if head != want:
+        raise SystemExit(
+            f"{wt} exists but sits at {head[:9]}, not {ref} ({want[:9]})"
+            f" — remove it (git worktree remove {wt}) and re-run")
+    classes = os.path.join(wt, "target", "scala-2.13", "classes")
+    if not os.path.isdir(classes) or not os.listdir(classes):
+        sh(["sbt", "-batch", "compile"], cwd=wt)
+    return wt
+
+
+def time_query(wt, query, passes, sfdir, full):
+    cp = f"{wt}/target/scala-2.13/classes:/opt/spark/jars/*"
+    cmd = ["java", "-Xmx16g"]
+    for p in JVM_OPENS:
+        cmd += ["--add-opens", f"{p}=ALL-UNNAMED"]
+    cmd += ["-Dspark.ui.enabled=false",
+            "-Dspark.sql.session.timeZone=UTC", "-cp", cp,
+            "graft.tools.TimeQuery"]
+    if full:
+        cmd.append("-full")
+    cmd += [query, str(passes)]
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sfdir)
+    r = subprocess.run(cmd, capture_output=True, text=True, env=env)
+    times = [float(m.group(1)) for m in re.finditer(
+        r"pass \d+: ([0-9.]+) s", r.stdout)]
+    if not times:
+        print(r.stdout[-2000:], file=sys.stderr)
+        print(r.stderr[-2000:], file=sys.stderr)
+        raise SystemExit(f"TimeQuery produced no timings for {query} "
+                         f"in {wt} (rc={r.returncode})")
+    return min(times)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("old_ref")
+    ap.add_argument("new_ref")
+    ap.add_argument("--queries")
+    ap.add_argument("--snapshots", nargs=2,
+                    metavar=("OLD_JSON", "NEW_JSON"))
+    ap.add_argument("--top", type=int, default=5)
+    ap.add_argument("--passes", type=int, default=4)
+    ap.add_argument("--sfdir", default="/root/testdata/sf0.1")
+    ap.add_argument("--full", action="store_true")
+    ap.add_argument("--repo", default=".")
+    a = ap.parse_args()
+
+    if a.queries:
+        queries = a.queries.split(",")
+    elif a.snapshots:
+        queries = worst_movers(a.snapshots[0], a.snapshots[1], a.top)
+        print(f"worst {a.top} movers from snapshots: "
+              f"{', '.join(queries)}")
+    else:
+        ap.error("need --queries or --snapshots")
+
+    old_wt = prepare_worktree(a.repo, a.old_ref)
+    new_wt = prepare_worktree(a.repo, a.new_ref)
+
+    rows = []
+    for q in queries:
+        to = time_query(old_wt, q, a.passes, a.sfdir, a.full)
+        tn = time_query(new_wt, q, a.passes, a.sfdir, a.full)
+        rows.append((q, to, tn, tn / to))
+        print(f"  {q}: old {to:.3f}s new {tn:.3f}s = {tn / to:.2f}x")
+
+    print(f"\nworktree A/B ({a.old_ref} vs {a.new_ref}, "
+          f"min-of-{a.passes}, sf={a.sfdir}"
+          + (", -full" if a.full else "") + "):")
+    print(f"  {'query':32s} {'old_s':>8s} {'new_s':>8s} {'ratio':>6s}")
+    for q, to, tn, r in rows:
+        print(f"  {q:32s} {to:8.3f} {tn:8.3f} {r:5.2f}x")
+    so, sn = sum(r[1] for r in rows), sum(r[2] for r in rows)
+    print(f"  {'TOTAL':32s} {so:8.3f} {sn:8.3f} {sn / so:5.2f}x")
+    print("\nadjudication guide: code-state ratios within ~±10-15% "
+          "(the same-code re-run noise bound measured in r19) while "
+          "the snapshot ratio is much larger => the snapshot drift is "
+          "ENVIRONMENTAL; a query whose A/B ratio REPRODUCES its "
+          "snapshot ratio is a REAL code regression — paste this "
+          "table into the round's cmp file either way.")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -25,13 +25,30 @@ creation / EAGAIN — the class tools/check_oracle.py documents: the
 driver's compare step races a dying Spark JVM for memory). An infra
 flake is NOT evidence the query is wrong, but it is not evidence it is
 right either: the guard demands a LOCAL RE-RUN verdict, recorded in
-`tools/correctness_snapshots/r{N}_adjudications.txt` as lines
+`tools/correctness_snapshots/r{N}_adjudications.txt`.
 
-    FLAKE <query> re-run OK <free-form note>
+Round 20 (r19 ADVICE) hardens both halves of the adjudication path,
+which previously could be satisfied by self-attestation:
 
-(committed with the round). A flaky row with a matching re-run-OK
-adjudication line passes the guard with an ADJUDICATED note; without
-one it fails with instructions, never conflated with a mismatch.
+  * the infra class is restricted to rows where the comparison NEVER
+    COMPLETED — all three match keys (`rows_match`/`schema_match`/
+    `hash_match`) absent or null. A row carrying ANY explicit match
+    boolean recorded a real comparison outcome; an infra-looking
+    substring in its `err` (e.g. a DuckDB message that happens to
+    contain "EAGAIN") no longer makes a genuine mismatch adjudicable.
+  * adjudication lines must carry VERIFIABLE re-run evidence that the
+    guard cross-checks against the committed snapshot:
+
+        FLAKE <query> re-run OK rows=<n> md5=<hex> <free-form note>
+
+    where rows/md5 must equal the `(N rows, md5 H)` the snapshot's OK
+    line records for that query (tools/check_oracle.py prints both
+    since r20). A bare `FLAKE <q> re-run OK` line — or one whose
+    evidence disagrees with the snapshot — fails the guard.
+
+A flaky row with a matching evidence-checked adjudication passes with
+an ADJUDICATED note; without one it fails with instructions, never
+conflated with a mismatch.
 
 Run standalone (`tools/check_correctness_artifact.py 18`) or as the
 last step of the round's snapshot discipline. Exit 0 = artifact sound.
@@ -61,17 +78,50 @@ def parse_snapshot(path):
     return res
 
 
+def parse_snapshot_evidence(path):
+    """r20+ OK lines `OK <q> (<n> rows, md5 <hex>)` ->
+    {query: (rows, md5)} — the reference an adjudication's re-run
+    evidence is cross-checked against."""
+    ev = {}
+    with open(path) as f:
+        for line in f:
+            m = re.match(
+                r"OK\s+(\S+)\s+\((\d+) rows, md5 ([0-9a-f]+)\)",
+                line.strip())
+            if m:
+                ev[m.group(1)] = (int(m.group(2)), m.group(3))
+    return ev
+
+
 def parse_adjudications(path):
-    """`FLAKE <query> re-run OK ...` lines -> {query} (re-run green)."""
-    ok = set()
+    """`FLAKE <query> re-run OK rows=<n> md5=<hex> ...` lines ->
+    {query: (rows, md5)}. Legacy bare lines (no evidence) parse to
+    {query: None} so the caller can fail them with instructions
+    rather than silently ignoring them."""
+    ok = {}
     if not os.path.exists(path):
         return ok
     with open(path) as f:
         for line in f:
+            m = re.match(
+                r"FLAKE\s+(\S+)\s+re-run\s+OK\s+rows=(\d+)\s+"
+                r"md5=([0-9a-f]+)\b", line.strip())
+            if m:
+                ok[m.group(1)] = (int(m.group(2)), m.group(3))
+                continue
             m = re.match(r"FLAKE\s+(\S+)\s+re-run\s+OK\b", line.strip())
             if m:
-                ok.add(m.group(1))
+                ok.setdefault(m.group(1), None)
     return ok
+
+
+def comparison_never_completed(row):
+    """True iff the artifact row records NO comparison outcome — all
+    three match keys absent or null (r19 ADVICE: an explicit False is
+    a real recorded mismatch and must never become adjudicable just
+    because `err` contains an infra-looking substring)."""
+    return all(row.get(k) is None
+               for k in ("rows_match", "schema_match", "hash_match"))
 
 
 def main(round_n, repo="."):
@@ -109,13 +159,19 @@ def main(round_n, repo="."):
                   bool(v.get("schema_match")) and
                   bool(v.get("hash_match"))
                   for q, v in art.items() if isinstance(v, dict)}
-        # rows whose failure is an oracle-INFRA error, not a mismatch
+        # rows whose failure is an oracle-INFRA error, not a mismatch:
+        # the err carries an infra signature AND the comparison never
+        # completed (no match key recorded — r19 ADVICE: an explicit
+        # rows_match/hash_match False is a real outcome, never
+        # adjudicable however infra-flavored its err string)
         infra = {q for q, v in art.items() if isinstance(v, dict)
                  and not art_ok.get(q)
-                 and v.get("err") and INFRA_RE.search(str(v["err"]))}
+                 and v.get("err") and INFRA_RE.search(str(v["err"]))
+                 and comparison_never_completed(v)}
         rerun_ok = parse_adjudications(os.path.join(
             repo, "tools", "correctness_snapshots",
             f"r{round_n}_adjudications.txt"))
+        snap_ev = parse_snapshot_evidence(snap_path)
         missing = sorted(set(snap) - set(art_ok))
         extra = sorted(set(art_ok) - set(snap))
         if missing:
@@ -124,24 +180,45 @@ def main(round_n, repo="."):
         if extra:
             errs.append(f"artifact has {len(extra)} queries the "
                         f"snapshot lacks, e.g. {extra[:5]}")
+        ask = (f"record 'FLAKE {{q}} re-run OK rows=<n> md5=<hex> "
+               f"<note>' in tools/correctness_snapshots/"
+               f"r{round_n}_adjudications.txt, where rows/md5 quote "
+               f"the local re-run and must match the snapshot's OK "
+               f"line")
         for q in sorted(set(snap) & set(art_ok)):
             if snap[q] == art_ok[q]:
                 continue
-            if q in infra and q in rerun_ok:
-                adjudicated.append(q)
+            if q in infra and rerun_ok.get(q) is not None:
+                if q not in snap_ev:
+                    errs.append(
+                        f"{q}: adjudication carries evidence but the "
+                        f"snapshot OK line has no rows/md5 (pre-r20 "
+                        f"format?) — regenerate the snapshot with the "
+                        f"current tools/check_oracle.py")
+                elif rerun_ok[q] != snap_ev[q]:
+                    errs.append(
+                        f"{q}: adjudication evidence {rerun_ok[q]} "
+                        f"disagrees with the snapshot's {snap_ev[q]} — "
+                        f"the claimed re-run did not reproduce the "
+                        f"snapshot result")
+                else:
+                    adjudicated.append(q)
+            elif q in infra and q in rerun_ok:
+                errs.append(
+                    f"{q}: adjudication line lacks machine-checkable "
+                    f"evidence (r19 ADVICE) — " + ask.format(q=q))
             elif q in infra:
                 errs.append(
                     f"{q}: oracle-infra flake (err matches the DuckDB "
-                    f"resource-error class) — local re-run REQUIRED: "
-                    f"run graft.Verify + tools/check_oracle.py for it, "
-                    f"then record 'FLAKE {q} re-run OK <note>' in "
-                    f"tools/correctness_snapshots/"
-                    f"r{round_n}_adjudications.txt")
+                    f"resource-error class and no comparison outcome "
+                    f"was recorded) — local re-run REQUIRED: run "
+                    f"graft.Verify + tools/check_oracle.py for it, "
+                    f"then " + ask.format(q=q))
             else:
                 errs.append(
                     f"{q}: artifact and snapshot DISAGREE and the "
-                    f"artifact error is not an infra signature — a "
-                    f"real mismatch, not adjudicable")
+                    f"artifact row is not an incomplete-comparison "
+                    f"infra flake — a real mismatch, not adjudicable")
 
     if errs:
         for e in errs:

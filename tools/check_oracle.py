@@ -5,13 +5,22 @@ against the sfDir tables, compare values with columns sorted by name.
 
 Usage: check_oracle.py <sfDir> <outDir>
 """
-import json, sys, glob, os
+import hashlib, json, sys, glob, os
 import duckdb
 import pandas as pd
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     return df.reset_index(drop=True)
+
+def result_md5(df: pd.DataFrame) -> str:
+    """Stable content hash of a canonical result frame. Printed on OK
+    lines so the committed snapshot carries machine-checkable re-run
+    evidence: a flake adjudication (check_correctness_artifact.py)
+    must quote the rows+md5 of a local re-run, and the guard verifies
+    them against these values."""
+    return hashlib.md5(
+        df.astype(str).to_csv(index=False).encode()).hexdigest()[:12]
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
@@ -56,7 +65,7 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: col {c} row {i}: spark={av!r} oracle={bv!r} (+{len(bad)-1} more cols)")
         else:
             n_ok += 1
-            print(f"OK   {name} ({len(got)} rows)")
+            print(f"OK   {name} ({len(got)} rows, md5 {result_md5(got)})")
     print(f"{n_ok}/{len(oracles)} queries match")
     return 0 if n_ok == len(oracles) else 1
 

@@ -56,6 +56,19 @@ def main(old_path, new_path, top_n=15):
         cm = median(new["calib_mt"]) / median(old["calib_mt"])
         line += f", calib_mt {cm:.3f}x, mt-normalized {raw / cm:.3f}x"
     print(line)
+    # STANDING drift protocol (r19 verdict task #5): beyond ~1.15x raw
+    # drift the calib gauges are not trustworthy on their own (r19:
+    # calib and calib_mt moved in OPPOSITE directions under a 1.27x
+    # environmental drift) — the honest instrument is the git-worktree
+    # same-machine A/B of the two code states, automated in
+    # tools/bench_ab.py. Record its table in the round's cmp file.
+    if raw > 1.15 or raw < 1 / 1.15:
+        print(f"DRIFT PROTOCOL: raw {raw:.3f}x exceeds the 1.15x "
+              f"adjudication threshold — run\n"
+              f"  tools/bench_ab.py <old_snapshot_commit> HEAD "
+              f"--snapshots {old_path} {new_path}\n"
+              f"and paste the A/B table into the cmp file (code-state "
+              f"ratios ~1x => drift is environmental).")
     for side, d in (("old", old), ("new", new)):
         if d.get("failed"):
             print(f"FAILED queries in {side}: {', '.join(d['failed'])}")
