@@ -175,9 +175,11 @@ object SparkEntry {
       "hll_sliding_estimate", "hdr_sliding_sketch",
       "hll_pair_from_table", "hll_table_ingest",
       // round-20 additions: durability symmetry — the persisted
-      // day-grain sliding estimator + the persisted-table pair path
-      // for the measured-better KMV estimator
-      "hll_sliding_from_table", "kmv_pair_from_table")
+      // day-grain sliding estimators (distinct AND quantiles) + the
+      // persisted-table pair path for the measured-better KMV
+      // estimator
+      "hll_sliding_from_table", "kmv_pair_from_table",
+      "hdr_sliding_from_table")
 
   def benchQueries: Seq[(String, (SparkSession, String) => DataFrame)] =
     benchNames.flatMap(n => queries.get(n).map(n -> _))

@@ -64,6 +64,22 @@ object TemporalQueries {
     s"$artifactRoot/hll_day_regs_${new java.io.File(dir).getName}" +
       ".parquet"
 
+  /** hdr_sliding_from_table's persisted per-day bucket-histogram
+    * table — the [[hllDayExportPath]] layout for the HDR family
+    * (same pid-scoped root, same [[TrainingQueries.writeSketchTable]]
+    * serialization). One contract DIFFERENCE vs the HLL table,
+    * documented because it changes the ingest law: HDR cells merge by
+    * ADDITION (`hdr_merge_shards`), which is shard-safe but NOT
+    * idempotent — a day re-appended whole would double its counts
+    * (HLL's register-max forgives exactly that). The append
+    * discipline is therefore at-most-once per closed day (in
+    * production: per-day partition overwrite / atomic rename), and
+    * the read-back merge exists for SHARD-split appends of one day,
+    * never for re-delivered history. */
+  private def hdrDayExportPath(dir: String): String =
+    s"$artifactRoot/hdr_day_hist_${new java.io.File(dir).getName}" +
+      ".parquet"
+
   /** The sliding-estimate oracle — shared verbatim by
     * hll_sliding_estimate (localCheckpoint answer path) and
     * hll_sliding_from_table (parquet-persisted day-grain register
@@ -99,6 +115,49 @@ object TemporalQueries {
       |)
       |SELECT day, $est AS est_users FROM su ORDER BY day""".stripMargin
   }
+
+  /** The sliding-quantile-sketch oracle — shared verbatim by
+    * hdr_sliding_sketch (localCheckpoint answer path) and
+    * hdr_sliding_from_table (parquet-persisted day-grain histogram
+    * table): bucket/lo/cnt are lossless integers through the
+    * write/append/read round-trip, so both rows must hash-match the
+    * same recomputation from `events`. */
+  private lazy val hdrSlidingSketchOracleSql: String =
+    s"""WITH e AS (
+      |  SELECT epoch_us(ts) // 86400000000 AS day,
+      |    CAST(floor(value * 1000000e0) AS BIGINT) AS vi
+      |  FROM events WHERE value IS NOT NULL AND value > 0
+      |), b AS (
+      |  SELECT day, vi,
+      |    ${Sketches.hdrBucketDuck("vi")} AS bucket,
+      |    ${Sketches.hdrBucketLoDuck("vi")} AS lo
+      |  FROM e
+      |), hist AS (
+      |  SELECT day, bucket, MIN(lo) AS lo,
+      |    CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM b GROUP BY day, bucket
+      |), days AS (
+      |  SELECT DISTINCT day FROM hist
+      |), wh AS (
+      |  SELECT d.day AS wd, hist.bucket, MIN(hist.lo) AS lo,
+      |    CAST(SUM(hist.cnt) AS BIGINT) AS cnt
+      |  FROM days d
+      |  JOIN hist ON hist.day BETWEEN d.day - 6 AND d.day
+      |  GROUP BY 1, 2
+      |), skcum AS (
+      |  SELECT wd, lo, cnt,
+      |    SUM(cnt) OVER (PARTITION BY wd ORDER BY bucket) AS cum,
+      |    SUM(cnt) OVER (PARTITION BY wd) AS n
+      |  FROM wh
+      |)
+      |SELECT wd AS day,
+      |  MIN(CASE WHEN cum * 100 >= 50 * n THEN lo END)
+      |    AS p50_sketch,
+      |  MIN(CASE WHEN cum * 100 >= 90 * n THEN lo END)
+      |    AS p90_sketch,
+      |  MIN(CASE WHEN cum * 100 >= 99 * n THEN lo END)
+      |    AS p99_sketch
+      |FROM skcum GROUP BY wd ORDER BY day""".stripMargin
 
   val all: Map[String, Q] = Map(
 
@@ -683,6 +742,75 @@ object TemporalQueries {
         .orderBy("day")
     },
 
+    // hdr_sliding_sketch over a PERSISTED day-grain histogram table —
+    // the hll_sliding_from_table pattern for the HDR family,
+    // completing durable-table symmetry across BOTH sliding
+    // estimators (distinct AND quantiles): the per-day bucket
+    // histograms are WRITTEN to a parquet sketch table — closed
+    // history in one scan (the write an ingest job runs once), the
+    // newest closed day APPENDED incrementally (only ITS events scan;
+    // yesterday never recomputes) — and the rolling 7-day p50/p90/p99
+    // derive from READING the table back: the window is a cell-wise
+    // ADD over ≤ 7×960 rows (the hdr_merge_shards law applied to
+    // time), the answer-time plan's FileScans touch ONLY the
+    // ≤ days×960-row table (PlanPins pins `events` absent) —
+    // restart-safe, shareable across jobs, any window length for the
+    // same price. Contract note (vs the HLL table): ADDITION is
+    // shard-safe but not idempotent, so the append discipline is
+    // at-most-once per closed day — see hdrDayExportPath. Results are
+    // identical to hdr_sliding_sketch (lossless integer round-trip),
+    // so both rows share one oracle.
+    "hdr_sliding_from_table" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.events(s, dir)
+        .filter(col("value").isNotNull && col("value") > 0)
+        .select(expr("(ts div 1000) div 86400000000").as("day"),
+          expr("CAST(floor(value * 1000000e0) AS BIGINT)").as("vi"))
+      // documented 1-row construction-time action (the closed-day
+      // split bound), guarded for the empty-table regime
+      val mx = e.agg(max("day")).head
+      require(!mx.isNullAt(0),
+        s"hdr_sliding_from_table: events table at $dir has no " +
+          "positive-value rows — no day bound to split closed " +
+          "history vs the newest day")
+      val maxDay = mx.getLong(0)
+      def hist(f: org.apache.spark.sql.DataFrame) = f
+        .withColumn("bucket", expr(Sketches.hdrBucketSql("vi")))
+        .withColumn("lo", expr(Sketches.hdrBucketLoSql("vi")))
+        .groupBy("day", "bucket")
+        .agg(min("lo").as("lo"), count(lit(1)).as("cnt"))
+      val path = hdrDayExportPath(dir)
+      // at-rest table: every closed day before the newest, written once
+      TrainingQueries.writeSketchTable(
+        hist(e.filter(col("day") < maxDay)), path)
+      // incremental ingest: the newly closed day's OWN histogram only
+      TrainingQueries.writeSketchTable(
+        hist(e.filter(col("day") === maxDay)), path, mode = "append")
+      // read-back + cell-wise ADD merge: collapses shard-split
+      // appends of one day (lo is a pure function of bucket, min()
+      // re-derives it); NOT a re-delivery shield — see the
+      // at-most-once contract on hdrDayExportPath
+      val tbl = s.read.parquet(path)
+        .groupBy("day", "bucket")
+        .agg(min("lo").as("lo"), sum("cnt").as("cnt"))
+      val days = tbl.select("day").distinct()
+      val winHist = days.select(col("day").as("d"))
+        .join(tbl, col("day").between(col("d") - 6, col("d")))
+        .groupBy("d", "bucket")
+        .agg(min("lo").as("lo"), sum("cnt").as("cnt"))
+      val wn = Window.partitionBy("d")
+      val skCum = winHist
+        .withColumn("cum", sum("cnt").over(wn.orderBy("bucket")))
+        .withColumn("n", sum("cnt").over(wn))
+      def q(p: Int) =
+        min(when(col("cum") * 100 >= lit(p) * col("n"), col("lo")))
+      skCum.groupBy(col("d").as("day"))
+        .agg(q(50).as("p50_sketch"), q(90).as("p90_sketch"),
+          q(99).as("p99_sketch"))
+        .select("day", "p50_sketch", "p90_sketch", "p99_sketch")
+        .orderBy("day")
+    },
+
     // HDR member of the shard-merge family (hll_merge_shards /
     // cms_merge_shards / kmv_merge_shards — this completes all four
     // sketches): Spark shards events by user_id parity, builds an
@@ -1130,42 +1258,12 @@ object TemporalQueries {
         |FROM sk JOIN ex ON ex.day = sk.day
         |ORDER BY sk.day""".stripMargin,
 
-    "hdr_sliding_sketch" ->
-      s"""WITH e AS (
-        |  SELECT epoch_us(ts) // 86400000000 AS day,
-        |    CAST(floor(value * 1000000e0) AS BIGINT) AS vi
-        |  FROM events WHERE value IS NOT NULL AND value > 0
-        |), b AS (
-        |  SELECT day, vi,
-        |    ${Sketches.hdrBucketDuck("vi")} AS bucket,
-        |    ${Sketches.hdrBucketLoDuck("vi")} AS lo
-        |  FROM e
-        |), hist AS (
-        |  SELECT day, bucket, MIN(lo) AS lo,
-        |    CAST(COUNT(*) AS BIGINT) AS cnt
-        |  FROM b GROUP BY day, bucket
-        |), days AS (
-        |  SELECT DISTINCT day FROM hist
-        |), wh AS (
-        |  SELECT d.day AS wd, hist.bucket, MIN(hist.lo) AS lo,
-        |    CAST(SUM(hist.cnt) AS BIGINT) AS cnt
-        |  FROM days d
-        |  JOIN hist ON hist.day BETWEEN d.day - 6 AND d.day
-        |  GROUP BY 1, 2
-        |), skcum AS (
-        |  SELECT wd, lo, cnt,
-        |    SUM(cnt) OVER (PARTITION BY wd ORDER BY bucket) AS cum,
-        |    SUM(cnt) OVER (PARTITION BY wd) AS n
-        |  FROM wh
-        |)
-        |SELECT wd AS day,
-        |  MIN(CASE WHEN cum * 100 >= 50 * n THEN lo END)
-        |    AS p50_sketch,
-        |  MIN(CASE WHEN cum * 100 >= 90 * n THEN lo END)
-        |    AS p90_sketch,
-        |  MIN(CASE WHEN cum * 100 >= 99 * n THEN lo END)
-        |    AS p99_sketch
-        |FROM skcum GROUP BY wd ORDER BY day""".stripMargin,
+    "hdr_sliding_sketch" -> hdrSlidingSketchOracleSql,
+    // identical window algebra over the parquet-persisted day-grain
+    // histogram table — lossless integer round-trip, so the same
+    // oracle pins the at-rest write, the incremental closed-day
+    // append AND the read-back cell-add merge
+    "hdr_sliding_from_table" -> hdrSlidingSketchOracleSql,
 
     // merge-law row: the oracle never shards (hll_merge_shards
     // discipline) — the unsharded histogram IS what shard-and-add

@@ -643,4 +643,19 @@ class PlanPinsSpec extends SparkSpec {
       s"answer-time plan touches the corpus — the window algebra " +
         s"must read the persisted per-day register table alone:\n$plan")
   }
+
+  test("hdr_sliding_from_table's answer-time plan scans ONLY the " +
+      "persisted day-grain histogram table: its FileScans read the " +
+      "hdr_day_hist parquet layout, and the events corpus appears " +
+      "nowhere — durable-table symmetry for the quantile family " +
+      "(r20, completing both sliding estimators)") {
+    val plan = SparkEntry.queries("hdr_sliding_from_table")(
+        spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hdr_day_hist_"),
+      s"answer-time plan lost its sketch-table scan:\n$plan")
+    assert(!plan.contains("events"),
+      s"answer-time plan touches the corpus — the window algebra " +
+        s"must read the persisted per-day histogram table alone:\n$plan")
+  }
 }
