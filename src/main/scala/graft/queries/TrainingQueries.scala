@@ -329,6 +329,27 @@ object TrainingQueries {
       |FROM f ORDER BY s1, s2""".stripMargin
   }
 
+  /** The whole-corpus CMS cell-table oracle — shared verbatim by
+    * cms_bigram_sketch (one-shot sketch build) and cms_table_ingest
+    * (disjoint-slice write + append + read-back sum): the oracle
+    * never slices, so hash equality on the full cell table IS the
+    * addition law proven through the durable round-trip. */
+  private lazy val cmsCellTableOracleSql: String =
+    s"""WITH t AS (
+      |  SELECT $toksExpr AS toks FROM documents
+      |), b AS (
+      |  SELECT unnest(list_transform(range(1, len(toks)),
+      |    i -> toks[CAST(i AS INT)] || ' ' ||
+      |         toks[CAST(i + 1 AS INT)])) AS key
+      |  FROM t WHERE len(toks) >= 2
+      |)
+      |SELECT CAST(r AS INT) AS r,
+      |  ('0x' || substr(md5(CAST(r AS VARCHAR) ||
+      |    ':cms:' || key), 1, 15))::BIGINT % 256 AS c,
+      |  CAST(COUNT(*) AS BIGINT) AS cnt
+      |FROM b, (SELECT unnest([0, 1, 2]) AS r)
+      |GROUP BY 1, 2 ORDER BY r, c""".stripMargin
+
   /** The corpus bigram stream (lowercased token pairs), shared by the
     * CMS sketch/report rows; `withDocId` keeps the shard key for the
     * merge-law row. */
@@ -2583,6 +2604,49 @@ object TrainingQueries {
         .orderBy("r", "c")
     },
 
+    // CMS member of the persisted-table family (r20 — with this row,
+    // durable at-rest coverage spans ALL FOUR sketches: HLL pair /
+    // sliding / ingest tables, the KMV pair table, the HDR sliding
+    // table, and now the CMS cell table): the d=3 × w=256 cell frame
+    // of the existing corpus slice is WRITTEN to a parquet sketch
+    // table in one scan (the write an ingest job runs once), the new
+    // batch's OWN cells are APPENDED — only ITS bigrams scan, history
+    // never recomputes — and the read-back cell-wise SUM must equal
+    // the whole-corpus sketch, which is exactly what the shared
+    // oracle (cms_bigram_sketch's unsharded derivation) hash-checks:
+    // the cms_merge_shards addition law proven through a durable
+    // round-trip rather than a parity split. Contract note: CMS
+    // addition, like HDR's and unlike HLL's register-max, is
+    // shard-safe but NOT idempotent, so the slices are DISJOINT
+    // (doc_id 4/5 split) and the append discipline is at-most-once
+    // per batch — see cmsCellExportPath. Answer-time plan reads ONLY
+    // the ≤ 768-row table (PlanPins pins `documents` absent).
+    "cms_table_ingest" -> { (s, dir) =>
+      // documented 1-row construction-time action (the split bound),
+      // guarded for the empty-table regime
+      val mx = Tables.documents(s, dir).agg(max("doc_id")).head
+      require(!mx.isNullAt(0),
+        s"cms_table_ingest: documents table at $dir is empty — " +
+          "no doc_id bound to split existing corpus vs new batch")
+      val n = mx.getLong(0) + 1
+      val big = bigramStream(s, dir, withDocId = true)
+      def cells(f: org.apache.spark.sql.DataFrame) =
+        Sketches.cmsCells(f.select("key"), col("key"), 3, 256)
+      val path = cmsCellExportPath(dir)
+      // at-rest table: the existing corpus slice, written once
+      writeSketchTable(cells(big.filter(col("doc_id") < n * 4 / 5)),
+        path)
+      // incremental ingest: the new batch's OWN cells only (disjoint
+      // — addition is not idempotent)
+      writeSketchTable(cells(big.filter(col("doc_id") >= n * 4 / 5)),
+        path, mode = "append")
+      // read-back + cell-wise ADD = the whole-corpus sketch
+      s.read.parquet(path)
+        .groupBy("r", "c").agg(sum("cnt").as("cnt"))
+        .select("r", "c", "cnt")
+        .orderBy("r", "c")
+    },
+
     // KMV member of the shard-merge family (see hll_merge_shards):
     // Spark shards the corpus by doc_id parity, sketches each shard
     // independently (bounded bottom-k aggregates) and merges with
@@ -3504,6 +3568,15 @@ object TrainingQueries {
   private def kmvSketchExportPath(dir: String): String =
     s"$artifactRoot/kmv_sketch_${new java.io.File(dir).getName}.parquet"
 
+  /** cms_table_ingest's persisted d×w cell table (r20 — completes
+    * durable at-rest coverage across all four sketch families). Like
+    * the HDR day table and unlike HLL's, CMS cells merge by ADDITION
+    * — shard-safe, NOT idempotent — so the append discipline is
+    * at-most-once per batch (disjoint slices; in production a
+    * per-batch partition overwrite / atomic rename). */
+  private def cmsCellExportPath(dir: String): String =
+    s"$artifactRoot/cms_cells_${new java.io.File(dir).getName}.parquet"
+
   /** Serializes same-path sketch-table overwrites within this JVM
     * (see the concurrency contract on [[hllRegExportPath]]): one lock
     * object per distinct export path, so unrelated tables never
@@ -4039,21 +4112,11 @@ object TrainingQueries {
         |FROM su ORDER BY source""".stripMargin
     },
 
-    "cms_bigram_sketch" ->
-      s"""WITH t AS (
-        |  SELECT $toksExpr AS toks FROM documents
-        |), b AS (
-        |  SELECT unnest(list_transform(range(1, len(toks)),
-        |    i -> toks[CAST(i AS INT)] || ' ' ||
-        |         toks[CAST(i + 1 AS INT)])) AS key
-        |  FROM t WHERE len(toks) >= 2
-        |)
-        |SELECT CAST(r AS INT) AS r,
-        |  ('0x' || substr(md5(CAST(r AS VARCHAR) ||
-        |    ':cms:' || key), 1, 15))::BIGINT % 256 AS c,
-        |  CAST(COUNT(*) AS BIGINT) AS cnt
-        |FROM b, (SELECT unnest([0, 1, 2]) AS r)
-        |GROUP BY 1, 2 ORDER BY r, c""".stripMargin,
+    "cms_bigram_sketch" -> cmsCellTableOracleSql,
+    // identical whole-corpus cell derivation — the disjoint-slice
+    // write/append/read round-trip is lossless integers, so the
+    // ingest row must reproduce the unsharded sketch bit for bit
+    "cms_table_ingest" -> cmsCellTableOracleSql,
 
     "hll_pair_overlap" -> {
       val est = Sketches.hllEstimateSql(8)

@@ -658,4 +658,17 @@ class PlanPinsSpec extends SparkSpec {
       s"answer-time plan touches the corpus — the window algebra " +
         s"must read the persisted per-day histogram table alone:\n$plan")
   }
+
+  test("cms_table_ingest's answer-time plan scans ONLY the persisted " +
+      "cell table: its FileScans read the cms_cells parquet layout, " +
+      "and the documents corpus appears nowhere — durable at-rest " +
+      "coverage now spans all four sketch families (r20)") {
+    val plan = SparkEntry.queries("cms_table_ingest")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("cms_cells_"),
+      s"answer-time plan lost its sketch-table scan:\n$plan")
+    assert(!plan.contains("documents"),
+      s"answer-time plan touches the corpus — the cell-add merge " +
+        s"must read the persisted cell table alone:\n$plan")
+  }
 }
