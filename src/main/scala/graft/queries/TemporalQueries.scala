@@ -282,12 +282,20 @@ object TemporalQueries {
         Sketches.hllRegisters(f, col("day"), col("uid"), 5)
           .withColumnRenamed("key", "day")
       val path = hllDayExportPath(dir)
-      // at-rest table: every closed day before the newest, written once
-      TrainingQueries.writeSketchTable(
-        regs(ev.filter(col("day") < maxDay)), path)
-      // incremental ingest: the newly closed day's OWN registers only
-      TrainingQueries.writeSketchTable(
-        regs(ev.filter(col("day") === maxDay)), path, mode = "append")
+      // the overwrite+append PAIR holds the path lock across both
+      // writes (an interleaved pair from a concurrent construction
+      // would lose the append under overwrite)
+      TrainingQueries.withSketchTableLock(path) {
+        // at-rest table: every closed day before the newest, written
+        // once
+        TrainingQueries.writeSketchTable(
+          regs(ev.filter(col("day") < maxDay)), path)
+        // incremental ingest: the newly closed day's OWN registers
+        // only
+        TrainingQueries.writeSketchTable(
+          regs(ev.filter(col("day") === maxDay)), path,
+          mode = "append")
+      }
       // read-back + register-max merge (idempotent: a re-appended day
       // cannot inflate any register — the ingest law at day grain)
       val tbl = s.read.parquet(path)
@@ -780,12 +788,21 @@ object TemporalQueries {
         .groupBy("day", "bucket")
         .agg(min("lo").as("lo"), count(lit(1)).as("cnt"))
       val path = hdrDayExportPath(dir)
-      // at-rest table: every closed day before the newest, written once
-      TrainingQueries.writeSketchTable(
-        hist(e.filter(col("day") < maxDay)), path)
-      // incremental ingest: the newly closed day's OWN histogram only
-      TrainingQueries.writeSketchTable(
-        hist(e.filter(col("day") === maxDay)), path, mode = "append")
+      // the overwrite+append PAIR holds the path lock across both
+      // writes — doubly load-bearing here: cell-add is not
+      // idempotent, so an interleaved pair from a concurrent
+      // construction could double-count the newest day
+      TrainingQueries.withSketchTableLock(path) {
+        // at-rest table: every closed day before the newest, written
+        // once
+        TrainingQueries.writeSketchTable(
+          hist(e.filter(col("day") < maxDay)), path)
+        // incremental ingest: the newly closed day's OWN histogram
+        // only
+        TrainingQueries.writeSketchTable(
+          hist(e.filter(col("day") === maxDay)), path,
+          mode = "append")
+      }
       // read-back + cell-wise ADD merge: collapses shard-split
       // appends of one day (lo is a pure function of bucket, min()
       // re-derives it); NOT a re-delivery shield — see the

@@ -2633,13 +2633,19 @@ object TrainingQueries {
       def cells(f: org.apache.spark.sql.DataFrame) =
         Sketches.cmsCells(f.select("key"), col("key"), 3, 256)
       val path = cmsCellExportPath(dir)
-      // at-rest table: the existing corpus slice, written once
-      writeSketchTable(cells(big.filter(col("doc_id") < n * 4 / 5)),
-        path)
-      // incremental ingest: the new batch's OWN cells only (disjoint
-      // — addition is not idempotent)
-      writeSketchTable(cells(big.filter(col("doc_id") >= n * 4 / 5)),
-        path, mode = "append")
+      // the overwrite+append PAIR holds the path lock across both
+      // writes — doubly load-bearing here: cell-add is not
+      // idempotent, so an interleaved pair from a concurrent
+      // construction could double-count the new batch
+      withSketchTableLock(path) {
+        // at-rest table: the existing corpus slice, written once
+        writeSketchTable(cells(big.filter(col("doc_id") < n * 4 / 5)),
+          path)
+        // incremental ingest: the new batch's OWN cells only
+        // (disjoint — addition is not idempotent)
+        writeSketchTable(cells(big.filter(col("doc_id") >= n * 4 / 5)),
+          path, mode = "append")
+      }
       // read-back + cell-wise ADD = the whole-corpus sketch
       s.read.parquet(path)
         .groupBy("r", "c").agg(sum("cnt").as("cnt"))
@@ -3550,11 +3556,15 @@ object TrainingQueries {
     * pid-scoped, so a concurrent Verify and TimeQuery at the same SF
     * write disjoint trees. WITHIN one process, concurrent
     * constructions of the same sketch-table row (e.g. two test
-    * threads) serialize their overwrite through
-    * [[sketchTableWriteLock]]; answer-time reads happen after the
-    * construction-time write returns, and a deterministic rewrite of
-    * identical content is the worst a sequential re-construction can
-    * do. */
+    * threads) serialize through [[sketchTableWriteLock]] — and a
+    * construction that issues MORE than one write (the
+    * overwrite+append ingest rows) holds the lock across the whole
+    * pair via [[withSketchTableLock]], so an interleaved pair can
+    * neither lose an append under an overwrite nor double-append a
+    * non-idempotent cell-add batch. Answer-time reads happen after
+    * the construction-time writes return, and a deterministic
+    * rewrite of identical content is the worst a sequential
+    * re-construction can do. */
   private def hllRegExportPath(dir: String): String =
     s"$artifactRoot/hll_regs_${new java.io.File(dir).getName}.parquet"
 
@@ -3577,21 +3587,29 @@ object TrainingQueries {
   private def cmsCellExportPath(dir: String): String =
     s"$artifactRoot/cms_cells_${new java.io.File(dir).getName}.parquet"
 
-  /** Serializes same-path sketch-table overwrites within this JVM
+  /** Serializes same-path sketch-table writes within this JVM
     * (see the concurrency contract on [[hllRegExportPath]]): one lock
     * object per distinct export path, so unrelated tables never
-    * contend. */
+    * contend. A single write is safe on its own, but an
+    * overwrite+append PAIR (the ingest rows — and CMS/HDR cell-add
+    * appends are not idempotent, so an interleaved pair would
+    * double-count) must hold the lock across BOTH writes: wrap the
+    * construction in [[withSketchTableLock]] — intrinsic locks are
+    * reentrant, so the inner per-write acquisition nests freely. */
   private val sketchTableWriteLock =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
+  /** Runs `body` holding `path`'s write lock — the unit of atomicity
+    * for multi-write sketch-table constructions (overwrite + append). */
+  private[queries] def withSketchTableLock[A](path: String)(body: => A): A =
+    sketchTableWriteLock.computeIfAbsent(path, _ => new Object)
+      .synchronized(body)
+
   private[queries] def writeSketchTable(df: org.apache.spark.sql.DataFrame,
-      path: String, mode: String = "overwrite"): Unit = {
-    val lock = sketchTableWriteLock
-      .computeIfAbsent(path, _ => new Object)
-    lock.synchronized {
+      path: String, mode: String = "overwrite"): Unit =
+    withSketchTableLock(path) {
       df.write.mode(mode).parquet(path)
     }
-  }
 
   private val minhashMins = (0 until 8).map { i =>
     s"min(substr(md5(s), ${4 * i + 1}, 8)) AS h$i"

@@ -21,8 +21,9 @@ Usage:
   bench_ab.py <old_ref> <new_ref> --queries q1,q2,...  [options]
   bench_ab.py <old_ref> <new_ref> --snapshots old.json new.json [options]
 
-With --snapshots, the N worst shared movers (new/old ratio) are picked
-automatically. Options: --passes (default 4; min is reported),
+With --snapshots, the N biggest shared movers IN EITHER DIRECTION
+(max of new/old and old/new — the protocol fires on improvements too)
+are picked automatically. Options: --passes (default 4; min is reported),
 --top (default 5, with --snapshots), --sfdir (default
 /root/testdata/sf0.1), --full (time via -full materialization).
 
@@ -33,7 +34,6 @@ interleaved per query so machine drift cannot masquerade as a code
 delta.
 """
 import argparse
-import json
 import os
 import re
 import subprocess
@@ -56,37 +56,48 @@ def sh(cmd, **kw):
 
 
 def load_snapshot(path):
-    text = open(path).read()
-    m = re.search(r'\{"metric".*\}', text)
-    if not m:
-        raise SystemExit(f"{path}: no bench JSON line found")
-    return json.loads(m.group(0))
+    """One bench-JSON-line extractor for the tools/ scripts: reuse
+    compare_bench.load so a Bench stdout format change cannot break
+    the auto-picker and the comparator out of step."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from compare_bench import load
+    return load(path)
 
 
 def worst_movers(old_path, new_path, top):
+    """Biggest movers in EITHER direction (max(r, 1/r)): the drift
+    protocol fires on improvements too (raw < 1/1.15x — r20's 0.80x
+    was exactly that), and for a downward drift the queries worth
+    adjudicating are the big improvers, which a slowdown-only sort
+    would bury at the bottom."""
     oq = load_snapshot(old_path)["queries"]
     nq = load_snapshot(new_path)["queries"]
-    shared = [q for q in oq if q in nq and oq[q] > 0]
-    ranked = sorted(shared, key=lambda q: -(nq[q] / oq[q]))
+    shared = [q for q in oq if q in nq and oq[q] > 0 and nq[q] > 0]
+    ranked = sorted(shared, key=lambda q: -max(
+        nq[q] / oq[q], oq[q] / nq[q]))
     return ranked[:top]
 
 
 def prepare_worktree(repo, ref):
+    # resolve the ref FIRST (check=True): a typo'd ref must fail here,
+    # not masquerade as a stale-worktree complaint below
+    want = sh(["git", "-C", repo, "rev-parse", "--verify", ref],
+              capture_output=True, text=True).stdout.strip()
     safe = re.sub(r"[^A-Za-z0-9_.-]", "_", ref)
     wt = f"/tmp/graft_ab_{safe}"
     if not os.path.isdir(wt):
         sh(["git", "-C", repo, "worktree", "add", "--detach", wt, ref])
     head = subprocess.run(["git", "-C", wt, "rev-parse", "HEAD"],
                           capture_output=True, text=True).stdout.strip()
-    want = subprocess.run(["git", "-C", repo, "rev-parse", ref],
-                          capture_output=True, text=True).stdout.strip()
     if head != want:
         raise SystemExit(
             f"{wt} exists but sits at {head[:9]}, not {ref} ({want[:9]})"
             f" — remove it (git worktree remove {wt}) and re-run")
-    classes = os.path.join(wt, "target", "scala-2.13", "classes")
-    if not os.path.isdir(classes) or not os.listdir(classes):
-        sh(["sbt", "-batch", "compile"], cwd=wt)
+    # always (re)compile: sbt is a no-op when up to date, while a
+    # non-empty classes dir left by a compile that died midway would
+    # otherwise be trusted and every TimeQuery run would die with
+    # NoClassDefFoundError surfaced only as "produced no timings"
+    sh(["sbt", "-batch", "compile"], cwd=wt)
     return wt
 
 
@@ -110,6 +121,17 @@ def time_query(wt, query, passes, sfdir, full):
         print(r.stderr[-2000:], file=sys.stderr)
         raise SystemExit(f"TimeQuery produced no timings for {query} "
                          f"in {wt} (rc={r.returncode})")
+    # a JVM that died mid-run (OOM after pass 1) would otherwise
+    # silently contribute a cold-only min — refuse to adjudicate on a
+    # crashed measurement
+    if r.returncode != 0 or len(times) < passes:
+        print(r.stdout[-2000:], file=sys.stderr)
+        print(r.stderr[-2000:], file=sys.stderr)
+        raise SystemExit(
+            f"TimeQuery for {query} in {wt} completed only "
+            f"{len(times)}/{passes} passes (rc={r.returncode}) — "
+            f"partial timings are cold-biased; fix the crash and "
+            f"re-run")
     return min(times)
 
 
