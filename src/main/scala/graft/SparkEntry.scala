@@ -179,7 +179,8 @@ object SparkEntry {
       // persisted-table pair path for the measured-better KMV
       // estimator
       "hll_sliding_from_table", "kmv_pair_from_table",
-      "hdr_sliding_from_table", "cms_table_ingest")
+      "hdr_sliding_from_table", "cms_table_ingest",
+      "kmv_table_ingest")
 
   def benchQueries: Seq[(String, (SparkSession, String) => DataFrame)] =
     benchNames.flatMap(n => queries.get(n).map(n -> _))

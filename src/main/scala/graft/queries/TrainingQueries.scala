@@ -329,6 +329,26 @@ object TrainingQueries {
       |FROM f ORDER BY s1, s2""".stripMargin
   }
 
+  /** The whole-corpus per-source bottom-k table oracle — shared
+    * verbatim by kmv_merge_shards (in-flight parity-shard merge) and
+    * kmv_table_ingest (durable write + overlapping-batch extend):
+    * the oracle never shards or slices, so hash equality on the
+    * sketch table IS the bottom-k union law — and, for the ingest
+    * row, its IDEMPOTENCE (re-sketched overlap dedups by hash). */
+  private lazy val kmvBottomKTableOracleSql: String =
+    s"""WITH shr AS (
+      |  SELECT source, unnest($shinglesExpr) AS sh FROM documents
+      |), hhd AS (
+      |  SELECT DISTINCT source,
+      |    ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h
+      |  FROM shr
+      |)
+      |SELECT source, h FROM (
+      |  SELECT source, h,
+      |    row_number() OVER (PARTITION BY source ORDER BY h) AS rk
+      |  FROM hhd)
+      |WHERE rk <= 256 ORDER BY source, h""".stripMargin
+
   /** The whole-corpus CMS cell-table oracle — shared verbatim by
     * cms_bigram_sketch (one-shot sketch build) and cms_table_ingest
     * (disjoint-slice write + append + read-back sum): the oracle
@@ -2674,6 +2694,50 @@ object TrainingQueries {
         .orderBy("source", "h")
     },
 
+    // KMV member of the table-ingest family (r20 — with this row the
+    // ingest triad is complete and each law is proven in its OWN
+    // idempotence regime: hll_table_ingest extends by register-max
+    // over an OVERLAPPING re-crawl (idempotent), cms_table_ingest by
+    // cell-add over DISJOINT slices (at-most-once), and this row by
+    // bottom-k union over an OVERLAPPING re-crawl — idempotent
+    // because identical shingles hash identically and the bottom-k
+    // aggregate dedups, so re-ingested history cannot perturb the
+    // sketch): the existing corpus slice's per-source bottom-k table
+    // is WRITTEN to parquet once, the new batch — deliberately
+    // overlapping the slice by a fifth — sketches ONLY its own docs,
+    // and the kmvMerge of the read-back table with the batch must
+    // equal the whole-corpus unsharded bottom-k, which is exactly
+    // what the shared kmv_merge_shards oracle hash-checks. In
+    // steady-state production only the batch scan recurs; the merge
+    // re-aggregate sees ≤ 2 × sources × k longs at any corpus size.
+    "kmv_table_ingest" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      // documented 1-row construction-time action (the split bound),
+      // guarded for the empty-table regime
+      val mx = d.agg(max("doc_id")).head
+      require(!mx.isNullAt(0),
+        s"kmv_table_ingest: documents table at $dir is empty — " +
+          "no doc_id bound to split existing corpus vs new batch")
+      val n = mx.getLong(0) + 1
+      def sketch(f: org.apache.spark.sql.DataFrame) =
+        Sketches.kmvSketch(
+          f.select(col("source"),
+            explode(TextAnalysis.shingles(col("text"), 3)).as("sh")),
+          col("source"), col("sh"), 256)
+      val path = kmvIngestExportPath(dir)
+      // at-rest table: the existing corpus slice, written once
+      writeSketchTable(sketch(d.filter(col("doc_id") < n * 4 / 5)),
+        path)
+      val existing = s.read.parquet(path)
+      // the new batch OVERLAPS the existing slice by a fifth — the
+      // deliberate re-crawl that proves bottom-k idempotence by hash
+      val batch = sketch(d.filter(col("doc_id") >= n * 3 / 5))
+      Sketches.kmvMerge(existing.unionByName(batch), 256)
+        .withColumnRenamed("key", "source")
+        .select("source", "h")
+        .orderBy("source", "h")
+    },
+
     // SKETCH SET-ALGEBRA — pairwise source-vocabulary OVERLAP from
     // HLL sketches alone: |A∩B| ≈ est(A) + est(B) − est(A∪B), where
     // est(A∪B) comes FREE from the merge law (element-wise register
@@ -3578,6 +3642,14 @@ object TrainingQueries {
   private def kmvSketchExportPath(dir: String): String =
     s"$artifactRoot/kmv_sketch_${new java.io.File(dir).getName}.parquet"
 
+  /** kmv_table_ingest's at-rest "existing corpus" bottom-k table —
+    * the [[hllIngestExportPath]] pattern for the KMV family; extends
+    * by the bottom-k union law, which dedups by hash and is therefore
+    * idempotent under overlapping re-ingest (like HLL's register-max,
+    * unlike the CMS/HDR cell-adds). */
+  private def kmvIngestExportPath(dir: String): String =
+    s"$artifactRoot/kmv_ingest_${new java.io.File(dir).getName}.parquet"
+
   /** cms_table_ingest's persisted d×w cell table (r20 — completes
     * durable at-rest coverage across all four sketch families). Like
     * the HDR day table and unlike HLL's, CMS cells merge by ADDITION
@@ -4360,19 +4432,12 @@ object TrainingQueries {
 
     // the oracle never shards (hll_merge_shards discipline): the
     // whole-corpus bottom-k IS what the sharded merge must equal
-    "kmv_merge_shards" ->
-      s"""WITH shr AS (
-        |  SELECT source, unnest($shinglesExpr) AS sh FROM documents
-        |), hhd AS (
-        |  SELECT DISTINCT source,
-        |    ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h
-        |  FROM shr
-        |)
-        |SELECT source, h FROM (
-        |  SELECT source, h,
-        |    row_number() OVER (PARTITION BY source ORDER BY h) AS rk
-        |  FROM hhd)
-        |WHERE rk <= 256 ORDER BY source, h""".stripMargin,
+    "kmv_merge_shards" -> kmvBottomKTableOracleSql,
+    // identical whole-corpus bottom-k derivation — the overlapping
+    // write/extend/read round-trip is lossless longs and bottom-k
+    // union dedups by hash, so the ingest row must reproduce the
+    // unsharded sketch table bit for bit
+    "kmv_table_ingest" -> kmvBottomKTableOracleSql,
 
     "kmv_pair_estimate" -> kmvPairEstimateOracleSql,
     // identical algebra over the parquet-persisted bottom-k table —
