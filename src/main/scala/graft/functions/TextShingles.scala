@@ -16,6 +16,10 @@ import org.apache.spark.sql.functions.udf
   * `string_split_regex(..., '\s+')`, lowercase md5 hex both sides) but
   * run the loops in compiled code behind one UDF call per row.
   */
+/** Element type of [[TextShingles.shingleWithHash60]] (field names are
+  * the downstream schema). */
+final case class ShingleHash(sh: String, h: java.lang.Long)
+
 object TextShingles {
 
   private val hexChars = "0123456789abcdef".toCharArray
@@ -60,6 +64,68 @@ object TextShingles {
   def distinctShingles(n: Int): Column => Column = {
     val f = udf((text: String) =>
       if (text == null) null else shingleArray(text, n).distinct)
+    c => f(c)
+  }
+
+  /** First 60 bits of the md5 digest as an unsigned long — the exact
+    * value of `conv(substring(md5(s), 1, 15), 16, 10)` (15 hex chars =
+    * bytes 0–6 plus the high nibble of byte 7), computed straight from
+    * the digest bytes with no hex-string round trip. */
+  private def hash60(s: String): Long = {
+    val digest = md5.get()
+    digest.reset()
+    val d = digest.digest(s.getBytes("UTF-8"))
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    h >>> 4
+  }
+
+  /** 60-bit md5-prefix hashes of the word `n`-gram shingles, in
+    * shingle order WITH duplicates — element-for-element identical to
+    * `conv(substring(md5(sh), 1, 15), 16, 10)` over
+    * `explode(TextAnalysis.shingles(text, n))`, including the
+    * null-text case (the HOF path emits one null shingle there, so
+    * this returns one null hash). One compiled tokenize→shingle→md5
+    * loop per row for the sketch family, replacing the interpreted
+    * `transform` HOF plus the per-shingle hex/conv chain (see class
+    * doc for the ~10× measurement). */
+  def shingleHash60(n: Int): Column => Column = {
+    val f = udf { (text: String) =>
+      if (text == null) Array[java.lang.Long](null)
+      else {
+        val sh = shingleArray(text, n)
+        val out = new Array[java.lang.Long](sh.length)
+        var i = 0
+        while (i < sh.length) {
+          out(i) = java.lang.Long.valueOf(hash60(sh(i)))
+          i += 1
+        }
+        out
+      }
+    }
+    c => f(c)
+  }
+
+  /** `(sh, h)` pairs: each word `n`-gram shingle string together with
+    * its 60-bit md5-prefix hash — for the audit rows that need BOTH
+    * the shingle identity (exact intersection / countDistinct) and the
+    * sketch hash from one compiled pass. Same null-text parity as
+    * [[shingleHash60]]: one `(null, null)` element. */
+  def shingleWithHash60(n: Int): Column => Column = {
+    val f = udf { (text: String) =>
+      if (text == null) Array[ShingleHash](ShingleHash(null, null))
+      else {
+        val sh = shingleArray(text, n)
+        val out = new Array[ShingleHash](sh.length)
+        var i = 0
+        while (i < sh.length) {
+          out(i) = ShingleHash(sh(i), java.lang.Long.valueOf(hash60(sh(i))))
+          i += 1
+        }
+        out
+      }
+    }
     c => f(c)
   }
 

@@ -43,13 +43,22 @@ object Sketches {
 
   /** Per-(key, register) max-rho table: `key, register, m`. */
   def hllRegisters(df: DataFrame, keyCol: Column, valueCol: Column,
-      p: Int): DataFrame = {
+      p: Int): DataFrame =
+    hllRegistersFromHash(
+      df.select(keyCol.as("key"),
+        conv(substring(md5(valueCol), 1, 15), 16, 10).cast("long")
+          .as("h")), p)
+
+  /** [[hllRegisters]] over a PRE-HASHED frame `key, h` (h = the 60-bit
+    * md5 prefix this object's scaladoc defines — e.g. the compiled
+    * [[graft.functions.TextShingles.shingleHash60]] kernel, which
+    * replaces the interpreted shingle HOF + per-row hex/conv chain on
+    * the corpus-scan hot path). */
+  def hllRegistersFromHash(df: DataFrame, p: Int): DataFrame = {
     require(p >= 4 && p <= 16, s"p must be in [4, 16], got $p")
     val wBits = 60 - p
     val wMod = 1L << wBits
-    df.select(keyCol.as("key"),
-        conv(substring(md5(valueCol), 1, 15), 16, 10).cast("long").as("h"))
-      .select(col("key"), expr(s"h div $wMod").as("register"),
+    df.select(col("key"), expr(s"h div $wMod").as("register"),
         expr(s"h % $wMod").as("w"))
       .withColumn("rho", when(col("w") === 0L, lit(wBits + 1))
         .otherwise(lit(wBits + 1) - length(bin(col("w")))))
@@ -119,11 +128,17 @@ object Sketches {
     * bounded [[graft.functions.KmvAgg]] aggregate — partial bottom-k
     * before the exchange, no corpus-wide distinct. */
   def kmvSketch(df: DataFrame, keyCol: Column, valueCol: Column,
-      k: Int): DataFrame = {
-    require(k >= 2, s"k must be >= 2, got $k")
-    df.select(keyCol.as("key"),
+      k: Int): DataFrame =
+    kmvSketchFromHash(
+      df.select(keyCol.as("key"),
         conv(substring(md5(valueCol), 1, 15), 16, 10).cast("long")
-          .as("h"))
+          .as("h")), k)
+
+  /** [[kmvSketch]] over a PRE-HASHED frame `key, h` (see
+    * [[hllRegistersFromHash]] for the hash contract and why). */
+  def kmvSketchFromHash(df: DataFrame, k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    df.select(col("key"), col("h"))
       // r18 ADVICE: md5(NULL) -> NULL h would decode as 0L through the
       // udaf's primitive long encoder, injecting a spurious minimum
       // hash 0 into the sketch; a NULL value is "no observation"

@@ -45,6 +45,24 @@ object TemporalQueries {
 
   private val SessionGapUs = 6L * 3600 * 1000000 // 6 hours, micros
 
+  /** EQUI-JOIN window expansion for the rolling-7-day rows (r20
+    * verdict "what's wrong" #2): `days ⋈ rows ON day BETWEEN d-6 AND d`
+    * is non-equi, so Spark plans a BroadcastNestedLoopJoin — days ×
+    * rows probe pairs, fine while day-grain tables are small but the
+    * wrong asymptotic shape (it grows multiplicatively with BOTH
+    * sides). `day ∈ [d-6, d] ⇔ d ∈ [day, day+6]`, so each row instead
+    * EXPLODES to its ≤ 7 window anchors and equi-joins the observed
+    * anchor set — 7× row expansion, shuffle/broadcast-hash friendly,
+    * identical output (the join against `days` keeps only anchors
+    * that actually occur). `rows` must carry a LONG `day` column;
+    * output = rows' columns + anchor `d`. */
+  private def expandWindow7(rows: org.apache.spark.sql.DataFrame,
+      days: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    rows
+      .withColumn("d", explode(sequence(col("day"), col("day") + 6)))
+      .join(days.select(col("day").as("d")), Seq("d"))
+
   /** hll_sliding_users' permille error — ONE shared double string
     * (house discipline): est_users is one shared-SQL division,
     * exact_users an exact integer ≥ 1 (a day exists only with
@@ -191,17 +209,14 @@ object TemporalQueries {
         .localCheckpoint()
       val days = regs.select("day").distinct()
       val est = Sketches.hllSummary(
-          days.select(col("day").as("d"))
-            .join(regs,
-              col("day").between(col("d") - 6, col("d")))
+          expandWindow7(regs, days)
             .groupBy(col("d").as("key"), col("register"))
             .agg(max("m").as("m")), 5)
         .withColumnRenamed("key", "day")
         .withColumn("est_users", expr(Sketches.hllEstimateSql(5)))
         .select("day", "est_users")
       val du = ev.distinct()
-      val exact = days.select(col("day").as("d"))
-        .join(du, col("day").between(col("d") - 6, col("d")))
+      val exact = expandWindow7(du, days)
         .select(col("d"), col("uid")).distinct()
         .groupBy(col("d").as("day"))
         .agg(count(lit(1)).as("exact_users"))
@@ -238,9 +253,7 @@ object TemporalQueries {
         .localCheckpoint()
       val days = regs.select("day").distinct()
       Sketches.hllSummary(
-          days.select(col("day").as("d"))
-            .join(regs,
-              col("day").between(col("d") - 6, col("d")))
+          expandWindow7(regs, days)
             .groupBy(col("d").as("key"), col("register"))
             .agg(max("m").as("m")), 5)
         .withColumnRenamed("key", "day")
@@ -302,9 +315,7 @@ object TemporalQueries {
         .groupBy("day", "register").agg(max("m").as("m"))
       val days = tbl.select("day").distinct()
       Sketches.hllSummary(
-          days.select(col("day").as("d"))
-            .join(tbl,
-              col("day").between(col("d") - 6, col("d")))
+          expandWindow7(tbl, days)
             .groupBy(col("d").as("key"), col("register"))
             .agg(max("m").as("m")), 5)
         .withColumnRenamed("key", "day")
@@ -667,8 +678,7 @@ object TemporalQueries {
         .agg(min("lo").as("lo"), count(lit(1)).as("cnt"))
         .localCheckpoint()
       val days = hist.select("day").distinct()
-      val winHist = days.select(col("day").as("d"))
-        .join(hist, col("day").between(col("d") - 6, col("d")))
+      val winHist = expandWindow7(hist, days)
         .groupBy("d", "bucket")
         .agg(min("lo").as("lo"), sum("cnt").as("cnt"))
       val wn = Window.partitionBy("d")
@@ -680,8 +690,7 @@ object TemporalQueries {
       val sk = skCum.groupBy(col("d").as("day"))
         .agg(q("lo")(50).as("p50_sketch"), q("lo")(90).as("p90_sketch"),
           q("lo")(99).as("p99_sketch"))
-      val exCum = days.select(col("day").as("d"))
-        .join(e, col("day").between(col("d") - 6, col("d")))
+      val exCum = expandWindow7(e, days)
         .groupBy("d", "vi").agg(count(lit(1)).as("cnt"))
         .withColumn("cum", sum("cnt").over(wn.orderBy("vi")))
         .withColumn("n", sum("cnt").over(wn))
@@ -733,8 +742,7 @@ object TemporalQueries {
         .agg(min("lo").as("lo"), count(lit(1)).as("cnt"))
         .localCheckpoint()
       val days = hist.select("day").distinct()
-      val winHist = days.select(col("day").as("d"))
-        .join(hist, col("day").between(col("d") - 6, col("d")))
+      val winHist = expandWindow7(hist, days)
         .groupBy("d", "bucket")
         .agg(min("lo").as("lo"), sum("cnt").as("cnt"))
       val wn = Window.partitionBy("d")
@@ -811,8 +819,7 @@ object TemporalQueries {
         .groupBy("day", "bucket")
         .agg(min("lo").as("lo"), sum("cnt").as("cnt"))
       val days = tbl.select("day").distinct()
-      val winHist = days.select(col("day").as("d"))
-        .join(tbl, col("day").between(col("d") - 6, col("d")))
+      val winHist = expandWindow7(tbl, days)
         .groupBy("d", "bucket")
         .agg(min("lo").as("lo"), sum("cnt").as("cnt"))
       val wn = Window.partitionBy("d")

@@ -387,6 +387,27 @@ object TrainingQueries {
     if (withDocId) base else base.select("key")
   }
 
+  /** ONE compiled corpus pass for the sketch family: the word-3-
+    * shingle 60-bit md5-prefix hash stream, keyed for the per-source
+    * sketch aggregates. Value-identical to
+    * `explode(TextAnalysis.shingles(text, 3))` followed by
+    * `conv(substring(md5(sh), 1, 15), 16, 10)` — but the
+    * tokenize→shingle→digest loop runs COMPILED behind one UDF call
+    * per row ([[graft.functions.TextShingles.shingleHash60]]) instead
+    * of the interpreted `transform` HOF plus a per-shingle
+    * hex/substring/conv chain (the TextShingles class-doc measurement;
+    * OPTIMIZATION_r21.md has the per-query numbers). `withDocId`
+    * keeps the shard/split key for the merge-law and ingest rows. */
+  private def shingleHashStream(s: org.apache.spark.sql.SparkSession,
+      dir: String,
+      withDocId: Boolean = false): org.apache.spark.sql.DataFrame = {
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source").as("key"),
+        explode(graft.functions.TextShingles.shingleHash60(3)(
+          col("text"))).as("h"))
+    if (withDocId) base else base.select("key", "h")
+  }
+
   /** quota_sample's engine, parameterized on K so QuotaSampleSpec can
     * pin the K > corpus regime (the hardwired registry row uses
     * K = 100). Semantics + the why-one-cap-suffices proof live on the
@@ -2505,13 +2526,19 @@ object TrainingQueries {
     // branch (shuffling every distinct shingle) is the TEST-scale
     // baseline a production run drops.
     "hll_shingle_report" -> { (s, dir) =>
-      val sh = Tables.documents(s, dir)
-        .select(col("source"),
-          explode(TextAnalysis.shingles(col("text"), 3)).as("sh"))
+      // both branches run compiled shingle kernels (r21): the sketch
+      // branch hashes in-kernel (shingleHashStream), the exact branch
+      // feeds countDistinct from the per-doc-distinct kernel — the
+      // per-source distinct set is unchanged by per-doc dedup, and no
+      // md5 is computed just to be discarded
       val summ = Sketches.hllSummary(
-          Sketches.hllRegisters(sh, col("source"), col("sh"), 8), 8)
+          Sketches.hllRegistersFromHash(shingleHashStream(s, dir), 8), 8)
         .withColumnRenamed("key", "source")
-      val exact = sh.groupBy("source")
+      val exact = Tables.documents(s, dir)
+        .select(col("source"),
+          explode(graft.functions.TextShingles.distinctShingles(3)(
+            col("text"))).as("sh"))
+        .groupBy("source")
         .agg(countDistinct(col("sh")).as("exact_distinct"))
       summ.join(exact, "source")
         .withColumn("hll_estimate", expr(Sketches.hllEstimateSql(8)))
@@ -2564,11 +2591,8 @@ object TrainingQueries {
     // size; the summary fold and the one shared-SQL double division
     // happen on that fixed-width frame.
     "hll_shingle_sketch" -> { (s, dir) =>
-      val sh = Tables.documents(s, dir)
-        .select(col("source"),
-          explode(TextAnalysis.shingles(col("text"), 3)).as("sh"))
       Sketches.hllSummary(
-          Sketches.hllRegisters(sh, col("source"), col("sh"), 8), 8)
+          Sketches.hllRegistersFromHash(shingleHashStream(s, dir), 8), 8)
         .withColumnRenamed("key", "source")
         .withColumn("hll_estimate", expr(Sketches.hllEstimateSql(8)))
         .select("source", "v_zero", "s_scaled", "hll_estimate")
@@ -2598,12 +2622,9 @@ object TrainingQueries {
     // combine), the merge re-aggregate sees ≤ 2 × fixed-width rows —
     // the union adds one exchange of SF-invariant size.
     "hll_merge_shards" -> { (s, dir) =>
-      val sh = Tables.documents(s, dir)
-        .select(col("doc_id"), col("source"),
-          explode(TextAnalysis.shingles(col("text"), 3)).as("sh"))
-      def shard(p: Int) = Sketches.hllRegisters(
-        sh.filter(pmod(col("doc_id"), lit(2)) === p),
-        col("source"), col("sh"), 8)
+      val sh = shingleHashStream(s, dir, withDocId = true)
+      def shard(p: Int) = Sketches.hllRegistersFromHash(
+        sh.filter(pmod(col("doc_id"), lit(2)) === p), 8)
       val merged = shard(0).unionByName(shard(1))
         .groupBy("key", "register").agg(max("m").as("m"))
       Sketches.hllSummary(merged, 8)
@@ -2682,12 +2703,9 @@ object TrainingQueries {
     // data. Plan: two bounded partial aggregates + one union exchange
     // of ≤ 2 × sources × k longs — SF-invariant past the scans.
     "kmv_merge_shards" -> { (s, dir) =>
-      val sh = Tables.documents(s, dir)
-        .select(col("doc_id"), col("source"),
-          explode(TextAnalysis.shingles(col("text"), 3)).as("sh"))
-      def shard(p: Int) = Sketches.kmvSketch(
-        sh.filter(pmod(col("doc_id"), lit(2)) === p),
-        col("source"), col("sh"), 256)
+      val sh = shingleHashStream(s, dir, withDocId = true)
+      def shard(p: Int) = Sketches.kmvSketchFromHash(
+        sh.filter(pmod(col("doc_id"), lit(2)) === p), 256)
       Sketches.kmvMerge(shard(0).unionByName(shard(1)), 256)
         .withColumnRenamed("key", "source")
         .select("source", "h")
@@ -2719,19 +2737,16 @@ object TrainingQueries {
         s"kmv_table_ingest: documents table at $dir is empty — " +
           "no doc_id bound to split existing corpus vs new batch")
       val n = mx.getLong(0) + 1
-      def sketch(f: org.apache.spark.sql.DataFrame) =
-        Sketches.kmvSketch(
-          f.select(col("source"),
-            explode(TextAnalysis.shingles(col("text"), 3)).as("sh")),
-          col("source"), col("sh"), 256)
+      val sh = shingleHashStream(s, dir, withDocId = true)
+      def sketch(p: org.apache.spark.sql.Column) =
+        Sketches.kmvSketchFromHash(sh.filter(p), 256)
       val path = kmvIngestExportPath(dir)
       // at-rest table: the existing corpus slice, written once
-      writeSketchTable(sketch(d.filter(col("doc_id") < n * 4 / 5)),
-        path)
+      writeSketchTable(sketch(col("doc_id") < n * 4 / 5), path)
       val existing = s.read.parquet(path)
       // the new batch OVERLAPS the existing slice by a fifth — the
       // deliberate re-crawl that proves bottom-k idempotence by hash
-      val batch = sketch(d.filter(col("doc_id") >= n * 3 / 5))
+      val batch = sketch(col("doc_id") >= n * 3 / 5)
       Sketches.kmvMerge(existing.unionByName(batch), 256)
         .withColumnRenamed("key", "source")
         .select("source", "h")
@@ -2761,15 +2776,21 @@ object TrainingQueries {
     // worst — sketch-sized, not corpus-sized); only the audit branch
     // touches corpus-scale data.
     "hll_pair_overlap" -> { (s, dir) =>
-      val sh = Tables.documents(s, dir)
-        .select(col("source"),
-          explode(TextAnalysis.shingles(col("text"), 3)).as("sh"))
+      // r21: both corpus passes run COMPILED kernels — the register
+      // build hashes in-kernel (shingleHashStream) and the exact
+      // audit's distinct feeds from the per-doc-distinct kernel
+      // (per-doc dedup cannot change a cross-doc distinct) — replacing
+      // the interpreted shingle-transform HOF + per-shingle
+      // hex/substring/conv chain on both. Branch structure is
+      // deliberately unchanged (eager checkpointed sketch, lazy exact
+      // audit): the audit stays count()-elidable, so the bench's
+      // headline column keeps measuring the production branch.
       // checkpoint the register frame (r17 verdict): the est / srcs /
       // pair-union branches reference it ~7×; without this the static
       // plan embeds 20 corpus scans (AQE recovered 7 reuses but still
-      // executed 3 scans + explodes) — now the whole query holds TWO
-      // corpus scans: the register build here and the exact audit
-      val regs = Sketches.hllRegisters(sh, col("source"), col("sh"), 8)
+      // executed 3 scans + explodes)
+      val regs = Sketches.hllRegistersFromHash(
+          shingleHashStream(s, dir), 8)
         .localCheckpoint()
       val est = Sketches.hllSummary(regs, 8)
         .withColumn("est", expr(Sketches.hllEstimateSql(8)))
@@ -2790,7 +2811,11 @@ object TrainingQueries {
           pu.groupBy("s1", "s2", "register").agg(max("m").as("m")),
           Seq("s1", "s2"), 8)
         .withColumn("est_union", expr(Sketches.hllEstimateSql(8)))
-      val dsh = sh.distinct()
+      val dsh = Tables.documents(s, dir)
+        .select(col("source"),
+          explode(graft.functions.TextShingles.distinctShingles(3)(
+            col("text"))).as("sh"))
+        .distinct()
       val exact = dsh.as("x")
         .join(dsh.as("y"), col("x.sh") === col("y.sh") &&
           col("x.source") < col("y.source"))
@@ -2828,10 +2853,8 @@ object TrainingQueries {
     // the whole query holds ONE corpus scan, executed at
     // construction (PlanPinsSpec pins the final plan parquet-free).
     "hll_pair_estimate" -> { (s, dir) =>
-      val sh = Tables.documents(s, dir)
-        .select(col("source"),
-          explode(TextAnalysis.shingles(col("text"), 3)).as("sh"))
-      val regs = Sketches.hllRegisters(sh, col("source"), col("sh"), 8)
+      val regs = Sketches.hllRegistersFromHash(
+          shingleHashStream(s, dir), 8)
         .localCheckpoint()
       val est = Sketches.hllSummary(regs, 8)
         .withColumn("est", expr(Sketches.hllEstimateSql(8)))
@@ -2874,11 +2897,13 @@ object TrainingQueries {
     // TEST-SCALE comparison twin, kmv_pair_estimate below is the
     // production form.
     "kmv_pair_overlap" -> { (s, dir) =>
-      val sh = Tables.documents(s, dir)
-        .select(col("source"),
-          explode(TextAnalysis.shingles(col("text"), 3)).as("sh"))
+      // r21: all three corpus passes run COMPILED kernels (see
+      // hll_pair_overlap) — KMV and HLL sketch builds hash in-kernel,
+      // the exact audit's distinct feeds from the per-doc-distinct
+      // kernel. Branch structure unchanged: eager checkpointed
+      // sketches, lazy count()-elidable exact audit.
       // ---- KMV branch: sketch, summary, pair matching
-      val kv = Sketches.kmvSketch(sh, col("source"), col("sh"), 256)
+      val kv = Sketches.kmvSketchFromHash(shingleHashStream(s, dir), 256)
         .localCheckpoint()
       val smry = Sketches.kmvSummary(kv, 256)
       val srcs = smry.select("key").distinct()
@@ -2902,7 +2927,8 @@ object TrainingQueries {
         .withColumn("inter_kmv", expr(Sketches.KmvInterEstSql))
         .select("s1", "s2", "inter_kmv")
       // ---- HLL branch: the hll_pair_overlap inclusion–exclusion
-      val regs = Sketches.hllRegisters(sh, col("source"), col("sh"), 8)
+      val regs = Sketches.hllRegistersFromHash(
+          shingleHashStream(s, dir), 8)
         .localCheckpoint()
       val est = Sketches.hllSummary(regs, 8)
         .withColumn("est", expr(Sketches.hllEstimateSql(8)))
@@ -2924,7 +2950,11 @@ object TrainingQueries {
         .withColumn("inter_hll", expr(InterEstSql))
         .select("s1", "s2", "inter_hll")
       // ---- exact audit (test-scale; see hll_pair_overlap)
-      val dsh = sh.distinct()
+      val dsh = Tables.documents(s, dir)
+        .select(col("source"),
+          explode(graft.functions.TextShingles.distinctShingles(3)(
+            col("text"))).as("sh"))
+        .distinct()
       val exact = dsh.as("x")
         .join(dsh.as("y"), col("x.sh") === col("y.sh") &&
           col("x.source") < col("y.source"))
@@ -2950,10 +2980,7 @@ object TrainingQueries {
     // string divisions. At 100 TB: sketches persist per source;
     // sources² pair estimates cost zero corpus reads.
     "kmv_pair_estimate" -> { (s, dir) =>
-      val sh = Tables.documents(s, dir)
-        .select(col("source"),
-          explode(TextAnalysis.shingles(col("text"), 3)).as("sh"))
-      val kv = Sketches.kmvSketch(sh, col("source"), col("sh"), 256)
+      val kv = Sketches.kmvSketchFromHash(shingleHashStream(s, dir), 256)
         .localCheckpoint()
       val smry = Sketches.kmvSummary(kv, 256)
         .withColumn("est", expr(Sketches.kmvEstimateSql(256)))
@@ -2999,12 +3026,10 @@ object TrainingQueries {
     // parquet round-trips the integer registers losslessly — so both
     // rows share one oracle SQL.
     "hll_pair_from_table" -> { (s, dir) =>
-      val sh = Tables.documents(s, dir)
-        .select(col("source"),
-          explode(TextAnalysis.shingles(col("text"), 3)).as("sh"))
       val path = hllRegExportPath(dir)
       writeSketchTable(
-        Sketches.hllRegisters(sh, col("source"), col("sh"), 8), path)
+        Sketches.hllRegistersFromHash(shingleHashStream(s, dir), 8),
+        path)
       val regs = s.read.parquet(path)
       val est = Sketches.hllSummary(regs, 8)
         .withColumn("est", expr(Sketches.hllEstimateSql(8)))
@@ -3056,15 +3081,13 @@ object TrainingQueries {
         s"hll_table_ingest: documents table at $dir is empty — " +
           "no doc_id bound to split existing corpus vs new batch")
       val n = mx.getLong(0) + 1
-      def regs(f: org.apache.spark.sql.DataFrame) =
-        Sketches.hllRegisters(
-          f.select(col("source"),
-            explode(TextAnalysis.shingles(col("text"), 3)).as("sh")),
-          col("source"), col("sh"), 8)
+      val sh = shingleHashStream(s, dir, withDocId = true)
+      def regs(p: org.apache.spark.sql.Column) =
+        Sketches.hllRegistersFromHash(sh.filter(p), 8)
       val path = hllIngestExportPath(dir)
-      writeSketchTable(regs(d.filter(col("doc_id") < n * 4 / 5)), path)
+      writeSketchTable(regs(col("doc_id") < n * 4 / 5), path)
       val existing = s.read.parquet(path)
-      val batch = regs(d.filter(col("doc_id") >= n * 3 / 5))
+      val batch = regs(col("doc_id") >= n * 3 / 5)
       val merged = existing.unionByName(batch)
         .groupBy("key", "register").agg(max("m").as("m"))
       val estE = Sketches.hllSummary(existing, 8)
@@ -3095,12 +3118,10 @@ object TrainingQueries {
     // kmv_pair_estimate — parquet round-trips longs losslessly — so
     // both rows share one oracle SQL.
     "kmv_pair_from_table" -> { (s, dir) =>
-      val sh = Tables.documents(s, dir)
-        .select(col("source"),
-          explode(TextAnalysis.shingles(col("text"), 3)).as("sh"))
       val path = kmvSketchExportPath(dir)
       writeSketchTable(
-        Sketches.kmvSketch(sh, col("source"), col("sh"), 256), path)
+        Sketches.kmvSketchFromHash(shingleHashStream(s, dir), 256),
+        path)
       val kv = s.read.parquet(path)
       val smry = Sketches.kmvSummary(kv, 256)
         .withColumn("est", expr(Sketches.kmvEstimateSql(256)))
