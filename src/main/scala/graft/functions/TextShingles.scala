@@ -20,6 +20,10 @@ import org.apache.spark.sql.functions.udf
   * the downstream schema). */
 final case class ShingleHash(sh: String, h: java.lang.Long)
 
+/** Element type of [[TextShingles.bigramPairs]] (field names are the
+  * downstream schema). */
+final case class WordPair(w1: String, w2: String)
+
 object TextShingles {
 
   private val hexChars = "0123456789abcdef".toCharArray
@@ -67,18 +71,55 @@ object TextShingles {
     c => f(c)
   }
 
-  /** First 60 bits of the md5 digest as an unsigned long — the exact
-    * value of `conv(substring(md5(s), 1, 15), 16, 10)` (15 hex chars =
-    * bytes 0–6 plus the high nibble of byte 7), computed straight from
-    * the digest bytes with no hex-string round trip. */
-  private def hash60(s: String): Long = {
+  /** First 64 bits of the md5 digest as a (sign-carrying) long — the
+    * bit pattern `parseUnsignedLong(md5Hex(s).substring(0, 16), 16)`
+    * yields, computed straight from the digest bytes with no
+    * hex-string round trip. */
+  private def md5First64(s: String): Long = {
     val digest = md5.get()
     digest.reset()
     val d = digest.digest(s.getBytes("UTF-8"))
     var h = 0L
     var i = 0
     while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
-    h >>> 4
+    h
+  }
+
+  /** First 60 bits of the md5 digest as an unsigned long — the exact
+    * value of `conv(substring(md5(s), 1, 15), 16, 10)` (15 hex chars =
+    * bytes 0–6 plus the high nibble of byte 7). */
+  private def hash60(s: String): Long = md5First64(s) >>> 4
+
+  /** Lowercased adjacent-token bigrams (`"w1 w2"`), the compiled twin
+    * of the `transform(sequence(1, size(toks) - 1), i ->
+    * concat(element_at(toks, i), ' ', element_at(toks, i + 1)))` HOF
+    * over `tokens(lower(text))` with its `size(toks) >= 2` guard:
+    * sub-bigram or null texts yield the empty array the guard's
+    * filtered-out rows correspond to under explode. */
+  def bigrams: Column => Column = {
+    val f = udf { (text: String) =>
+      if (text == null) Array.empty[String]
+      else {
+        val toks = text.trim.toLowerCase.split("\\s+")
+        if (toks.length < 2) Array.empty[String]
+        else Array.tabulate(toks.length - 1)(i => toks(i) + " " + toks(i + 1))
+      }
+    }
+    c => f(c)
+  }
+
+  /** [[bigrams]] keeping the two words separate (`w1`, `w2`) — for the
+    * Kneser-Ney row, whose count tables key on each side. */
+  def bigramPairs: Column => Column = {
+    val f = udf { (text: String) =>
+      if (text == null) Array.empty[WordPair]
+      else {
+        val toks = text.trim.toLowerCase.split("\\s+")
+        if (toks.length < 2) Array.empty[WordPair]
+        else Array.tabulate(toks.length - 1)(i => WordPair(toks(i), toks(i + 1)))
+      }
+    }
+    c => f(c)
   }
 
   /** 60-bit md5-prefix hashes of the word `n`-gram shingles, in
@@ -124,6 +165,31 @@ object TextShingles {
           i += 1
         }
         out
+      }
+    }
+    c => f(c)
+  }
+
+  /** md5 hex keys of the word `n`-gram spans of a pre-tokenized
+    * document, in position order — the compiled twin of
+    * `transform(sequence(1, size(toks) - n + 1), i ->
+    * md5(array_join(slice(toks, i, n), ' ')))` the span-dedup rows
+    * (dup_span_report / dedup_span_trim / cross_doc_span_trim) explode:
+    * inside a higher-order-function lambda even the builtin md5
+    * evaluates interpreted, with a slice allocation and join per gram.
+    * Null or sub-`n` inputs mirror the call sites' `size(toks) >= n` guard
+    * (empty array → explode drops the row). */
+  def spanGramMd5(n: Int): Column => Column = {
+    val f = udf { (toks: Seq[String]) =>
+      if (toks == null || toks.length < n) Array.empty[String]
+      else {
+        val arr = toks.toArray
+        Array.tabulate(arr.length - n + 1) { i =>
+          val sb = new StringBuilder(arr(i))
+          var j = 1
+          while (j < n) { sb.append(' ').append(arr(i + j)); j += 1 }
+          md5Hex(sb.toString)
+        }
       }
     }
     c => f(c)
@@ -203,25 +269,34 @@ object TextShingles {
         val toks = text.trim.toLowerCase.split("\\s+")
         if (toks.length < shingleN) Array.empty[String]
         else {
+          // r21: rolling minima run as UNSIGNED 64-bit integers read
+          // straight from the digest bytes (fixed-width lowercase hex
+          // compares exactly like the unsigned value, digits < a-f in
+          // ASCII); only the few distinct window minima format back to
+          // the 16-hex-char strings the join keys and oracle expect —
+          // saves a 32-char hex string + substring per shingle.
           val hs = Array.tabulate(toks.length - shingleN + 1) { i =>
             val sb = new StringBuilder(toks(i))
             var j = 1
             while (j < shingleN) {
               sb.append(' ').append(toks(i + j)); j += 1
             }
-            md5Hex(sb.toString).substring(0, 16)
+            md5First64(sb.toString)
           }
+          def uMin(a: Long, b: Long): Long =
+            if (java.lang.Long.compareUnsigned(a, b) <= 0) a else b
           val mins =
-            if (hs.length <= w) Array(hs.min)
+            if (hs.length <= w) Array(hs.reduce(uMin))
             else Array.tabulate(hs.length - w + 1) { i =>
               var m = hs(i)
               var j = 1
-              while (j < w) {
-                if (hs(i + j).compareTo(m) < 0) m = hs(i + j); j += 1
-              }
+              while (j < w) { m = uMin(m, hs(i + j)); j += 1 }
               m
             }
-          mins.distinct.sorted
+          mins.distinct.map { m =>
+            val hex = java.lang.Long.toHexString(m)
+            "0" * (16 - hex.length) + hex
+          }.sorted
         }
       }
     }
@@ -253,8 +328,10 @@ object TextShingles {
     val counts = new Array[Int](64)
     var i = 0
     while (i < toks.length) {
-      val v = java.lang.Long.parseUnsignedLong(
-        md5Hex(toks(i)).substring(0, 16), 16)
+      // r21: the token hash reads the digest bytes directly — same
+      // bits as parseUnsignedLong(md5Hex(tok).substring(0, 16), 16),
+      // minus two string allocations and a hex parse per token
+      val v = md5First64(toks(i))
       var j = 0
       while (j < 64) {
         if (((v >>> j) & 1L) == 1L) counts(j) += 1
@@ -279,27 +356,52 @@ object TextShingles {
   def minhashSig(numHashes: Int, shingleN: Int): Column => Column = {
     require(numHashes <= 8,
       "one 32-hex md5 yields at most 8 stride-4 hash windows")
+    // window i spans hex chars [4i, min(4i+8, 32)) — families 0..6 are
+    // 8 hex chars (32 bits), family 7 the truncated 4 (16 bits)
+    val widths = Array.tabulate(numHashes)(i => math.min(4 * i + 8, 32) - 4 * i)
     val f = udf { (text: String) =>
       if (text == null) null
       else {
-      val mins = Array.fill(numHashes)("￿")
+      // r21: window minima run NUMERIC over nibbles read straight from
+      // the digest (string min ≡ numeric min on equal-width hex per
+      // family — the operator scaladoc's minhash trick), and only the
+      // numHashes final minima format back to the hex strings the
+      // band keys / calibration zip and the oracle SQL expect. Saves
+      // the 32-char hex string + numHashes substrings per shingle.
+      val mins = Array.fill(numHashes)(Long.MaxValue)
       val seen = new java.util.HashSet[String]()
       val shingles = shingleArray(text, shingleN)
+      val digest = md5.get()
+      val nib = new Array[Int](32)
       var k = 0
       while (k < shingles.length) {
         val s = shingles(k)
         if (seen.add(s)) {
-          val hex = md5Hex(s)
+          digest.reset()
+          val d = digest.digest(s.getBytes("UTF-8"))
+          var j = 0
+          while (j < 16) {
+            nib(2 * j) = (d(j) >>> 4) & 0xF
+            nib(2 * j + 1) = d(j) & 0xF
+            j += 1
+          }
           var i = 0
           while (i < numHashes) {
-            val w = hex.substring(4 * i, math.min(4 * i + 8, 32))
-            if (w < mins(i)) mins(i) = w
+            var v = 0L
+            var t = 0
+            while (t < widths(i)) { v = (v << 4) | nib(4 * i + t); t += 1 }
+            if (v < mins(i)) mins(i) = v
             i += 1
           }
         }
         k += 1
       }
-      mins
+      Array.tabulate(numHashes) { i =>
+        // a text always has >= 1 shingle (shingleArray), so every
+        // family min is a real window value (< 2^32 — sign-safe)
+        val hex = java.lang.Long.toHexString(mins(i))
+        "0" * (widths(i) - hex.length) + hex
+      }
       }
     }
     c => f(c)

@@ -198,10 +198,21 @@ object Dedup {
     // just cache: a cached plan still nests the previous round's plan,
     // so an iterative loop grows the logical plan exponentially and
     // dies in the optimizer long before any data-size limit.
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("canonical", col("id")).localCheckpoint()
+    //
+    // r21: the initializer IS round 1 — after one propagation round
+    // every node's label is min(own id, min neighbor id), which is
+    // exactly the min-neighbor aggregate over the symmetric edge set,
+    // and it costs the same single exchange the old identity
+    // initializer paid for its distinct. Near-clique dedup graphs
+    // (the common case) now close in ONE counted round instead of
+    // two: one full join+aggregate+count job saved per call, across
+    // every components-consuming query.
+    var labels = sym.groupBy("src").agg(min("dst").as("_mn"))
+      .select(col("src").as("id"),
+        least(col("src"), col("_mn")).as("canonical"))
+      .localCheckpoint()
     var changed = 1L
-    var iters = 0
+    var iters = 1
     while (changed > 0 && iters < math.min(switchAfter, maxIters)) {
       val nbrMin = sym
         .join(labels.select(col("id").as("dst"),

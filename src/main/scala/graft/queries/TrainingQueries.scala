@@ -376,14 +376,13 @@ object TrainingQueries {
   private def bigramStream(s: org.apache.spark.sql.SparkSession,
       dir: String,
       withDocId: Boolean = false): org.apache.spark.sql.DataFrame = {
+    // r21: compiled bigram kernel (TextShingles.bigrams) — same
+    // strings as the interpreted transform/element_at HOF it replaces
+    // (ShingleHashKernelSpec pins the parity)
     val base = Tables.documents(s, dir)
       .select(col("doc_id"),
-        TextAnalysis.tokens(lower(col("text"))).as("toks"))
-      .filter(size(col("toks")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(toks) - 1)," +
-          " i -> concat(element_at(toks, i), ' '," +
-          " element_at(toks, i + 1)))")).as("key"))
+        explode(graft.functions.TextShingles.bigrams(col("text")))
+          .as("key"))
     if (withDocId) base else base.select("key")
   }
 
@@ -1068,12 +1067,8 @@ object TrainingQueries {
     // makes it checked rather than assumed.
     "hot_bigrams" -> { (s, dir) =>
       val big = Tables.documents(s, dir)
-        .select(TextAnalysis.tokens(lower(col("text"))).as("toks"))
-        .filter(size(col("toks")) >= 2)
-        .select(explode(expr(
-          "transform(sequence(1, size(toks) - 1)," +
-            " i -> concat(element_at(toks, i), ' '," +
-            " element_at(toks, i + 1)))")).as("bigram"))
+        .select(explode(graft.functions.TextShingles.bigrams(col("text")))
+          .as("bigram"))
       val hot = graft.operators.HeavyHitters.hotKeys(big,
         xxhash64(col("bigram")), thresholdPpm = 1500L, capacity = 2048)
       val labels = big
@@ -1331,12 +1326,8 @@ object TrainingQueries {
     "bigram_surprisal" -> { (s, dir) =>
       val big = Tables.documents(s, dir)
         .select(col("doc_id"),
-          TextAnalysis.tokens(lower(col("text"))).as("toks"))
-        .filter(size(col("toks")) >= 2)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(1, size(toks) - 1)," +
-            " i -> concat(element_at(toks, i), ' '," +
-            " element_at(toks, i + 1)))")).as("bigram"))
+          explode(graft.functions.TextShingles.bigrams(col("text")))
+            .as("bigram"))
       val vocab = big.groupBy("bigram").agg(count(lit(1)).as("n"))
       val total = vocab.agg(sum("n").as("n_total"))
       big.join(vocab, "bigram")
@@ -1369,12 +1360,8 @@ object TrainingQueries {
     "kn_surprisal" -> { (s, dir) =>
       val big = Tables.documents(s, dir)
         .select(col("doc_id"),
-          TextAnalysis.tokens(lower(col("text"))).as("toks"))
-        .filter(size(col("toks")) >= 2)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(1, size(toks) - 1)," +
-            " i -> struct(element_at(toks, i) AS w1," +
-            " element_at(toks, i + 1) AS w2))")).as("bg"))
+          explode(graft.functions.TextShingles.bigramPairs(col("text")))
+            .as("bg"))
         .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       val c12 = big.groupBy("w1", "w2").agg(count(lit(1)).as("n12"))
       val lft = c12.groupBy("w1").agg(sum("n12").as("c1"),
@@ -2184,9 +2171,9 @@ object TrainingQueries {
         .select(col("doc_id"),
           TextAnalysis.tokens(lower(col("text"))).as("toks"))
         .filter(size(col("toks")) >= 8)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(1, size(toks) - 7)," +
-            " i -> md5(array_join(slice(toks, i, 8), ' ')))")).as("g"))
+        .select(col("doc_id"),
+          explode(graft.functions.TextShingles.spanGramMd5(8)(
+            col("toks"))).as("g"))
         .distinct()
       val dupSet = grams.groupBy("g").agg(count(lit(1)).as("ndocs"))
         .filter(col("ndocs") >= 2).select("g")
@@ -2330,9 +2317,8 @@ object TrainingQueries {
       val base = all.select(col("doc_id"),
         TextAnalysis.tokens(lower(col("text"))).as("toks"))
       val occ = base.filter(size(col("toks")) >= 8)
-        .select(col("doc_id"), posexplode(expr(
-          "transform(sequence(1, size(toks) - 7)," +
-            " i -> md5(array_join(slice(toks, i, 8), ' ')))")))
+        .select(col("doc_id"), posexplode(
+          graft.functions.TextShingles.spanGramMd5(8)(col("toks"))))
         .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("g"))
       val dupg = occ.select("doc_id", "g").distinct()
         .groupBy("g").agg(count(lit(1)).as("ndocs"))
@@ -2390,9 +2376,8 @@ object TrainingQueries {
         TextAnalysis.tokens(lower(col("text"))).as("toks"))
       val occ = base.filter(size(col("toks")) >= 8)
         .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
-          posexplode(expr(
-            "transform(sequence(1, size(toks) - 7)," +
-              " i -> md5(array_join(slice(toks, i, 8), ' ')))")))
+          posexplode(
+            graft.functions.TextShingles.spanGramMd5(8)(col("toks"))))
         .select(col("doc_id"), col("n_tokens"),
           (col("pos") + 1).as("i"), col("col").as("g"))
       // owner key is ONE scalar (shared verbatim with the oracle —

@@ -89,6 +89,116 @@ class ShingleHashKernelSpec extends SparkSpec {
       kmvKernel.exceptAll(kmvLegacy).isEmpty)
   }
 
+  test("bigrams / bigramPairs match the transform/element_at HOF " +
+      "chain they replace, including the size(toks) >= 2 guard") {
+    val df = edgeDf
+    val hofStr = df
+      .select(col("id"), TextAnalysis.tokens(lower(col("text"))).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("id"), explode(expr(
+        "transform(sequence(1, size(toks) - 1)," +
+          " i -> concat(element_at(toks, i), ' '," +
+          " element_at(toks, i + 1)))")).as("bigram"))
+    val kernelStr = df.select(col("id"),
+      explode(TextShingles.bigrams(col("text"))).as("bigram"))
+    assert(hofStr.exceptAll(kernelStr).isEmpty &&
+      kernelStr.exceptAll(hofStr).isEmpty)
+    val hofPair = df
+      .select(col("id"), TextAnalysis.tokens(lower(col("text"))).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("id"), explode(expr(
+        "transform(sequence(1, size(toks) - 1)," +
+          " i -> struct(element_at(toks, i) AS w1," +
+          " element_at(toks, i + 1) AS w2))")).as("bg"))
+      .select(col("id"), col("bg.w1"), col("bg.w2"))
+    val kernelPair = df.select(col("id"),
+        explode(TextShingles.bigramPairs(col("text"))).as("bg"))
+      .select(col("id"), col("bg.w1"), col("bg.w2"))
+    assert(hofPair.exceptAll(kernelPair).isEmpty &&
+      kernelPair.exceptAll(hofPair).isEmpty)
+  }
+
+  test("spanGramMd5 matches the md5(array_join(slice)) HOF chain " +
+      "with positions, on edge cases and real corpus docs") {
+    val corpus = Tables.documents(spark, sf0001)
+      .select(col("doc_id").as("id"), col("text"))
+    Seq(edgeDf, corpus).foreach { df =>
+      val base = df.select(col("id"),
+        TextAnalysis.tokens(lower(col("text"))).as("toks"))
+      val hof = base.filter(size(col("toks")) >= 8)
+        .select(col("id"), posexplode(expr(
+          "transform(sequence(1, size(toks) - 7)," +
+            " i -> md5(array_join(slice(toks, i, 8), ' ')))")))
+      val kernel = base.filter(size(col("toks")) >= 8)
+        .select(col("id"),
+          posexplode(TextShingles.spanGramMd5(8)(col("toks"))))
+      assert(hof.exceptAll(kernel).isEmpty &&
+        kernel.exceptAll(hof).isEmpty)
+    }
+  }
+
+  test("minhashSig's numeric window minima reproduce the hex-window " +
+      "string formulation (independent reference) on corpus docs") {
+    import spark.implicits._
+    // reference: the pre-r21 string formulation — substring windows of
+    // one md5 hex per distinct shingle, string minima per family
+    def ref(text: String, numHashes: Int, shingleN: Int): Seq[String] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val mins = Array.fill(numHashes)("￿")
+      val seen = scala.collection.mutable.Set[String]()
+      TextShingles.shingleArray(text, shingleN).foreach { s =>
+        if (seen.add(s)) {
+          val hex = md.digest(s.getBytes("UTF-8"))
+            .map(b => f"$b%02x").mkString
+          (0 until numHashes).foreach { i =>
+            val w = hex.substring(4 * i, math.min(4 * i + 8, 32))
+            if (w < mins(i)) mins(i) = w
+          }
+        }
+      }
+      mins.toSeq
+    }
+    val rows = Tables.documents(spark, sf0001)
+      .select(col("text")).limit(50).as[String].collect() ++
+      edgeTexts.filter(_ != null)
+    rows.foreach { t =>
+      val got = Seq(t).toDF("text")
+        .select(TextShingles.minhashSig(8, 3)(col("text")))
+        .as[Seq[String]].collect().head
+      assert(got === ref(t, 8, 3), s"minhash diverged on: $t")
+    }
+  }
+
+  test("winnowedWordFingerprints' unsigned numeric minima reproduce " +
+      "the 16-hex-char string formulation (independent reference)") {
+    import spark.implicits._
+    def ref(text: String, shingleN: Int, w: Int): Seq[String] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val toks = text.trim.toLowerCase.split("\\s+")
+      if (toks.length < shingleN) Seq.empty
+      else {
+        val hs = (0 to toks.length - shingleN).map { i =>
+          val sh = (i until i + shingleN).map(toks).mkString(" ")
+          md.digest(sh.getBytes("UTF-8"))
+            .map(b => f"$b%02x").mkString.substring(0, 16)
+        }
+        val mins =
+          if (hs.length <= w) Seq(hs.min)
+          else (0 to hs.length - w).map(i => hs.slice(i, i + w).min)
+        mins.distinct.sorted
+      }
+    }
+    val rows = Tables.documents(spark, sf0001)
+      .select(col("text")).limit(50).as[String].collect() ++
+      edgeTexts.filter(_ != null)
+    rows.foreach { t =>
+      val got = Seq(t).toDF("text")
+        .select(TextShingles.winnowedWordFingerprints(3, 8)(col("text")))
+        .as[Seq[String]].collect().head
+      assert(got === ref(t, 3, 8), s"winnow diverged on: $t")
+    }
+  }
+
   test("register aggregation is dedup-invariant: registers and " +
       "bottom-k over the DISTINCT (source, sh, h) frame equal the " +
       "raw-stream sketches (the pair_overlap shared-scan argument)") {
