@@ -90,6 +90,31 @@ object TextShingles {
     * bytes 0–6 plus the high nibble of byte 7). */
   private def hash60(s: String): Long = md5First64(s) >>> 4
 
+  // Per-thread memo of token → md5First64: simhash hashes every token
+  // OCCURRENCE and corpus token frequencies are Zipf-concentrated, so
+  // the same few thousand strings hash over and over — a bounded
+  // deterministic cache turns ~99% of those digests into map hits.
+  // 2^14 entries ≈ 1 MB per executor thread; cleared when full (the
+  // Zipf head re-enters immediately). Shingles/bigrams are mostly
+  // unique per occurrence, so only the TOKEN path uses this.
+  private val tokenHashCache =
+    new ThreadLocal[java.util.HashMap[String, java.lang.Long]] {
+      override def initialValue() =
+        new java.util.HashMap[String, java.lang.Long](1 << 12)
+    }
+
+  private def md5First64Cached(s: String): Long = {
+    val c = tokenHashCache.get()
+    val v = c.get(s)
+    if (v != null) v.longValue()
+    else {
+      if (c.size >= (1 << 14)) c.clear()
+      val h = md5First64(s)
+      c.put(s, java.lang.Long.valueOf(h))
+      h
+    }
+  }
+
   /** Lowercased adjacent-token bigrams (`"w1 w2"`), the compiled twin
     * of the `transform(sequence(1, size(toks) - 1), i ->
     * concat(element_at(toks, i), ' ', element_at(toks, i + 1)))` HOF
@@ -330,8 +355,9 @@ object TextShingles {
     while (i < toks.length) {
       // r21: the token hash reads the digest bytes directly — same
       // bits as parseUnsignedLong(md5Hex(tok).substring(0, 16), 16),
-      // minus two string allocations and a hex parse per token
-      val v = md5First64(toks(i))
+      // minus two string allocations and a hex parse per token — and
+      // memoizes per thread (tokens are Zipf-repeated)
+      val v = md5First64Cached(toks(i))
       var j = 0
       while (j < 64) {
         if (((v >>> j) & 1L) == 1L) counts(j) += 1

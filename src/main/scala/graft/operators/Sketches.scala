@@ -226,6 +226,26 @@ object Sketches {
       .groupBy("r", "c").agg(count(lit(1)).as("cnt"))
   }
 
+  /** [[cmsCells]] from a pre-aggregated `(key, cnt)` frame — for the
+    * AUDIT rows that already pay a vocabulary aggregate for their
+    * exact branch (cms_bigram_report's top-k): the d md5 probes then
+    * run once per DISTINCT key instead of once per occurrence, and
+    * the vocabulary exchange is shared with the exact branch by plan
+    * reuse. The cell table is identical (Σ_keys cnt per cell ≡ count
+    * of occurrences per cell). NOT the production ingest shape: a
+    * vocabulary aggregate's exchange is vocab-sized, where
+    * [[cmsCells]]' stays capped at d×w rows per partition whatever
+    * the corpus — keep the streaming/ingest rows on [[cmsCells]]. */
+  def cmsCellsFromCounts(counts: DataFrame, d: Int, w: Int): DataFrame = {
+    require(d >= 1 && w >= 2, s"need d >= 1, w >= 2; got d=$d, w=$w")
+    counts
+      .select(explode(sequence(lit(0), lit(d - 1))).as("r"), col("key"),
+        col("cnt"))
+      .select(col("r"), cmsCell(col("r"), col("key"), w).as("c"),
+        col("cnt"))
+      .groupBy("r", "c").agg(sum("cnt").as("cnt"))
+  }
+
   /** Point-query estimates for a (small) candidate frame carrying
     * `key`: joins each candidate's d cells against the sketch and
     * takes min_r cnt. The sketch is w×d rows — ALWAYS broadcast —

@@ -2549,9 +2549,18 @@ object TrainingQueries {
     // 60 candidate cells against the ≤768-row sketch. Nothing scales
     // past the token explode.
     "cms_bigram_report" -> { (s, dir) =>
-      val big = bigramStream(s, dir)
-      val cells = Sketches.cmsCells(big, col("key"), 3, 256)
-      val top = big.groupBy("key").agg(count(lit(1)).as("n_exact"))
+      // r21: ONE vocabulary aggregate feeds both branches — the exact
+      // top-20 cut AND the sketch cells (cmsCellsFromCounts: d probes
+      // per distinct bigram instead of per occurrence; identical cell
+      // table, and the vocab exchange is shared by plan reuse). The
+      // production sketch rows keep the per-occurrence cmsCells shape
+      // whose exchange stays d×w-capped — this audit row already pays
+      // the vocab aggregate for its exact branch, so here it's free.
+      val vocab = bigramStream(s, dir)
+        .groupBy("key").agg(count(lit(1)).as("n_exact"))
+      val cells = Sketches.cmsCellsFromCounts(
+        vocab.select(col("key"), col("n_exact").as("cnt")), 3, 256)
+      val top = vocab
         .orderBy(col("n_exact").desc, col("key").asc).limit(20)
       Sketches.cmsEstimate(top, cells, 3, 256, missingAsZero = false)
         .withColumn("over_pm",

@@ -81,6 +81,21 @@ class SketchesSpec extends SparkSpec {
       "sum-of-shard-sketches diverged from whole-corpus sketch")
   }
 
+  test("cmsCellsFromCounts over the vocabulary aggregate equals " +
+      "cmsCells over the raw occurrence stream (the r21 audit-row " +
+      "rewrite: d probes per distinct key, identical cell table)") {
+    val toks = Tables.documents(spark, sf0001)
+      .select(explode(graft.operators.TextAnalysis
+        .tokens(lower(col("text")))).as("key"))
+    val (d, w) = (3, 64)
+    val fromStream = Sketches.cmsCells(toks, col("key"), d, w)
+    val fromCounts = Sketches.cmsCellsFromCounts(
+      toks.groupBy("key").agg(count(lit(1)).as("cnt")), d, w)
+    assert(fromStream.exceptAll(fromCounts).isEmpty &&
+      fromCounts.exceptAll(fromStream).isEmpty,
+      "vocabulary-derived cells diverged from occurrence-derived cells")
+  }
+
   test("CMS estimate is exact for a key with collision-free cells " +
       "in at least one row, and a never-inserted key estimates 0") {
     // two keys engineered onto the real token stream: the sketch of
