@@ -207,10 +207,14 @@ object Dedup {
     // (the common case) now close in ONE counted round instead of
     // two: one full join+aggregate+count job saved per call, across
     // every components-consuming query.
+    // lazy checkpoint (same discipline as `next` below): round 2's
+    // convergence count materializes the initializer in the SAME job,
+    // saving the separate eager-checkpoint job every call paid —
+    // both in-loop references resolve to one persisted RDD.
     var labels = sym.groupBy("src").agg(min("dst").as("_mn"))
       .select(col("src").as("id"),
         least(col("src"), col("_mn")).as("canonical"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var changed = 1L
     var iters = 1
     while (changed > 0 && iters < math.min(switchAfter, maxIters)) {
@@ -336,10 +340,10 @@ object Dedup {
     * Returns `(id_a, id_b, inter, size_a, size_b, jaccard)`.
     *
     * Shape: ONE pass builds per-shingle id buckets (groupBy + size cap);
-    * candidate pairs expand INSIDE each bucket (≤ doc_freq² per
-    * shingle) instead of a corpus-wide self-join, and per-doc set sizes
-    * re-aggregate from the same buckets — the exploded shingle set is
-    * evaluated twice total, never once per join side. */
+    * candidate pairs AND the per-doc set-size tokens expand INSIDE each
+    * bucket (≤ doc_freq² per shingle) instead of a corpus-wide
+    * self-join, so the exploded shingle set is evaluated exactly ONCE
+    * and one exchange carries both aggregates. */
   def ngramJaccardPairs(df: DataFrame, idCol: Column, text: Column,
       shingleN: Int = 3, maxDocFreq: Int = 20,
       minJaccard: Double = 0.5): DataFrame = {
@@ -349,19 +353,28 @@ object Dedup {
     val buckets = sh.groupBy("sh")
       .agg(sort_array(collect_list(col("id"))).as("ids"))
       .filter(size(col("ids")) <= maxDocFreq)
-    val sizes = buckets.select(explode(col("ids")).as("id"))
-      .groupBy("id").agg(count(lit(1)).as("set_size"))
     // compiled pair expansion: the HOF form
     // (flatten(transform(ids, transform(slice(...)))) evaluates
     // interpreted — one boxed lambda dispatch per PAIR, which is the
     // O(bucket²) inner loop of the whole operator. Same output order
     // (i<j over the sorted bucket), compiled.
+    //
+    // FUSED emission (r21): each bucket emits its i<j pairs AND one
+    // (id, id) SIZE TOKEN per member in the same pass, so the per-doc
+    // set sizes ride the pair exchange instead of paying a second
+    // evaluation of the bucket aggregate plus their own exchange —
+    // the buckets frame was the only subtree evaluated twice in this
+    // operator. ids within a bucket are distinct (per-doc-distinct
+    // shingles), so a self-pair is unambiguously a size token and
+    // sizes(id) = count of its (id, id) tokens = its surviving-shingle
+    // count, exactly the old explode(ids)→count aggregate.
     val expandPairs = udf { (ids: Seq[Long]) =>
       val n = ids.length
       val out = Array.newBuilder[IdPair]
-      out.sizeHint(n * (n - 1) / 2)
+      out.sizeHint(n * (n + 1) / 2)
       var i = 0
       while (i < n) {
+        out += IdPair(ids(i), ids(i))
         var j = i + 1
         while (j < n) { out += IdPair(ids(i), ids(j)); j += 1 }
         i += 1
@@ -369,9 +382,12 @@ object Dedup {
       out.result()
     }
     val pairArr = expandPairs(col("ids"))
-    val inter = buckets.select(explode(pairArr).as("p"))
+    val counts = buckets.select(explode(pairArr).as("p"))
       .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .agg(count(lit(1)).as("inter"))
+    val sizes = counts.filter(col("id_a") === col("id_b"))
+      .select(col("id_a").as("id"), col("inter").as("set_size"))
+    val inter = counts.filter(col("id_a") =!= col("id_b"))
     inter
       .join(sizes.select(col("id").as("id_a"), col("set_size").as("size_a")),
         "id_a")
@@ -381,5 +397,44 @@ object Dedup {
         col("inter") / (col("size_a") + col("size_b") - col("inter")))
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "inter", "size_a", "size_b", "jaccard")
+  }
+
+  /** Occupancy-banded bucket pair counts over an already-exploded
+    * `(id, key)` occurrence stream: buckets whose occupancy (ROW
+    * count, occurrences not distinct ids) lies in `[minDf, maxDf]`
+    * expand their i<j member pairs in a compiled kernel and shared
+    * buckets are counted per pair — the winnowing-overlap rows' core,
+    * replacing their aggregate + join-back + fp-keyed self-join (the
+    * occurrence stream evaluated ~twice, three exchanges) with
+    * [[ngramJaccardPairs]]'s proven one-exchange bucket shape.
+    *
+    * Exact self-join equivalence: a bucket holding an id k times
+    * pairs it with another id's m occurrences k·m times (duplicates
+    * sit adjacent in the sorted list; equal ids never self-pair),
+    * which is precisely the row count the fp-keyed equi-join
+    * produced under `id_a < id_b`. Returns `(id_a, id_b, n_shared)`. */
+  def bucketPairCounts(occ: DataFrame, idCol: Column, keyCol: Column,
+      minDf: Int, maxDf: Int): DataFrame = {
+    val buckets = occ.select(keyCol.as("_k"), idCol.as("id"))
+      .groupBy("_k").agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")).between(minDf, maxDf))
+    val expandPairs = udf { (ids: Seq[Long]) =>
+      val n = ids.length
+      val out = Array.newBuilder[IdPair]
+      out.sizeHint(n * (n - 1) / 2)
+      var i = 0
+      while (i < n) {
+        var j = i + 1
+        while (j < n) {
+          if (ids(i) != ids(j)) out += IdPair(ids(i), ids(j))
+          j += 1
+        }
+        i += 1
+      }
+      out.result()
+    }
+    buckets.select(explode(expandPairs(col("ids"))).as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
   }
 }

@@ -2214,13 +2214,12 @@ object TrainingQueries {
       val fps = docs.filter(length(col("text")) >= 8)
         .select(col("doc_id"), explode(graft.functions.TextShingles
           .winnowedFingerprints(k = 8, w = 8)(col("text"))).as("fp"))
-      val bucketed = fps.groupBy("fp").agg(count(lit(1)).as("nd"))
-        .filter(col("nd").between(2, 50)).select("fp")
-      val cand = fps.join(bucketed, "fp")
-      cand.select(col("doc_id").as("id_a"), col("fp"))
-        .join(cand.select(col("doc_id").as("id_b"), col("fp")), "fp")
-        .filter(col("id_a") < col("id_b"))
-        .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+      // r21: occupancy-banded bucket expansion (Dedup.bucketPairCounts)
+      // replaces the aggregate + join-back + fp-keyed self-join —
+      // identical pair counts (see the operator's equivalence note),
+      // one evaluation of the fingerprint stream instead of two.
+      Dedup.bucketPairCounts(fps, col("doc_id"), col("fp"),
+          minDf = 2, maxDf = 50)
         .filter(col("n_shared") >= 10)
         .orderBy("id_a", "id_b")
     },
@@ -2243,13 +2242,9 @@ object TrainingQueries {
         .select(col("doc_id"), explode(graft.functions.TextShingles
           .winnowedWordFingerprints(shingleN = 3, w = 8)(col("text")))
           .as("fp"))
-      val bucketed = fps.groupBy("fp").agg(count(lit(1)).as("nd"))
-        .filter(col("nd").between(2, 50)).select("fp")
-      val cand = fps.join(bucketed, "fp")
-      cand.select(col("doc_id").as("id_a"), col("fp"))
-        .join(cand.select(col("doc_id").as("id_b"), col("fp")), "fp")
-        .filter(col("id_a") < col("id_b"))
-        .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+      // r21: same bucket-expansion rewrite as winnow_overlap_pairs.
+      Dedup.bucketPairCounts(fps, col("doc_id"), col("fp"),
+          minDf = 2, maxDf = 50)
         .filter(col("n_shared") >= 5)
         .orderBy("id_a", "id_b")
     },
@@ -3643,7 +3638,16 @@ object TrainingQueries {
     * non-idempotent cell-add batch. Answer-time reads happen after
     * the construction-time writes return, and a deterministic
     * rewrite of identical content is the worst a sequential
-    * re-construction can do. */
+    * re-construction can do — with one explicitly-accepted residual:
+    * the returned DataFrame's `read.parquet(path)` executes LAZILY,
+    * outside the lock, so a CONCURRENT re-construction of the same
+    * row (overwrite = delete-then-write, non-atomic) can race a
+    * previously-returned frame's scan and fail it transiently on
+    * missing files. The content is identical either way (retry
+    * succeeds); production hardening is a temp-dir write + atomic
+    * rename publish. This applies to every from-table/ingest row
+    * sharing this pattern (hll/kmv/cms ingest, pair-from-table,
+    * sliding-from-table). */
   private def hllRegExportPath(dir: String): String =
     s"$artifactRoot/hll_regs_${new java.io.File(dir).getName}.parquet"
 

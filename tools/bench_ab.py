@@ -55,11 +55,15 @@ def sh(cmd, **kw):
     return subprocess.run(cmd, check=True, **kw)
 
 
+_TOOLS_DIR = os.path.dirname(os.path.abspath(__file__))
+if _TOOLS_DIR not in sys.path:
+    sys.path.insert(0, _TOOLS_DIR)
+
+
 def load_snapshot(path):
     """One bench-JSON-line extractor for the tools/ scripts: reuse
     compare_bench.load so a Bench stdout format change cannot break
     the auto-picker and the comparator out of step."""
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from compare_bench import load
     return load(path)
 
@@ -72,7 +76,17 @@ def worst_movers(old_path, new_path, top):
     would bury at the bottom."""
     oq = load_snapshot(old_path)["queries"]
     nq = load_snapshot(new_path)["queries"]
-    shared = [q for q in oq if q in nq and oq[q] > 0 and nq[q] > 0]
+    # a 0-second timing in either snapshot is a broken measurement, not
+    # a mover to skip silently — refuse to adjudicate around it (the
+    # no-silent-caps discipline: an excluded query would escape A/B
+    # adjudication with no notice)
+    broken = sorted(q for q in oq if q in nq
+                    and (oq[q] <= 0 or nq[q] <= 0))
+    if broken:
+        raise SystemExit(
+            f"snapshot has non-positive timings for {', '.join(broken)}"
+            " — fix the snapshot (re-bench) before adjudicating")
+    shared = [q for q in oq if q in nq]
     ranked = sorted(shared, key=lambda q: -max(
         nq[q] / oq[q], oq[q] / nq[q]))
     return ranked[:top]
@@ -80,8 +94,12 @@ def worst_movers(old_path, new_path, top):
 
 def prepare_worktree(repo, ref):
     # resolve the ref FIRST (check=True): a typo'd ref must fail here,
-    # not masquerade as a stale-worktree complaint below
-    want = sh(["git", "-C", repo, "rev-parse", "--verify", ref],
+    # not masquerade as a stale-worktree complaint below. Peel to the
+    # COMMIT (^{commit}): an annotated tag's rev-parse is the tag
+    # object SHA, which would never equal the worktree's HEAD commit
+    # and falsely reject a correct reused worktree.
+    want = sh(["git", "-C", repo, "rev-parse", "--verify",
+               f"{ref}^{{commit}}"],
               capture_output=True, text=True).stdout.strip()
     safe = re.sub(r"[^A-Za-z0-9_.-]", "_", ref)
     wt = f"/tmp/graft_ab_{safe}"
