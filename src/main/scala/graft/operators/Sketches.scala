@@ -226,6 +226,24 @@ object Sketches {
       .groupBy("r", "c").agg(count(lit(1)).as("cnt"))
   }
 
+  /** [[cmsCells]] with a slice/shard grouping column carried through
+    * the aggregate — `(slice, r, c, cnt)`, one cell table per slice
+    * value from ONE input pass (the ingest rows' shape: existing and
+    * batch slices split by a doc_id bound pay one corpus scan, not
+    * two). The cell hash sees only `keyCol`, so each slice's table is
+    * bit-identical to `cmsCells` over that slice alone; the exchange
+    * stays capped at slices × d × w rows per partition. */
+  def cmsCellsSliced(df: DataFrame, sliceCol: Column, keyCol: Column,
+      d: Int, w: Int): DataFrame = {
+    require(d >= 1 && w >= 2, s"need d >= 1, w >= 2; got d=$d, w=$w")
+    df.select(sliceCol.as("slice"), keyCol.as("key"))
+      .select(col("slice"),
+        explode(sequence(lit(0), lit(d - 1))).as("r"), col("key"))
+      .select(col("slice"), col("r"),
+        cmsCell(col("r"), col("key"), w).as("c"))
+      .groupBy("slice", "r", "c").agg(count(lit(1)).as("cnt"))
+  }
+
   /** [[cmsCells]] from a pre-aggregated `(key, cnt)` frame — for the
     * AUDIT rows that already pay a vocabulary aggregate for their
     * exact branch (cms_bigram_report's top-k): the d md5 probes then

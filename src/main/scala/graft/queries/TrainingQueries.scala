@@ -2659,9 +2659,19 @@ object TrainingQueries {
         s"cms_table_ingest: documents table at $dir is empty — " +
           "no doc_id bound to split existing corpus vs new batch")
       val n = mx.getLong(0) + 1
+      // r21: ONE slice-tagged corpus scan builds BOTH cell tables —
+      // the slices are DISJOINT (cell-add is not idempotent), so the
+      // tag is a plain when() with no row expansion, and the slice
+      // rides the cell aggregate's key (cmsCellsSliced: the cell hash
+      // never sees it, each slice's cells are bit-identical to the
+      // separately-filtered build). Checkpointed split frame
+      // ≤ 2 × d × w rows.
       val big = bigramStream(s, dir, withDocId = true)
-      def cells(f: org.apache.spark.sql.DataFrame) =
-        Sketches.cmsCells(f.select("key"), col("key"), 3, 256)
+      val bySlice = Sketches.cmsCellsSliced(
+          big.select(when(col("doc_id") < n * 4 / 5, lit("existing"))
+            .otherwise(lit("batch")).as("slice"), col("key")),
+          col("slice"), col("key"), 3, 256)
+        .localCheckpoint()
       val path = cmsCellExportPath(dir)
       // the overwrite+append PAIR holds the path lock across both
       // writes — doubly load-bearing here: cell-add is not
@@ -2669,12 +2679,14 @@ object TrainingQueries {
       // construction could double-count the new batch
       withSketchTableLock(path) {
         // at-rest table: the existing corpus slice, written once
-        writeSketchTable(cells(big.filter(col("doc_id") < n * 4 / 5)),
-          path)
+        writeSketchTable(
+          bySlice.filter(col("slice") === "existing")
+            .select("r", "c", "cnt"), path)
         // incremental ingest: the new batch's OWN cells only
         // (disjoint — addition is not idempotent)
-        writeSketchTable(cells(big.filter(col("doc_id") >= n * 4 / 5)),
-          path, mode = "append")
+        writeSketchTable(
+          bySlice.filter(col("slice") === "batch")
+            .select("r", "c", "cnt"), path, mode = "append")
       }
       // read-back + cell-wise ADD = the whole-corpus sketch
       s.read.parquet(path)
@@ -2726,16 +2738,32 @@ object TrainingQueries {
         s"kmv_table_ingest: documents table at $dir is empty — " +
           "no doc_id bound to split existing corpus vs new batch")
       val n = mx.getLong(0) + 1
+      // r21: ONE slice-tagged corpus scan builds BOTH bottom-k sets
+      // (hll_table_ingest's explode-membership shape — the overlap
+      // fifth belongs to both slices, which is the deliberate
+      // re-crawl that proves bottom-k idempotence by hash); the slice
+      // rides the aggregate key as a struct and the checkpointed
+      // split frame is ≤ 2 × sources × 256 longs.
       val sh = shingleHashStream(s, dir, withDocId = true)
-      def sketch(p: org.apache.spark.sql.Column) =
-        Sketches.kmvSketchFromHash(sh.filter(p), 256)
+      val tagged = sh.select(
+          explode(array(
+            when(col("doc_id") < n * 4 / 5, lit("existing")),
+            when(col("doc_id") >= n * 3 / 5, lit("batch"))))
+            .as("slice"),
+          col("key"), col("h"))
+        .filter(col("slice").isNotNull)
+      val bySlice = Sketches.kmvSketchFromHash(
+          tagged.select(struct(col("slice"), col("key")).as("key"),
+            col("h")), 256)
+        .select(col("key.slice").as("slice"), col("key.key").as("key"),
+          col("h"))
+        .localCheckpoint()
       val path = kmvIngestExportPath(dir)
       // at-rest table: the existing corpus slice, written once
-      writeSketchTable(sketch(col("doc_id") < n * 4 / 5), path)
+      writeSketchTable(
+        bySlice.filter(col("slice") === "existing").drop("slice"), path)
       val existing = s.read.parquet(path)
-      // the new batch OVERLAPS the existing slice by a fifth — the
-      // deliberate re-crawl that proves bottom-k idempotence by hash
-      val batch = sketch(col("doc_id") >= n * 3 / 5)
+      val batch = bySlice.filter(col("slice") === "batch").drop("slice")
       Sketches.kmvMerge(existing.unionByName(batch), 256)
         .withColumnRenamed("key", "source")
         .select("source", "h")
@@ -3070,13 +3098,33 @@ object TrainingQueries {
         s"hll_table_ingest: documents table at $dir is empty — " +
           "no doc_id bound to split existing corpus vs new batch")
       val n = mx.getLong(0) + 1
+      // r21: ONE slice-tagged corpus scan builds BOTH register sets —
+      // each shingle row explodes to its slice memberships (the
+      // overlap fifth belongs to both, 6n/5 aggregate input rows
+      // either way) and the slice rides the aggregate key as a
+      // struct, so the existing-vs-batch split costs one scan+kernel
+      // pass instead of the two separately-filtered scans (guide §1.2
+      // "don't pay two passes where one suffices"). The checkpointed
+      // split frame is sketch-sized (≤ 2 × sources × 256 rows).
       val sh = shingleHashStream(s, dir, withDocId = true)
-      def regs(p: org.apache.spark.sql.Column) =
-        Sketches.hllRegistersFromHash(sh.filter(p), 8)
+      val tagged = sh.select(
+          explode(array(
+            when(col("doc_id") < n * 4 / 5, lit("existing")),
+            when(col("doc_id") >= n * 3 / 5, lit("batch"))))
+            .as("slice"),
+          col("key"), col("h"))
+        .filter(col("slice").isNotNull)
+      val bySlice = Sketches.hllRegistersFromHash(
+          tagged.select(struct(col("slice"), col("key")).as("key"),
+            col("h")), 8)
+        .select(col("key.slice").as("slice"), col("key.key").as("key"),
+          col("register"), col("m"))
+        .localCheckpoint()
       val path = hllIngestExportPath(dir)
-      writeSketchTable(regs(col("doc_id") < n * 4 / 5), path)
+      writeSketchTable(
+        bySlice.filter(col("slice") === "existing").drop("slice"), path)
       val existing = s.read.parquet(path)
-      val batch = regs(col("doc_id") >= n * 3 / 5)
+      val batch = bySlice.filter(col("slice") === "batch").drop("slice")
       val merged = existing.unionByName(batch)
         .groupBy("key", "register").agg(max("m").as("m"))
       val estE = Sketches.hllSummary(existing, 8)

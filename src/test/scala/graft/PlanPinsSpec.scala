@@ -671,4 +671,21 @@ class PlanPinsSpec extends SparkSpec {
       s"answer-time plan touches the corpus — the cell-add merge " +
         s"must read the persisted cell table alone:\n$plan")
   }
+
+  test("hll/kmv_table_ingest answer-time plans are corpus-free (r21 " +
+      "single-scan tagging): the batch sketch reads the checkpointed " +
+      "slice split, so the one corpus pass happens at construction " +
+      "and the answer plan sees only the persisted table + checkpoint") {
+    for ((q, table) <- Seq("hll_table_ingest" -> "hll_ingest_",
+        "kmv_table_ingest" -> "kmv_ingest_")) {
+      val plan = SparkEntry.queries(q)(spark, sf0001)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains(table),
+        s"$q answer-time plan lost its sketch-table scan:\n$plan")
+      assert(!plan.contains("documents"),
+        s"$q answer-time plan touches the corpus — the merge must " +
+          s"read the persisted table + the checkpointed batch " +
+          s"slice alone:\n$plan")
+    }
+  }
 }

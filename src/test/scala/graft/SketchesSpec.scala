@@ -96,6 +96,28 @@ class SketchesSpec extends SparkSpec {
       "vocabulary-derived cells diverged from occurrence-derived cells")
   }
 
+  test("cmsCellsSliced splits bit-identically to per-slice cmsCells " +
+      "(the r21 single-scan ingest rewrite: the cell hash never sees " +
+      "the slice tag)") {
+    val toks = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), explode(graft.operators.TextAnalysis
+        .tokens(lower(col("text")))).as("key"))
+    val (d, w) = (3, 64)
+    val tagged = toks.select(
+      when(pmod(col("doc_id"), lit(2)) === 0, lit("even"))
+        .otherwise(lit("odd")).as("slice"), col("key"))
+    val sliced = Sketches.cmsCellsSliced(tagged, col("slice"),
+      col("key"), d, w)
+    for (sl <- Seq("even", "odd")) {
+      val got = sliced.filter(col("slice") === sl).select("r", "c", "cnt")
+      val want = Sketches.cmsCells(
+        tagged.filter(col("slice") === sl).select("key"),
+        col("key"), d, w)
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"sliced cells diverged from the filtered build for '$sl'")
+    }
+  }
+
   test("CMS estimate is exact for a key with collision-free cells " +
       "in at least one row, and a never-inserted key estimates 0") {
     // two keys engineered onto the real token stream: the sketch of
