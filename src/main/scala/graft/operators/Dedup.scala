@@ -28,6 +28,10 @@ import org.apache.spark.sql.functions._
   * [[Dedup.ngramJaccardPairs]] (field names are the downstream schema). */
 final case class IdPair(id_a: Long, id_b: Long)
 
+/** Element type of the compiled in-bucket Hamming verification in
+  * [[Dedup.hammingBandPairs]] (field names are the downstream schema). */
+final case class HamPair(id_a: Long, id_b: Long, hamming: Int)
+
 object Dedup {
 
   /** Exact dedup: keep the smallest id per fingerprint. Returns
@@ -78,12 +82,16 @@ object Dedup {
     * key, pair cost ∝ collisions. */
   def minhashCandidatePairs(df: DataFrame, idCol: Column, text: Column,
       numHashes: Int = 8, bands: Int = 4, shingleN: Int = 3): DataFrame = {
+    // r21: in-bucket pair EXPANSION instead of the band-keyed
+    // self-join — same (band, band_key) exchange builds sorted id
+    // buckets and a compiled kernel emits the i<j pairs, dropping the
+    // self-join's two sort passes over the banded stream; the pair
+    // aggregate doubles as the distinct. Identical pair set (ids are
+    // unique within a bucket — one row per (id, band)).
     val b = lshBands(df, idCol, text, numHashes, bands, shingleN)
-    val a = b.select(col("band"), col("band_key"), col("id").as("id_a"))
-    val c = b.select(col("band"), col("band_key"), col("id").as("id_b"))
-    a.join(c, Seq("band", "band_key"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    bucketPairCounts(b, col("id"), struct(col("band"), col("band_key")),
+        minDf = 2, maxDf = Int.MaxValue)
+      .select("id_a", "id_b")
   }
 
   /** 64-bit SimHash: bit j is the majority vote of token-hash bit j
@@ -124,7 +132,11 @@ object Dedup {
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3,
       "4 bands over 64 bits guarantee recall only for Hamming <= 3")
+    // a NULL signature never equi-joined (null keys don't match);
+    // groupBy WOULD bucket nulls together, so drop them explicitly —
+    // same "no observation" semantics, now spelled out
     val sh = df.select(idCol.as("id"), sigCol.as("_sig"))
+      .filter(col("_sig").isNotNull)
     val bandArr = array((0 until 4).map { b =>
       struct(lit(b).as("band"),
         shiftrightunsigned(col("_sig"), 16 * b)
@@ -134,16 +146,39 @@ object Dedup {
         explode(bandArr).as("bk"))
       .select(col("id"), col("_sig"),
         col("bk.band").as("band"), col("bk.band_val").as("band_val"))
-    val a = bands.select(col("band"), col("band_val"),
-      col("id").as("id_a"), col("_sig").as("sim_a"))
-    val c = bands.select(col("band"), col("band_val"),
-      col("id").as("id_b"), col("_sig").as("sim_b"))
-    a.join(c, Seq("band", "band_val"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("hamming",
-        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("int"))
-      .filter(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming").distinct()
+    // r21: in-bucket pair expansion + compiled Hamming verification
+    // instead of the band-keyed self-join — the same (band, band_val)
+    // exchange builds (id, sig) buckets and the kernel emits only the
+    // verified i<j pairs, dropping the self-join's two sorts over the
+    // 4n banded stream and the unverified-collision materialization.
+    // ids are unique within a bucket (one row per (id, band)); the
+    // kernel sorts by id so id_a < id_b exactly like the old filter,
+    // and bit_count ≡ Long.bitCount. A pair sharing several bands
+    // repeats with the same hamming — the terminal distinct dedups,
+    // as before.
+    val expandVerify = udf { (members: Seq[org.apache.spark.sql.Row]) =>
+      val m = members.toArray.sortBy(_.getLong(0))
+      val out = Array.newBuilder[HamPair]
+      var i = 0
+      while (i < m.length) {
+        var j = i + 1
+        val (ida, siga) = (m(i).getLong(0), m(i).getLong(1))
+        while (j < m.length) {
+          val ham = java.lang.Long.bitCount(siga ^ m(j).getLong(1))
+          if (ham <= maxHamming) out += HamPair(ida, m(j).getLong(0), ham)
+          j += 1
+        }
+        i += 1
+      }
+      out.result()
+    }
+    bands.groupBy("band", "band_val")
+      .agg(collect_list(struct(col("id"), col("_sig"))).as("ms"))
+      .filter(size(col("ms")) >= 2)
+      .select(explode(expandVerify(col("ms"))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        col("p.hamming").as("hamming"))
+      .distinct()
   }
 
   /** Connected components over a near-dup pair list — the

@@ -111,6 +111,47 @@ class BucketPairsSpec extends SparkSpec {
     assert(k2.toSeq === Seq((1L, 2L, 2L), (1L, 3L, 2L), (2L, 3L, 1L)))
   }
 
+  test("hammingBandPairs (in-bucket kernel verification) equals the " +
+      "brute-force all-pairs Hamming join on edge docs and corpus") {
+    val docs = docsDf.unionByName(
+      Tables.documents(spark, sf0001).select(
+        (col("doc_id") + 1000L).as("doc_id"), col("text")))
+    val got = Dedup.simhashPairs(docs, col("doc_id"), col("text"),
+      maxHamming = 3)
+    val sigs = docs.select(col("doc_id"),
+      TextShingles.simhash64(col("text")).as("sig"))
+    val want = sigs.select(col("doc_id").as("id_a"), col("sig").as("sa"))
+      .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sb")),
+        col("id_a") < col("id_b"))
+      .withColumn("hamming",
+        bit_count(col("sa").bitwiseXOR(col("sb"))).cast("int"))
+      .filter(col("hamming") <= 3)
+      .select("id_a", "id_b", "hamming")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "band-bucket kernel pairs diverged from brute force")
+    assert(got.count() === want.count())
+  }
+
+  test("minhashCandidatePairs (bucket expansion) equals the " +
+      "band-keyed self-join shape on edge docs and corpus") {
+    val docs = docsDf.unionByName(
+      Tables.documents(spark, sf0001).select(
+        (col("doc_id") + 1000L).as("doc_id"), col("text")))
+    val got = Dedup.minhashCandidatePairs(docs, col("doc_id"),
+      col("text"), numHashes = 8, bands = 4, shingleN = 3)
+    val b = Dedup.lshBands(docs, col("doc_id"), col("text"),
+      numHashes = 8, bands = 4, shingleN = 3)
+    val want = b.select(col("band"), col("band_key"),
+        col("id").as("id_a"))
+      .join(b.select(col("band"), col("band_key"), col("id").as("id_b")),
+        Seq("band", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "bucket-expanded candidates diverged from the self-join")
+    assert(got.count() === want.count())
+  }
+
   test("winnowing-row rewrite: bucketPairCounts over word " +
       "fingerprints equals the old self-join shape on real corpus") {
     val docs = Tables.documents(spark, sf0001)
