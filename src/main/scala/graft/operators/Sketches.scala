@@ -49,21 +49,34 @@ object Sketches {
         conv(substring(md5(valueCol), 1, 15), 16, 10).cast("long")
           .as("h")), p)
 
+  /** The per-row register/rho derivation of [[hllRegistersFromHash]]
+    * WITHOUT the terminal `(key, register)` max — for callers that
+    * fold the register aggregate with extra columns (the sliding
+    * rows' single-pass window aggregate, which tracks an
+    * observed-anchor flag through the same groupBy). Consumes `h`
+    * (the 60-bit md5 prefix), carries every other input column
+    * through, and appends `register` and `rho`. The ONE derivation:
+    * [[hllRegistersFromHash]] is this plus `groupBy(key, register)
+    * .agg(max(rho))`. */
+  def hllRegisterRho(df: DataFrame, p: Int): DataFrame = {
+    require(p >= 4 && p <= 16, s"p must be in [4, 16], got $p")
+    val wBits = 60 - p
+    val wMod = 1L << wBits
+    df.withColumn("register", expr(s"h div $wMod"))
+      .withColumn("w", expr(s"h % $wMod"))
+      .withColumn("rho", when(col("w") === 0L, lit(wBits + 1))
+        .otherwise(lit(wBits + 1) - length(bin(col("w")))))
+      .drop("h", "w")
+  }
+
   /** [[hllRegisters]] over a PRE-HASHED frame `key, h` (h = the 60-bit
     * md5 prefix this object's scaladoc defines — e.g. the compiled
     * [[graft.functions.TextShingles.shingleHash60]] kernel, which
     * replaces the interpreted shingle HOF + per-row hex/conv chain on
     * the corpus-scan hot path). */
-  def hllRegistersFromHash(df: DataFrame, p: Int): DataFrame = {
-    require(p >= 4 && p <= 16, s"p must be in [4, 16], got $p")
-    val wBits = 60 - p
-    val wMod = 1L << wBits
-    df.select(col("key"), expr(s"h div $wMod").as("register"),
-        expr(s"h % $wMod").as("w"))
-      .withColumn("rho", when(col("w") === 0L, lit(wBits + 1))
-        .otherwise(lit(wBits + 1) - length(bin(col("w")))))
+  def hllRegistersFromHash(df: DataFrame, p: Int): DataFrame =
+    hllRegisterRho(df.select(col("key"), col("h")), p)
       .groupBy("key", "register").agg(max("rho").as("m"))
-  }
 
   /** Register table → per-key summary `key, v_zero, s_scaled`. */
   def hllSummary(regs: DataFrame, p: Int): DataFrame =

@@ -228,34 +228,46 @@ object TemporalQueries {
 
     // hll_sliding_users' SKETCH-ONLY production twin (r18 verdict
     // task #1 — the hll_pair_estimate discipline applied to the
-    // sliding rows): rolling 7-day distinct users per day derived
-    // from the checkpointed per-day register frame ALONE. ONE corpus
-    // scan builds days × 32 registers (p=5, map-side partial, the
-    // exchange is SF-invariant); every window is then a register-max
-    // over ≤ 7×32 rows and the estimate is the shared-string raw-HLL
-    // division — no (day, user) distinct, no 7× raw-row window
-    // expansion, ANY window length for the same price. At 100 TB this
-    // is the row a rolling-monitoring job actually runs; the exact
-    // audit lives in hll_sliding_users above, which SCALE shows
-    // growing with the corpus while this row's post-scan cost is
-    // fixed. PlanPins pins the final plan parquet-free (the register
-    // frame carries the one scan at construction). Durable variant:
-    // persist the per-day register frame to a parquet sketch table
-    // exactly as hll_pair_from_table / hll_table_ingest demonstrate —
-    // the window algebra below is unchanged over a read-back frame,
-    // and closed days append incrementally (the ingest merge law).
+    // sliding rows): rolling 7-day distinct users per day, ONE corpus
+    // pass, ZERO joins (r22, verdict #2). Each event's register/rho
+    // explodes to its ≤ 7 window anchors and aggregates STRAIGHT to
+    // (anchor, register) with map-side partials — the day-grain
+    // pre-aggregate, the days-distinct, the anchor join (r21's
+    // equi-join, r20's BroadcastNestedLoopJoin) and the
+    // construction-time checkpoint all fold into the one aggregate
+    // the window algebra already paid. The explode is 7 longs AFTER
+    // the one md5 per event, and the partial aggregate caps the
+    // exchange at (days+6) × 32 rows per partition — SF-invariant, so
+    // the 7× anchor fan-out never reaches a shuffle. An anchor is a
+    // REAL output day iff one of its rows came from day == anchor;
+    // the max'd `obs` flag carries that through the aggregate, and
+    // its per-anchor window max rides the same hash partitioning the
+    // summary groupBy reuses (no extra exchange). Estimates are the
+    // shared-string raw-HLL division — identical output, pinned by
+    // the shared hll_sliding_from_table oracle. Durable variant:
+    // hll_sliding_from_table persists the day-grain registers and
+    // runs the window algebra over the read-back table.
     "hll_sliding_estimate" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
       val ev = Tables.events(s, dir)
         .select(expr("(ts div 1000) div 86400000000").as("day"),
           col("user_id").cast("string").as("uid"))
-      val regs = Sketches.hllRegisters(ev, col("day"), col("uid"), 5)
-        .withColumnRenamed("key", "day")
-        .localCheckpoint()
-      val days = regs.select("day").distinct()
-      Sketches.hllSummary(
-          expandWindow7(regs, days)
-            .groupBy(col("d").as("key"), col("register"))
-            .agg(max("m").as("m")), 5)
+      val hashed = ev.select(col("day"),
+        conv(substring(md5(col("uid")), 1, 15), 16, 10).cast("long")
+          .as("h"))
+      val winRegs = Sketches.hllRegisterRho(hashed, 5)
+        .select(col("day"),
+          explode(sequence(col("day"), col("day") + 6)).as("key"),
+          col("register"), col("rho"))
+        .groupBy("key", "register")
+        .agg(max("rho").as("m"),
+          max(when(col("day") === col("key"), 1).otherwise(0))
+            .as("obs"))
+      val observed = winRegs
+        .withColumn("_obs_d", max("obs").over(Window.partitionBy("key")))
+        .filter(col("_obs_d") === 1)
+        .select("key", "register", "m")
+      Sketches.hllSummary(observed, 5)
         .withColumnRenamed("key", "day")
         .withColumn("est_users", expr(Sketches.hllEstimateSql(5)))
         .select("day", "est_users")
@@ -721,37 +733,45 @@ object TemporalQueries {
 
     // hdr_sliding_quantiles' SKETCH-ONLY production twin (r18 verdict
     // task #1, the hll_sliding_estimate discipline for quantiles):
-    // rolling 7-day p50/p90/p99 from the checkpointed per-day bucket
-    // histograms ALONE — each window is a bucket-count ADDITION over
-    // ≤ 7×960 rows plus one cumulative read, no day×event raw-row
-    // window expansion, no corpus-scale re-sort. ONE corpus scan
-    // builds the per-day histograms (map-side partial; the exchange
-    // carries ≤ days×960 rows at any SF); everything after is
-    // SF-invariant. hdr_sliding_quantiles above stays registered as
-    // the test-scale audit twin carrying the exact percentiles.
+    // rolling 7-day p50/p90/p99, ONE corpus pass, ZERO joins (r22,
+    // verdict #2 — the hll_sliding_estimate single-pass shape for the
+    // bucket histograms): each event's (bucket, lo) explodes to its
+    // ≤ 7 window anchors and aggregates STRAIGHT to (anchor, bucket)
+    // with map-side partials — min(lo) over contributing events ≡
+    // min of per-day minima, count ≡ sum of per-day counts, so the
+    // day-grain pre-aggregate, the days-distinct, the anchor join and
+    // the checkpoint of the r21 shape all fold into the window
+    // aggregate. The exchange stays capped at (days+6) × 960 rows per
+    // partition; an anchor is a real output day iff the max'd `obs`
+    // flag saw day == anchor (rides the cumulative window's existing
+    // partitioning — no extra exchange). hdr_sliding_quantiles above
+    // stays registered as the test-scale audit twin carrying the
+    // exact percentiles; results are pinned by the shared
+    // hdr_sliding_from_table oracle.
     "hdr_sliding_sketch" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val e = Tables.events(s, dir)
         .filter(col("value").isNotNull && col("value") > 0)
         .select(expr("(ts div 1000) div 86400000000").as("day"),
           expr("CAST(floor(value * 1000000e0) AS BIGINT)").as("vi"))
-      val hist = e
+      val winHist = e
         .withColumn("bucket", expr(Sketches.hdrBucketSql("vi")))
         .withColumn("lo", expr(Sketches.hdrBucketLoSql("vi")))
-        .groupBy("day", "bucket")
-        .agg(min("lo").as("lo"), count(lit(1)).as("cnt"))
-        .localCheckpoint()
-      val days = hist.select("day").distinct()
-      val winHist = expandWindow7(hist, days)
+        .select(col("day"),
+          explode(sequence(col("day"), col("day") + 6)).as("d"),
+          col("bucket"), col("lo"))
         .groupBy("d", "bucket")
-        .agg(min("lo").as("lo"), sum("cnt").as("cnt"))
+        .agg(min("lo").as("lo"), count(lit(1)).as("cnt"),
+          max(when(col("day") === col("d"), 1).otherwise(0)).as("obs"))
       val wn = Window.partitionBy("d")
       val skCum = winHist
         .withColumn("cum", sum("cnt").over(wn.orderBy("bucket")))
         .withColumn("n", sum("cnt").over(wn))
+        .withColumn("_obs_d", max("obs").over(wn))
       def q(p: Int) =
         min(when(col("cum") * 100 >= lit(p) * col("n"), col("lo")))
-      skCum.groupBy(col("d").as("day"))
+      skCum.filter(col("_obs_d") === 1)
+        .groupBy(col("d").as("day"))
         .agg(q(50).as("p50_sketch"), q(90).as("p90_sketch"),
           q(99).as("p99_sketch"))
         .select("day", "p50_sketch", "p90_sketch", "p99_sketch")

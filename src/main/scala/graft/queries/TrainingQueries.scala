@@ -2741,29 +2741,36 @@ object TrainingQueries {
       // r21: ONE slice-tagged corpus scan builds BOTH bottom-k sets
       // (hll_table_ingest's explode-membership shape — the overlap
       // fifth belongs to both slices, which is the deliberate
-      // re-crawl that proves bottom-k idempotence by hash); the slice
-      // rides the aggregate key as a struct and the checkpointed
-      // split frame is ≤ 2 × sources × 256 longs.
+      // re-crawl that proves bottom-k idempotence by hash); the
+      // checkpointed split frame is ≤ 2 × sources × 256 longs.
+      // r22 (verdict #3): the slice rides the aggregate key as a
+      // 1-char PREFIX on the source string instead of a struct —
+      // KmvAgg's hash-aggregate then groups on a flat string key
+      // (one UnsafeRow field) rather than a nested row, and the
+      // prefix strips back off with two substrings on the
+      // sketch-sized output. Source names never contain the
+      // separator's position ambiguity: the prefix is FIXED-WIDTH
+      // ("e:"/"b:"), so the split is positional, not delimiter-based.
       val sh = shingleHashStream(s, dir, withDocId = true)
       val tagged = sh.select(
           explode(array(
-            when(col("doc_id") < n * 4 / 5, lit("existing")),
-            when(col("doc_id") >= n * 3 / 5, lit("batch"))))
+            when(col("doc_id") < n * 4 / 5, lit("e:")),
+            when(col("doc_id") >= n * 3 / 5, lit("b:"))))
             .as("slice"),
           col("key"), col("h"))
         .filter(col("slice").isNotNull)
       val bySlice = Sketches.kmvSketchFromHash(
-          tagged.select(struct(col("slice"), col("key")).as("key"),
+          tagged.select(concat(col("slice"), col("key")).as("key"),
             col("h")), 256)
-        .select(col("key.slice").as("slice"), col("key.key").as("key"),
-          col("h"))
+        .select(substring(col("key"), 1, 2).as("slice"),
+          expr("substring(key, 3)").as("key"), col("h"))
         .localCheckpoint()
       val path = kmvIngestExportPath(dir)
       // at-rest table: the existing corpus slice, written once
       writeSketchTable(
-        bySlice.filter(col("slice") === "existing").drop("slice"), path)
+        bySlice.filter(col("slice") === "e:").drop("slice"), path)
       val existing = s.read.parquet(path)
-      val batch = bySlice.filter(col("slice") === "batch").drop("slice")
+      val batch = bySlice.filter(col("slice") === "b:").drop("slice")
       Sketches.kmvMerge(existing.unionByName(batch), 256)
         .withColumnRenamed("key", "source")
         .select("source", "h")

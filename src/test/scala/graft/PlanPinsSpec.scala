@@ -585,21 +585,28 @@ class PlanPinsSpec extends SparkSpec {
     }
   }
 
-  test("the r19 sliding sketch-only twins are parquet-free past the " +
-      "one construction-time scan: every window derives from the " +
-      "checkpointed per-day register/histogram frame (<= days x 32 / " +
-      "days x 960 rows), never from raw events") {
+  test("the sliding sketch-only twins are ONE-PASS, JOIN-FREE plans " +
+      "(r22 verdict #2): a single events scan feeds the " +
+      "anchor-exploded window aggregate directly — no day-grain " +
+      "pre-aggregate + checkpoint, no days-distinct, no anchor join " +
+      "(r21's equi-join and r20's BroadcastNestedLoopJoin are both " +
+      "gone); the 7x anchor fan-out is absorbed by the map-side " +
+      "partial aggregate, so the exchange stays (days+6) x " +
+      "registers/buckets-bounded") {
     Seq("hll_sliding_estimate", "hdr_sliding_sketch").foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sf0001)
         .queryExecution.executedPlan.toString
-      assert(!plan.contains("FileScan") && !plan.contains("Scan parquet"),
-        s"$name's final plan re-reads the corpus — the checkpointed " +
-          s"per-day frame stopped carrying the scan:\n$plan")
-      assert(plan.contains("Scan ExistingRDD") ||
-        plan.contains("LogicalRDD") || plan.contains("ExistingRDD"),
-        s"$name lost its checkpointed per-day input:\n$plan")
-      // (the day-window between-join over the day frame is a nested
-      // loop by design — days x days-bounded, never corpus-sized)
+      assert(!plan.contains("Join"),
+        s"$name gained a join — the single-pass window aggregate " +
+          s"needs none:\n$plan")
+      assert(!plan.contains("Scan ExistingRDD") &&
+        !plan.contains("ExistingRDD"),
+        s"$name re-grew a checkpointed intermediate — the one-pass " +
+          s"shape reads the corpus directly:\n$plan")
+      val scans = "FileScan".r.findAllIn(plan).length
+      assert(scans == 1,
+        s"$name must scan the events corpus exactly ONCE, found " +
+          s"$scans FileScans:\n$plan")
     }
   }
 
