@@ -200,12 +200,19 @@ object WebQueries {
     // residue) disallow "/docs/", and ~half of those re-allow
     // "/docs/index.html" — exercising default-allow, blanket-block
     // and override-pierce paths (the index slug exists every 17th
-    // doc, so the override MATTERS in the output). Shape: the rules
-    // frame is ≤ 3 × domains rows and BROADCASTS into the URL scan;
-    // longest-prefix-wins is a partial-aggregable max_by over the
-    // ≤ 3 matched rules per URL (prefix lengths are distinct by
-    // construction — a total order); the report is one more shrinking
-    // domain rollup. Nothing scales past the scan.
+    // doc, so the override MATTERS in the output). Shape (r22,
+    // verdict #4): the domains-bounded rules frame is COLLECTED at
+    // construction, compiled to per-domain segment matchers and
+    // broadcast (guide §3.2's build-collect-broadcast — the same
+    // domains bound the replaced broadcast JOIN already assumed), so
+    // longest-prefix-wins evaluates in ONE compiled kernel call per
+    // URL ([[graft.functions.RobotsMatch.decide]]): no rule-join
+    // fan-out of the URL scan, no per-(url × rule) probe, and the
+    // corpus-scale (doc_id, domain) max_by exchange is GONE — the
+    // scan emits finished verdicts and the only exchange left is the
+    // domains-sized report rollup. Prefix lengths are distinct by
+    // construction, so the kernel's max-spec fold is a total order —
+    // identical winner to the replaced max_by.
     "robots_policy" -> { (s, dir) =>
       val u = withUrls(s, dir).select(col("doc_id"), col("domain"),
         col("path"))
@@ -213,21 +220,21 @@ object WebQueries {
       val b1 = substring(md5(concat(lit("robots:"), col("domain"))), 1, 1)
       val b2 = substring(md5(concat(lit("robots:"), col("domain"))), 2, 1)
       val rules = doms
-        .select(col("domain"), lit("/").as("prefix"), lit(true).as("allow"))
+        .select(col("domain"), lit("/").as("pattern"), lit(true).as("allow"))
         .unionByName(doms.filter(b1 < "8")
-          .select(col("domain"), lit("/docs/").as("prefix"),
+          .select(col("domain"), lit("/docs/").as("pattern"),
             lit(false).as("allow")))
         .unionByName(doms.filter(b1 < "8" && b2 < "8")
-          .select(col("domain"), lit("/docs/index.html").as("prefix"),
+          .select(col("domain"), lit("/docs/index.html").as("pattern"),
             lit(true).as("allow")))
-      u.join(broadcast(rules), Seq("domain"))
-        .filter(expr("substring(path, 1, length(prefix)) = prefix"))
-        .groupBy("doc_id", "domain")
-        .agg(expr("max_by(allow, length(prefix))").as("allowed"))
+        .withColumn("spec", length(col("pattern")).cast("long"))
+      u.withColumn("v", graft.functions.RobotsMatch.decide(
+          rules, col("domain"), col("path")))
+        .filter(col("v").isNotNull)
         .groupBy("domain")
         .agg(count(lit(1)).as("n_urls"),
-          sum(when(col("allowed"), 1L).otherwise(0L)).as("n_allowed"),
-          sum(when(col("allowed"), 0L).otherwise(1L)).as("n_disallowed"))
+          sum(when(col("v.allow"), 1L).otherwise(0L)).as("n_allowed"),
+          sum(when(col("v.allow"), 0L).otherwise(1L)).as("n_disallowed"))
         .orderBy("domain")
     },
 
@@ -239,26 +246,26 @@ object WebQueries {
     // now ranks by PATTERN length (the reference robots.txt parsers'
     // octet count — wildcards count as one octet), with the RFC's
     // least-restrictive tie-break (equal specificity → allow wins)
-    // encoded arithmetically: spec = 2·length(pattern) + allow-bit,
-    // resolved by the same partial-aggregable max_by. Matching
-    // translates each pattern ONCE (rule-side, domains-sized frame)
-    // to ANSI LIKE — '*' → '%', trailing '$' drops the implicit
-    // prefix '%', no escaping needed because the synthetic patterns
-    // PROVABLY carry no LIKE metachars (md5-hex slugs + literal
-    // "/docs/"); the general-API translation with `\`-escaping and
-    // ESCAPE-clause matching lives in CrawlScheduler.compileRules
-    // (r17 ADVICE) — real robots paths carry '_' and '%'. Both
-    // engines evaluate the IDENTICAL predicate. The wildcard tiers extend the seeded rule
-    // synthesis: ~half the domains (md5 residue b3) block slugs
-    // ending in 7, and ~half of those (b4) re-allow ...77.html via a
-    // longer pattern — exercising anchored-wildcard block and
-    // wildcard-over-wildcard pierce; `n_wild_decided` counts URLs
-    // whose WINNING rule used the grammar, so the tier visibly
-    // matters. Shape unchanged from robots_policy: ≤ 5 × domains
-    // rules broadcast into the URL scan (plan-pinned nested-loop-
-    // free), per-URL max_by, one shrinking rollup. The per-row LIKE
-    // against a column pattern is regex-compiled per match — fine
-    // while matched-rules-per-URL is the broadcast side's ≤ 5.
+    // encoded arithmetically: spec = 2·length(pattern) + allow-bit.
+    // Matching (r22, verdict #4) implements the RFC grammar DIRECTLY
+    // in the compiled [[graft.functions.RobotsMatch.decide]] kernel —
+    // one call per URL against the collected-and-broadcast per-domain
+    // segment matchers (guide §3.2; the same domains bound the
+    // replaced broadcast join assumed) — so the LIKE translation, the
+    // per-row regex compile of a non-foldable LIKE pattern, the ~5×
+    // rule-join fan-out of the URL scan AND the corpus-scale
+    // (doc_id, domain) max_by exchange are all gone (the general
+    // streaming-API translation with `\`-escaping stays in
+    // CrawlScheduler.compileRules). The
+    // wildcard tiers extend the seeded rule synthesis: ~half the
+    // domains (md5 residue b3) block slugs ending in 7, and ~half of
+    // those (b4) re-allow ...77.html via a longer pattern —
+    // exercising anchored-wildcard block and wildcard-over-wildcard
+    // pierce; `n_wild_decided` counts URLs whose WINNING rule used
+    // the grammar, so the tier visibly matters. Specs are distinct
+    // per domain by construction, so the kernel's max-spec fold picks
+    // the same winner as the replaced max_by pair. The only exchange
+    // past the scan is the domains-sized report rollup.
     "robots_wildcard" -> { (s, dir) =>
       val u = withUrls(s, dir).select(col("doc_id"), col("domain"),
         col("path"))
@@ -283,24 +290,17 @@ object WebQueries {
         .unionByName(doms.filter(b3 < "8" && b4 < "8")
           .select(col("domain"), lit("/docs/*77.html$").as("pattern"),
             lit(true).as("allow")))
-        .withColumn("lp", expr(
-          "CASE WHEN pattern LIKE '%$'" +
-            " THEN replace(substring(pattern, 1," +
-            " length(pattern) - 1), '*', '%')" +
-            " ELSE replace(pattern, '*', '%') || '%' END"))
         .withColumn("spec", expr(
-          "length(pattern) * 2 + IF(allow, 1, 0)"))
-      u.join(broadcast(rules), Seq("domain"))
-        .filter(expr("path LIKE lp"))
-        .groupBy("doc_id", "domain")
-        .agg(expr("max_by(allow, spec)").as("allowed"),
-          expr("max_by(pattern, spec)").as("win_pattern"))
+          "CAST(length(pattern) * 2 + IF(allow, 1, 0) AS BIGINT)"))
+      u.withColumn("v", graft.functions.RobotsMatch.decide(
+          rules, col("domain"), col("path")))
+        .filter(col("v").isNotNull)
         .groupBy("domain")
         .agg(count(lit(1)).as("n_urls"),
-          sum(when(col("allowed"), 1L).otherwise(0L)).as("n_allowed"),
-          sum(when(col("allowed"), 0L).otherwise(1L))
+          sum(when(col("v.allow"), 1L).otherwise(0L)).as("n_allowed"),
+          sum(when(col("v.allow"), 0L).otherwise(1L))
             .as("n_disallowed"),
-          sum(when(col("win_pattern").rlike("[*$]"), 1L)
+          sum(when(col("v.pat").rlike("[*$]"), 1L)
             .otherwise(0L)).as("n_wild_decided"))
         .orderBy("domain")
     },

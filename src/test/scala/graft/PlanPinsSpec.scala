@@ -482,34 +482,37 @@ class PlanPinsSpec extends SparkSpec {
       s"bucket char-sum aggregate lost map-side partials:\n$plan")
   }
 
-  test("robots_policy's rules frame broadcasts into the URL scan " +
-      "(domains-sized build side; longest-prefix max_by combines " +
-      "map-side)") {
+  test("robots_policy decides per URL in the SCAN stage via the " +
+      "collected-and-broadcast compiled rule map (r22 verdict #4): " +
+      "the answer plan has NO join at all, no per-URL max_by " +
+      "exchange, and the only aggregate past the scan is the " +
+      "domains-sized rollup") {
     val df = SparkEntry.queries("robots_policy")(spark, sf0001)
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"),
-      s"rules join is not a broadcast hash join:\n$plan")
-    assert(!plan.contains("CartesianProduct") &&
-      !plan.contains("BroadcastNestedLoopJoin"),
-      s"unexpected nested loop in the rules match:\n$plan")
-    assert(plan.contains("partial_max_by") ||
-      plan.contains("partial_maxby") || plan.contains("partial_max_"),
-      s"longest-prefix max_by lost map-side partials:\n$plan")
+    assert(!plan.contains("Join"),
+      s"robots_policy regrew a join — the broadcast rule map " +
+        s"decides joins-free:\n$plan")
+    assert(!plan.contains("max_by"),
+      s"the per-URL max_by exchange is back — the compiled " +
+        s"RobotsMatch kernel should decide in the scan stage:\n$plan")
+    assert(plan.contains("UDF"),
+      s"RobotsMatch kernel probe missing from the plan:\n$plan")
   }
 
   test("robots_wildcard keeps robots_policy's shape under the RFC " +
-      "9309 grammar: rules broadcast, no nested loop for the LIKE " +
-      "match, specificity max_by combines map-side") {
+      "9309 grammar: the compiled kernel matches the grammar " +
+      "directly against the broadcast rule map (no per-row LIKE " +
+      "translation), no join, no per-URL max_by exchange") {
     val df = SparkEntry.queries("robots_wildcard")(spark, sf0001)
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"),
-      s"rules join is not a broadcast hash join:\n$plan")
-    assert(!plan.contains("CartesianProduct") &&
-      !plan.contains("BroadcastNestedLoopJoin"),
-      s"unexpected nested loop in the pattern match:\n$plan")
-    assert(plan.contains("partial_max_by") ||
-      plan.contains("partial_maxby") || plan.contains("partial_max_"),
-      s"specificity max_by lost map-side partials:\n$plan")
+    assert(!plan.contains("Join"),
+      s"robots_wildcard regrew a join — the broadcast rule map " +
+        s"decides joins-free:\n$plan")
+    assert(!plan.contains("max_by") && !plan.contains(" LIKE "),
+      s"per-URL max_by / LIKE probe is back — the compiled " +
+        s"RobotsMatch kernel should decide in the scan stage:\n$plan")
+    assert(plan.contains("UDF"),
+      s"RobotsMatch kernel probe missing from the plan:\n$plan")
   }
 
   test("anchor_text_topk's cut runs through the NATIVE top-k node, " +

@@ -96,4 +96,61 @@ class RobotsPropsSpec extends SparkSpec {
       }
     }
   }
+
+  test("RobotsMatch compiled kernel (r22 verdict #4): matches() " +
+      "equals the independent regex RFC 9309 matcher per (pattern, " +
+      "path), and the decide() fold through Spark equals the " +
+      "most-specific-match verdict (no-match -> NULL) on random " +
+      "rule sets") {
+    import spark.implicits._
+    // per-(pattern, path) parity of the greedy glob matcher
+    val pats = (1 to 80).map(_ => randomPattern()) ++
+      Seq("/", "/docs/", "/docs/index.html", "/docs/*7.html$",
+        "/docs/*77.html$", "/a*b*c", "/a*b*c$", "*x", "$")
+    val paths = (1 to 80).map(_ => "/" + frag() + "/" + frag()) ++
+      pats.take(30).map(p => p.stripSuffix("$").replace("*", frag())) ++
+      Seq("/", "", "/docs/", "/docs/a7.html", "/docs/a77.html",
+        "/abzbzc", "/abc")
+    for (p <- pats; u <- paths)
+      assert(graft.functions.RobotsMatch.matches(u, p) ===
+        rfcMatches(p, u), s"matches('$u', '$p') diverged")
+    // decide() fold parity through a real Spark plan
+    (1 to 3).foreach { round =>
+      val domains = (1 to 30).map(i => s"k$round-$i.com")
+      val ruleSet: Map[String, Seq[(String, Boolean)]] =
+        domains.map { d =>
+          d -> (1 to 1 + rnd.nextInt(3)).map(_ =>
+            (randomPattern(), rnd.nextBoolean()))
+        }.toMap
+      val urls = domains.map { d =>
+        val p = ruleSet(d).head._1.stripSuffix("$").replace("*", frag())
+        val path = if (rnd.nextBoolean()) p
+          else "/" + frag() + "/" + frag()
+        (d, path)
+      }
+      val rulesDf = ruleSet.toSeq
+        .flatMap { case (d, rs) => rs.map { case (p, a) => (d, p, a) } }
+        .toDF("domain", "pattern", "allow")
+        .withColumn("spec", expr(
+          "CAST(length(pattern) * 2 + IF(allow, 1, 0) AS BIGINT)"))
+      val got = urls.toDF("domain", "path")
+        .withColumn("v", graft.functions.RobotsMatch.decide(
+          rulesDf, col("domain"), col("path")))
+        .select(col("domain"), col("path"), col("v.allow").as("allow"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          Option(r.get(2)).map(_.asInstanceOf[Boolean]))
+        .toMap
+      urls.foreach { case (d, path) =>
+        val applicable = ruleSet(d).filter { case (p, _) =>
+          rfcMatches(p, path) }
+        val expected =
+          if (applicable.isEmpty) None
+          else Some(applicable.maxBy { case (p, allow) =>
+            p.length.toLong * 2 + (if (allow) 1 else 0) }._2)
+        assert(got((d, path)) === expected,
+          s"decide diverged for ($d, $path) rules ${ruleSet(d)}")
+      }
+    }
+  }
 }
