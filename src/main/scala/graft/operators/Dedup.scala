@@ -32,6 +32,28 @@ final case class IdPair(id_a: Long, id_b: Long)
   * [[Dedup.hammingBandPairs]] (field names are the downstream schema). */
 final case class HamPair(id_a: Long, id_b: Long, hamming: Int)
 
+/** One (i ≤ j) chunk pair of a bucket's sorted id list — the streamed
+  * decomposition unit of [[Dedup.bucketPairCounts]]'s pair expansion
+  * (see the oversized-bucket note there). A DIAGONAL pair (i == j,
+  * the only kind buckets within the cap ever emit) leaves `b` empty
+  * and expands the strict upper triangle of `a` — the hot path
+  * serializes one array, exactly like the pre-chunking kernel. */
+final case class IdChunkPair(a: Array[Long], b: Array[Long])
+
+/** Streamed unit of [[Dedup.hammingBandPairs]]' pair expansion —
+  * three shapes, disambiguated by which arrays are empty:
+  *  - PRECOMPUTED (`ib` nonempty, `sb` empty): the hot path — an
+  *    in-cap bucket verified inside the FIRST kernel; `ia` = id_a,
+  *    `sa` = id_b, `ib` = hamming per surviving pair. Buckets with
+  *    no surviving pair emit NOTHING at all.
+  *  - DIAGONAL chunk (`ib` and `sb` empty): a cap-sized slice of an
+  *    oversized bucket; `ia`/`sa` = ids/sigs, upper triangle verifies
+  *    in the second kernel.
+  *  - CROSS chunk (`sb` nonempty): two slices of an oversized bucket;
+  *    full cross product verifies in the second kernel. */
+final case class SigChunkPair(ia: Array[Long], sa: Array[Long],
+    ib: Array[Long], sb: Array[Long])
+
 object Dedup {
 
   /** Exact dedup: keep the smallest id per fingerprint. Returns
@@ -156,26 +178,113 @@ object Dedup {
     // and bit_count ≡ Long.bitCount. A pair sharing several bands
     // repeats with the same hamming — the terminal distinct dedups,
     // as before.
-    val expandVerify = udf { (members: Seq[org.apache.spark.sql.Row]) =>
+    // Oversized-bucket guard (r21 ADVICE, medium): a degenerate hot
+    // band value (e.g. the all-zero signature of trivial docs) would
+    // make a single kernel call build O(bucket²) pairs in one
+    // in-memory array. Same streamed chunk decomposition as
+    // bucketPairCounts: sort once, split into cap-sized chunks, one
+    // (i ≤ j) chunk-pair row per kernel call — ≤ cap² verified pairs
+    // materialized at once whatever the bucket size, in-kernel
+    // Hamming verification unchanged, single-call path for every
+    // bucket within the cap.
+    val cap = df.sparkSession.conf
+      .get("graft.bucket.kernelCap", "1024").toInt
+    val empty = Array.emptyLongArray
+    val noChunks = Array.empty[SigChunkPair]
+    val chunkPairs = udf { (members: Seq[org.apache.spark.sql.Row]) =>
       val m = members.toArray.sortBy(_.getLong(0))
-      val out = Array.newBuilder[HamPair]
-      var i = 0
-      while (i < m.length) {
-        var j = i + 1
-        val (ida, siga) = (m(i).getLong(0), m(i).getLong(1))
-        while (j < m.length) {
-          val ham = java.lang.Long.bitCount(siga ^ m(j).getLong(1))
-          if (ham <= maxHamming) out += HamPair(ida, m(j).getLong(0), ham)
-          j += 1
+      val n = m.length
+      if (n <= cap) {
+        // hot path: verify HERE, emit one PRECOMPUTED row holding
+        // only the surviving pairs — or nothing at all (the common
+        // case: random band collisions with no near-dup)
+        val ida = Array.newBuilder[Long]
+        val idb = Array.newBuilder[Long]
+        val hms = Array.newBuilder[Long]
+        var i = 0
+        while (i < n) {
+          var j = i + 1
+          val (a, sga) = (m(i).getLong(0), m(i).getLong(1))
+          while (j < n) {
+            val ham = java.lang.Long.bitCount(sga ^ m(j).getLong(1))
+            if (ham <= maxHamming) {
+              ida += a; idb += m(j).getLong(0); hms += ham.toLong
+            }
+            j += 1
+          }
+          i += 1
         }
-        i += 1
+        val hs = hms.result()
+        if (hs.isEmpty) noChunks
+        else Array(SigChunkPair(ida.result(), idb.result(), hs, empty))
+      } else {
+        val ids = new Array[Long](n)
+        val sgs = new Array[Long](n)
+        var x = 0
+        while (x < n) {
+          ids(x) = m(x).getLong(0); sgs(x) = m(x).getLong(1); x += 1
+        }
+        val nc = (n + cap - 1) / cap
+        def sl(a: Array[Long], c: Int) = java.util.Arrays
+          .copyOfRange(a, c * cap, math.min((c + 1) * cap, n))
+        val out = Array.newBuilder[SigChunkPair]
+        var i = 0
+        while (i < nc) {
+          out += SigChunkPair(sl(ids, i), sl(sgs, i), empty, empty)
+          var j = i + 1
+          while (j < nc) {
+            out += SigChunkPair(sl(ids, i), sl(sgs, i),
+              sl(ids, j), sl(sgs, j))
+            j += 1
+          }
+          i += 1
+        }
+        out.result()
+      }
+    }
+    val expandVerify = udf { (ia: Seq[Long], sa: Seq[Long],
+        ib: Seq[Long], sb: Seq[Long]) =>
+      val out = Array.newBuilder[HamPair]
+      if (sb.nonEmpty) {
+        // cross chunk: full verified cross product
+        var i = 0
+        while (i < ia.length) {
+          var j = 0
+          while (j < ib.length) {
+            val ham = java.lang.Long.bitCount(sa(i) ^ sb(j))
+            if (ham <= maxHamming) out += HamPair(ia(i), ib(j), ham)
+            j += 1
+          }
+          i += 1
+        }
+      } else if (ib.nonEmpty) {
+        // precomputed: (id_a, id_b, hamming) zip
+        var i = 0
+        while (i < ia.length) {
+          out += HamPair(ia(i), sa(i), ib(i).toInt)
+          i += 1
+        }
+      } else {
+        // diagonal chunk: verified upper triangle
+        var i = 0
+        while (i < ia.length) {
+          var j = i + 1
+          while (j < ia.length) {
+            val ham = java.lang.Long.bitCount(sa(i) ^ sa(j))
+            if (ham <= maxHamming) out += HamPair(ia(i), ia(j), ham)
+            j += 1
+          }
+          i += 1
+        }
       }
       out.result()
     }
     bands.groupBy("band", "band_val")
       .agg(collect_list(struct(col("id"), col("_sig"))).as("ms"))
       .filter(size(col("ms")) >= 2)
-      .select(explode(expandVerify(col("ms"))).as("p"))
+      .select(explode(chunkPairs(col("ms"))).as("c"))
+      .select(explode(expandVerify(col("c.ia"), col("c.sa"),
+        col("c.ib"), col("c.sb"))).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
         col("p.hamming").as("hamming"))
       .distinct()
@@ -224,8 +333,8 @@ object Dedup {
     // union(pairs, pairs.reversed) over an un-materialized plan would
     // evaluate the (expensive) pairing lineage twice. No distinct on
     // the symmetric view: duplicate edges cannot change a MIN.
-    val edges = pairs.select(aCol.as("src"), bCol.as("dst"))
-      .localCheckpoint()
+    val edges = Checkpoints.truncate(
+      pairs.select(aCol.as("src"), bCol.as("dst")))
     val sym = edges
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .cache()
@@ -246,10 +355,11 @@ object Dedup {
     // convergence count materializes the initializer in the SAME job,
     // saving the separate eager-checkpoint job every call paid —
     // both in-loop references resolve to one persisted RDD.
-    var labels = sym.groupBy("src").agg(min("dst").as("_mn"))
-      .select(col("src").as("id"),
-        least(col("src"), col("_mn")).as("canonical"))
-      .localCheckpoint(eager = false)
+    var labels = Checkpoints.truncate(
+      sym.groupBy("src").agg(min("dst").as("_mn"))
+        .select(col("src").as("id"),
+          least(col("src"), col("_mn")).as("canonical")),
+      eager = false)
     var changed = 1L
     var iters = 1
     while (changed > 0 && iters < math.min(switchAfter, maxIters)) {
@@ -261,12 +371,12 @@ object Dedup {
       // lazy checkpoint: the convergence count below materializes it,
       // so each round is ONE job (plus nothing else) instead of an
       // eager-checkpoint job followed by a count job
-      val next = labels
+      val next = Checkpoints.truncate(labels
         .join(nbrMin, Seq("id"), "left")
         .select(col("id"), col("canonical").as("old"),
           least(col("canonical"), coalesce(col("nbr_min"),
-            col("canonical"))).as("canonical"))
-        .localCheckpoint(eager = false)
+            col("canonical"))).as("canonical")),
+        eager = false)
       changed = next.filter(col("canonical") =!= col("old")).count()
       labels.unpersist()
       labels = next
@@ -285,10 +395,11 @@ object Dedup {
         col("canonical").as("_lsrc"))
       val lb = labels.select(col("id").as("dst"),
         col("canonical").as("_ldst"))
-      val quotient = sym.join(la, "src").join(lb, "dst")
-        .select(col("_lsrc").as("src"), col("_ldst").as("dst"))
-        .filter(col("src") =!= col("dst"))
-        .distinct().localCheckpoint()
+      val quotient = Checkpoints.truncate(
+        sym.join(la, "src").join(lb, "dst")
+          .select(col("_lsrc").as("src"), col("_ldst").as("dst"))
+          .filter(col("src") =!= col("dst"))
+          .distinct())
       val starLabels = starContraction(quotient, maxIters - iters)
         .select(col("id").as("_sid"), col("canonical").as("_scanon"))
       labels = labels
@@ -348,8 +459,8 @@ object Dedup {
       // shuffles per reference; lazy checkpoints materialize each pass
       // once when the convergence count below runs (same rationale as
       // the propagation loop)
-      val ls = largeStar(e).localCheckpoint(eager = false)
-      val next = smallStar(ls).localCheckpoint(eager = false)
+      val ls = Checkpoints.truncate(largeStar(e), eager = false)
+      val next = Checkpoints.truncate(smallStar(ls), eager = false)
       // fixed point ⇔ identical distinct edge sets: equal counts plus
       // an empty one-sided anti-join
       done = next.count() == e.count() &&
@@ -447,28 +558,76 @@ object Dedup {
     * pairs it with another id's m occurrences k·m times (duplicates
     * sit adjacent in the sorted list; equal ids never self-pair),
     * which is precisely the row count the fp-keyed equi-join
-    * produced under `id_a < id_b`. Returns `(id_a, id_b, n_shared)`. */
+    * produced under `id_a < id_b`. Returns `(id_a, id_b, n_shared)`.
+    *
+    * Precondition: `idCol` must be NON-NULL (r21 ADVICE) — occupancy
+    * is the size of the collected id list, and `collect_list` drops
+    * nulls, so a null id would silently shift its bucket across the
+    * `[minDf, maxDf]` band boundary relative to a row count. Every
+    * registered caller keys on non-null doc ids.
+    *
+    * Oversized-bucket guard (r21 ADVICE, medium): callers with an
+    * unbounded `maxDf` (minhash LSH) would otherwise build a
+    * degenerate hot bucket's O(occupancy²) pairs in ONE in-memory
+    * array inside one kernel call — an executor OOM at scale where
+    * the old self-join merely went slow. The expansion therefore
+    * STREAMS as a chunk decomposition: the sorted bucket splits into
+    * consecutive chunks of `graft.bucket.kernelCap` ids (session
+    * conf, default 1024), every (i ≤ j) chunk pair explodes to its
+    * own row, and the pair kernel expands one chunk pair per call —
+    * ≤ cap² pairs (≈0.5M objects, tens of MB) materialized at once
+    * whatever the bucket size, with the chunk-pair rows themselves
+    * streaming through the Generate. Chunk pairs partition the
+    * bucket's index pairs exactly, so the multiset is unchanged;
+    * buckets within the cap expand in a single call exactly as
+    * before. (A filter-split join fallback was measured first and
+    * rejected: the second pass over the bucket aggregate plus the
+    * branch stages cost 1.1-1.25× on EVERY consumer row even with
+    * the fallback branch empty.) */
   def bucketPairCounts(occ: DataFrame, idCol: Column, keyCol: Column,
       minDf: Int, maxDf: Int): DataFrame = {
+    val cap = occ.sparkSession.conf
+      .get("graft.bucket.kernelCap", "1024").toInt
     val buckets = occ.select(keyCol.as("_k"), idCol.as("id"))
       .groupBy("_k").agg(sort_array(collect_list(col("id"))).as("ids"))
       .filter(size(col("ids")).between(minDf, maxDf))
-    val expandPairs = udf { (ids: Seq[Long]) =>
+    val empty = Array.emptyLongArray
+    val chunkPairs = udf { (ids: Seq[Long]) =>
       val n = ids.length
+      if (n <= cap) Array(IdChunkPair(ids.toArray, empty))
+      else {
+        val a = ids.toArray
+        val nc = (n + cap - 1) / cap
+        def sl(c: Int) = java.util.Arrays
+          .copyOfRange(a, c * cap, math.min((c + 1) * cap, n))
+        val out = Array.newBuilder[IdChunkPair]
+        var i = 0
+        while (i < nc) {
+          out += IdChunkPair(sl(i), empty)
+          var j = i + 1
+          while (j < nc) { out += IdChunkPair(sl(i), sl(j)); j += 1 }
+          i += 1
+        }
+        out.result()
+      }
+    }
+    val expandPairs = udf { (a: Seq[Long], b: Seq[Long]) =>
+      val same = b.isEmpty
+      val jb = if (same) a else b
       val out = Array.newBuilder[IdPair]
-      out.sizeHint(n * (n - 1) / 2)
       var i = 0
-      while (i < n) {
-        var j = i + 1
-        while (j < n) {
-          if (ids(i) != ids(j)) out += IdPair(ids(i), ids(j))
+      while (i < a.length) {
+        var j = if (same) i + 1 else 0
+        while (j < jb.length) {
+          if (a(i) != jb(j)) out += IdPair(a(i), jb(j))
           j += 1
         }
         i += 1
       }
       out.result()
     }
-    buckets.select(explode(expandPairs(col("ids"))).as("p"))
+    buckets.select(explode(chunkPairs(col("ids"))).as("c"))
+      .select(explode(expandPairs(col("c.a"), col("c.b"))).as("p"))
       .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .agg(count(lit(1)).as("n_shared"))
   }

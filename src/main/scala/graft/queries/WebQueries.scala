@@ -370,10 +370,11 @@ object WebQueries {
       for (_ <- 1 to 3) {
         val hop = st.select(col("x").as("bx"), col("cur").as("bcur"),
           col("hops").as("bhops"))
-        st = st.join(hop, col("cur") === col("bx"), "left")
-          .select(col("x"), coalesce(col("bcur"), col("cur")).as("cur"),
-            (col("hops") + coalesce(col("bhops"), lit(0L))).as("hops"))
-          .localCheckpoint(eager = false)
+        st = graft.operators.Checkpoints.truncate(
+          st.join(hop, col("cur") === col("bx"), "left")
+            .select(col("x"), coalesce(col("bcur"), col("cur")).as("cur"),
+              (col("hops") + coalesce(col("bhops"), lit(0L))).as("hops")),
+          eager = false)
       }
       st.join(nxt.select(col("x").as("fx"), col("nxt").as("fnxt")),
           col("cur") === col("fx"), "left")
@@ -406,24 +407,28 @@ object WebQueries {
     // deduped, min per node) — a genuinely different algorithm.
     "crawl_depth_bfs" -> { (s, dir) =>
       val ids = Tables.documents(s, dir).select(col("doc_id"))
-      val edges = ids.select(col("doc_id").as("src"),
+      val edges0 = ids.select(col("doc_id").as("src"),
           explode(when(expr("doc_id % 17 = 0"),
               expr("sequence(doc_id + 1, doc_id + 16)"))
             .otherwise(array(col("doc_id") + 1))).as("dst"))
         .join(ids.select(col("doc_id").as("dst")), Seq("dst"),
           "left_semi")
-        .localCheckpoint(eager = false)
-      var dist = ids.filter(expr("doc_id % 97 = 0"))
-        .select(col("doc_id").as("x"), lit(0L).as("depth"))
-        .localCheckpoint(eager = false)
+      val edgesCk = graft.operators.Checkpoints.truncate(edges0,
+        eager = false)
+      var dist = graft.operators.Checkpoints.truncate(
+        ids.filter(expr("doc_id % 97 = 0"))
+          .select(col("doc_id").as("x"), lit(0L).as("depth")),
+        eager = false)
       var frontier = dist
       for (d <- 1 to 8) {
-        val nxt = frontier.join(edges, col("x") === col("src"))
-          .select(col("dst").as("x")).distinct()
-          .join(dist, Seq("x"), "left_anti")
-          .select(col("x"), lit(d.toLong).as("depth"))
-          .localCheckpoint(eager = false)
-        dist = dist.unionByName(nxt).localCheckpoint(eager = false)
+        val nxt = graft.operators.Checkpoints.truncate(
+          frontier.join(edgesCk, col("x") === col("src"))
+            .select(col("dst").as("x")).distinct()
+            .join(dist, Seq("x"), "left_anti")
+            .select(col("x"), lit(d.toLong).as("depth")),
+          eager = false)
+        dist = graft.operators.Checkpoints.truncate(
+          dist.unionByName(nxt), eager = false)
         frontier = nxt
       }
       ids.join(dist, col("doc_id") === col("x"), "left")

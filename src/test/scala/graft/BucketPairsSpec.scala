@@ -152,6 +152,37 @@ class BucketPairsSpec extends SparkSpec {
     assert(got.count() === want.count())
   }
 
+  test("oversized-bucket chunk decomposition (r22, r21-ADVICE): " +
+      "with a tiny graft.bucket.kernelCap every bucket expands " +
+      "through multi-chunk kernel calls and both operators still " +
+      "equal their default-cap pair sets exactly") {
+    val docs = docsDf.unionByName(
+      Tables.documents(spark, sf0001).select(
+        (col("doc_id") + 1000L).as("doc_id"), col("text")))
+    import spark.implicits._
+    val occ = (Seq((1L, "k1"), (2L, "k1"), (3L, "k1"),
+      (1L, "k2"), (1L, "k2"), (2L, "k2"), (3L, "k2")) ++
+      (1L to 9L).map(i => (i, "k4"))).toDF("doc_id", "fp")
+    val defHam = Dedup.simhashPairs(docs, col("doc_id"), col("text"),
+      maxHamming = 3).collect().map(_.toString).sorted.toSeq
+    val defLsh = Dedup.minhashCandidatePairs(docs, col("doc_id"),
+      col("text")).collect().map(_.toString).sorted.toSeq
+    val defBpc = Dedup.bucketPairCounts(occ, col("doc_id"), col("fp"),
+      2, 50).collect().map(_.toString).sorted.toSeq
+    spark.conf.set("graft.bucket.kernelCap", "2")
+    try {
+      assert(Dedup.simhashPairs(docs, col("doc_id"), col("text"),
+        maxHamming = 3).collect().map(_.toString).sorted.toSeq
+        === defHam, "hammingBandPairs fallback diverged")
+      assert(Dedup.minhashCandidatePairs(docs, col("doc_id"),
+        col("text")).collect().map(_.toString).sorted.toSeq
+        === defLsh, "minhash fallback diverged")
+      assert(Dedup.bucketPairCounts(occ, col("doc_id"), col("fp"),
+        2, 50).collect().map(_.toString).sorted.toSeq
+        === defBpc, "bucketPairCounts fallback diverged")
+    } finally spark.conf.unset("graft.bucket.kernelCap")
+  }
+
   test("winnowing-row rewrite: bucketPairCounts over word " +
       "fingerprints equals the old self-join shape on real corpus") {
     val docs = Tables.documents(spark, sf0001)
