@@ -899,9 +899,15 @@ object TrainingQueries {
     "pagerank_hubs" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val docs = withCopies(s, dir).select(col("doc_id"))
-      val pairs = Dedup.simhashPairs(withCopies(s, dir), col("doc_id"),
-          col("text"), maxHamming = 3)
-        .select("id_a", "id_b")
+      // r22: materialize the pair lineage ONCE (the components
+      // operator's standing discipline, ∝ duplicates) — the rank
+      // loop's lazy plan otherwise re-embeds, and at broadcast/stage
+      // time re-evaluates, the whole simhash pairing per iteration
+      // (edges is referenced by deg + three contrib rounds)
+      val pairs = graft.operators.Checkpoints.truncate(
+        Dedup.simhashPairs(withCopies(s, dir), col("doc_id"),
+            col("text"), maxHamming = 3)
+          .select("id_a", "id_b"))
       val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
         .unionByName(pairs.select(col("id_b").as("src"),
           col("id_a").as("dst")))
@@ -2178,18 +2184,30 @@ object TrainingQueries {
       val all = d.unionByName(
         d.filter(pmod(col("doc_id"), lit(5)) >= lit(3))
           .select((col("doc_id") + CopyShift).as("doc_id"), col("text")))
-      val grams = all
+      // r22 (verdict item 8, from the stage profile): the corpus-wide
+      // `(doc_id, g)` DISTINCT exchange — not the compiled gram kernel
+      // — owned this row's full-materialization time (its 3 plan
+      // references each re-ran the distinct's final aggregate). doc_id
+      // is UNIQUE in `all`, so (doc_id, g) duplicates only arise
+      // WITHIN a document, and a per-row `array_distinct` over the
+      // kernel output IS the global distinct — the r21 change-1
+      // per-doc-dedup argument (per-doc dedup cannot change a
+      // cross-doc distinct) applied to the span family. n_spans is
+      // then a pure per-row array size (no aggregate, no exchange at
+      // all), and the only corpus-scale exchange left is the doc-freq
+      // aggregate on `g`.
+      val base = all
         .select(col("doc_id"),
           TextAnalysis.tokens(lower(col("text"))).as("toks"))
         .filter(size(col("toks")) >= 8)
         .select(col("doc_id"),
-          explode(graft.functions.TextShingles.spanGramMd5(8)(
-            col("toks"))).as("g"))
-        .distinct()
+          array_distinct(graft.functions.TextShingles.spanGramMd5(8)(
+            col("toks"))).as("gs"))
+      val grams = base.select(col("doc_id"), explode(col("gs")).as("g"))
       val dupSet = grams.groupBy("g").agg(count(lit(1)).as("ndocs"))
         .filter(col("ndocs") >= 2).select("g")
-      val nSpans = grams.groupBy("doc_id")
-        .agg(count(lit(1)).as("n_spans"))
+      val nSpans = base.select(col("doc_id"),
+        size(col("gs")).cast("long").as("n_spans"))
       val nDup = grams.join(dupSet, "g").groupBy("doc_id")
         .agg(count(lit(1)).as("n_dup"))
       nSpans.join(nDup, Seq("doc_id"), "left")
@@ -2326,7 +2344,16 @@ object TrainingQueries {
         .select(col("doc_id"), posexplode(
           graft.functions.TextShingles.spanGramMd5(8)(col("toks"))))
         .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("g"))
-      val dupg = occ.select("doc_id", "g").distinct()
+      // r22 (verdict item 8): the doc-frequency input dedups PER ROW
+      // (array_distinct over the kernel output — doc_id is unique, so
+      // per-doc dedup IS the (doc_id, g) distinct) instead of pushing
+      // the corpus-gram stream through a distinct exchange; the
+      // second kernel pass this costs is the measured-cheaper side of
+      // the trade (the dup_span_report stage profile in SCALE.md).
+      val dupg = base.filter(size(col("toks")) >= 8)
+        .select(col("doc_id"), explode(array_distinct(
+          graft.functions.TextShingles.spanGramMd5(8)(col("toks"))))
+          .as("g"))
         .groupBy("g").agg(count(lit(1)).as("ndocs"))
         .filter(col("ndocs") >= 2).select("g")
       val cov = occ.join(dupg, "g")
@@ -2390,8 +2417,17 @@ object TrainingQueries {
       // DuckDB's max_by takes no composite key): n_tokens·1e8 − doc_id
       // orders by quality then smaller-id, collision-free while ids
       // stay below 1e8 (base ids < 1e6, CopyShift 1e6, ScaleUp 1e7 —
-      // the dedup_source_matrix invariant)
-      val owners = occ.select("doc_id", "n_tokens", "g").distinct()
+      // the dedup_source_matrix invariant).
+      // r22 (verdict item 8): the owner aggregate's input dedups PER
+      // ROW (array_distinct — n_tokens is functionally dependent on
+      // the unique doc_id, so per-doc dedup IS the distinct) instead
+      // of a corpus-gram distinct exchange; see dedup_span_trim.
+      val owners = base.filter(size(col("toks")) >= 8)
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          explode(array_distinct(
+            graft.functions.TextShingles.spanGramMd5(8)(col("toks"))))
+            .as("g"))
         .groupBy("g")
         .agg(count(lit(1)).as("ndocs"),
           expr("max_by(doc_id, n_tokens * 100000000 - doc_id)")
@@ -3503,9 +3539,13 @@ object TrainingQueries {
     // tier's invariant; this is the graph-quality metric next to
     // components (size) and pagerank (centrality).
     "dup_triangle_count" -> { (s, dir) =>
-      val e = Dedup.simhashPairs(withCopies(s, dir), col("doc_id"),
-          col("text"), maxHamming = 3)
-        .select("id_a", "id_b")
+      // r22: pair lineage materialized ONCE (see pagerank_hubs) —
+      // this row references `e` FIVE times (degrees, the two-hop
+      // join's both sides, the closing semi-join, the edge count)
+      val e = graft.operators.Checkpoints.truncate(
+        Dedup.simhashPairs(withCopies(s, dir), col("doc_id"),
+            col("text"), maxHamming = 3)
+          .select("id_a", "id_b"))
       val deg = e.select(explode(array(col("id_a"), col("id_b")))
           .as("id"))
         .groupBy("id").agg(count(lit(1)).as("d"))
