@@ -56,7 +56,15 @@ object Cumulative {
     val aggCols =
       sums.map { case (v, out) => sum(col(v)).as(s"_t_$out") } ++
         totals.map { case (v, out) => sum(col(v)).as(s"_g_$out") }
-    val partTotals = parted.groupBy("_pid")
+    // per-bucket totals derive from `local` (the WINDOW output), not
+    // from `df`: both branches then share the window's own
+    // hashpartitioning(_pid) exchange, the upstream lineage (for the
+    // consumer rows: a session-window or corpus aggregate) executes
+    // exactly ONCE, and the groupBy needs no exchange of its own —
+    // deriving them from the pre-window frame instead re-ran the
+    // upstream final aggregates per branch (measured ~2x the row on
+    // session_stats)
+    val partTotals = local.groupBy("_pid")
       .agg(aggCols.head, aggCols.tail: _*)
     // exclusive prefix per bucket + global totals in ONE window pass
     // over the ≤ 960-row totals frame
